@@ -1,13 +1,165 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.BatchQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator/capability from SURVEY.md §2
+  * (or a beyond-reference pipeline op); `oracleSql` carries the DuckDB
+  * equivalent for the driver's hash compare. Column names are aliased
+  * identically on both sides and every query ends in a deterministic
+  * ORDER BY.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    BatchQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"           -> (BatchQueries.q1Agg _),
+    "q_agg_global"     -> (BatchQueries.qAggGlobal _),
+    "q_avg_int_compat" -> (BatchQueries.qAvgIntCompat _),
+    "q_filter_pred"    -> (BatchQueries.qFilterPred _),
+    "q_filter_in"      -> (BatchQueries.qFilterIn _),
+    "q_like_contains"  -> (BatchQueries.qLikeContains _),
+    "q_bool_nested"    -> (BatchQueries.qBoolNested _),
+    "q_join_broadcast" -> (BatchQueries.qJoinBroadcast _),
+    "q_join_merge"     -> (BatchQueries.qJoinMerge _),
+    "q_join_theta"     -> (BatchQueries.qJoinTheta _),
+    "q_join_multiway"  -> (BatchQueries.qJoinMultiway _),
+    "q_semi_join"      -> (BatchQueries.qSemiJoin _),
+    "q_anti_join"      -> (BatchQueries.qAntiJoin _),
+    "q_orderby"        -> (BatchQueries.qOrderBy _),
+    "q_distinct"       -> (BatchQueries.qDistinct _),
+    "q_topk"           -> (BatchQueries.qTopK _),
+    "q_set_ops"        -> (BatchQueries.qSetOps _),
+    "q_scalar_funcs"   -> (BatchQueries.qScalarFuncs _),
+    "q_window_sliding" -> (BatchQueries.qWindowSliding _),
+    "q_window_tumbling"-> (BatchQueries.qWindowTumbling _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 2) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_global" ->
+      """SELECT count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price
+         FROM orders""",
+    "q_avg_int_compat" ->
+      """SELECT p_brand,
+         CAST(floor(sum(CAST(p_size AS BIGINT)) / count(p_size)) AS BIGINT) AS avg_size_int,
+         sum(CAST(p_size AS BIGINT)) AS sum_size
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+         l_extendedprice * (1.0 - l_discount) AS net_price
+         FROM lineitem
+         WHERE l_quantity >= 30 AND l_discount < 0.05
+           AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_filter_in" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           AND o_orderstatus NOT IN ('F')
+         ORDER BY o_orderkey""",
+    "q_like_contains" ->
+      """SELECT p_partkey, p_type, p_name
+         FROM part
+         WHERE contains(p_type, 'ECO') AND NOT contains(p_name, 'red')
+         ORDER BY p_partkey""",
+    "q_bool_nested" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS acctbal
+         FROM customer
+         WHERE (c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0)
+            OR (c_mktsegment = 'MACHINERY' AND c_acctbal < 0.0)
+         ORDER BY c_custkey""",
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+         round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_theta" ->
+      """SELECT n1.n_regionkey AS r1, n2.n_regionkey AS r2, count(*) AS n_pairs
+         FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_join_multiway" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+         ORDER BY o_orderkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_orderby" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal AS acctbal
+         FROM supplier
+         ORDER BY s_nationkey ASC, acctbal DESC, s_suppkey ASC""",
+    "q_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+         ORDER BY c_nationkey, c_mktsegment""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice AS totalprice
+         FROM orders
+         ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_set_ops" ->
+      """(SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+         UNION ALL
+         (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         EXCEPT
+         SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+         ORDER BY nationkey""",
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS to_number_price,
+         strftime(o_orderdate, '%Y-%m-%d') AS to_char_date,
+         strftime(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS to_date_rt
+         FROM orders ORDER BY o_orderkey""",
+    "q_window_sliding" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER w, 2) AS sliding_sum,
+         count(*) OVER w AS sliding_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "q_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
 }

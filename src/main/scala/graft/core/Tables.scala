@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-generated parquet layout
+  * (`<dir>/<name>.parquet`). Mirrors the reference's table-name →
+  * storage mapping (reference: persistent/Session.java:181-277
+  * registerTable) without the frame storage engine: Spark's parquet
+  * scan replaces the frame chain (reference: sql/SQLTable.java:58-139).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects;
+    // read nanos as long and truncate to microsecond precision (integer
+    // DIV — ns since epoch exceeds double's 2^53 mantissa).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` and the graft
+    * dialect both resolve bare table names. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

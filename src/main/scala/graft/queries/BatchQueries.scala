@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Batch operator surface re-expressed Spark-first.
+  *
+  * Each method is one operator/capability from SURVEY.md §2 (reference
+  * file:line cited per method). All plans are declarative DataFrame ops
+  * so Catalyst pushes filters/prunes columns/selects join strategies;
+  * broadcast hints are applied where a dimension side is known-small at
+  * any scale factor (region/nation are fixed-size; customer/supplier
+  * grow slowly). Every query ends in a deterministic ORDER BY so the
+  * driver's row-hash compare is stable.
+  */
+object BatchQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** A1/A4 — GROUP BY + COUNT/SUM/MIN/MAX/AVG (reference:
+    * sql/SQLGroupFunction.java:47-93, sql/SQLJoin.java:168-216).
+    * TPC-H Q1 shape: partial (map-side) agg then final — strictly
+    * better than the reference's sort-based single-pass fold.
+    * Money sums are rounded to 2dp: inputs carry exactly 2 decimals so
+    * the rounded sum is order-insensitive across engines. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A1 global aggregates, no GROUP BY (reference requires all select
+    * cols aggregated in that case — sql/SQLSelect.java:347-376). */
+  def qAggGlobal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      count(lit(1)).as("n_orders"),
+      round(sum(col("o_totalprice")), 2).as("sum_price"),
+      round(min(col("o_totalprice")), 2).as("min_price"),
+      round(max(col("o_totalprice")), 2).as("max_price"))
+
+  /** A2 — reference integer-AVG semantics: SUM/AVG accumulate long and
+    * AVG is integer division (reference: sql/SQLGroupFunction.java:66-74,
+    * 95-103). Exposed as the strictCompat variant. */
+  def qAvgIntCompat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        floor(sum(col("p_size").cast("long")) / count(col("p_size"))).cast("long").as("avg_size_int"),
+        sum(col("p_size").cast("long")).as("sum_size"))
+      .orderBy(col("p_brand"))
+
+  /** P1/P2/P4 — projection + alias + comparison predicates (reference:
+    * sql/CList.java:55-189; sql/NestedCondition.java:139-358). Filters
+    * reach the parquet scan as PushedFilters. */
+  def qFilterPred(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 30 && col("l_discount") < 0.05 &&
+        col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("qty"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** P5 — IN / NOT IN value lists (reference `[v1, v2]` syntax —
+    * sql/ValueCondition.java:92-141). */
+  def qFilterIn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        !col("o_orderstatus").isin("F"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+
+  /** P7 — LIKE with the reference's substring-contains semantics
+    * (reference: sql/NestedCondition.java:173-188 uses indexOf, NOT SQL
+    * patterns). Lowered to `contains`, never `like`. */
+  def qLikeContains(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_type").contains("ECO") && !col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_type"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  /** P8 — boolean combinators incl. nested OR-of-ANDs (exceeds the
+    * reference's one-connective-per-level rule —
+    * sql/NestedCondition.java:366-438). */
+  def qBoolNested(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter((col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000.0) ||
+        (col("c_mktsegment") === "MACHINERY" && col("c_acctbal") < 0.0))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** J2 — hash join with a broadcast small side (reference RIGHT_HASH:
+    * sql/SQLJoinDispatcher.java:106-131, sql/SQLHashMapFrame.java:52-80).
+    * nation/region are fixed 25/5 rows at any SF → always broadcast;
+    * at 100 TB this stays a map-side join with zero shuffle of the
+    * fact side. */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val nat = broadcast(t(s, dir, "nation"))
+    val reg = broadcast(t(s, dir, "region"))
+    cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** J1 — big-big equi-join → sort-merge / shuffled-hash chosen by
+    * Catalyst+AQE (reference MERGE join: sql/FrameJoinTask.java:112-152).
+    * Both sides shuffle-partition on the join key; at scale this is the
+    * canonical co-partitioned fact-fact join. */
+  def qJoinMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** J4 — theta (non-equi) join → broadcast nested loop (reference
+    * nested-loop path: sql/FrameJoinTask.java:224-244). Kept to
+    * fixed-size sides (nation×nation) so the cartesian stays bounded
+    * at any SF. */
+  def qJoinTheta(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+    val n2 = broadcast(t(s, dir, "nation").select(col("n_nationkey").as("k2"), col("n_regionkey").as("r2")))
+    n1.join(n2, col("r1") < col("r2"))
+      .groupBy(col("r1"), col("r2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("r1"), col("r2"))
+  }
+
+  /** J5/J6 — multi-way join (reference left-deep cursor chain:
+    * sql/SQLJoin.java:91-121). TPC-H Q5 shape: facts co-partition on
+    * keys, dims broadcast; Catalyst+CBO reorders freely where the
+    * reference used a frame-count heuristic. */
+  def qJoinMultiway(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val nat = broadcast(t(s, dir, "nation"))
+    val reg = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Semi join — `IN [SELECT …]` done for real (the reference only
+    * stubs it: sql/ValueCondition.java:92-96). Left-semi avoids
+    * materializing the subquery result. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"))
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Anti join — NOT IN subquery, absent from the reference grammar. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** O1 — multi-column ORDER BY (reference: index-organized result
+    * tables, persistent/Table.java:1650-1742 — here a shuffle range
+    * sort, which scales horizontally instead of funnelling through one
+    * B-tree). DESC included (reference grammar is asc-only). */
+  def qOrderBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal").as("acctbal"))
+      .orderBy(col("s_nationkey").asc, col("acctbal").desc, col("s_suppkey").asc)
+
+  /** A8 — DISTINCT implemented for real (the reference parses the
+    * keyword but never applies it — sql/SQLSelect.java:169-171). */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** O3 — LIMIT / top-k, absent from the reference grammar.
+    * Deterministic: ordered before limit. */
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** §2.6 set ops (absent in reference, native in Spark). */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    custNations.intersect(suppNations)
+      .union(custNations.except(suppNations))
+      .orderBy(col("nationkey"))
+  }
+
+  /** F1-F3 — TO_NUMBER / TO_CHAR / TO_DATE lowered to casts/formats
+    * (reference parses them but they are non-functional —
+    * sql/SQLColumn.java:82-84,177-185). */
+  def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("string").cast("double").as("to_number_price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("to_char_date"),
+        date_format(to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd"), "yyyy-MM-dd").as("to_date_rt"))
+      .orderBy(col("o_orderkey"))
+
+  /** A7 batch form — count-based sliding window (reference
+    * `WINDOW BY col INTERVAL = n`: sql/SQLGroupContainer.java:120-158):
+    * last-n-rows aggregate per arriving row. Spark window frame
+    * `rowsBetween(-(n-1), 0)` partitioned by user so state is bounded
+    * per key and the sort parallelizes across keys. */
+  def qWindowSliding(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 2).as("sliding_sum"),
+        count(lit(1)).over(w).as("sliding_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** A6/C3 batch form — tumbling time-window aggregation (reference
+    * emits on group-key change over id-ordered stream:
+    * sql/SQLGroupContainer.java:68-118; we use event-time hours). */
+  def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+}
