@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.BatchQueries
+import graft.queries.{BatchQueries, DialectQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,12 @@ object SparkEntry {
     "q_scalar_funcs"   -> (BatchQueries.qScalarFuncs _),
     "q_window_sliding" -> (BatchQueries.qWindowSliding _),
     "q_window_tumbling"-> (BatchQueries.qWindowTumbling _),
+    // dialect-routed (GraftSession.execute end-to-end)
+    "q_sql_agg"        -> (DialectQueries.qSqlAgg _),
+    "q_sql_join"       -> (DialectQueries.qSqlJoin _),
+    "q_sql_filter"     -> (DialectQueries.qSqlFilter _),
+    "q_sql_like"       -> (DialectQueries.qSqlLike _),
+    "q_sql_window"     -> (DialectQueries.qSqlWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,5 +167,33 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_sql_agg" ->
+      """SELECT l_returnflag AS f, count(l_orderkey) AS c, sum(l_quantity) AS sq,
+         min(l_quantity) AS mn, max(l_quantity) AS mx
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_sql_join" ->
+      """SELECT r_name AS rname, n_name AS nname, count(c_custkey) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_sql_filter" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS p FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+         ORDER BY o_orderkey""",
+    "q_sql_like" ->
+      """SELECT p_partkey AS k, p_name AS nm FROM part
+         WHERE contains(p_name, 'ring') OR contains(p_name, 'bolt')
+         ORDER BY p_partkey""",
+    "q_sql_window" ->
+      """SELECT id, c, mn, mx FROM (
+           SELECT event_id AS id,
+                  count(*) OVER w AS c,
+                  min(value) OVER w AS mn,
+                  max(value) OVER w AS mx,
+                  row_number() OVER (ORDER BY event_id) AS rn
+           FROM events
+           WINDOW w AS (ORDER BY event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+         ) WHERE rn >= 100 ORDER BY id""",
   )
 }

@@ -1,0 +1,228 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sqlparse.Ast._
+
+/** Lowers the dialect AST to a declarative DataFrame plan.
+  *
+  * Spark-first by construction: tables are chained with crossJoin and
+  * all WHERE conditions become one filter — Catalyst's
+  * ExtractFiltersAndInnerJoins/ReorderJoin rewrites the
+  * filter-over-cross-join into proper equi-joins and picks
+  * broadcast/sort-merge physically, which strictly dominates the
+  * reference's fixed-weight dispatcher (sql/SQLJoinDispatcher.java:56-60).
+  *
+  * Reference semantics preserved (the `Compat` switches):
+  *  - LIKE is substring-contains (sql/NestedCondition.java:173-188)
+  *  - AVG over integer columns is integer division
+  *    (sql/SQLGroupFunction.java:66-74,95-103) when intAvg=true
+  *  - date literals parse with the configured format, default
+  *    dd.MM.yyyy (core/Config.java:94)
+  *  - quoted empty string is NULL (sql/ValueCondition.java:58-60)
+  *  - result columns of `a.col` are named `acol` (sql/CList.java:70-78)
+  */
+object Lowering {
+
+  final case class Compat(
+      dateFormat: String = "dd.MM.yyyy",
+      intAvg: Boolean = true,
+      lastAsAvg: Boolean = false) // reference F_LAST==F_AVG bug, off by default
+
+  final case class AnalysisException2(msg: String) extends RuntimeException(msg)
+
+  def lower(stmt: SelectStmt, resolve: String => DataFrame,
+            compat: Compat = Compat()): DataFrame = {
+    require(stmt.processWithin.isEmpty, "PROCESS statements go through graft.cep.Process")
+
+    // 1. per-table flat renaming: alias 'e' + column 'name' → 'ename'
+    val renamed: Seq[DataFrame] = stmt.tables.map { t =>
+      val df = resolve(t.name)
+      t.alias match {
+        case Some(a) => df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, a + c))
+        case None => df
+      }
+    }
+    val joined = renamed.reduceLeft(_.crossJoin(_))
+
+    def colType(name: String): Option[DataType] =
+      joined.schema.fields.find(_.name == name).map(_.dataType)
+
+    def resolveRef(r: ColRef): Column = {
+      val n = r.flatName
+      if (colType(n).isDefined) col(n)
+      else if (r.table.isEmpty && colType(r.name).isDefined) col(r.name)
+      else throw AnalysisException2(s"unknown column ${r.table.map(_ + ".").getOrElse("")}${r.name}")
+    }
+
+    def litFor(r: ColRef, l: Literal): Column = l match {
+      case NumLit(v, integral) => if (integral) lit(v.toLong) else lit(v)
+      case StrLit("") => lit(null) // reference: quoted empty string is null
+      case StrLit(s) =>
+        colType(r.flatName).orElse(colType(r.name)) match {
+          case Some(TimestampType) => to_timestamp(lit(s), toSparkFmt(compat.dateFormat))
+          case Some(TimestampNTZType) => to_timestamp_ntz(lit(s), lit(toSparkFmt(compat.dateFormat)))
+          case Some(DateType) => to_date(lit(s), toSparkFmt(compat.dateFormat))
+          case _ => lit(s)
+        }
+    }
+
+    def lowerCond(c: Cond): Column = c match {
+      case Cmp(op, l, right) =>
+        val lc = resolveRef(l)
+        val rc = right.fold(litFor(l, _), resolveRef)
+        op match {
+          case "=" => lc === rc
+          case "<>" => lc =!= rc
+          case "<" => lc < rc
+          case ">" => lc > rc
+          case "<=" => lc <= rc
+          case ">=" => lc >= rc
+        }
+      case InList(r, vs, neg) =>
+        val values = vs.map {
+          case NumLit(v, integral) => if (integral) v.toLong: Any else v: Any
+          case StrLit(s) => s: Any
+        }
+        val base = resolveRef(r).isin(values: _*)
+        if (neg) !base else base
+      case Like(r, s, neg) =>
+        val base = resolveRef(r).contains(s) // reference LIKE = indexOf
+        if (neg) !base else base
+      case BoolOp(op, children) =>
+        val lowered = children.map(lowerCond)
+        if (op == "AND") lowered.reduce(_ && _) else lowered.reduce(_ || _)
+    }
+
+    val filtered = stmt.where.map(c => joined.filter(lowerCond(c))).getOrElse(joined)
+
+    // 2. select list
+    val aggFuncs = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAST")
+    val hasAgg = stmt.cols.exists(_.func.exists(aggFuncs.contains))
+
+    def outName(sc: SelCol): String =
+      sc.alias.getOrElse(sc.func match {
+        case Some(f) => f.toLowerCase + "_" + sc.ref.flatName
+        case None => sc.ref.flatName
+      })
+
+    def isIntegral(r: ColRef): Boolean =
+      colType(r.flatName).orElse(colType(r.name)).exists {
+        case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+        case _ => false
+      }
+
+    def aggExpr(sc: SelCol): Column = {
+      val c = resolveRef(sc.ref)
+      val base = sc.func.get match {
+        case "COUNT" => count(c)
+        case "SUM" => sum(c)
+        case "MIN" => min(c)
+        case "MAX" => max(c)
+        case "AVG" =>
+          if (compat.intAvg && isIntegral(sc.ref))
+            floor(sum(c.cast(LongType)) / count(c)).cast(LongType) // reference integer AVG
+          else avg(c)
+        case "LAST" =>
+          if (compat.lastAsAvg) avg(c) // reference bug F_LAST==F_AVG, opt-in only
+          else last(c)
+      }
+      base.as(outName(sc))
+    }
+
+    def scalarExpr(sc: SelCol): Column = {
+      val c = resolveRef(sc.ref)
+      val base = sc.func match {
+        case Some("TO_NUMBER") => c.cast(DoubleType)
+        case Some("TO_CHAR") =>
+          colType(sc.ref.flatName).orElse(colType(sc.ref.name)) match {
+            case Some(TimestampType) | Some(DateType) =>
+              date_format(c, toSparkFmt(compat.dateFormat))
+            case _ => c.cast(StringType)
+          }
+        case Some("TO_DATE") => to_date(c, toSparkFmt(compat.dateFormat))
+        case _ => c
+      }
+      base.as(outName(sc))
+    }
+
+    val projected: DataFrame =
+      if (stmt.star) {
+        if (stmt.tables.size != 1)
+          throw AnalysisException2("SELECT * is single-table only") // sql/SQLSelect.java:292-301
+        filtered
+      } else if (stmt.windowBy.isDefined) {
+        // count-based sliding window: aggregates over the last n rows in
+        // windowCol order, emitted per row once the buffer is full
+        // (sql/SQLGroupContainer.java:120-158). Batch lowering uses a
+        // window frame; the global order is the reference's semantics
+        // (monotonic @GeneratedValue ids).
+        val (wcol, n) = stmt.windowBy.get
+        val order = resolveRef(wcol)
+        val w = Window.orderBy(order).rowsBetween(-(n - 1), Window.currentRow)
+        val rn = row_number().over(Window.orderBy(order))
+        val outCols = stmt.cols.map { sc =>
+          if (sc.func.exists(aggFuncs.contains)) {
+            val c = resolveRef(sc.ref)
+            val e = sc.func.get match {
+              case "COUNT" => count(c).over(w)
+              case "SUM" => sum(c).over(w)
+              case "MIN" => min(c).over(w)
+              case "MAX" => max(c).over(w)
+              case "AVG" => avg(c).over(w)
+              case "LAST" => last(c).over(w)
+            }
+            e.as(outName(sc))
+          } else scalarExpr(sc)
+        }
+        filtered
+          .withColumn("__rn", rn)
+          .select((outCols :+ col("__rn")): _*)
+          .filter(col("__rn") >= n).drop("__rn")
+      } else if (hasAgg) {
+        // reference validation (sql/SQLSelect.java:347-376)
+        val plain = stmt.cols.filter(_.func.forall(f => !aggFuncs.contains(f)))
+        if (stmt.groupBy.isEmpty && plain.nonEmpty)
+          throw AnalysisException2("aggregates without GROUP BY require all columns aggregated")
+        val groupNames = stmt.groupBy.map(_.flatName).toSet
+        plain.foreach { sc =>
+          if (!groupNames.contains(sc.ref.flatName))
+            throw AnalysisException2(s"column ${sc.ref.flatName} is neither grouped nor aggregated")
+        }
+        val gcols = stmt.groupBy.map(resolveRef)
+        val aggs = stmt.cols.filter(_.func.exists(aggFuncs.contains)).map(aggExpr)
+        val grouped = filtered.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+        // re-project to declared column order + aliases
+        val out = stmt.cols.map { sc =>
+          if (sc.func.exists(aggFuncs.contains)) col(outName(sc))
+          else col(sc.ref.flatName).as(outName(sc))
+        }
+        grouped.select(out: _*)
+      } else {
+        filtered.select(stmt.cols.map(scalarExpr): _*)
+      }
+
+    val distincted = if (stmt.distinct) projected.distinct() else projected
+
+    if (stmt.orderBy.nonEmpty) {
+      // reference ORDER BY is ascending-only (sql/SQLSelect.java:309-324)
+      val orderCols = stmt.orderBy.map { r =>
+        val n = r.flatName
+        if (distincted.columns.contains(n)) col(n)
+        else {
+          // order col may have been aliased in the select list
+          val aliased = stmt.cols.find(sc => sc.ref == r && sc.func.isEmpty)
+            .flatMap(_.alias)
+          col(aliased.getOrElse(n))
+        }
+      }
+      distincted.orderBy(orderCols: _*)
+    } else distincted
+  }
+
+  /** Java SimpleDateFormat-style reference format → Spark datetime pattern.
+    * dd.MM.yyyy happens to be valid in both. */
+  private def toSparkFmt(fmt: String): String = fmt
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.GraftSession
+
+/** Queries routed through the reference SQL dialect (parser + lowering)
+  * end-to-end, proving `GraftSession.execute` against the DuckDB oracle.
+  * The dialect's quirks are visible here on purpose: `[..]` IN lists,
+  * dd.MM.yyyy date literals, LIKE-as-contains, and `alias.col → aliascol`
+  * result naming.
+  *
+  * Note on aggregates: sums are taken over integer-valued columns
+  * (l_quantity, event ids) so results are order-insensitive and
+  * hash-exact across engines — the dialect has no ROUND to absorb
+  * float reassociation.
+  */
+object DialectQueries {
+  private def session(s: SparkSession, dir: String): GraftSession = {
+    val g = new GraftSession(s)
+    g.registerDir(dir)
+    g
+  }
+
+  /** GROUP BY + all five group functions through the dialect. */
+  def qSqlAgg(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select l.l_returnflag f, count(l.l_orderkey) c, sum(l.l_quantity) sq,
+         min(l.l_quantity) mn, max(l.l_quantity) mx
+         from lineitem l group by l.l_returnflag order by l.l_returnflag""")
+
+  /** Manual's dept/emp-shaped multi-table equi-join, via WHERE joins. */
+  def qSqlJoin(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select r.r_name rname, n.n_name nname, count(c.c_custkey) n_cust
+         from customer c, nation n, region r
+         where c.c_nationkey = n.n_nationkey and n.n_regionkey = r.r_regionkey
+         group by r.r_name, n.n_name order by r.r_name, n.n_name""")
+
+  /** Bracketed IN list + dd.MM.yyyy date literal + comparison chain. */
+  def qSqlFilter(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select o.o_orderkey k, o.o_orderpriority p from orders o
+         where o.o_orderpriority in ['1-URGENT', '2-HIGH']
+           and o.o_orderdate >= '01.06.1998'
+         order by o.o_orderkey""")
+
+  /** LIKE with reference contains-semantics + nested OR level. */
+  def qSqlLike(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select p.p_partkey k, p.p_name nm from part p
+         where p.p_name like 'ring' or p.p_name like 'bolt'
+         order by p.p_partkey""")
+
+  /** WINDOW BY … INTERVAL = n — count-based sliding window
+    * (reference: sql/SQLGroupContainer.java:120-158). */
+  def qSqlWindow(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select e.event_id id, count(e.event_id) c, min(e.value) mn, max(e.value) mx
+         from events e window by e.event_id interval = 100""")
+}

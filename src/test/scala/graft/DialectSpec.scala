@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sqlparse.{Parser, Ast}
+import graft.core.GraftSession
+import graft.plan.Lowering
+
+class ParserSpec extends AnyFunSuite {
+  import Ast._
+
+  test("manual's dept/emp join query parses") {
+    val s = Parser.parse(
+      "select d.deptName, e.empName, e.descript from su.interference.test.entity.Dept d, su.interference.test.entity.Emp e where d.deptId = e.deptId")
+    assert(s.tables == Seq(TableRef("Dept", Some("d")), TableRef("Emp", Some("e"))))
+    assert(s.cols.map(_.ref.flatName) == Seq("ddeptName", "eempName", "edescript"))
+    assert(s.where.contains(Cmp("=", ColRef(Some("d"), "deptId"), Right(ColRef(Some("e"), "deptId")))))
+  }
+
+  test("select stream with group by parses") {
+    val s = Parser.parse(
+      "select stream sum(e.eventValue) sm, e.groupValue from Event e group by e.groupValue")
+    assert(s.stream)
+    assert(s.cols.head == SelCol(Some("SUM"), ColRef(Some("e"), "eventValue"), Some("sm")))
+    assert(s.groupBy == Seq(ColRef(Some("e"), "groupValue")))
+  }
+
+  test("window by interval parses") {
+    val s = Parser.parse(
+      "select stream count(e.eventId) c, sum(e.eventValue) s from Event e window by e.eventId interval = 100")
+    assert(s.windowBy.contains((ColRef(Some("e"), "eventId"), 100)))
+  }
+
+  test("bracketed IN list and LIKE parse") {
+    val s = Parser.parse(
+      "select e.a from T e where e.b in [1, 2, 3] and e.c not like 'xyz'")
+    val BoolOp("AND", Seq(in: InList, lk: Like)) = s.where.get: @unchecked
+    assert(in.values.map(_.value) == Seq(1.0, 2.0, 3.0) && !in.negated)
+    assert(lk.negated && lk.substring == "xyz")
+  }
+
+  test("mixed AND/OR at one level is rejected (reference quirk)") {
+    assertThrows[ParseException](
+      Parser.parse("select a from T where a = 1 and b = 2 or c = 3"))
+    // but parenthesized nesting is fine
+    val s = Parser.parse("select a from T where a = 1 and (b = 2 or c = 3)")
+    assert(s.where.get.isInstanceOf[BoolOp])
+  }
+
+  test("PROCESS ... WITHIN parses") {
+    val s = Parser.parse(
+      "process e.eventValue from Event e within 'my.pkg.Handler' where e.eventType = 1")
+    assert(s.processWithin.contains("my.pkg.Handler"))
+  }
+
+  test("select * multi-table is rejected") {
+    assertThrows[ParseException](Parser.parse("select * from A a, B b"))
+  }
+}
+
+class LoweringSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+  private lazy val gs = {
+    val g = new GraftSession(spark)
+    g.registerDir(sf)
+    g
+  }
+
+  test("dialect equi-join matches DataFrame equivalent") {
+    val got = gs.execute(
+      "select n.n_name, r.r_name from nation n, region r where n.n_regionkey = r.r_regionkey")
+    // reference flat naming: alias n + col n_name → nn_name
+    assert(got.columns.toSeq == Seq("nn_name", "rr_name"))
+    val expect = spark.read.parquet(s"$sf/nation.parquet").count()
+    assert(got.count() == expect)
+  }
+
+  test("dialect join + filter + group on testdata") {
+    val g = new GraftSession(spark)
+    g.registerDir(sf)
+    val df = g.execute(
+      "select c.c_mktsegment, count(c.c_custkey) n_cust from customer c group by c.c_mktsegment order by c.c_mktsegment")
+    val rows = df.collect()
+    val expect = spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy("c_mktsegment").count().orderBy("c_mktsegment").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      expect.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(df.columns.toSeq == Seq("cc_mktsegment", "n_cust"))
+  }
+
+  test("cross-join + where is optimized to a real join, not cartesian") {
+    val df = gs.execute(
+      "select c.c_name, o.o_orderkey from customer c, orders o where c.c_custkey = o.o_custkey")
+    // Catalyst keeps the logical node as Join Cross but extracts the
+    // equi-keys; the physical plan must be a hash/merge join, never a
+    // cartesian product.
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("HashJoin") || phys.contains("SortMergeJoin"),
+      s"expected hash/merge join in physical plan:\n$phys")
+    assert(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+      s"cartesian survived:\n$phys")
+  }
+
+  test("LIKE lowers to contains semantics") {
+    val df = gs.execute("select p.p_partkey from part p where p.p_name like 'ring'")
+    val viaApi = spark.read.parquet(s"$sf/part.parquet")
+      .filter(org.apache.spark.sql.functions.col("p_name").contains("ring")).count()
+    assert(df.count() == viaApi)
+  }
+
+  test("integer AVG compat is integer division") {
+    val df = gs.execute("select avg(p.p_size) a from part p")
+    val sizes = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_size").collect().map(_.getInt(0).toLong)
+    assert(df.collect().head.getLong(0) == sizes.sum / sizes.length)
+  }
+
+  test("date literal uses dd.MM.yyyy reference format") {
+    val df = gs.execute(
+      "select o.o_orderkey from orders o where o.o_orderdate < '01.01.1997'")
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_orderdate") <
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00")).count()
+    assert(df.count() == expect)
+  }
+
+  test("group validation: ungrouped plain column is rejected") {
+    assertThrows[Lowering.AnalysisException2](
+      gs.execute("select c.c_name, count(c.c_custkey) n from customer c group by c.c_mktsegment"))
+  }
+
+  test("count-based sliding window matches manual computation") {
+    val df = gs.execute(
+      "select count(e.event_id) c, sum(e.value) s from events e window by e.event_id interval = 100")
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(df.count() == n - 99) // emits once buffer is full
+    assert(df.select("c").distinct().collect().map(_.getLong(0)).toSeq == Seq(100L))
+  }
+}
