@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{BatchQueries, DialectQueries}
+import graft.queries.{BatchQueries, DialectQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,11 @@ object SparkEntry {
     "q_sql_filter"     -> (DialectQueries.qSqlFilter _),
     "q_sql_like"       -> (DialectQueries.qSqlLike _),
     "q_sql_window"     -> (DialectQueries.qSqlWindow _),
+    // streaming + CEP (real streaming queries, AvailableNow-drained)
+    "q_stream_filter"  -> (StreamQueries.qStreamFilter _),
+    "q_stream_tumbling"-> (StreamQueries.qStreamTumbling _),
+    "q_stream_count_window" -> (StreamQueries.qStreamCountWindow _),
+    "q_process_retained" -> (StreamQueries.qProcessRetained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,5 +200,25 @@ object SparkEntry {
            FROM events
            WINDOW w AS (ORDER BY event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
          ) WHERE rn >= 100 ORDER BY id""",
+    "q_stream_filter" ->
+      """SELECT event_id AS id, user_id AS uid, value AS v FROM events
+         WHERE event_type = 'purchase' AND value > 100.0 ORDER BY id""",
+    "q_stream_tumbling" ->
+      """SELECT event_type AS t, count(event_id) AS c, min(value) AS mn, max(value) AS mx
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_stream_count_window" ->
+      """SELECT uid, id, c, mn, mx FROM (
+           SELECT user_id AS uid, event_id AS id,
+                  count(*) OVER w AS c,
+                  min(value) OVER w AS mn,
+                  max(value) OVER w AS mx,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ) WHERE rn >= 10 ORDER BY uid, id""",
+    "q_process_retained" ->
+      """SELECT event_id AS id, user_id AS uid, event_type AS t, value AS v
+         FROM events WHERE NOT (event_type = 'error') ORDER BY id""",
   )
 }

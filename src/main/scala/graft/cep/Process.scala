@@ -1,0 +1,53 @@
+package graft.cep
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** `PROCESS … WITHIN <class>` — batch CEP executor (reference C5:
+  * sql/SQLSelect.java:163-177,278-285; exec sql/FrameJoinTask.java:343-377).
+  *
+  * Semantics: for every row matching the WHERE condition, call the user
+  * EventProcessor's `process(row)`; the row is deleted iff `process`
+  * returned true and `delete()` is true. The reference takes a
+  * cluster-wide table lock and ships row batches to nodes; here the
+  * callback runs inside each partition (rows never leave their executor
+  * — the same "tasks move to data" shape, sql/SQLCursor.java:284-336)
+  * and deletion is an anti-join rewrite instead of in-place frame
+  * surgery.
+  */
+object Process {
+
+  final case class Result(processed: Long, retained: DataFrame)
+
+  /** Run the processor over `table`.
+    *
+    * @param idCol unique key column, if the table has one: deletion then
+    *   lowers to a keyed left-anti join (shuffle on one key — scales to
+    *   arbitrary table sizes). Without it we fall back to exceptAll
+    *   (full-row comparison — correct but heavier).
+    */
+  def run(table: DataFrame, condition: Column, processor: EventProcessor,
+          idCol: Option[String] = None): Result = {
+    val matching = table.filter(condition)
+
+    // Execute the callback on every matching row, keeping the rows the
+    // processor consumed (process==true). Cached so the delete pass does
+    // not re-run user side effects.
+    implicit val enc = Encoders.row(matching.schema)
+    val consumed: Dataset[Row] = matching.mapPartitions { it =>
+      it.filter(processor.process)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nProcessed = consumed.count() // forces the callbacks exactly once
+
+    val retained =
+      if (!processor.delete()) table
+      else idCol match {
+        case Some(id) =>
+          table.join(consumed.select(col(id)), Seq(id), "left_anti")
+        case None => table.exceptAll(consumed)
+      }
+    Result(nProcessed, retained)
+  }
+}

@@ -34,6 +34,70 @@ class GraftSession(val spark: SparkSession,
   def execute(sql: String): DataFrame = {
     val stmt = Parser.parse(sql)
     require(!stmt.stream, "SELECT STREAM goes through executeStream")
+    require(stmt.processWithin.isEmpty, "PROCESS goes through executeProcess")
     Lowering.lower(stmt, table, compat)
+  }
+
+  // ---- streaming (SELECT STREAM — reference C1-C4) -------------------
+  private val streams = TrieMap.empty[String, DataFrame]
+
+  /** Register a streaming source under a table name (the reference's
+    * table-is-a-queue duality: same name, stream scan). */
+  def registerStream(name: String, stream: DataFrame): Unit = {
+    require(stream.isStreaming, s"$name is not a streaming DataFrame")
+    streams.put(name.toLowerCase, stream)
+  }
+
+  /** Register streaming scans over every parquet table in a sf dir. */
+  def registerStreamDir(dir: String): Unit =
+    Tables.names.foreach(n => registerStream(n, Tables.loadStream(spark, dir, n)))
+
+  def streamTable(name: String): DataFrame =
+    streams.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"stream not registered: $name"))
+
+  /** Lower a SELECT STREAM statement to an unstarted streaming
+    * DataFrame (filter/project, tumbling group-by, or count window —
+    * the lowering branches on isStreaming). */
+  def executeStreamPlan(sql: String): DataFrame = {
+    val stmt = Parser.parse(sql)
+    require(stmt.stream, "not a SELECT STREAM statement")
+    require(stmt.orderBy.isEmpty, "ORDER BY is not valid on streams")
+    Lowering.lower(stmt.copy(orderBy = Seq.empty), streamTable, compat)
+  }
+
+  /** Start a SELECT STREAM query; returns the poll/stop handle
+    * (reference: sql/StreamQueue.java:40-134). Grouped streams run in
+    * update mode (group revisions), plain streams in append. */
+  def executeStream(sql: String, checkpoint: Option[String] = None): graft.streaming.StreamHandle = {
+    val stmt = Parser.parse(sql)
+    val plan = executeStreamPlan(sql)
+    val mode =
+      if (stmt.groupBy.nonEmpty && stmt.windowBy.isEmpty)
+        org.apache.spark.sql.streaming.OutputMode.Update()
+      else org.apache.spark.sql.streaming.OutputMode.Append()
+    graft.streaming.StreamHandle.start(spark, plan, mode, checkpoint)
+  }
+
+  // ---- CEP (PROCESS … WITHIN — reference C5/C6) ----------------------
+
+  /** Batch PROCESS: run the EventProcessor over matching rows of the
+    * statement's table; delete semantics apply to the returned
+    * DataFrame (and to the TableStore if one backs the table). */
+  def executeProcess(sql: String, processor: graft.cep.EventProcessor,
+                     idCol: Option[String] = None): graft.cep.Process.Result = {
+    val stmt = Parser.parse(sql)
+    require(stmt.processWithin.isDefined, "not a PROCESS statement")
+    require(stmt.tables.size == 1, "PROCESS is single-table") // sql/SQLSelect.java:211-214
+    val tref = stmt.tables.head
+    val df0 = table(tref.name)
+    val df = tref.alias match {
+      case Some(a) => df0.columns.foldLeft(df0)((d, c) => d.withColumnRenamed(c, a + c))
+      case None => df0
+    }
+    val cond = stmt.where
+      .map(w => Lowering.lowerCondOn(df, w, compat))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.cep.Process.run(df, cond, processor, idCol.map(c => tref.alias.getOrElse("") + c))
   }
 }

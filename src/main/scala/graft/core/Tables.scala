@@ -14,16 +14,32 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects;
-    // read nanos as long and truncate to microsecond precision (integer
-    // DIV — ns since epoch exceeds double's 2^53 mantissa).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    fixup(name, spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Streaming scan of the same table (backlog + tail — the reference's
+    * SELECT STREAM source, sql/SQLCursor.java:339-430). */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet").schema
+    // file stream sources need a directory basePath; select the single
+    // table file with a glob filter
+    fixup(name, spark.readStream.schema(raw)
+      .option("basePath", dir)
+      .option("pathGlobFilter", s"$name.parquet")
+      .parquet(dir))
+  }
+
+  /** events.ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects;
+    * read nanos as long (nanosAsLong) and truncate to microsecond
+    * precision (integer DIV — ns since epoch exceeds double's 2^53
+    * mantissa). */
+  private def fixup(name: String, df: DataFrame): DataFrame =
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
     else df
-  }
 
   /** Register every table as a temp view so `spark.sql` and the graft
     * dialect both resolve bare table names. */

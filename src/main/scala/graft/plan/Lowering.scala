@@ -46,57 +46,10 @@ object Lowering {
       }
     }
     val joined = renamed.reduceLeft(_.crossJoin(_))
+    val ctx = new Ctx(joined, compat)
+    import ctx.{colType, resolveRef}
 
-    def colType(name: String): Option[DataType] =
-      joined.schema.fields.find(_.name == name).map(_.dataType)
-
-    def resolveRef(r: ColRef): Column = {
-      val n = r.flatName
-      if (colType(n).isDefined) col(n)
-      else if (r.table.isEmpty && colType(r.name).isDefined) col(r.name)
-      else throw AnalysisException2(s"unknown column ${r.table.map(_ + ".").getOrElse("")}${r.name}")
-    }
-
-    def litFor(r: ColRef, l: Literal): Column = l match {
-      case NumLit(v, integral) => if (integral) lit(v.toLong) else lit(v)
-      case StrLit("") => lit(null) // reference: quoted empty string is null
-      case StrLit(s) =>
-        colType(r.flatName).orElse(colType(r.name)) match {
-          case Some(TimestampType) => to_timestamp(lit(s), toSparkFmt(compat.dateFormat))
-          case Some(TimestampNTZType) => to_timestamp_ntz(lit(s), lit(toSparkFmt(compat.dateFormat)))
-          case Some(DateType) => to_date(lit(s), toSparkFmt(compat.dateFormat))
-          case _ => lit(s)
-        }
-    }
-
-    def lowerCond(c: Cond): Column = c match {
-      case Cmp(op, l, right) =>
-        val lc = resolveRef(l)
-        val rc = right.fold(litFor(l, _), resolveRef)
-        op match {
-          case "=" => lc === rc
-          case "<>" => lc =!= rc
-          case "<" => lc < rc
-          case ">" => lc > rc
-          case "<=" => lc <= rc
-          case ">=" => lc >= rc
-        }
-      case InList(r, vs, neg) =>
-        val values = vs.map {
-          case NumLit(v, integral) => if (integral) v.toLong: Any else v: Any
-          case StrLit(s) => s: Any
-        }
-        val base = resolveRef(r).isin(values: _*)
-        if (neg) !base else base
-      case Like(r, s, neg) =>
-        val base = resolveRef(r).contains(s) // reference LIKE = indexOf
-        if (neg) !base else base
-      case BoolOp(op, children) =>
-        val lowered = children.map(lowerCond)
-        if (op == "AND") lowered.reduce(_ && _) else lowered.reduce(_ || _)
-    }
-
-    val filtered = stmt.where.map(c => joined.filter(lowerCond(c))).getOrElse(joined)
+    val filtered = stmt.where.map(c => joined.filter(ctx.lowerCond(c))).getOrElse(joined)
 
     // 2. select list
     val aggFuncs = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAST")
@@ -160,6 +113,18 @@ object Lowering {
         // window frame; the global order is the reference's semantics
         // (monotonic @GeneratedValue ids).
         val (wcol, n) = stmt.windowBy.get
+        if (filtered.isStreaming) {
+          // streaming count window: stateful ring buffer, not a Window
+          // frame (flatMapGroupsWithState — SURVEY.md §7.3)
+          import graft.streaming.StreamOps
+          def inName(r: ColRef): String =
+            if (colType(r.flatName).isDefined) r.flatName else r.name
+          val specs = stmt.cols.map { sc =>
+            val f = sc.func.filter(aggFuncs.contains).getOrElse("PLAIN")
+            StreamOps.WindowAggSpec(f, inName(sc.ref), outName(sc))
+          }
+          return StreamOps.slidingCountWindowRows(filtered, inName(wcol), n, specs)
+        }
         val order = resolveRef(wcol)
         val w = Window.orderBy(order).rowsBetween(-(n - 1), Window.currentRow)
         val rn = row_number().over(Window.orderBy(order))
@@ -221,6 +186,65 @@ object Lowering {
       distincted.orderBy(orderCols: _*)
     } else distincted
   }
+
+  /** Condition-lowering context over a resolved (possibly joined,
+    * possibly streaming) DataFrame. Shared by batch lowering,
+    * stream lowering, and PROCESS's WHERE handling. */
+  private[graft] final class Ctx(df: DataFrame, compat: Compat) {
+    def colType(name: String): Option[DataType] =
+      df.schema.fields.find(_.name == name).map(_.dataType)
+
+    def resolveRef(r: ColRef): Column = {
+      val n = r.flatName
+      if (colType(n).isDefined) col(n)
+      else if (r.table.isEmpty && colType(r.name).isDefined) col(r.name)
+      else throw AnalysisException2(s"unknown column ${r.table.map(_ + ".").getOrElse("")}${r.name}")
+    }
+
+    def litFor(r: ColRef, l: Literal): Column = l match {
+      case NumLit(v, integral) => if (integral) lit(v.toLong) else lit(v)
+      case StrLit("") => lit(null) // reference: quoted empty string is null
+      case StrLit(s) =>
+        colType(r.flatName).orElse(colType(r.name)) match {
+          case Some(TimestampType) => to_timestamp(lit(s), toSparkFmt(compat.dateFormat))
+          case Some(TimestampNTZType) => to_timestamp_ntz(lit(s), lit(toSparkFmt(compat.dateFormat)))
+          case Some(DateType) => to_date(lit(s), toSparkFmt(compat.dateFormat))
+          case _ => lit(s)
+        }
+    }
+
+    def lowerCond(c: Cond): Column = c match {
+      case Cmp(op, l, right) =>
+        val lc = resolveRef(l)
+        val rc = right.fold(litFor(l, _), resolveRef)
+        op match {
+          case "=" => lc === rc
+          case "<>" => lc =!= rc
+          case "<" => lc < rc
+          case ">" => lc > rc
+          case "<=" => lc <= rc
+          case ">=" => lc >= rc
+        }
+      case InList(r, vs, neg) =>
+        val values = vs.map {
+          case NumLit(v, integral) => if (integral) v.toLong: Any else v: Any
+          case StrLit(s) => s: Any
+        }
+        val base = resolveRef(r).isin(values: _*)
+        if (neg) !base else base
+      case Like(r, s, neg) =>
+        val base = resolveRef(r).contains(s) // reference LIKE = indexOf
+        if (neg) !base else base
+      case BoolOp(op, children) =>
+        val lowered = children.map(lowerCond)
+        if (op == "AND") lowered.reduce(_ && _) else lowered.reduce(_ || _)
+    }
+  }
+
+  /** Lower a WHERE condition against an already-resolved DataFrame —
+    * used by PROCESS (graft.cep) and ad-hoc stream filters. */
+  def lowerCondOn(df: DataFrame, c: Cond, compat: Compat = Compat()): Column =
+    new Ctx(df, compat).lowerCond(c)
 
   /** Java SimpleDateFormat-style reference format → Spark datetime pattern.
     * dd.MM.yyyy happens to be valid in both. */

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.util.concurrent.atomic.AtomicLong
+import graft.core.{GraftSession, Tables}
+import graft.streaming.StreamOps
+import graft.cep.{EventProcessor, Process}
+
+/** Structured-Streaming and CEP operators driven end-to-end through the
+  * correctness gate: each query runs a real streaming query (file
+  * source → transforms → memory sink, AvailableNow trigger) or a PROCESS
+  * execution, then returns the materialized result for the DuckDB
+  * compare against equivalent batch SQL.
+  */
+object StreamQueries {
+  private val n = new AtomicLong(0)
+  private def uniq(base: String) = s"${base}_${n.incrementAndGet()}"
+
+  /** C1/C2 — SELECT STREAM filter + projection via the dialect. */
+  def qStreamFilter(s: SparkSession, dir: String): DataFrame = {
+    val gs = new GraftSession(s)
+    gs.registerStreamDir(dir)
+    val plan = gs.executeStreamPlan(
+      """select stream e.event_id id, e.user_id uid, e.value v from events e
+         where e.event_type = 'purchase' and e.value > 100.0""")
+    StreamOps.runToMemory(s, plan, uniq("stream_filter"), OutputMode.Append())
+      .orderBy(col("id"))
+  }
+
+  /** C3 — streaming tumbling aggregation (group revisions; complete
+    * mode materializes the final group states = batch semantics). */
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    val gs = new GraftSession(s)
+    gs.registerStreamDir(dir)
+    val plan = gs.executeStreamPlan(
+      """select stream e.event_type t, count(e.event_id) c, min(e.value) mn, max(e.value) mx
+         from events e group by e.event_type""")
+    StreamOps.runToMemory(s, plan, uniq("stream_tumbling"), OutputMode.Complete())
+      .orderBy(col("t"))
+  }
+
+  /** C4 — streaming count window, keyed per user (the scale path: state
+    * bounded at n rows per key, keys distributed across executors). */
+  def qStreamCountWindow(s: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.loadStream(s, dir, "events")
+    val windowed = StreamOps.slidingCountWindowRows(
+      stream, orderCol = "event_id", n = 10,
+      specs = Seq(
+        StreamOps.WindowAggSpec("PLAIN", "user_id", "uid"),
+        StreamOps.WindowAggSpec("PLAIN", "event_id", "id"),
+        StreamOps.WindowAggSpec("COUNT", "event_id", "c"),
+        StreamOps.WindowAggSpec("MIN", "value", "mn"),
+        StreamOps.WindowAggSpec("MAX", "value", "mx")),
+      keyCol = Some("user_id"))
+    StreamOps.runToMemory(s, windowed, uniq("stream_window"), OutputMode.Append())
+      .orderBy(col("uid"), col("id"))
+  }
+
+  /** C5 — PROCESS … WITHIN: callback per matching row, delete-on-true;
+    * returns the retained table (ts excluded: sub-microsecond precision
+    * is not representable on the Spark side). */
+  def qProcessRetained(s: SparkSession, dir: String): DataFrame = {
+    val gs = new GraftSession(s)
+    gs.registerDir(dir)
+    val res = gs.executeProcess(
+      "process e.event_id from events e within 'graft.queries.DropErrors' where e.event_type = 'error'",
+      DropErrors, idCol = Some("event_id"))
+    res.retained
+      .select(col("eevent_id").as("id"), col("euser_id").as("uid"),
+        col("eevent_type").as("t"), col("evalue").as("v"))
+      .orderBy(col("id"))
+  }
+}
+
+/** Deterministic processor for the gate: consume every matching row,
+  * delete consumed rows. */
+object DropErrors extends EventProcessor {
+  def process(row: Row): Boolean = true
+  def delete(): Boolean = true
+}

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming counterparts of the reference's stream
+  * operators (SURVEY.md §2.7).
+  *
+  * Reference model: every table is a queue; `SELECT STREAM` replays the
+  * backlog then tail-follows new frames (sql/SQLCursor.java:339-430).
+  * Spark model: `readStream` over the table's storage gives exactly
+  * backlog+tail (`startingOffsets=earliest` semantics for file sources);
+  * checkpointing supplies the per-session resume position the reference
+  * tracks by hand (persistent/Session.java:694-700).
+  */
+object StreamOps {
+
+  /** Stream source over a parquet-backed table directory — the
+    * `SELECT STREAM` scan (reference S5: sql/SQLCursor.java:339-430).
+    * Schema is taken from a batch peek (file streams need it declared). */
+  def readTableStream(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.loadStream(spark, dir, name)
+
+  /** C2 — stream filter/projection: identical DataFrame ops as batch;
+    * Structured Streaming incrementalizes them. */
+  def filterProject(stream: DataFrame, condition: org.apache.spark.sql.Column,
+                    cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    stream.filter(condition).select(cols: _*)
+
+  /** C3 — tumbling aggregation. The reference emits a group when the
+    * id-ordered stream's key changes (sql/SQLGroupContainer.java:68-118);
+    * Spark aggregates each key across the whole stream and revises in
+    * update mode — strictly more correct for out-of-order arrival, with
+    * event-time watermarking available (the reference has none, C7). */
+  def tumbling(stream: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+               aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    stream.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Run a streaming DataFrame to a memory sink until the source is
+    * drained; returns the result table. Deterministic harness for the
+    * correctness gate and tests (the production path is
+    * `StreamHandle.start` below). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+                  mode: OutputMode): DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** A7/C4 — count-based sliding window over an ordered stream
+    * (`WINDOW BY col INTERVAL = n`, sql/SQLGroupContainer.java:120-158):
+    * keep the last n rows; once full, emit one aggregate row per
+    * arriving row. Not native to Structured Streaming → stateful
+    * flatMapGroupsWithState with a bounded ring buffer.
+    *
+    * `key` partitions the stream; the reference's single global window
+    * is `_ => 0L`. At scale, window per user/entity key — state stays
+    * bounded at n rows per key and the shuffle distributes keys across
+    * executors. Rows must arrive in `orderBy` order across triggers
+    * (the reference assumes the same: monotonic @GeneratedValue ids). */
+  def slidingCountWindow[T, K, O](ds: Dataset[T], n: Int)(key: T => K)(orderBy: T => Long)(
+      emit: Seq[T] => O)(implicit ek: Encoder[K], et: Encoder[T], eo: Encoder[O],
+      etup: Encoder[(K, T)], ebuf: Encoder[Seq[T]]): Dataset[O] = {
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Seq[T], O](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty[T])
+          val out = scala.collection.mutable.ArrayBuffer.empty[O]
+          rows.toSeq.sortBy(orderBy).foreach { r =>
+            buf = (buf :+ r).takeRight(n)
+            if (buf.size == n) out += emit(buf)
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
+
+  /** One aggregate of the count window's select list:
+    * func ∈ COUNT|SUM|MIN|MAX|AVG|LAST|PLAIN (PLAIN = current row's value). */
+  final case class WindowAggSpec(func: String, in: String, out: String)
+
+  /** Row-typed count window used by the dialect's streaming lowering
+    * (`SELECT STREAM … WINDOW BY col INTERVAL = n`). Same semantics as
+    * `slidingCountWindow`, schema-driven instead of case-class-typed. */
+  def slidingCountWindowRows(stream: DataFrame, orderCol: String, n: Int,
+      specs: Seq[WindowAggSpec], keyCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val inSchema = stream.schema
+    def inType(name: String): DataType = inSchema(name).dataType
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+      case _ => false
+    }
+    val outSchema = StructType(specs.map { s =>
+      val dt = s.func match {
+        case "COUNT" => LongType
+        case "SUM" => if (isIntegral(inType(s.in))) LongType else DoubleType
+        case "AVG" => DoubleType
+        case "MIN" | "MAX" | "LAST" | "PLAIN" => inType(s.in)
+      }
+      StructField(s.out, dt, nullable = true)
+    })
+    val orderIdx = inSchema.fieldIndex(orderCol)
+    val keyIdx = keyCol.map(inSchema.fieldIndex)
+    val idx = specs.map(s => inSchema.fieldIndex(s.in))
+
+    def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+    def emit(buf: Seq[Row]): Row = Row.fromSeq(specs.zipWithIndex.map { case (s, si) =>
+      val i = idx(si)
+      val vals = buf.map(_.get(i)).filter(_ != null)
+      s.func match {
+        case "COUNT" => vals.length.toLong
+        case "SUM" =>
+          if (isIntegral(inType(s.in))) vals.map(_.asInstanceOf[Number].longValue()).sum
+          else vals.map(num).sum
+        case "AVG" => if (vals.isEmpty) null else vals.map(num).sum / vals.length
+        case "MIN" => if (vals.isEmpty) null else vals.minBy(num)
+        case "MAX" => if (vals.isEmpty) null else vals.maxBy(num)
+        case "LAST" | "PLAIN" => buf.last.get(i)
+      }
+    })
+
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val bufEnc: Encoder[Seq[Row]] = Encoders.kryo[Seq[Row]]
+    val keyEnc: Encoder[String] = Encoders.STRING
+
+    stream
+      .groupByKey((r: Row) => keyIdx.map(k => String.valueOf(r.get(k))).getOrElse(""))(keyEnc)
+      .flatMapGroupsWithState[Seq[Row], Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Seq[Row]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty[Row])
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.sortBy(r => r.get(orderIdx).asInstanceOf[Number].longValue()).foreach { r =>
+            buf = (buf :+ r).takeRight(n)
+            if (buf.size == n) out += emit(buf)
+          }
+          state.update(buf)
+          out.iterator
+      }(bufEnc, outEnc)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, TableStore, Tables}
+import graft.streaming.{StreamHandle, StreamOps}
+import graft.cep.{EventProcessor, Process}
+import java.util.concurrent.atomic.AtomicLong
+
+case class TestEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("SELECT STREAM filter/projection: backlog then tail (C1/C2)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    // backlog before the query starts — reference replays it first
+    mem.addData(TestEvent(1, 10, "click", 1.0), TestEvent(2, 11, "view", 2.0))
+    val gs = new GraftSession(spark)
+    gs.registerStream("events", mem.toDF())
+    val handle = gs.executeStream(
+      "select stream e.event_id, e.value from events e where e.event_type = 'click'")
+    try {
+      handle.processAllAvailable()
+      val backlog = handle.pollAll()
+      assert(backlog.map(_.getLong(0)) == Seq(1L))
+      // tail: new arrivals flow through the same continuous query
+      mem.addData(TestEvent(3, 12, "click", 3.0), TestEvent(4, 13, "view", 4.0))
+      handle.processAllAvailable()
+      val tail = handle.pollAll()
+      assert(tail.map(_.getLong(0)) == Seq(3L))
+      assert(handle.poll().isEmpty)
+    } finally handle.stop()
+  }
+
+  test("streaming tumbling group-by revises per key (C3)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    mem.addData(TestEvent(1, 1, "a", 10), TestEvent(2, 1, "a", 20), TestEvent(3, 1, "b", 5))
+    val gs = new GraftSession(spark)
+    gs.registerStream("events", mem.toDF())
+    val plan = gs.executeStreamPlan(
+      "select stream e.event_type t, sum(e.value) s, count(e.event_id) c from events e group by e.event_type")
+    val result = StreamOps.runToMemory(spark, plan, "tumbling_out", OutputMode.Complete())
+    val byKey = result.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(byKey("a") == (30.0, 2L) && byKey("b") == (5.0, 1L))
+  }
+
+  test("streaming count window emits once buffer is full (C4/A7)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    val gs = new GraftSession(spark)
+    gs.registerStream("events", mem.toDF())
+    val handle = gs.executeStream(
+      "select stream e.event_id id, count(e.event_id) c, sum(e.value) s from events e window by e.event_id interval = 3")
+    try {
+      // rows 1-2: buffer not full, nothing emitted
+      mem.addData(TestEvent(1, 1, "a", 1), TestEvent(2, 1, "a", 2))
+      handle.processAllAvailable()
+      assert(handle.pollAll().isEmpty)
+      // row 3 fills the window; rows 4-5 slide it — state carries across triggers
+      mem.addData(TestEvent(3, 1, "a", 3))
+      mem.addData(TestEvent(4, 1, "a", 4), TestEvent(5, 1, "a", 5))
+      handle.processAllAvailable()
+      val rows = handle.pollAll().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows == Seq((3L, 3L, 6.0), (4L, 3L, 9.0), (5L, 3L, 12.0)))
+    } finally handle.stop()
+  }
+}
+
+object ProcessCounter { val calls = new AtomicLong(0) }
+
+class CepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("PROCESS runs the callback per matching row and deletes (C5)") {
+    ProcessCounter.calls.set(0)
+    val gs = new GraftSession(spark)
+    gs.registerDir(sf)
+    val proc = new EventProcessor {
+      def process(row: org.apache.spark.sql.Row): Boolean = {
+        ProcessCounter.calls.incrementAndGet(); true
+      }
+      def delete(): Boolean = true
+    }
+    val res = gs.executeProcess(
+      "process e.event_id from events e within 'test.Handler' where e.event_type = 'error'",
+      proc, idCol = Some("event_id"))
+    val total = Tables.load(spark, sf, "events").count()
+    val errors = Tables.load(spark, sf, "events").filter(col("event_type") === "error").count()
+    assert(res.processed == errors)
+    assert(ProcessCounter.calls.get() == errors)
+    assert(res.retained.count() == total - errors)
+  }
+
+  test("PROCESS without delete keeps the table intact") {
+    val gs = new GraftSession(spark)
+    gs.registerDir(sf)
+    val proc = new EventProcessor {
+      def process(row: org.apache.spark.sql.Row): Boolean = true
+      def delete(): Boolean = false
+    }
+    val res = gs.executeProcess(
+      "process e.event_id from events e within 'test.Handler' where e.event_type = 'click'",
+      proc, idCol = Some("event_id"))
+    assert(res.retained.count() == Tables.load(spark, sf, "events").count())
+  }
+}
+
+class TableStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpStore(): TableStore = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    new TableStore(spark, dir, "id")
+  }
+
+  test("append / find / upsert / delete lifecycle (persist/find semantics)") {
+    val st = tmpStore()
+    st.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(st.read.count() == 2)
+    assert(st.find(2L).collect().head.getString(1) == "b")
+    // persist = insert-or-update by id (reference Session.persist)
+    st.upsert(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"))
+    assert(st.read.count() == 3)
+    assert(st.find(2L).collect().head.getString(1) == "b2")
+    st.delete(col("id") === 1L)
+    assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("store-backed PROCESS rewrites the table") {
+    val st = tmpStore()
+    st.append(Seq((1L, "x"), (2L, "drop"), (3L, "x")).toDF("id", "v"))
+    val res = st.process(col("v") === "drop", new EventProcessor {
+      def process(row: org.apache.spark.sql.Row): Boolean = true
+      def delete(): Boolean = true
+    })
+    assert(res.processed == 1)
+    assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+}
