@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{BatchQueries, DialectQueries, StreamQueries}
+import graft.queries.{BatchQueries, DialectQueries, PipelineQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,17 @@ object SparkEntry {
     "q_stream_tumbling"-> (StreamQueries.qStreamTumbling _),
     "q_stream_count_window" -> (StreamQueries.qStreamCountWindow _),
     "q_process_retained" -> (StreamQueries.qProcessRetained _),
+    // training-data pipeline ops (documents / embeddings tables)
+    "q_dedup_exact"    -> (PipelineQueries.qDedupExact _),
+    "q_dedup_minhash"  -> (PipelineQueries.qDedupMinhash _),
+    "q_dedup_simhash"  -> (PipelineQueries.qDedupSimhash _),
+    "q_dedup_ngram"    -> (PipelineQueries.qDedupNgram _),
+    "q_dedup_embed"    -> (PipelineQueries.qDedupEmbed _),
+    "q_text_stats"     -> (PipelineQueries.qTextStats _),
+    "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
+    "q_sim_bruteforce" -> (PipelineQueries.qSimBruteforce _),
+    "q_sim_lsh"        -> (PipelineQueries.qSimLsh _),
+    "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,5 +231,40 @@ object SparkEntry {
     "q_process_retained" ->
       """SELECT event_id AS id, user_id AS uid, event_type AS t, value AS v
          FROM events WHERE NOT (event_type = 'error') ORDER BY id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS group_size
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)] END) AS s
+           FROM toks
+         )
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)/len(list_distinct(a.s || b.s)) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)/len(list_distinct(a.s || b.s)) >= 0.5
+         ORDER BY id1, id2""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop
+         FROM documents ORDER BY doc_id""",
+    "q_sim_bruteforce" ->
+      """SELECT query_id, item_id FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])) DESC,
+                             b.vec_id) AS rn
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         ) WHERE rn = 1 ORDER BY query_id""",
   )
 }

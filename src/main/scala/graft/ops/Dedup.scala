@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for
+  * the 100 TB regime:
+  *
+  *  - shuffles carry hashes/ids, never document bodies;
+  *  - candidate generation is always bucket-local (LSH bands, shared
+  *    shingles, hyperplane buckets) — no all-pairs comparison;
+  *  - the survivor rule is "min id wins" per duplicate group, computed
+  *    with one aggregation per stage;
+  *  - oversized buckets (degenerate shingles, boilerplate) are capped
+  *    to keep worst-case pair counts bounded (skew guard).
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor per identical normalized text. Shuffle
+    * payload is (hash, id) — 16 bytes/doc regardless of doc size. */
+  def exactKeepers(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
+
+  /** Drop exact duplicates, keeping the min-id survivor. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactKeepers(df, idCol, textCol).select(col("keeper").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature: `numHashes` minima over the k-shingle set,
+    * using seeded xxhash64 — all native expressions (one pass over the
+    * shingle array per hash, codegen'd). */
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 64): Column = {
+    val shingles = TextAnalysis.shingleFingerprints(text, k)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, s => xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures.
+    * bands × rowsPerBand must equal numHashes. Two docs are candidates
+    * if any band of their signatures collides. The band-bucket join is
+    * the only shuffle; `maxBucket` caps degenerate buckets. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+
+    // explode into (band, bucketHash, id); bucket = hash of the band slice
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(b)))))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+
+    // skew guard: drop buckets holding more than maxBucket docs
+    val counted = banded.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+
+    val l = counted.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = counted.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** MinHash near-dup pairs: candidates whose estimated Jaccard
+    * (fraction of equal signature positions) clears the threshold. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7, k: Int = 5,
+                   numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashCandidates(df, idCol, textCol, k, numHashes, bands)
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+
+  /** MinHash dedup: survivors under min-id-wins over the near-dup
+    * graph (greedy: a doc is dropped iff some smaller-id near-dup
+    * exists — one anti-join, no iterative connected components). */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7, k: Int = 5,
+                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val dropped = minhashPairs(df, idCol, textCol, threshold, k, numHashes, bands)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates from shared
+    * shingles (inverted index), verified with true Jaccard over the
+    * distinct shingle sets. `maxPostings` caps hot shingles. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, threshold: Double = 0.7,
+                        maxPostings: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingleFingerprints(col(textCol), k)).as("sh"))
+
+    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("psz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("psz") <= maxPostings)
+
+    val cand = postings.select(col("s"), col("id").as("id1"))
+      .join(postings.select(col("s"), col("id").as("id2")), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+
+    cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** SimHash: 64-bit locality-sensitive hash — per-bit majority vote
+    * over token hashes. Native fold: for each bit position, count set
+    * bits across token hashes and pack the majority back into a long.
+    * Near-dup distance is `bit_count(a ^ b)` (built-in, codegen'd). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val n = size(hashes)
+    // bit i of result = 1 iff #tokens with bit i set > n/2
+    val bits = (0 until 64).map { i =>
+      val cnt = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)).cast("int"))
+      when(cnt * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Candidates via 4×16-bit band buckets (a pair within distance 3
+    * must agree on ≥1 band), verified with bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sh").as("sh1"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sh").as("sh2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Embedding near-dup pairs: random-hyperplane LSH buckets (sign-bit
+    * signature over `planes` fixed pseudo-random hyperplanes), verified
+    * with exact cosine. Deterministic: hyperplane components derive
+    * from hash(plane, dim). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.9, planes: Int = 16): DataFrame = {
+    val sigExpr = Similarity.hyperplaneSignature(col(vecCol), planes)
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigExpr.as("bucket"))
+    val l = sig.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = sig.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: exact brute-force cosine top-k (broadcast the query set,
+  * scan the corpus once — the right plan when queries are few and the
+  * corpus is huge). Scale path: hyperplane-LSH bucketing so candidate
+  * generation shuffles only bucket keys, probing a constant number of
+  * buckets per query.
+  *
+  * All arithmetic is native `zip_with`/`aggregate` expressions —
+  * codegen'd, no UDF in the scan.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns. Each element is widened to
+    * double BEFORE multiplying so the arithmetic is IEEE-double
+    * end-to-end (float-precision accumulation would be engine-dependent
+    * noise at the scale of near-tie rankings). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (double arithmetic). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity (0 where either side has zero norm). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * hash-derived value in [-1, 1]. No RNG state — reproducible across
+    * the cluster and across runs. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Sign-bit signature over `planes` fixed hyperplanes → one long
+    * bucket key. Vectors with small angle collide with high
+    * probability. `seed` shifts the hyperplane family (one family per
+    * LSH table). */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 0): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(seed * 1024 + p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** (table, bucket) pairs over `tables` independent hyperplane
+    * families — exploded rows for multi-table LSH. Per-table collision
+    * probability p = (1 - θ/π)^planes; tables OR together to
+    * 1-(1-p)^tables recall. */
+  private def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), hyperplaneSignature(vec, planes, t).as("sig"))): _*)
+
+  /** Exact brute-force cosine top-k: every query against the full
+    * corpus. Queries are broadcast (small side), the corpus scan is a
+    * single pass, ranking is a per-query window top-k. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("item_vec"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH: `tables`
+    * independent signature families, candidates = same (table, bucket)
+    * on any table, deduped, then exact cosine rank. More tables →
+    * higher recall, more planes → smaller buckets: the standard LSH
+    * dial pair. The only shuffle carries (bucket, id, vec); each query
+    * probes `tables` buckets instead of the whole corpus. */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, planes: Int = 8, tables: Int = 8): DataFrame = {
+    val c = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("item_vec"),
+        explode(lshBuckets(col(corpusVec), planes, tables)).as("b"))
+      .select(col("item_id"), col("item_vec"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"),
+        explode(lshBuckets(col(queryVec), planes, tables)).as("b"))
+      .select(col("query_id"), col("query_vec"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val cand = c.join(q, Seq("tbl", "sig"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))
+      .dropDuplicates("query_id", "item_id")
+    val scored = cand.withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * of `centroids` (a small broadcast table built offline, e.g. from a
+    * sampled k-means); queries probe `nprobe` nearest centroid cells.
+    * The partition-by-cell layout is what makes 100 TB ANN tractable:
+    * each query touches nprobe/|cells| of the corpus. */
+  def ivfAssign(vectors: DataFrame, id: String, vec: String,
+                centroids: DataFrame, centroidId: String, centroidVec: String): DataFrame = {
+    val c = broadcast(centroids.select(col(centroidId).as("cell"), col(centroidVec).as("cvec")))
+    val scored = vectors.select(col(id), col(vec)).crossJoin(c)
+      .withColumn("sim", cosine(col(vec), col("cvec")))
+    val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(id), col(vec), col("cell"))
+  }
+}

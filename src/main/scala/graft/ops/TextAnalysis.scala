@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All-native `org.apache.spark.sql.functions` expressions — every op
+  * stays inside whole-stage codegen, no UDFs, so a 100 TB documents
+  * scan runs at columnar-read speed with filters/projections pushed to
+  * parquet.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a document (lowercased). */
+  def tokens(text: Column): Column =
+    split(btrim(lower(text)), "\\s+")
+
+  /** Token count (whitespace tokenization; 0 for empty/blank). */
+  def tokenCount(text: Column): Column =
+    when(length(btrim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** A BPE-ish subword count estimate: words + punctuation marks +
+    * one extra unit per 6 chars of long words (approximates byte-pair
+    * splits of rare words without a vocab file). */
+  def subwordCountEstimate(text: Column): Column = {
+    val words = tokens(text)
+    val longWordExtra = aggregate(words, lit(0),
+      (acc, w) => acc + greatest(lit(0), (length(w) - 1) / 6))
+    tokenCount(text) + longWordExtra +
+      length(regexp_replace(text, "[^.,!?;:]", ""))
+  }
+
+  private val punctClass = "[.,!?;:]"
+  private val defaultStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Quality-scoring features: length, token stats, punctuation and
+    * stopword ratios. One pass, all codegen'd. */
+  def qualityFeatures(text: Column,
+                      stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val nPunct = length(regexp_replace(text, s"[^.,!?;:]", "")).cast("double")
+    val nStop = size(array_intersect(toks, typedlit(stopwords))).cast("double")
+    val meanTokLen = when(nTok > 0, nChar / nTok).otherwise(lit(0.0))
+    struct(
+      nChar.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      when(nChar > 0, nPunct / nChar).otherwise(lit(0.0)).as("punct_ratio"),
+      when(nTok > 0, nStop / nTok).otherwise(lit(0.0)).as("stopword_ratio"),
+      meanTokLen.as("mean_token_len"))
+  }
+
+  /** Scalar quality score in [0,1]: length sweet-spot × punctuation
+    * sanity × stopword presence (heuristics in the C4/Gopher style). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f("n_tokens").cast("double") / 20.0, lit(1.0))
+    val punctOk = when(f("punct_ratio") < 0.2, 1.0).otherwise(0.5)
+    val stopOk = when(f("stopword_ratio") > 0.01, 1.0).otherwise(0.7)
+    round(lenScore * punctOk * stopOk, 4)
+  }
+
+  /** Per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+      "table", "key", "value", "row", "scan", "fast", "slow", "part"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+      "es", "por", "con", "para", "del", "se"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "est",
+      "que", "pour", "dans", "du", "sur", "avec"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+      "ist", "des", "ein", "eine", "auf", "für", "nicht"))
+
+  /** Language identification: CJK character ratio decides zh; otherwise
+    * the language whose marker-lexicon overlaps the token set most.
+    * Pure column expressions — argmax via a fold over (score, lang)
+    * structs, no UDF. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = greatest(tokenCount(text), lit(1)).cast("double")
+    val cjkRatio = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+    val scored = langMarkers.map { case (lang, words) =>
+      struct(
+        (size(array_intersect(toks, typedlit(words))).cast("double") / nTok).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct ordering: score first ⇒ max score wins
+    when(cjkRatio > 0.2, lit("zh")).otherwise(best.getField("lang"))
+  }
+
+  /** Whole-document fingerprint: 64-bit xxhash of the normalized text.
+    * Exact-dup detection key. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(btrim(lower(text)), "\\s+", " "))
+
+  /** Rolling k-shingle fingerprints: xxhash64 of each k-token window —
+    * the shingle set for MinHash / Jaccard dedup. Native
+    * sequence/transform/slice, no UDF. */
+  def shingleFingerprints(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** Full per-document analysis record. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("features", qualityFeatures(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fp64", fingerprint(t))
+  }
+}

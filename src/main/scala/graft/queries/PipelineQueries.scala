@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators driven through the correctness
+  * gate on the `documents` and `embeddings` tables. Oracle-backed where
+  * DuckDB can express the same computation (md5 dedup groups, true
+  * n-gram Jaccard, exact cosine top-1, token/char/punct stats); the
+  * hash-based ops (MinHash, SimHash, hyperplane LSH) have no DuckDB
+  * counterpart and get rows-only checks here plus property tests in
+  * PipelineOpsSpec.
+  */
+object PipelineQueries {
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Exact dedup groups, md5-keyed (md5 agrees byte-for-byte with
+    * DuckDB's; the library default is xxhash64 which is faster but not
+    * oracle-expressible). */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
+      .orderBy(col("h"))
+
+  /** MinHash+LSH near-dup survivors (min-id-wins). */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+        threshold = 0.6, k = 5, numHashes = 64, bands = 16)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures). */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
+      .orderBy(col("id1"), col("id2"))
+
+  /** True n-gram Jaccard near-dup pairs — exact verification over
+    * 5-token shingle sets, oracle-checked against DuckDB all-pairs. */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        k = 5, threshold = 0.5, maxPostings = 100000)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Embedding-cosine near-dup survivors via hyperplane LSH. */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val dropped = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.9, planes = 16).select(col("id2").as("vec_id")).distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+  }
+
+  /** Token/char/punct/stopword statistics (occurrence counting —
+    * byte-compatible with the DuckDB expression). */
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = TextAnalysis.tokens(t)
+    docs(s, dir).select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+      length(regexp_replace(t, "[^.,!?;:]", "")).cast("long").as("n_punct"),
+      size(filter(toks, w => w.isin("the", "a", "and", "of", "to"))).cast("long").as("n_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID + quality score (heuristics — no SQL oracle; accuracy
+    * asserted in PipelineOpsSpec on known-language sentences). */
+  def qTextAnalyze(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.analyze(docs(s, dir))
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        col("features.n_tokens").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Exact brute-force cosine top-1 neighbor per vector (ids only —
+    * ranking verified against DuckDB's list_cosine_similarity). */
+  def qSimBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e, "vec_id", "embedding", e, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("item_id"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Approximate LSH top-k (single-probe; recall measured in spec). */
+  def qSimLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = 3, planes = 6, tables = 8)
+      .select(col("query_id"), col("item_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Multimodal plumbing: binary payload column → stub decode →
+    * metadata struct → resize transform → frame sampling. Payloads are
+    * the documents' utf-8 bytes (no image data in the container; the
+    * decode boundary is the documented stub). */
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val withBin = docs(s, dir).select(col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"))
+    val decoded = Multimodal.decodeImageMeta(withBin, "payload")
+    val resized = Multimodal.resizeImages(decoded, "meta", maxSide = 256)
+    resized.select(
+      col("doc_id"),
+      col("meta.width").as("w"), col("meta.height").as("h"),
+      col("meta.format").as("fmt"), col("meta.n_bytes").as("nb"),
+      col("resized_meta.width").as("rw"), col("resized_meta.height").as("rh"))
+      .orderBy(col("doc_id"))
+  }
+}

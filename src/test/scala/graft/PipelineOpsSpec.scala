@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.core.Tables
+
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("langId identifies hand-written sentences per language") {
+    val samples = Seq(
+      ("the quick brown fox jumps over the lazy dog and runs to the hill", "en"),
+      ("le chat est dans la maison et il mange avec les enfants du village", "fr"),
+      ("der Hund ist in dem Haus und die Katze ist auf dem Tisch mit den Kindern", "de"),
+      ("el perro es grande y la casa de los vecinos es una de las mejores", "es"),
+      ("这是一个中文句子用来测试语言识别的功能是否正确", "zh"))
+    val got = samples.toDF("text", "expected")
+      .withColumn("pred", TextAnalysis.langId(col("text")))
+      .collect()
+    got.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"text '${r.getString(0).take(30)}…' predicted ${r.getString(2)}, want ${r.getString(1)}"))
+  }
+
+  test("exact dedup keeps one survivor per duplicated text") {
+    val df = Seq(
+      (1L, "hello world foo"), (2L, "hello world foo"), (3L, "unique doc"),
+      (4L, "hello   WORLD   foo")) // normalization: case + whitespace
+      .toDF("id", "text")
+    val kept = Dedup.exactDedup(df, "id", "text").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash estimated jaccard tracks true ngram jaccard") {
+    val docs = Tables.load(spark, sf, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6,
+      k = 5, numHashes = 64, bands = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain true near-dups")
+    val recall = truth.count(mh.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"minhash recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash hamming distance is small for near-identical docs") {
+    val df = Seq(
+      (1L, "spark is a unified analytics engine for large scale data processing"),
+      (2L, "spark is a unified analytics engine for large scale data processing today"),
+      (3L, "completely different words about cooking pasta with tomato sauce"))
+      .toDF("id", "text")
+    val sh = df.select(col("id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)),
+      "near-identical docs must be closer than unrelated docs")
+  }
+
+  test("LSH top-k recall against brute force") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", e, "vec_id", "embedding", k = 1)
+      .select("query_id", "item_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.lshTopK(e, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = 1, planes = 4, tables = 8)
+      .select("query_id", "item_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, item) => approx.get(q).contains(item) }
+    val recall = hits.toDouble / exact.size
+    // random 64-dim data: nearest neighbors sit near cos≈0.4 (θ≈66°) —
+    // per-table collision ≈0.63^4≈0.16, 8 tables → ≈1-(1-0.16)^8≈0.75
+    assert(recall >= 0.5, s"lsh top-1 recall $recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("cosine matches a manual computation") {
+    val df = Seq((1L, Array(1.0f, 0.0f), 2L, Array(1.0f, 1.0f))).toDF("a_id", "a", "b_id", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(math.abs(got - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("multimodal decode/resize/frame-sample plumbing") {
+    val df = Seq((1L, "some payload bytes"), (2L, "another longer payload with more bytes"))
+      .toDF("id", "text")
+      .select(col("id"), encode(col("text"), "utf-8").as("payload"))
+    val decoded = Multimodal.decodeImageMeta(df, "payload")
+    assert(decoded.schema("meta").dataType == Multimodal.imageMetaType)
+    val metas = decoded.select("meta.width", "meta.height", "meta.n_bytes").collect()
+    assert(metas.forall(r => r.getInt(0) >= 64 && r.getInt(1) >= 64 && r.getLong(2) > 0))
+    val resized = Multimodal.resizeImages(decoded, "meta", maxSide = 100)
+    assert(resized.select("resized_meta.width", "resized_meta.height").collect()
+      .forall(r => r.getInt(0) <= 100 && r.getInt(1) <= 100))
+    val frames = Multimodal.sampleFrames(df, "payload", stride = 1)
+    assert(frames.count() >= df.count()) // ≥1 frame row per payload
+    val feats = Multimodal.extractFeatures(df, "payload", dim = 8)
+    assert(feats.select("features").collect().forall(_.getSeq[Float](0).length == 8))
+  }
+
+  test("pipeline plans stay codegen'd (no UDF in text analysis scan)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = TextAnalysis.analyze(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"text analysis must be pure native expressions:\n$plan")
+  }
+}
