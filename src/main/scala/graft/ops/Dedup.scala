@@ -30,13 +30,21 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` minima over the k-shingle set,
-    * using seeded xxhash64 — all native expressions (one pass over the
-    * shingle array per hash, codegen'd). */
+    * using seeded xxhash64.
+    *
+    * Shape matters: a naive `array(64 × array_min(transform(shingles,…)))`
+    * re-evaluates the shingle-generation subtree per hash (higher-order
+    * functions are outside whole-stage codegen, so no subexpression
+    * elimination — measured 30× slower). Instead ONE fold over the
+    * shingle array with an array-of-minima accumulator: shingles are
+    * computed exactly once per document. */
   def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 64): Column = {
     val shingles = TextAnalysis.shingleFingerprints(text, k)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, s => xxhash64(s, lit(seed))))
-    }: _*)
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, seed) => least(m, xxhash64(s, seed))))
   }
 
   /** LSH candidate pairs from banded MinHash signatures.
@@ -130,13 +138,18 @@ object Dedup {
   def simhash(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
     val n = size(hashes)
-    // bit i of result = 1 iff #tokens with bit i set > n/2
-    val bits = (0 until 64).map { i =>
-      val cnt = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)).cast("int"))
-      when(cnt * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    // Single fold (token hashes evaluated once — see minhashSignature
+    // note): accumulate 64 per-bit counters, then pack the majority
+    // vote back into one long.
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + call_function("shiftright", h, i).bitwiseAND(lit(1L))))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
