@@ -84,7 +84,7 @@ object SparkEntry {
     "q_avg_int_compat" ->
       """SELECT p_brand,
          CAST(floor(sum(CAST(p_size AS BIGINT)) / count(p_size)) AS BIGINT) AS avg_size_int,
-         sum(CAST(p_size AS BIGINT)) AS sum_size
+         CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
          FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,

@@ -46,7 +46,11 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * at scale, partition or Z-order by the key. */
   def find(id: Any): DataFrame = read.filter(col(idCol) === lit(id))
 
-  def delete(condition: Column): Unit = rewrite(read.filter(!condition))
+  /** DELETE WHERE: removes rows where the condition is TRUE only —
+    * NULL-evaluating rows are retained (SQL three-valued semantics;
+    * a bare `!cond` would silently drop them). */
+  def delete(condition: Column): Unit =
+    rewrite(read.filter(not(coalesce(condition, lit(false)))))
 
   /** PROCESS … WITHIN over this table: run the callback, persist the
     * post-delete state (reference: cluster-locked table rewrite —

@@ -13,15 +13,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The driver's events table carries TIMESTAMP(NANOS); this flag must
+    * be on before any scan touches it. Set once per session. */
+  private def ensureNanosConf(spark: SparkSession): Unit = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(k).contains("true")) spark.conf.set(k, "true")
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     fixup(name, spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Streaming scan of the same table (backlog + tail — the reference's
     * SELECT STREAM source, sql/SQLCursor.java:339-430). */
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     val raw = spark.read.parquet(s"$dir/$name.parquet").schema
     // file stream sources need a directory basePath; select the single
     // table file with a glob filter
