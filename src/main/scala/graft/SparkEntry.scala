@@ -48,6 +48,7 @@ object SparkEntry {
     "q_stream_tumbling"-> (StreamQueries.qStreamTumbling _),
     "q_stream_count_window" -> (StreamQueries.qStreamCountWindow _),
     "q_process_retained" -> (StreamQueries.qProcessRetained _),
+    "q_process_stream" -> (StreamQueries.qProcessStream _),
     // training-data pipeline ops (documents / embeddings tables)
     "q_dedup_exact"    -> (PipelineQueries.qDedupExact _),
     "q_dedup_minhash"  -> (PipelineQueries.qDedupMinhash _),
@@ -231,6 +232,9 @@ object SparkEntry {
     "q_process_retained" ->
       """SELECT event_id AS id, user_id AS uid, event_type AS t, value AS v
          FROM events WHERE NOT (event_type = 'error') ORDER BY id""",
+    "q_process_stream" ->
+      """SELECT event_id AS id, user_id AS uid, event_type AS t, value AS v
+         FROM events WHERE NOT (event_type = 'click' AND value < 50.0) ORDER BY id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS group_size
          FROM documents GROUP BY 1 ORDER BY 1""",

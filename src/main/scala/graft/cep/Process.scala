@@ -29,18 +29,7 @@ object Process {
     */
   def run(table: DataFrame, condition: Column, processor: EventProcessor,
           idCol: Option[String] = None): Result = {
-    val matching = table.filter(condition)
-
-    // Execute the callback on every matching row, keeping the rows the
-    // processor consumed (process==true). Cached so the delete pass does
-    // not re-run user side effects.
-    implicit val enc = Encoders.row(matching.schema)
-    val consumed: Dataset[Row] = matching.mapPartitions { it =>
-      it.filter(processor.process)
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-
-    val nProcessed = consumed.count() // forces the callbacks exactly once
-
+    val (consumed, nProcessed) = consumedRows(table, condition, processor)
     val retained =
       if (!processor.delete()) table
       else idCol match {
@@ -49,5 +38,20 @@ object Process {
         case None => table.exceptAll(consumed)
       }
     Result(nProcessed, retained)
+  }
+
+  /** Execute the callback on every row matching the condition, returning
+    * the rows the processor consumed (process==true), cached so callers
+    * can reuse them (delete pass) without re-running user side effects,
+    * plus the consumed count. Callers unpersist when done. Shared by
+    * batch PROCESS and the per-microbatch body of PROCESS STREAM. */
+  def consumedRows(table: DataFrame, condition: Column,
+                   processor: EventProcessor): (Dataset[Row], Long) = {
+    val matching = table.filter(condition)
+    implicit val enc = Encoders.row(matching.schema)
+    val consumed: Dataset[Row] = matching.mapPartitions { it =>
+      it.filter(processor.process)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    (consumed, consumed.count()) // count forces the callbacks exactly once
   }
 }

@@ -100,4 +100,37 @@ class GraftSession(val spark: SparkSession,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     graft.cep.Process.run(df, cond, processor, idCol.map(c => tref.alias.getOrElse("") + c))
   }
+
+  /** PROCESS STREAM (reference C6 — online CEP): apply the
+    * EventProcessor continuously to arriving rows of the statement's
+    * stream; consumed rows are deleted from `store` per micro-batch.
+    * Accepts both `PROCESS …` and `PROCESS STREAM …` statement forms.
+    *
+    * @param store backing table for delete-semantics (its idCol must be
+    *   the un-aliased name of `idCol`)
+    * @param idCol unique key column (un-aliased name) for keyed deletes
+    */
+  def executeStreamProcess(sql: String, processor: graft.cep.EventProcessor,
+                           store: Option[TableStore] = None,
+                           idCol: Option[String] = None,
+                           checkpoint: Option[String] = None,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      : graft.streaming.StreamProcess.Handle = {
+    val stmt = Parser.parse(sql)
+    require(stmt.processWithin.isDefined, "not a PROCESS statement")
+    require(stmt.tables.size == 1, "PROCESS is single-table") // sql/SQLSelect.java:211-214
+    val tref = stmt.tables.head
+    val df0 = streamTable(tref.name)
+    val df = tref.alias match {
+      case Some(a) => df0.columns.foldLeft(df0)((d, c) => d.withColumnRenamed(c, a + c))
+      case None => df0
+    }
+    val cond = stmt.where
+      .map(w => Lowering.lowerCondOn(df, w, compat))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val streamId = idCol.map(c => tref.alias.getOrElse("") + c)
+    graft.streaming.StreamProcess.start(df, cond, processor, store, streamId,
+      checkpoint, trigger)
+  }
 }

@@ -52,6 +52,14 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   def delete(condition: Column): Unit =
     rewrite(read.filter(not(coalesce(condition, lit(false)))))
 
+  /** Delete by key set: one left-anti join on the id column — the
+    * delete path PROCESS STREAM uses per micro-batch (consumed row ids
+    * stay distributed; no key list ever reaches the driver). */
+  def deleteKeys(keys: DataFrame): Unit = {
+    val k = keys.select(col(idCol)).distinct()
+    rewrite(read.join(k, Seq(idCol), "left_anti"))
+  }
+
   /** PROCESS … WITHIN over this table: run the callback, persist the
     * post-delete state (reference: cluster-locked table rewrite —
     * sql/SQLSelect.java:278-285). */

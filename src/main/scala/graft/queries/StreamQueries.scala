@@ -58,6 +58,29 @@ object StreamQueries {
       .orderBy(col("uid"), col("id"))
   }
 
+  /** C6 — PROCESS STREAM (online CEP): the callback runs continuously
+    * over arriving rows via foreachBatch; consumed rows are deleted
+    * from the backing TableStore per micro-batch. The gate drains the
+    * source with AvailableNow and returns the store's retained state
+    * (oracle = batch anti-join over the same predicate). */
+  def qProcessStream(s: SparkSession, dir: String): DataFrame = {
+    val gs = new GraftSession(s)
+    gs.registerStreamDir(dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pstream_").toString
+    val store = new graft.core.TableStore(s, tmp, "event_id")
+    store.append(Tables.load(s, dir, "events"))
+    val h = gs.executeStreamProcess(
+      """process stream e.event_id from events e within 'graft.queries.DropErrors'
+         where e.event_type = 'click' and e.value < 50.0""",
+      DropErrors, store = Some(store), idCol = Some("event_id"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    h.awaitTermination()
+    store.read
+      .select(col("event_id").as("id"), col("user_id").as("uid"),
+        col("event_type").as("t"), col("value").as("v"))
+      .orderBy(col("id"))
+  }
+
   /** C5 — PROCESS … WITHIN: callback per matching row, delete-on-true;
     * returns the retained table (ts excluded: sub-microsecond precision
     * is not representable on the Spark side). */

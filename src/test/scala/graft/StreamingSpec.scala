@@ -74,6 +74,13 @@ class StreamingSpec extends AnyFunSuite {
 
 object ProcessCounter { val calls = new AtomicLong(0) }
 
+/** Serializable top-level processor for the PROCESS STREAM test
+  * (anonymous classes would capture the spec instance). */
+object DropErrorsForTest extends EventProcessor {
+  def process(row: org.apache.spark.sql.Row): Boolean = true
+  def delete(): Boolean = true
+}
+
 class CepSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
@@ -96,6 +103,35 @@ class CepSpec extends AnyFunSuite {
     assert(res.processed == errors)
     assert(ProcessCounter.calls.get() == errors)
     assert(res.retained.count() == total - errors)
+  }
+
+  test("PROCESS STREAM: continuous callback over backlog then tail, per-batch deletes (C6)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[TestEvent]
+    // backing table state the deletes apply to
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps_").toString
+    val store = new TableStore(spark, dir, "event_id")
+    store.append(Seq(
+      TestEvent(1, 1, "error", 1.0), TestEvent(2, 1, "click", 2.0),
+      TestEvent(3, 2, "error", 3.0), TestEvent(4, 2, "view", 4.0)).toDF())
+    // backlog arrives before the query starts
+    mem.addData(TestEvent(1, 1, "error", 1.0), TestEvent(2, 1, "click", 2.0))
+    val gs = new GraftSession(spark)
+    gs.registerStream("events", mem.toDF())
+    val h = gs.executeStreamProcess(
+      "process stream e.event_id from events e within 'test.Handler' where e.event_type = 'error'",
+      DropErrorsForTest, store = Some(store), idCol = Some("event_id"))
+    try {
+      h.processAllAvailable()
+      assert(h.processedCount == 1) // backlog error row consumed
+      assert(store.read.orderBy("event_id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+      // tail: new arrivals keep flowing through the same continuous query
+      mem.addData(TestEvent(3, 2, "error", 3.0), TestEvent(4, 2, "view", 4.0))
+      h.processAllAvailable()
+      assert(h.processedCount == 2)
+      assert(store.read.orderBy("event_id").collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    } finally h.stop()
   }
 
   test("PROCESS without delete keeps the table intact") {
