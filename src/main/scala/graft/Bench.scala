@@ -41,7 +41,27 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    // Ingest throughput (reference's one published perf number: up to
+    // 100k objects/s single-node insert — manual, Performance chapter;
+    // BASELINE.md target >=50k rows/s). A 1M-row append through the
+    // TableStore hot path: pure executor-parallel columnar write.
+    val ingestRate = {
+      import org.apache.spark.sql.functions._
+      val nRows = 1000000L
+      val df = spark.range(nRows).select(
+        col("id"),
+        (rand(42) * 1000.0).as("value"),
+        concat(lit("user_"), (col("id") % 1000)).as("tag"),
+        (col("id") % 32).as("part"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+      val store = new graft.core.TableStore(spark, dir, "id")
+      val t0 = System.nanoTime()
+      store.append(df)
+      val secs = (System.nanoTime() - t0) / 1e9
+      nRows / secs
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,6 +35,7 @@ object SparkEntry {
     "q_topk"           -> (BatchQueries.qTopK _),
     "q_set_ops"        -> (BatchQueries.qSetOps _),
     "q_scalar_funcs"   -> (BatchQueries.qScalarFuncs _),
+    "q_persist_find"   -> (BatchQueries.qPersistFind _),
     "q_window_sliding" -> (BatchQueries.qWindowSliding _),
     "q_window_tumbling"-> (BatchQueries.qWindowTumbling _),
     // dialect-routed (GraftSession.execute end-to-end)
@@ -59,6 +60,7 @@ object SparkEntry {
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_sim_bruteforce" -> (PipelineQueries.qSimBruteforce _),
     "q_sim_lsh"        -> (PipelineQueries.qSimLsh _),
+    "q_sim_ivf"        -> (PipelineQueries.qSimIvf _),
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
   )
 
@@ -172,6 +174,19 @@ object SparkEntry {
          strftime(o_orderdate, '%Y-%m-%d') AS to_char_date,
          strftime(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS to_date_rt
          FROM orders ORDER BY o_orderkey""",
+    "q_persist_find" ->
+      """WITH st AS (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+                  o_orderstatus AS st
+           FROM orders
+           UNION ALL
+           SELECT -(o_orderkey + 1) AS k, o_totalprice AS price, o_orderstatus AS st
+           FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5)
+         )
+         SELECT k, price, st FROM st
+         WHERE NOT (st = 'F' AND price < 100000.0) ORDER BY k""",
     "q_window_sliding" ->
       """SELECT user_id, event_id,
          round(sum(value) OVER w, 2) AS sliding_sum,
@@ -269,6 +284,7 @@ object SparkEntry {
                                                     CAST(b.embedding AS DOUBLE[])) DESC,
                              b.vec_id) AS rn
            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id < 200
          ) WHERE rn = 1 ORDER BY query_id""",
   )
 }

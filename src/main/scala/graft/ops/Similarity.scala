@@ -111,18 +111,89 @@ object Similarity {
       .select(col("query_id"), col("item_id"), col("cosine"), col("rank"))
   }
 
-  /** IVF-style coarse quantization: assign every vector to its nearest
-    * of `centroids` (a small broadcast table built offline, e.g. from a
-    * sampled k-means); queries probe `nprobe` nearest centroid cells.
-    * The partition-by-cell layout is what makes 100 TB ANN tractable:
-    * each query touches nprobe/|cells| of the corpus. */
+  /** Mini k-means (Lloyd) over a bounded driver-side sample — builds
+    * the IVF coarse codebook. The sample is capped at `maxSample` rows
+    * regardless of corpus size (codebook construction is O(sample·k·d),
+    * never O(corpus)); assignment of the full corpus stays distributed
+    * in `ivfAssign`. Deterministic: sample by id order, centroids
+    * seeded at evenly-spaced sample points. */
+  def kmeansCentroids(vectors: DataFrame, id: String, vec: String,
+                      k: Int, iters: Int = 5, maxSample: Int = 2000): Array[Array[Double]] = {
+    val sample = vectors.orderBy(col(id)).limit(maxSample)
+      .select(col(vec)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    val d = sample.head.length
+    var cents = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn > 0) dp / nn else 0.0
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < k) { val s = cos(v, cents(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1 }
+        var i = 0
+        while (i < d) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else sums(c).map(_ / counts(c)))
+    }
+    cents
+  }
+
+  private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+
+  /** Per-row array of (sim, cell) structs against the literal codebook —
+    * a single narrow projection: no crossJoin, no shuffle, no window.
+    * Struct ordering compares sim first, so array_max/array_sort rank
+    * cells by similarity. */
+  private def cellSims(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, centroidLit(c)).as("sim"), lit(i).as("cell"))
+    }: _*)
+
+  /** IVF coarse quantization: assign every vector to its nearest
+    * centroid cell. The codebook is baked in as literals (built by
+    * `kmeansCentroids`), so assignment is map-side only — the
+    * partition-by-cell layout is what makes 100 TB ANN tractable:
+    * each query later touches nprobe/|cells| of the corpus. */
   def ivfAssign(vectors: DataFrame, id: String, vec: String,
-                centroids: DataFrame, centroidId: String, centroidVec: String): DataFrame = {
-    val c = broadcast(centroids.select(col(centroidId).as("cell"), col(centroidVec).as("cvec")))
-    val scored = vectors.select(col(id), col(vec)).crossJoin(c)
-      .withColumn("sim", cosine(col(vec), col("cvec")))
-    val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(id), col(vec), col("cell"))
+                centroids: Array[Array[Double]]): DataFrame =
+    vectors.select(col(id), col(vec),
+      array_max(cellSims(col(vec), centroids)).getField("cell").as("cell"))
+
+  /** IVF approximate top-k: corpus partitioned by nearest cell, each
+    * query probes its `nprobe` nearest cells, exact cosine rank within
+    * the probed cells. Recall is tunable via nprobe/|cells|; cost per
+    * query is ~nprobe/|cells| of a full scan. At scale, size the
+    * codebook ~sqrt(corpus) so cells stay executor-sized, and persist
+    * the cell assignment (partitionBy(cell)) so repeated query batches
+    * skip re-assignment. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val c = ivfAssign(corpus, corpusId, corpusVec, centroids)
+      .select(col(corpusId).as("item_id"), col(corpusVec).as("item_vec"), col("cell"))
+    val probes = slice(reverse(array_sort(cellSims(col(queryVec), centroids))), 1, nprobe)
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"),
+        explode(probes).as("p"))
+      .select(col("query_id"), col("query_vec"), col("p.cell").as("cell"))
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))
+    val scored = cand.withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cosine"), col("rank"))
   }
 }

@@ -248,4 +248,32 @@ object BatchQueries {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
+
+  /** S9 — persist/find ingest surface (reference: `session.persist` =
+    * insert-or-update by id, persistent/Session.java:436-457; `find`,
+    * :326-342). Round-trip through a real TableStore: append the base
+    * table, upsert modified + brand-new rows, delete by predicate, then
+    * return the store's state. Doubling a price is exact in IEEE
+    * arithmetic, so the oracle's CASE expression matches bit-for-bit. */
+  def qPersistFind(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderpriority"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_persist_").toString
+    val store = new graft.core.TableStore(s, tmp, "o_orderkey")
+    store.append(base)
+    // persist existing ids with a changed column (update arm of upsert)
+    store.upsert(base.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    // persist brand-new ids (insert arm): strictly-negative keys derived
+    // from the first 5 orders (-(k+1): keys start at 0, a bare negation
+    // would collide with key 0 itself)
+    store.upsert(base.orderBy(col("o_orderkey")).limit(5)
+      .withColumn("o_orderkey", -(col("o_orderkey") + 1)))
+    store.delete(col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+    store.read
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("st"))
+      .orderBy(col("k"))
+  }
 }

@@ -77,13 +77,32 @@ object PipelineQueries {
         col("features.n_tokens").as("n_tokens"))
       .orderBy(col("doc_id"))
 
-  /** Exact brute-force cosine top-1 neighbor per vector (ids only —
-    * ranking verified against DuckDB's list_cosine_similarity). */
+  /** Exact brute-force cosine top-1 neighbor for a BOUNDED query sample
+    * (ids only — ranking verified against DuckDB's
+    * list_cosine_similarity). The sample is fixed-size regardless of
+    * corpus SF, so the gate query is O(|sample|·corpus) — linear in
+    * corpus size; corpus-scale all-to-all ANN is what lshTopK/ivfTopK
+    * are for. */
   def qSimBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    Similarity.bruteForceTopK(e, "vec_id", "embedding", e, "vec_id", "embedding", k = 1)
+    val queries = e.filter(col("vec_id") < 200)
+    Similarity.bruteForceTopK(e, "vec_id", "embedding", queries, "vec_id", "embedding", k = 1)
       .select(col("query_id"), col("item_id"))
       .orderBy(col("query_id"))
+  }
+
+  /** IVF approximate top-k: mini-k-means codebook (bounded driver-side
+    * sample), shuffle-free cell assignment, nprobe cell probing —
+    * recall vs brute-force asserted in PipelineOpsSpec. Rows-only gate
+    * (approximate results have no SQL oracle). */
+  def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 5)
+    val queries = e.filter(col("vec_id") < 200)
+    Similarity.ivfTopK(e, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 3, cents, nprobe = 4)
+      .select(col("query_id"), col("item_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Approximate LSH top-k (single-probe; recall measured in spec). */

@@ -75,6 +75,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("IVF top-k recall against brute force") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", e, "vec_id", "embedding", k = 1)
+      .select("query_id", "item_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 5)
+    val approx = Similarity.ivfTopK(e, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = 1, cents, nprobe = 3)
+      .select("query_id", "item_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, item) => approx.get(q).contains(item) }
+    val recall = hits.toDouble / exact.size
+    // probing 3 of 8 cells covers ~3/8 of the corpus blindly; cell
+    // locality (query and its neighbor share a cell) pushes well past it
+    assert(recall >= 0.6, s"ivf top-1 recall $recall")
+    assert(approx.size == exact.size, "every query must get a result")
+  }
+
+  test("IVF cell assignment is a narrow projection (no shuffle)") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
+    val plan = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ivfAssign must not shuffle:\n$plan")
+  }
+
   test("cosine matches a manual computation") {
     val df = Seq((1L, Array(1.0f, 0.0f), 2L, Array(1.0f, 1.0f))).toDF("a_id", "a", "b_id", "b")
     val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().head.getDouble(0)
