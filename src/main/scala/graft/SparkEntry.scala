@@ -44,6 +44,7 @@ object SparkEntry {
     "q_sql_filter"     -> (DialectQueries.qSqlFilter _),
     "q_sql_like"       -> (DialectQueries.qSqlLike _),
     "q_sql_window"     -> (DialectQueries.qSqlWindow _),
+    "q_sql_window_keyed" -> (DialectQueries.qSqlWindowKeyed _),
     // streaming + CEP (real streaming queries, AvailableNow-drained)
     "q_stream_filter"  -> (StreamQueries.qStreamFilter _),
     "q_stream_tumbling"-> (StreamQueries.qStreamTumbling _),
@@ -227,6 +228,17 @@ object SparkEntry {
            FROM events
            WINDOW w AS (ORDER BY event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
          ) WHERE rn >= 100 ORDER BY id""",
+    "q_sql_window_keyed" ->
+      """SELECT uid, id, c, mn, mx FROM (
+           SELECT user_id AS uid, event_id AS id,
+                  count(*) OVER w AS c,
+                  min(value) OVER w AS mn,
+                  max(value) OVER w AS mx,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ) WHERE rn >= 10 ORDER BY uid, id""",
     "q_stream_filter" ->
       """SELECT event_id AS id, user_id AS uid, value AS v FROM events
          WHERE event_type = 'purchase' AND value > 100.0 ORDER BY id""",

@@ -1,0 +1,63 @@
+package graft.plan
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Scalable lowering of the reference's GLOBAL count-based sliding
+  * window (`WINDOW BY col INTERVAL = n` with no partition key —
+  * sql/SQLGroupContainer.java:120-158: aggregates over the last n rows
+  * in id order, one output row per input row once the buffer is full).
+  *
+  * A naive `Window.orderBy(col)` moves every row through ONE task — a
+  * driver-adjacent bottleneck at scale. Instead:
+  *
+  *   1. bucket rows by range of the order column (cut points from a
+  *      single approx-quantile pass over just that column);
+  *   2. compute per-bucket window frames — parallel across buckets;
+  *   3. the first n-1 windows of each bucket are missing rows from the
+  *      previous bucket, so carry each bucket's last n-1 rows into the
+  *      next bucket, recompute, and emit only non-carry rows whose
+  *      window is full.
+  *
+  * Total cost: one column-pruned quantile scan + one hash shuffle on
+  * the bucket id + (n-1)×buckets duplicated carry rows — vs. the whole
+  * table through a single sort task. Assumes the order column is
+  * numeric and reasonably dense (the reference's monotonic
+  * @GeneratedValue ids are), so range buckets are non-empty and the
+  * one-bucket carry suffices.
+  */
+object CountWindow {
+
+  /** @param aggs given the full-frame WindowSpec, produce the final
+    *   named output columns (aggregates over the spec + plain cols). */
+  def global(df: DataFrame, orderCol: String, n: Int,
+             aggs: WindowSpec => Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = df.sparkSession
+    val buckets = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(32)
+    val cuts = df.stat
+      .approxQuantile(orderCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct
+    // bucket id = number of cut points strictly below this row's order
+    // value — a pure projection, consistent across re-evaluations
+    // (unlike spark_partition_id after repartitionByRange, whose
+    // sampling could re-draw differently per evaluation)
+    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(orderCol) > lit(c), 1).otherwise(0)
+    }
+    val base = df.withColumn("__pid", pid).withColumn("__carry", lit(false))
+    // each bucket's last n-1 rows, replayed into the following bucket
+    val wTail = Window.partitionBy(col("__pid")).orderBy(col(orderCol).desc)
+    val carry = base.withColumn("__rrn", row_number().over(wTail))
+      .filter(col("__rrn") < n).drop("__rrn")
+      .withColumn("__pid", col("__pid") + 1)
+      .withColumn("__carry", lit(true))
+    val aug = base.unionByName(carry)
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    aug.select(aggs(w) :+ col("__carry") :+ count(lit(1)).over(w).as("__wn"): _*)
+      .filter(!col("__carry") && col("__wn") === n)
+      .drop("__carry", "__wn")
+  }
+}

@@ -113,39 +113,58 @@ object Lowering {
         // window frame; the global order is the reference's semantics
         // (monotonic @GeneratedValue ids).
         val (wcol, n) = stmt.windowBy.get
+        def inName(r: ColRef): String =
+          if (colType(r.flatName).isDefined) r.flatName else r.name
         if (filtered.isStreaming) {
           // streaming count window: stateful ring buffer, not a Window
-          // frame (flatMapGroupsWithState — SURVEY.md §7.3)
+          // frame (flatMapGroupsWithState — SURVEY.md §7.3). With
+          // PARTITION BY, state is bounded at n rows per key and keys
+          // hash across executors; without it the stream funnels through
+          // one key — reference-compatible but not the scale path.
           import graft.streaming.StreamOps
-          def inName(r: ColRef): String =
-            if (colType(r.flatName).isDefined) r.flatName else r.name
+          if (stmt.windowPartition.size > 1)
+            throw AnalysisException2("streaming WINDOW BY supports at most one PARTITION BY key")
           val specs = stmt.cols.map { sc =>
             val f = sc.func.filter(aggFuncs.contains).getOrElse("PLAIN")
             StreamOps.WindowAggSpec(f, inName(sc.ref), outName(sc))
           }
-          return StreamOps.slidingCountWindowRows(filtered, inName(wcol), n, specs)
+          return StreamOps.slidingCountWindowRows(filtered, inName(wcol), n, specs,
+            keyCol = stmt.windowPartition.headOption.map(inName))
         }
+        def outCols(w: org.apache.spark.sql.expressions.WindowSpec) =
+          stmt.cols.map { sc =>
+            if (sc.func.exists(aggFuncs.contains)) {
+              val c = resolveRef(sc.ref)
+              val e = sc.func.get match {
+                case "COUNT" => count(c).over(w)
+                case "SUM" => sum(c).over(w)
+                case "MIN" => min(c).over(w)
+                case "MAX" => max(c).over(w)
+                case "AVG" => avg(c).over(w)
+                case "LAST" => last(c).over(w)
+              }
+              e.as(outName(sc))
+            } else scalarExpr(sc)
+          }
         val order = resolveRef(wcol)
-        val w = Window.orderBy(order).rowsBetween(-(n - 1), Window.currentRow)
-        val rn = row_number().over(Window.orderBy(order))
-        val outCols = stmt.cols.map { sc =>
-          if (sc.func.exists(aggFuncs.contains)) {
-            val c = resolveRef(sc.ref)
-            val e = sc.func.get match {
-              case "COUNT" => count(c).over(w)
-              case "SUM" => sum(c).over(w)
-              case "MIN" => min(c).over(w)
-              case "MAX" => max(c).over(w)
-              case "AVG" => avg(c).over(w)
-              case "LAST" => last(c).over(w)
-            }
-            e.as(outName(sc))
-          } else scalarExpr(sc)
+        val numericOrder = colType(inName(wcol)).exists(_.isInstanceOf[NumericType])
+        if (stmt.windowPartition.isEmpty && numericOrder) {
+          // reference-compatible global window, lowered scalably
+          // (range buckets + carry-over instead of a one-task sort)
+          CountWindow.global(filtered, inName(wcol), n, outCols)
+        } else {
+          // keyed count window: per-key frames, sort parallelizes by
+          // key. Empty keys = compat fallback for non-numeric order
+          // cols (single-partition — the reference's own shape).
+          val keys = stmt.windowPartition.map(resolveRef)
+          val w = Window.partitionBy(keys: _*).orderBy(order)
+            .rowsBetween(-(n - 1), Window.currentRow)
+          val rn = row_number().over(Window.partitionBy(keys: _*).orderBy(order))
+          filtered
+            .withColumn("__rn", rn)
+            .select((outCols(w) :+ col("__rn")): _*)
+            .filter(col("__rn") >= n).drop("__rn")
         }
-        filtered
-          .withColumn("__rn", rn)
-          .select((outCols :+ col("__rn")): _*)
-          .filter(col("__rn") >= n).drop("__rn")
       } else if (hasAgg) {
         // reference validation (sql/SQLSelect.java:347-376)
         val plain = stmt.cols.filter(_.func.forall(f => !aggFuncs.contains(f)))

@@ -52,9 +52,21 @@ object DialectQueries {
          order by p.p_partkey""")
 
   /** WINDOW BY … INTERVAL = n — count-based sliding window
-    * (reference: sql/SQLGroupContainer.java:120-158). */
+    * (reference: sql/SQLGroupContainer.java:120-158). Global form:
+    * lowered via range buckets + carry-over (CountWindow.global), not a
+    * one-task sort. */
   def qSqlWindow(s: SparkSession, dir: String): DataFrame =
     session(s, dir).execute(
       """select e.event_id id, count(e.event_id) c, min(e.value) mn, max(e.value) mx
          from events e window by e.event_id interval = 100""")
+
+  /** Keyed count window — the scale path: PARTITION BY bounds the frame
+    * per key and distributes the sort across executors (beyond-reference
+    * dialect extension). */
+  def qSqlWindowKeyed(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select e.user_id uid, e.event_id id, count(e.event_id) c,
+         min(e.value) mn, max(e.value) mx
+         from events e window by e.event_id interval = 10 partition by e.user_id
+         order by e.user_id, e.event_id""")
 }

@@ -10,7 +10,11 @@ package graft.sqlparse
   *   [WHERE cond]
   *   [GROUP BY colref (',' colref)*]
   *   [ORDER BY colref (',' colref)*]
-  *   [WINDOW BY colref INTERVAL = n]          -- count-based sliding
+  *   [WINDOW BY colref INTERVAL = n [PARTITION BY colref (',' colref)*]]
+  *                                            -- count-based sliding;
+  *                                            -- PARTITION BY exceeds the
+  *                                            -- reference: keyed windows
+  *                                            -- are the scale path
   *   PROCESS selcols FROM … WITHIN 'className' [WHERE …]
   *
   * selcol  := '*' | [FUNC'('] colref [')'] [alias]
@@ -56,7 +60,12 @@ object Ast {
       groupBy: Seq[ColRef],
       orderBy: Seq[ColRef],
       windowBy: Option[(ColRef, Int)],
-      processWithin: Option[String])
+      processWithin: Option[String],
+      /** Optional count-window partition keys (beyond-reference
+        * extension): bounds window state per key and distributes the
+        * sort/state across executors. Empty = reference-compatible
+        * global window. */
+      windowPartition: Seq[ColRef] = Seq.empty)
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 }

@@ -230,6 +230,7 @@ object Parser {
       var groupBy = Seq.empty[ColRef]
       var orderBy = Seq.empty[ColRef]
       var windowBy: Option[(ColRef, Int)] = None
+      var windowPartition = Seq.empty[ColRef]
       var more = true
       while (more && !done) {
         if (eatKw("GROUP")) {
@@ -241,7 +242,8 @@ object Parser {
           val o = ArrayBuffer(colRef()); while (eatSym(",")) o += colRef()
           orderBy = o.toSeq
         } else if (eatKw("WINDOW")) {
-          // WINDOW BY col INTERVAL = n (sql/CList.java:97-111)
+          // WINDOW BY col INTERVAL = n (sql/CList.java:97-111), with an
+          // optional PARTITION BY extension (keyed windows — scale path)
           expectKw("BY")
           val c = colRef()
           expectKw("INTERVAL"); expectSym("=")
@@ -250,13 +252,18 @@ object Parser {
             case t => throw ParseException(s"expected window size, got $t")
           }
           windowBy = Some((c, n))
+          if (eatKw("PARTITION")) {
+            expectKw("BY")
+            val p = ArrayBuffer(colRef()); while (eatSym(",")) p += colRef()
+            windowPartition = p.toSeq
+          }
         } else more = false
       }
       if (!done) throw ParseException(s"trailing tokens from ${peek.get}")
       if (star && tabs.size > 1)
         throw ParseException("SELECT * is only valid for a single table") // sql/SQLSelect.java:292-301
       SelectStmt(stream, distinct, star, cols.toSeq, tabs.toSeq, where,
-        groupBy, orderBy, windowBy, processWithin)
+        groupBy, orderBy, windowBy, processWithin, windowPartition)
     }
   }
 

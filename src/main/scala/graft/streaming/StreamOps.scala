@@ -101,7 +101,14 @@ object StreamOps {
         case "COUNT" => LongType
         case "SUM" => if (isIntegral(inType(s.in))) LongType else DoubleType
         case "AVG" => DoubleType
-        case "MIN" | "MAX" | "LAST" | "PLAIN" => inType(s.in)
+        case "MIN" | "MAX" =>
+          inType(s.in) match {
+            case t: NumericType => t
+            case StringType => StringType
+            case t => throw graft.plan.Lowering.AnalysisException2(
+              s"streaming count-window ${s.func}(${s.in}): unsupported type $t")
+          }
+        case "LAST" | "PLAIN" => inType(s.in)
       }
       StructField(s.out, dt, nullable = true)
     })
@@ -119,8 +126,14 @@ object StreamOps {
           if (isIntegral(inType(s.in))) vals.map(_.asInstanceOf[Number].longValue()).sum
           else vals.map(num).sum
         case "AVG" => if (vals.isEmpty) null else vals.map(num).sum / vals.length
-        case "MIN" => if (vals.isEmpty) null else vals.minBy(num)
-        case "MAX" => if (vals.isEmpty) null else vals.maxBy(num)
+        case "MIN" =>
+          if (vals.isEmpty) null
+          else if (inType(s.in) == StringType) vals.map(_.asInstanceOf[String]).min
+          else vals.minBy(num)
+        case "MAX" =>
+          if (vals.isEmpty) null
+          else if (inType(s.in) == StringType) vals.map(_.asInstanceOf[String]).max
+          else vals.maxBy(num)
         case "LAST" | "PLAIN" => buf.last.get(i)
       }
     })

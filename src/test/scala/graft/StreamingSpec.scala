@@ -50,6 +50,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey("a") == (30.0, 2L) && byKey("b") == (5.0, 1L))
   }
 
+  test("dialect streaming count window with PARTITION BY keys state per user") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    val gs = new GraftSession(spark)
+    gs.registerStream("events", mem.toDF())
+    val handle = gs.executeStream(
+      """select stream e.event_id id, count(e.event_id) c from events e
+         window by e.event_id interval = 2 partition by e.user_id""")
+    try {
+      mem.addData(TestEvent(1, 1, "a", 1), TestEvent(2, 2, "a", 2),
+        TestEvent(3, 1, "a", 3), TestEvent(4, 2, "a", 4))
+      handle.processAllAvailable()
+      // per-user windows fill independently: user 1 at event 3, user 2 at 4
+      val ids = handle.pollAll().map(_.getLong(0)).toSet
+      assert(ids == Set(3L, 4L))
+    } finally handle.stop()
+  }
+
   test("streaming count window emits once buffer is full (C4/A7)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TestEvent]
