@@ -45,6 +45,8 @@ object SparkEntry {
     "q_sql_like"       -> (DialectQueries.qSqlLike _),
     "q_sql_window"     -> (DialectQueries.qSqlWindow _),
     "q_sql_window_keyed" -> (DialectQueries.qSqlWindowKeyed _),
+    "q_sql_custom_agg" -> (DialectQueries.qSqlCustomAgg _),
+    "q_sql_last"       -> (DialectQueries.qSqlLast _),
     // streaming + CEP (real streaming queries, AvailableNow-drained)
     "q_stream_filter"  -> (StreamQueries.qStreamFilter _),
     "q_stream_tumbling"-> (StreamQueries.qStreamTumbling _),
@@ -228,6 +230,14 @@ object SparkEntry {
            FROM events
            WINDOW w AS (ORDER BY event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
          ) WHERE rn >= 100 ORDER BY id""",
+    "q_sql_custom_agg" ->
+      """SELECT l_returnflag AS f, sum(l_quantity * l_quantity) AS ssq,
+         count(l_orderkey) AS c
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_sql_last" ->
+      """SELECT event_type AS t, max_by(value, event_id) AS lv,
+         max(event_id) AS mxid
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_sql_window_keyed" ->
       """SELECT uid, id, c, mn, mx FROM (
            SELECT user_id AS uid, event_id AS id,

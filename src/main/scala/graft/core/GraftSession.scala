@@ -16,11 +16,31 @@ import graft.plan.Lowering
   */
 class GraftSession(val spark: SparkSession,
                    val compat: Lowering.Compat = Lowering.Compat()) {
-  private val tables = TrieMap.empty[String, DataFrame]
+  private val tables = TrieMap.empty[String, () => DataFrame]
 
   /** registerTable equivalent: name → DataFrame (any source). */
   def register(name: String, df: DataFrame): Unit =
+    tables.put(name.toLowerCase, () => df)
+
+  /** Mutable-backed registration: re-resolved per query so dialect
+    * queries always see the store's current state (a captured DataFrame
+    * would pin the file listing of one snapshot). */
+  def registerProvider(name: String, df: () => DataFrame): Unit =
     tables.put(name.toLowerCase, df)
+
+  /** registerTable from an annotated case class (reference:
+    * persistent/Session.java:181-277 — @Id/@DistributedId/@Threshold
+    * read off the entity; schema from the Catalyst Encoder). The
+    * returned TypedTable is the persist/find surface; dialect queries
+    * against `name` see the store's live state. */
+  def registerEntity[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
+      name: String, path: String): TypedTable[T] = {
+    val meta = EntityMeta.of[T]
+    val store = new TableStore(spark, path, meta.idCol)
+    val tt = new TypedTable[T](spark, store, meta)
+    registerProvider(name, () => store.read)
+    tt
+  }
 
   /** Register every driver-generated parquet table from a sf dir. */
   def registerDir(dir: String): Unit =
@@ -28,14 +48,36 @@ class GraftSession(val spark: SparkSession,
 
   def table(name: String): DataFrame =
     tables.getOrElse(name.toLowerCase,
-      throw new IllegalArgumentException(s"table not registered: $name"))
+      throw new IllegalArgumentException(s"table not registered: $name"))()
+
+  // ---- custom aggregates (reference F_CUSTOM slot,
+  // sql/SQLGroupFunction.java:53,60-63 — a dead stub there) -----------
+  private val customAggs =
+    TrieMap.empty[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column]
+
+  /** Register a custom aggregate by name for the dialect (column
+    * transform form, e.g. `c => sum(c * c)`). */
+  def registerAggregate(name: String,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+    customAggs.put(name.toUpperCase, f)
+
+  /** Register a typed Aggregator[IN,BUF,OUT] as a dialect aggregate —
+    * the real implementation of the reference's F_CUSTOM UDAF surface
+    * (SURVEY.md §2.9). Runs as a Catalyst UDAF with partial aggregation
+    * (map-side combine), like the built-ins. */
+  def registerAggregator[IN](name: String,
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, _, _])(
+      implicit enc: org.apache.spark.sql.Encoder[IN]): Unit = {
+    val f = org.apache.spark.sql.functions.udaf(agg, enc)
+    registerAggregate(name, c => f(c))
+  }
 
   /** Batch SELECT in the reference dialect → lazy DataFrame. */
   def execute(sql: String): DataFrame = {
     val stmt = Parser.parse(sql)
     require(!stmt.stream, "SELECT STREAM goes through executeStream")
     require(stmt.processWithin.isEmpty, "PROCESS goes through executeProcess")
-    Lowering.lower(stmt, table, compat)
+    Lowering.lower(stmt, table, compat, customAggs.toMap)
   }
 
   // ---- streaming (SELECT STREAM — reference C1-C4) -------------------
@@ -63,7 +105,7 @@ class GraftSession(val spark: SparkSession,
     val stmt = Parser.parse(sql)
     require(stmt.stream, "not a SELECT STREAM statement")
     require(stmt.orderBy.isEmpty, "ORDER BY is not valid on streams")
-    Lowering.lower(stmt.copy(orderBy = Seq.empty), streamTable, compat)
+    Lowering.lower(stmt.copy(orderBy = Seq.empty), streamTable, compat, customAggs.toMap)
   }
 
   /** Start a SELECT STREAM query; returns the poll/stop handle

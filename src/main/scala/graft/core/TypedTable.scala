@@ -1,0 +1,93 @@
+package graft.core
+
+import scala.reflect.ClassTag
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.annotations.{DistributedId, Id, Threshold}
+
+/** Entity metadata derived from a case class's annotations — the
+  * schema-registry half of the reference's `registerTable`
+  * (persistent/Session.java:181-277 reads @Id/@DistributedId/@Threshold
+  * off the POJO; persistent/Table.java:409-428). The Catalyst Encoder
+  * supplies the StructType, replacing the reference's reflection proxy
+  * machinery (proxy/POJOProxyFactory.java:97-130).
+  */
+final case class EntityMeta(idCol: String, generatedId: Boolean,
+                            threshold: Option[Long])
+
+object EntityMeta {
+  /** Read @Id / @DistributedId / @Threshold from the class's declared
+    * fields (Scala callers annotate constructor params with
+    * `@(Id @field)` so the annotation lands on the backing field). */
+  def of[T](implicit ct: ClassTag[T]): EntityMeta = {
+    val cls = ct.runtimeClass
+    val fields = cls.getDeclaredFields
+    val gen = fields.find(_.isAnnotationPresent(classOf[DistributedId]))
+    val plain = fields.find(_.isAnnotationPresent(classOf[Id]))
+    val idField = gen.orElse(plain).getOrElse(
+      fields.find(_.getName == "id").getOrElse(throw new IllegalArgumentException(
+        s"${cls.getName}: no @Id/@DistributedId field and no field named 'id'")))
+    val thr = Option(cls.getAnnotation(classOf[Threshold])).map(_.value())
+    EntityMeta(idField.getName, gen.isDefined, thr)
+  }
+}
+
+/** Typed table over a TableStore — the reference's entity surface:
+  * `persist(o)` / `find(id)` / entity-result scans
+  * (persistent/Session.java:436-457, :326-342; entity results
+  * sql/SQLSelect.java:292-301 → `Dataset[T]`).
+  */
+final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStore,
+                                   val meta: EntityMeta) {
+
+  /** Full typed scan (the dialect's `SELECT * FROM t` entity result). */
+  def ds: Dataset[T] = store.read.as[T]
+
+  /** Insert-or-update by id. Objects with id == 0 on a @DistributedId
+    * table get generated ids: strictly above every existing id, with
+    * monotonically_increasing_id's partition-prefixed uniqueness — no
+    * cross-executor coordination (reference: per-node id ranges,
+    * core/DistributedId.java:39). */
+  def persist(objs: Seq[T]): Unit = persistDs(spark.createDataset(objs))
+
+  def persistDs(rows: Dataset[T]): Unit = {
+    val idc = meta.idCol
+    val df = rows.toDF()
+    val withIds =
+      if (!meta.generatedId) df
+      else {
+        val needGen = df.filter(col(idc) === 0)
+        val keepIds = df.filter(col(idc) =!= 0)
+        if (needGen.isEmpty) df
+        else {
+          val base: Long =
+            if (!store.exists) 0L
+            else store.read.agg(max(col(idc))).head.get(0) match {
+              case null => 0L
+              case n: Number => math.max(0L, n.longValue())
+            }
+          keepIds.unionByName(
+            needGen.withColumn(idc, lit(base + 1) + monotonically_increasing_id()))
+        }
+      }
+    store.upsert(withIds)
+    meta.threshold.foreach(enforceThreshold)
+  }
+
+  /** Point lookup by id (reference Session.find). */
+  def find(id: Any): Option[T] = store.find(id).as[T].collect().headOption
+
+  /** @Threshold retention: keep only the newest n rows by id order.
+    * Cutoff from a top-n over ids only (column-pruned scan), then one
+    * keyed filter rewrite — never a global sort of the data rows. */
+  private def enforceThreshold(n: Long): Unit = {
+    val idc = meta.idCol
+    val total = store.read.count()
+    if (total > n) {
+      val cutoff = store.read.select(col(idc))
+        .orderBy(col(idc).desc).limit(n.toInt)
+        .agg(min(col(idc))).head.get(0).asInstanceOf[Number].longValue()
+      store.delete(col(idc) < cutoff)
+    }
+  }
+}

@@ -29,12 +29,19 @@ object Lowering {
   final case class Compat(
       dateFormat: String = "dd.MM.yyyy",
       intAvg: Boolean = true,
-      lastAsAvg: Boolean = false) // reference F_LAST==F_AVG bug, off by default
+      lastAsAvg: Boolean = false, // reference F_LAST==F_AVG bug, off by default
+      /** Insertion-order (id) column for LAST: the reference's LAST is
+        * "last by monotonic @Id order" (sql/SQLColumn.java:157-188);
+        * with this set, LAST(c) lowers to max_by(c, idCol) —
+        * deterministic under shuffling. Unset → Spark last(), which has
+        * no ordering guarantee. */
+      lastOrderCol: Option[String] = None)
 
   final case class AnalysisException2(msg: String) extends RuntimeException(msg)
 
   def lower(stmt: SelectStmt, resolve: String => DataFrame,
-            compat: Compat = Compat()): DataFrame = {
+            compat: Compat = Compat(),
+            customAggs: Map[String, Column => Column] = Map.empty): DataFrame = {
     require(stmt.processWithin.isEmpty, "PROCESS statements go through graft.cep.Process")
 
     // 1. per-table flat renaming: alias 'e' + column 'name' → 'ename'
@@ -52,7 +59,13 @@ object Lowering {
     val filtered = stmt.where.map(c => joined.filter(ctx.lowerCond(c))).getOrElse(joined)
 
     // 2. select list
-    val aggFuncs = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAST")
+    val builtinAggs = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAST")
+    val aggFuncs = builtinAggs ++ customAggs.keySet // F_CUSTOM, for real
+    val scalarFuncs = Set("TO_NUMBER", "TO_CHAR", "TO_DATE")
+    stmt.cols.flatMap(_.func).foreach { f =>
+      if (!aggFuncs.contains(f) && !scalarFuncs.contains(f))
+        throw AnalysisException2(s"unknown function $f (register custom aggregates on the session)")
+    }
     val hasAgg = stmt.cols.exists(_.func.exists(aggFuncs.contains))
 
     def outName(sc: SelCol): String =
@@ -80,7 +93,15 @@ object Lowering {
           else avg(c)
         case "LAST" =>
           if (compat.lastAsAvg) avg(c) // reference bug F_LAST==F_AVG, opt-in only
-          else last(c)
+          else compat.lastOrderCol match {
+            // last by insertion (id) order — deterministic
+            case Some(idName) =>
+              val idRef = ColRef(sc.ref.table, idName)
+              max_by(c, resolveRef(
+                if (colType(idRef.flatName).isDefined) idRef else ColRef(None, idName)))
+            case None => last(c)
+          }
+        case f if customAggs.contains(f) => customAggs(f)(c)
       }
       base.as(outName(sc))
     }
@@ -126,6 +147,8 @@ object Lowering {
             throw AnalysisException2("streaming WINDOW BY supports at most one PARTITION BY key")
           val specs = stmt.cols.map { sc =>
             val f = sc.func.filter(aggFuncs.contains).getOrElse("PLAIN")
+            if (customAggs.contains(f))
+              throw AnalysisException2(s"custom aggregate $f is not supported in WINDOW BY")
             StreamOps.WindowAggSpec(f, inName(sc.ref), outName(sc))
           }
           return StreamOps.slidingCountWindowRows(filtered, inName(wcol), n, specs,
@@ -141,7 +164,9 @@ object Lowering {
                 case "MIN" => min(c).over(w)
                 case "MAX" => max(c).over(w)
                 case "AVG" => avg(c).over(w)
-                case "LAST" => last(c).over(w)
+                case "LAST" => last(c).over(w) // frame is ordered: deterministic
+                case f => throw AnalysisException2(
+                  s"custom aggregate $f is not supported in WINDOW BY")
               }
               e.as(outName(sc))
             } else scalarExpr(sc)

@@ -69,4 +69,41 @@ object DialectQueries {
          min(e.value) mn, max(e.value) mx
          from events e window by e.event_id interval = 10 partition by e.user_id
          order by e.user_id, e.event_id""")
+
+  /** Custom UDAF through the dialect — the reference's F_CUSTOM slot
+    * (sql/SQLGroupFunction.java:53,60-63, a dead stub there) implemented
+    * as a typed Aggregator with partial aggregation. Sum-of-squares over
+    * integer-valued doubles: exact in IEEE arithmetic, so the oracle's
+    * sum(x*x) matches bit-for-bit. */
+  def qSqlCustomAgg(s: SparkSession, dir: String): DataFrame = {
+    val gs = session(s, dir)
+    gs.registerAggregator("sumsq", SumSq)(org.apache.spark.sql.Encoders.scalaDouble)
+    gs.execute(
+      """select l.l_returnflag f, sumsq(l.l_quantity) ssq, count(l.l_orderkey) c
+         from lineitem l group by l.l_returnflag order by l.l_returnflag""")
+  }
+
+  /** LAST with defined order (reference semantics: last by monotonic
+    * @Id insertion order, sql/SQLColumn.java:157-188) — lowered to
+    * max_by(col, idCol), deterministic under shuffling. */
+  def qSqlLast(s: SparkSession, dir: String): DataFrame = {
+    val gs = new GraftSession(s,
+      graft.plan.Lowering.Compat(lastOrderCol = Some("event_id")))
+    gs.registerDir(dir)
+    gs.execute(
+      """select e.event_type t, last(e.value) lv, max(e.event_id) mxid
+         from events e group by e.event_type order by e.event_type""")
+  }
+}
+
+/** Sum-of-squares Aggregator — the gate's F_CUSTOM exemplar. */
+object SumSq extends org.apache.spark.sql.expressions.Aggregator[Double, Double, Double] {
+  def zero: Double = 0.0
+  def reduce(b: Double, a: Double): Double = b + a * a
+  def merge(b1: Double, b2: Double): Double = b1 + b2
+  def finish(r: Double): Double = r
+  def bufferEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+  def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
 }

@@ -96,14 +96,16 @@ object Parser {
       last
     }
 
-    private val funcs = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAST",
-      "TO_NUMBER", "TO_CHAR", "TO_DATE")
     private val clauseKw = Set("FROM", "WHERE", "GROUP", "ORDER", "WINDOW", "WITHIN")
 
     def selCol(): SelCol = {
       peek match {
-        case Some(Word(w)) if funcs.contains(w.toUpperCase) &&
-            pos + 1 < toks.length && toks(pos + 1) == Sym("(") =>
+        // any identifier followed by '(' is a function call: the fixed
+        // built-ins plus session-registered custom aggregates (the
+        // reference's F_CUSTOM slot, sql/SQLGroupFunction.java:53,60-63
+        // — a dead stub there, real here; unknown names are rejected at
+        // lowering time with the schema in hand)
+        case Some(Word(w)) if pos + 1 < toks.length && toks(pos + 1) == Sym("(") =>
           val f = ident().toUpperCase
           expectSym("(")
           val ref = colRef()

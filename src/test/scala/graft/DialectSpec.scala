@@ -137,6 +137,49 @@ class LoweringSpec extends AnyFunSuite {
     assert(df.select("c").distinct().collect().map(_.getLong(0)).toSeq == Seq(100L))
   }
 
+  test("lastAsAvg compat reproduces the reference F_LAST==F_AVG bug") {
+    import org.apache.spark.sql.functions.col
+    val gsBug = new graft.core.GraftSession(spark,
+      Lowering.Compat(lastAsAvg = true, intAvg = false))
+    gsBug.registerDir(sf)
+    val bug = gsBug.execute(
+      "select e.event_type t, last(e.value) lv from events e group by e.event_type order by e.event_type")
+    val avgRef = gsBug.execute(
+      "select e.event_type t, avg(e.value) av from events e group by e.event_type order by e.event_type")
+    val a = bug.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = avgRef.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b) // LAST silently computes AVG, like the reference
+  }
+
+  test("LAST with lastOrderCol is last-by-id (max_by), deterministic") {
+    import org.apache.spark.sql.functions._
+    val gsOrd = new graft.core.GraftSession(spark,
+      Lowering.Compat(lastOrderCol = Some("event_id")))
+    gsOrd.registerDir(sf)
+    val got = gsOrd.execute(
+      "select e.event_type t, last(e.value) lv from events e group by e.event_type order by e.event_type")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expect = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type")).agg(max_by(col("value"), col("event_id")).as("lv"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+  }
+
+  test("unknown function is rejected at lowering; custom agg registers and runs") {
+    import org.apache.spark.sql.functions.sum
+    assertThrows[Lowering.AnalysisException2](
+      gs.execute("select bogus(e.value) v from events e"))
+    val gsC = new graft.core.GraftSession(spark)
+    gsC.registerDir(sf)
+    gsC.registerAggregate("sumsq", c => sum(c * c))
+    val got = gsC.execute(
+      "select sumsq(e.value) v from events e").collect().head.getDouble(0)
+    val expect = spark.read.parquet(s"$sf/events.parquet")
+      .select(sum(org.apache.spark.sql.functions.col("value") *
+        org.apache.spark.sql.functions.col("value"))).collect().head.getDouble(0)
+    assert(math.abs(got - expect) < 1e-6)
+  }
+
   test("WINDOW BY ... PARTITION BY parses and keys the frame") {
     val stmt = graft.sqlparse.Parser.parse(
       "select e.user_id u, count(e.event_id) c from events e window by e.event_id interval = 5 partition by e.user_id")

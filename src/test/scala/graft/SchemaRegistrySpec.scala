@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.annotation.meta.field
+import graft.annotations.{DistributedId, Id, Threshold}
+import graft.core.{EntityMeta, GraftSession}
+
+/** Entities for the registry: annotations land on the backing field via
+  * the @field meta-annotation (how Scala case classes carry Java
+  * runtime annotations). */
+case class Person(@(Id @field) person_id: Long, name: String, dept: String)
+
+@Threshold(5)
+case class LogLine(@(DistributedId @field) id: Long, msg: String)
+
+class SchemaRegistrySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_reg_").toString
+
+  test("EntityMeta reads @Id / @DistributedId / @Threshold off the case class") {
+    assert(EntityMeta.of[Person] == EntityMeta("person_id", generatedId = false, None))
+    assert(EntityMeta.of[LogLine] == EntityMeta("id", generatedId = true, Some(5L)))
+  }
+
+  test("registerEntity: typed persist/find and dialect SELECT * round-trip") {
+    val gs = new GraftSession(spark)
+    val tt = gs.registerEntity[Person]("person", tmp())
+    tt.persist(Seq(Person(1, "ada", "eng"), Person(2, "grace", "eng")))
+    // entity result: SELECT * over a single table returns the entity rows
+    val ds = gs.execute("select * from person").as[Person]
+    assert(ds.collect().toSet == Set(Person(1, "ada", "eng"), Person(2, "grace", "eng")))
+    // persist = insert-or-update by id; the dialect sees the new state
+    tt.persist(Seq(Person(2, "grace hopper", "research")))
+    assert(tt.find(2L).contains(Person(2, "grace hopper", "research")))
+    assert(gs.execute("select * from person").count() == 2)
+  }
+
+  test("@DistributedId generates unique nonzero ids for zero-id objects") {
+    val gs = new GraftSession(spark)
+    val tt = gs.registerEntity[LogLine]("log1", tmp())
+    tt.persist(Seq(LogLine(0, "x"), LogLine(0, "y"), LogLine(7, "z")))
+    val rows = tt.ds.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.id).distinct.length == 3)
+    assert(rows.forall(_.id != 0))
+    assert(rows.find(_.msg == "z").get.id == 7)
+    // a second batch keeps generating above the existing max
+    tt.persist(Seq(LogLine(0, "w")))
+    val all = tt.ds.collect()
+    assert(all.map(_.id).distinct.length == 4)
+  }
+
+  test("@Threshold retention truncates oldest rows on persist") {
+    val gs = new GraftSession(spark)
+    val tt = gs.registerEntity[LogLine]("log2", tmp())
+    tt.persist((1L to 8L).map(i => LogLine(i, s"m$i")))
+    val kept = tt.ds.collect().map(_.id).sorted
+    assert(kept.toSeq == Seq(4L, 5L, 6L, 7L, 8L)) // newest 5 by id
+  }
+}
