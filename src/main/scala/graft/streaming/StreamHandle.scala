@@ -1,38 +1,36 @@
 package graft.streaming
 
+import java.util.concurrent.LinkedBlockingQueue
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
-import java.util.concurrent.atomic.AtomicLong
 
 /** Client-facing stream result handle mirroring the reference's
   * `StreamQueue` poll/stop API (reference S7: sql/StreamQueue.java:40-134
-  * — bounded queue, `poll()` returns next row or null, `stop()` ends the
-  * continuous query; per-session resume via stream frame pointers).
+  * — a queue BOUNDED at 10 000, `poll()` returns next row or null,
+  * `stop()` ends the continuous query; per-session resume via stream
+  * frame pointers).
   *
-  * Spark-native equivalents: a continuous StreamingQuery into a memory
-  * sink, `poll` draining the sink table incrementally, `stop()`
-  * delegating to StreamingQuery.stop(). Resume-from-last-position comes
-  * from checkpointLocation (pass the same checkpoint dir to resume —
-  * replaces persistent/Session.java:694-700 bookkeeping).
+  * Spark-native shape: `foreachBatch` feeds each micro-batch into a
+  * bounded driver-side queue. Polling is O(1) per row — no re-collect
+  * of previously produced results — and a full queue blocks the
+  * micro-batch thread, which is exactly the reference's producer
+  * backpressure. Resume-from-last-position comes from
+  * checkpointLocation: a new handle started with the same checkpoint
+  * continues past all previously consumed source offsets (replaces
+  * persistent/Session.java:694-700 bookkeeping).
   */
-final class StreamHandle private (spark: SparkSession, query: StreamingQuery,
-                                  sinkName: String) {
-  private val cursor = new AtomicLong(0L)
+final class StreamHandle private (query: StreamingQuery,
+                                  queue: LinkedBlockingQueue[Row]) {
 
   /** Next unread result row, if any has been produced. Non-blocking,
-    * like the reference's StreamQueue.poll with timeout semantics. */
-  def poll(): Option[Row] = synchronized {
-    val rows = spark.table(sinkName).collect()
-    val i = cursor.get()
-    if (i < rows.length) { cursor.incrementAndGet(); Some(rows(i.toInt)) }
-    else None
-  }
+    * like the reference's StreamQueue.poll timeout form. */
+  def poll(): Option[Row] = Option(queue.poll())
 
   /** Drain everything currently produced. */
-  def pollAll(): Seq[Row] = synchronized {
-    val rows = spark.table(sinkName).collect()
-    val i = cursor.getAndSet(rows.length.toLong).toInt
-    rows.drop(i).toSeq
+  def pollAll(): Seq[Row] = {
+    val buf = new java.util.ArrayList[Row]()
+    queue.drainTo(buf)
+    scala.jdk.CollectionConverters.ListHasAsScala(buf).asScala.toSeq
   }
 
   /** Block until all currently-available source data is processed. */
@@ -45,19 +43,27 @@ final class StreamHandle private (spark: SparkSession, query: StreamingQuery,
 }
 
 object StreamHandle {
-  private val counter = new AtomicLong(0L)
 
-  /** Start a continuous query over `stream` into a memory sink and hand
-    * back the poll/stop handle. `checkpoint` (optional) enables resume
-    * across handles — the reference's continue-from-last-position. */
+  /** Start a continuous query over `stream` feeding the bounded handle
+    * queue. `checkpoint` (optional) enables resume across handles — the
+    * reference's continue-from-last-position. `capacity` matches the
+    * reference's StreamQueue bound (sql/StreamQueue.java:44). */
   def start(spark: SparkSession, stream: DataFrame, mode: OutputMode,
             checkpoint: Option[String] = None,
-            triggerMs: Long = 100L): StreamHandle = {
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    var w = stream.writeStream.format("memory").queryName(name)
+            triggerMs: Long = 100L,
+            capacity: Int = 10000): StreamHandle = {
+    val queue = new LinkedBlockingQueue[Row](capacity)
+    var w = stream.writeStream
       .outputMode(mode)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // toLocalIterator keeps at most one partition's rows in driver
+        // memory; queue.put blocks when the client lags (backpressure)
+        val it = batch.toLocalIterator()
+        while (it.hasNext) queue.put(it.next())
+        ()
+      }
       .trigger(Trigger.ProcessingTime(triggerMs)) // reference tail-poll is 100ms (sql/SQLCursor.java:417-419)
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
-    new StreamHandle(spark, w.start(), name)
+    new StreamHandle(w.start(), queue)
   }
 }

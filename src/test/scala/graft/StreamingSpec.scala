@@ -50,6 +50,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey("a") == (30.0, 2L) && byKey("b") == (5.0, 1L))
   }
 
+  test("stream resume: a second handle with the same checkpoint skips consumed offsets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume_src_").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_resume_cp_").toString
+    Seq(TestEvent(1, 1, "click", 1.0), TestEvent(2, 1, "view", 2.0))
+      .toDF().write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def freshSession(): GraftSession = {
+      val gs = new GraftSession(spark)
+      gs.registerStream("events", spark.readStream.schema(schema).parquet(dir))
+      gs
+    }
+    // first handle consumes the backlog
+    val h1 = freshSession().executeStream(
+      "select stream e.event_id id from events e", Some(cp))
+    try {
+      h1.processAllAvailable()
+      assert(h1.pollAll().map(_.getLong(0)).sorted == Seq(1L, 2L))
+    } finally h1.stop()
+    // new data lands while no handle is running
+    Seq(TestEvent(3, 2, "click", 3.0), TestEvent(4, 2, "view", 4.0))
+      .toDF().write.mode("append").parquet(dir)
+    // second handle, same checkpoint: resumes past consumed offsets —
+    // the reference's per-session continue-from-last-position
+    // (persistent/Session.java:694-700)
+    val h2 = freshSession().executeStream(
+      "select stream e.event_id id from events e", Some(cp))
+    try {
+      h2.processAllAvailable()
+      assert(h2.pollAll().map(_.getLong(0)).sorted == Seq(3L, 4L))
+    } finally h2.stop()
+  }
+
   test("dialect streaming count window with PARTITION BY keys state per user") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TestEvent]
