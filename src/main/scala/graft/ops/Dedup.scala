@@ -29,23 +29,13 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature: `numHashes` minima over the k-shingle set,
-    * using seeded xxhash64.
-    *
-    * Shape matters: a naive `array(64 × array_min(transform(shingles,…)))`
-    * re-evaluates the shingle-generation subtree per hash (higher-order
-    * functions are outside whole-stage codegen, so no subexpression
-    * elimination — measured 30× slower). Instead ONE fold over the
-    * shingle array with an array-of-minima accumulator: shingles are
-    * computed exactly once per document. */
-  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 64): Column = {
-    val shingles = TextAnalysis.shingleFingerprints(text, k)
-    aggregate(
-      shingles,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, seed) => least(m, xxhash64(s, seed))))
-  }
+  /** MinHash signature: `numHashes` minima of seeded rehashes over the
+    * k-shingle set — a native Catalyst expression (graft.functions
+    * .MinHashSig) whose codegen is one static kernel call. The earlier
+    * higher-order-function fold evaluated interpreted per array element
+    * outside whole-stage codegen and dominated the dedup bench. */
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 64): Column =
+    graft.functions.TextHashFunctions.minhashSignature(text, k, numHashes)
 
   /** LSH candidate pairs from banded MinHash signatures.
     * bands × rowsPerBand must equal numHashes. Two docs are candidates
@@ -65,11 +55,16 @@ object Dedup {
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(b)))))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
 
-    // skew guard: drop buckets holding more than maxBucket docs
-    val counted = banded.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))))
+    // skew guard: drop buckets holding more than maxBucket docs. An
+    // aggregated semi-join, not a count-over-Window: the count
+    // aggregates with map-side partial combine (tiny shuffle) and the
+    // join needs no per-bucket sort; AQE broadcasts the bucket list
+    // when small.
+    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val counted = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
 
     val l = counted.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
     val r = counted.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
@@ -109,12 +104,15 @@ object Dedup {
                         k: Int = 5, threshold: Double = 0.7,
                         maxPostings: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingleFingerprints(col(textCol), k)).as("sh"))
+      array_distinct(graft.functions.TextHashFunctions.shingleHashes(col(textCol), k)).as("sh"))
 
-    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("psz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    // postings cap via aggregated semi-join (see minhashCandidates note)
+    val smallShingles = exploded.groupBy(col("s"))
+      .agg(count(lit(1)).as("psz"))
       .filter(col("psz") <= maxPostings)
+      .select(col("s"))
+    val postings = exploded.join(smallShingles, Seq("s"), "left_semi")
 
     val cand = postings.select(col("s"), col("id").as("id1"))
       .join(postings.select(col("s"), col("id").as("id2")), Seq("s"))
@@ -132,25 +130,11 @@ object Dedup {
   }
 
   /** SimHash: 64-bit locality-sensitive hash — per-bit majority vote
-    * over token hashes. Native fold: for each bit position, count set
-    * bits across token hashes and pack the majority back into a long.
+    * over token hashes, as a native Catalyst expression
+    * (graft.functions.SimHash64: one compiled kernel call in codegen).
     * Near-dup distance is `bit_count(a ^ b)` (built-in, codegen'd). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val n = size(hashes)
-    // Single fold (token hashes evaluated once — see minhashSignature
-    // note): accumulate 64 per-bit counters, then pack the majority
-    // vote back into one long.
-    val counts = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (c, i) => c + call_function("shiftright", h, i).bitwiseAND(lit(1L))))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, i) => when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextHashFunctions.simhash(text)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Candidates via 4×16-bit band buckets (a pair within distance 3

@@ -30,33 +30,20 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity (0 where either side has zero norm). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn > 0, d / nn).otherwise(lit(0.0))
-  }
-
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * hash-derived value in [-1, 1]. No RNG state — reproducible across
-    * the cluster and across runs. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+  /** Cosine similarity (0 where either side has zero norm) — native
+    * Catalyst expression (graft.functions.CosineSim): the dot product
+    * runs as a compiled float loop inside whole-stage codegen instead
+    * of an interpreted per-element aggregate/zip_with fold. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(a, b)
 
   /** Sign-bit signature over `planes` fixed hyperplanes → one long
-    * bucket key. Vectors with small angle collide with high
-    * probability. `seed` shifts the hyperplane family (one family per
-    * LSH table). */
-  def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 0): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(seed * 1024 + p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * bucket key (native expression; hyperplane components are
+    * hash-derived — deterministic across executors and runs). Vectors
+    * with small angle collide with high probability. `seed` shifts the
+    * hyperplane family (one family per LSH table). */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 0): Column =
+    graft.functions.VectorFunctions.hyperplaneSignature(vec, planes, seed)
 
   /** (table, bucket) pairs over `tables` independent hyperplane
     * families — exploded rows for multi-table LSH. Per-table collision
@@ -149,7 +136,9 @@ object Similarity {
     cents
   }
 
-  private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+  // float literals: the native cosine takes array<float> on both sides
+  private def centroidLit(c: Array[Double]): Column =
+    array(c.map(x => lit(x.toFloat)): _*)
 
   /** Per-row array of (sim, cell) structs against the literal codebook —
     * a single narrow projection: no crossJoin, no shuffle, no window.

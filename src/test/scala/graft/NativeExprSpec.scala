@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextHash, TextHashFunctions, VectorFunctions}
+import graft.ops.TextAnalysis
+
+class NativeExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native shingle hashes agree with the HOF pipeline on set structure") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val both = docs.select(
+      size(TextHashFunctions.shingleHashes(col("text"), 5)).as("n_native"),
+      size(array_distinct(TextHashFunctions.shingleHashes(col("text"), 5))).as("d_native"),
+      size(TextAnalysis.shingleFingerprints(col("text"), 5)).as("n_hof"),
+      size(array_distinct(TextAnalysis.shingleFingerprints(col("text"), 5))).as("d_hof"))
+      .collect()
+    // same tokenization ⇒ same shingle count; same distinct count means
+    // the kernel's hash is injective wherever xxhash64 was
+    both.foreach { r =>
+      assert(r.getInt(0) == r.getInt(2), "shingle count mismatch")
+      assert(r.getInt(1) == r.getInt(3), "distinct shingle count mismatch")
+    }
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = docs.select(
+      TextHashFunctions.minhashSignature(col("text"), 5, 64).as("sig"),
+      TextHashFunctions.simhash(col("text")).as("sh"))
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("BatchEvalPython") && !s.toLowerCase.contains("scalaudf"))
+    assert(plan.find(_.getClass.getSimpleName.contains("WholeStageCodegen")).isDefined,
+      s"expected a WholeStageCodegen span:\n$s")
+  }
+
+  test("native cosine matches a manual computation and the kernel directly") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(got - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("kernel tokenization matches the column pipeline on edge cases") {
+    val cases = Seq("", "  ", "one", "a b  c", " padded ", "tab\tsep", "UPPER Case")
+    val df = cases.toDF("t")
+    val fromCols = df.select(TextAnalysis.tokens(col("t"))).collect()
+      .map(_.getSeq[String](0).toList)
+    val fromKernel = cases.map(s =>
+      TextHash.tokenize(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toList)
+    assert(fromCols.toList == fromKernel.toList)
+  }
+
+  test("simhash: near-identical docs are closer than unrelated docs") {
+    def h(s: String) = TextHash.simhash(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val a = h("spark is a unified analytics engine for large scale data processing")
+    val b = h("spark is a unified analytics engine for large scale data processing today")
+    val c = h("completely different words about cooking pasta with tomato sauce")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) < ham(a, c))
+  }
+}
