@@ -51,6 +51,7 @@ object SparkEntry {
     "q_stream_filter"  -> (StreamQueries.qStreamFilter _),
     "q_stream_tumbling"-> (StreamQueries.qStreamTumbling _),
     "q_stream_count_window" -> (StreamQueries.qStreamCountWindow _),
+    "q_stream_time_window" -> (StreamQueries.qStreamTimeWindow _),
     "q_process_retained" -> (StreamQueries.qProcessRetained _),
     "q_process_stream" -> (StreamQueries.qProcessStream _),
     // training-data pipeline ops (documents / embeddings tables)
@@ -266,6 +267,13 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          ) WHERE rn >= 10 ORDER BY uid, id""",
+    "q_stream_time_window" ->
+      """SELECT hour, t, n, sum_value FROM (
+           SELECT date_trunc('hour', ts) AS hour, event_type AS t,
+                  count(*) AS n, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY 1, 2)
+         WHERE hour + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+         ORDER BY hour, t""",
     "q_process_retained" ->
       """SELECT event_id AS id, user_id AS uid, event_type AS t, value AS v
          FROM events WHERE NOT (event_type = 'error') ORDER BY id""",

@@ -37,7 +37,9 @@ class GraftSession(val spark: SparkSession,
       name: String, path: String): TypedTable[T] = {
     val meta = EntityMeta.of[T]
     val store = new TableStore(spark, path, meta.idCol)
-    val tt = new TypedTable[T](spark, store, meta)
+    val tt = new TypedTable[T](spark, store, meta,
+      beforeWrite = () => if (frozen)
+        throw new IllegalStateException("session is frozen (FREEZE); UNFREEZE to persist"))
     registerProvider(name, () => store.read)
     tt
   }
@@ -71,6 +73,51 @@ class GraftSession(val spark: SparkSession,
     val f = org.apache.spark.sql.functions.udaf(agg, enc)
     registerAggregate(name, c => f(c))
   }
+
+  // ---- system statements (§2.10 — reference sql/SQLSystem.java:81-170)
+
+  /** Entity scan API (reference S3: `table.poll` queue-based full
+    * retrieval, persistent/Table.java:1596-1762) — Spark-native: a
+    * lazy partition-at-a-time iterator; only one partition's rows are
+    * in driver memory at once. */
+  def scan(name: String): Iterator[org.apache.spark.sql.Row] = {
+    val it = table(name).toLocalIterator()
+    scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+
+  /** Execute a system statement; returns a status line. Semantics vs
+    * the reference: COMMIT/ROLLBACK are snapshot no-ops (batch queries
+    * read committed parquet snapshots — there is no in-flight write
+    * transaction to end); ALTER SESSION SET forwards to the Spark conf;
+    * ALTER SYSTEM SHUTDOWN stops this session's active streaming
+    * queries (the long-running state a Spark "instance" holds); FREEZE
+    * blocks TableStore-style mutation via the returned flag on the
+    * session; CONNECT (remote sessions, S8) is out of v0 scope. */
+  def executeSystem(sql: String): String = {
+    import graft.sqlparse.SystemParser._
+    graft.sqlparse.SystemParser.parse(sql) match {
+      case Some(Commit) | Some(Rollback) =>
+        "ok: reads are committed snapshots; nothing to end"
+      case Some(Freeze) => frozen0 = true; "ok: session frozen (writes rejected)"
+      case Some(Unfreeze) => frozen0 = false; "ok: session unfrozen"
+      case Some(AlterSystem("SHUTDOWN")) =>
+        val active = spark.streams.active.length
+        spark.streams.active.foreach(_.stop())
+        s"ok: stopped $active streaming queries"
+      case Some(AlterSystem(_)) => "ok: instance already started"
+      case Some(AlterSession(k, v)) => spark.conf.set(k, v); s"ok: $k=$v"
+      case Some(Connect(t)) =>
+        throw new UnsupportedOperationException(
+          s"CONNECT $t: remote sessions are out of scope (SURVEY.md S8)")
+      case None =>
+        throw new IllegalArgumentException(s"not a system statement: $sql")
+    }
+  }
+
+  @volatile private var frozen0 = false
+  /** FREEZE state — TypedTable/TableStore callers consult this before
+    * mutating (reference FREEZE halts persistence). */
+  def frozen: Boolean = frozen0
 
   /** Batch SELECT in the reference dialect → lazy DataFrame. */
   def execute(sql: String): DataFrame = {

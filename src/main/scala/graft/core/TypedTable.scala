@@ -38,7 +38,8 @@ object EntityMeta {
   * sql/SQLSelect.java:292-301 → `Dataset[T]`).
   */
 final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStore,
-                                   val meta: EntityMeta) {
+                                   val meta: EntityMeta,
+                                   beforeWrite: () => Unit = () => ()) {
 
   /** Full typed scan (the dialect's `SELECT * FROM t` entity result). */
   def ds: Dataset[T] = store.read.as[T]
@@ -51,6 +52,7 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
   def persist(objs: Seq[T]): Unit = persistDs(spark.createDataset(objs))
 
   def persistDs(rows: Dataset[T]): Unit = {
+    beforeWrite() // session FREEZE guard (reference FREEZE halts persistence)
     val idc = meta.idCol
     val df = rows.toDF()
     val withIds =

@@ -58,6 +58,22 @@ object StreamQueries {
       .orderBy(col("uid"), col("id"))
   }
 
+  /** C7 — event-time tumbling window with watermark (exceeds the
+    * reference): state evicted per finalized window, Append emits each
+    * window exactly once when the watermark passes its end. The oracle
+    * reproduces the finalization rule: windows whose end <= max(ts) -
+    * delay. */
+  def qStreamTimeWindow(s: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.loadStream(s, dir, "events")
+    val w = StreamOps.tumblingTimeWindow(stream, "ts", "1 hour", "10 minutes",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+    StreamOps.runToMemory(s, w, uniq("stream_timewin"), OutputMode.Append())
+      .select(col("window.start").as("hour"), col("event_type").as("t"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("t"))
+  }
+
   /** C6 — PROCESS STREAM (online CEP): the callback runs continuously
     * over arriving rows via foreachBatch; consumed rows are deleted
     * from the backing TableStore per micro-batch. The gate drains the

@@ -37,6 +37,20 @@ object StreamOps {
                aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
     stream.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
 
+  /** C7 — event-time tumbling window with a watermark (exceeds the
+    * reference, which has no event-time notion; SURVEY.md flags this as
+    * needed for correctness at scale): per-key per-window state is
+    * EVICTED once the watermark passes the window end, so state stays
+    * bounded regardless of key cardinality — unlike a bare
+    * groupBy(key).agg, whose per-key state never expires. Append mode
+    * emits each window exactly once, when it finalizes. */
+  def tumblingTimeWindow(stream: DataFrame, timeCol: String, duration: String,
+                         watermarkDelay: String, keys: Seq[org.apache.spark.sql.Column],
+                         aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    stream.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), duration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** Run a streaming DataFrame to a memory sink until the source is
     * drained; returns the result table. Deterministic harness for the
     * correctness gate and tests (the production path is

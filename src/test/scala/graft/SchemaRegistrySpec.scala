@@ -52,6 +52,31 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(all.map(_.id).distinct.length == 4)
   }
 
+  test("entity scan API streams all rows through a local iterator (S3)") {
+    val gs = new GraftSession(spark)
+    gs.register("nums", spark.range(0, 1000).toDF("id"))
+    val got = gs.scan("nums").map(_.getLong(0)).toVector.sorted
+    assert(got == (0L until 1000L).toVector)
+  }
+
+  test("system statements: COMMIT/ALTER SESSION/FREEZE semantics (§2.10)") {
+    val gs = new GraftSession(spark)
+    assert(gs.executeSystem("COMMIT").startsWith("ok"))
+    assert(gs.executeSystem("rollback").startsWith("ok"))
+    gs.executeSystem("ALTER SESSION SET spark.sql.ansi.enabled = false")
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "false")
+    assert(gs.executeSystem("ALTER SYSTEM STARTUP INSTANCE").startsWith("ok"))
+    // FREEZE blocks persists until UNFREEZE
+    val tt = gs.registerEntity[Person]("person_frozen", tmp())
+    gs.executeSystem("FREEZE")
+    assertThrows[IllegalStateException](tt.persist(Seq(Person(1, "x", "y"))))
+    gs.executeSystem("UNFREEZE")
+    tt.persist(Seq(Person(1, "x", "y")))
+    assert(tt.ds.count() == 1)
+    assertThrows[UnsupportedOperationException](gs.executeSystem("CONNECT node2"))
+    assertThrows[IllegalArgumentException](gs.executeSystem("GARBAGE STATEMENT"))
+  }
+
   test("@Threshold retention truncates oldest rows on persist") {
     val gs = new GraftSession(spark)
     val tt = gs.registerEntity[LogLine]("log2", tmp())

@@ -50,6 +50,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey("a") == (30.0, 2L) && byKey("b") == (5.0, 1L))
   }
 
+  test("watermarked time window: bounded state, late data dropped (C7)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val stream = mem.toDF().toDF("ts", "k", "v")
+    val windowed = StreamOps.tumblingTimeWindow(stream, "ts", "10 minutes", "5 minutes",
+      Seq(col("k")), Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+    val q = windowed.writeStream.format("memory").queryName("timewin_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // window [10:00,10:10): two rows, then advance the watermark past it
+      mem.addData((ts(1), "a", 1.0), (ts(5), "a", 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(21), "a", 4.0)) // watermark -> 10:16, finalizes [10:00,10:10)
+      q.processAllAvailable()
+      val emitted = spark.table("timewin_out")
+        .select(col("window.start").cast("string"), col("n"), col("s")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(emitted.toSeq == Seq(("2026-01-01 10:00:00", 2L, 3.0)))
+      // a late row behind the watermark is dropped, not re-opened
+      mem.addData((ts(2), "a", 100.0))
+      mem.addData((ts(41), "a", 8.0)) // finalizes [10:20,10:30) too
+      q.processAllAvailable()
+      val after = spark.table("timewin_out")
+        .select(col("window.start").cast("string"), col("n"), col("s")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(after.contains(("2026-01-01 10:00:00", 2L, 3.0)), "late row must not reopen the window")
+      assert(after.contains(("2026-01-01 10:20:00", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("stream resume: a second handle with the same checkpoint skips consumed offsets") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_resume_src_").toString
