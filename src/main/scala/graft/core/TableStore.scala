@@ -1,39 +1,128 @@
 package graft.core
 
-import org.apache.hadoop.fs.Path
+import java.util.UUID
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cep.{EventProcessor, Process}
 
-/** Mutable parquet-backed table — the ingest/point-op surface of the
-  * reference (`session.persist` / `find` / PROCESS delete; reference:
-  * persistent/Session.java:436-457, persistent/Table.java:1187-1407).
+/** Mutable table with a version-manifest commit protocol — the
+  * ingest/point-op surface of the reference (`session.persist` /
+  * `find` / PROCESS delete; reference: persistent/Session.java:436-457,
+  * persistent/Table.java:1187-1407).
   *
-  * Layout: parquet files under `<path>/data`, rewritten copy-on-write for
-  * mutations; appends add files. On a real deployment this would be a
-  * transactional table format (Delta/Iceberg) giving snapshot isolation
-  * and MERGE — not available in this environment, so the store keeps
-  * the same API shape with parquet + atomic directory swap. Appends are
-  * the hot path (the reference's 100k objects/s insert claim): a plain
-  * parquet append is a pure executor-parallel columnar write, no
-  * existence check, matching @NoCheck fast-insert semantics
-  * (persistent/Table.java:577-584).
+  * Layout:
+  *   <path>/files/<uuid>-part-*.parquet   immutable data files
+  *   <path>/_versions/v{N}.manifest       one data-file name per line
+  *
+  * A version is committed by renaming a temp manifest into place —
+  * one atomic filesystem op, so there is NO window where a reader sees
+  * a half-written table (the previous copy-on-write delete-then-rename
+  * had a data-loss window on crash). Readers resolve the latest
+  * manifest at scan time and keep reading that snapshot even while
+  * writers commit — single-table snapshot isolation, the same property
+  * a transactional table format (Delta/Iceberg) provides; this is the
+  * minimal parquet-only version of it for this environment.
+  *
+  * Appends are the hot path (the reference's 100k objects/s insert
+  * claim): executor-parallel columnar writes of NEW files plus one
+  * manifest commit — existing data is never rewritten, matching
+  * @NoCheck fast-insert semantics (persistent/Table.java:577-584).
+  * Upsert/delete rewrite the rows they must (copy-on-write) but commit
+  * atomically; old versions remain for time-travel until `vacuum`.
   */
 final class TableStore(val spark: SparkSession, val path: String, val idCol: String) {
-  private val dataDir = s"$path/data"
+  private val filesDir = s"$path/files"
+  private val versionsDir = s"$path/_versions"
 
-  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = fs.exists(new Path(dataDir))
+  private def listVersions(f: FileSystem): Seq[(Long, Path)] = {
+    val dir = new Path(versionsDir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(_.getName.matches("v\\d+\\.manifest"))
+      .map(p => (p.getName.stripPrefix("v").stripSuffix(".manifest").toLong, p))
+      .sortBy(_._1)
+  }
 
-  def read: DataFrame = spark.read.parquet(dataDir)
+  private def latestManifest(f: FileSystem): Option[(Long, Seq[String])] =
+    listVersions(f).lastOption.map { case (v, p) =>
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      (v, txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
 
-  /** Fast insert, no existence check (reference @NoCheck path). */
-  def append(rows: DataFrame): Unit =
-    rows.write.mode("append").parquet(dataDir)
+  def exists: Boolean = latestManifest(fs).isDefined
+
+  /** Current snapshot. The file list is resolved now; concurrent
+    * commits do not disturb this DataFrame. */
+  def read: DataFrame = {
+    val f = fs
+    latestManifest(f) match {
+      case Some((_, names)) if names.nonEmpty =>
+        spark.read.parquet(names.map(n => s"$filesDir/$n"): _*)
+      case Some(_) => // committed empty table: preserve schema via empty scan
+        spark.read.parquet(filesDir).limit(0)
+      case None =>
+        throw new IllegalStateException(s"table store at $path has no committed version")
+    }
+  }
+
+  /** Write `rows` as new immutable files; returns their names. */
+  private def writeFiles(rows: DataFrame): Seq[String] = {
+    val f = fs
+    f.mkdirs(new Path(filesDir))
+    val tmp = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
+    rows.write.parquet(tmp)
+    val parts = f.listStatus(new Path(tmp)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    val prefix = UUID.randomUUID().toString.take(8)
+    val names = parts.map { p =>
+      val name = s"$prefix-${p.getName}"
+      f.rename(p, new Path(s"$filesDir/$name"))
+      name
+    }
+    f.delete(new Path(tmp), true)
+    names
+  }
+
+  /** Atomically commit a new version listing exactly `names`. Retries
+    * on version-number collision (optimistic concurrency: rename fails
+    * if the manifest already exists). */
+  private def commit(names: Seq[String]): Unit = {
+    val f = fs
+    f.mkdirs(new Path(versionsDir))
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val next = latestManifest(f).map(_._1 + 1).getOrElse(0L)
+      val tmp = new Path(s"$versionsDir/.tmp-${UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, false)
+      try out.write((names.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      done = f.rename(tmp, new Path(s"$versionsDir/v$next.manifest"))
+      if (!done) {
+        f.delete(tmp, false)
+        attempts += 1
+        if (attempts > 20) throw new IllegalStateException(s"commit contention at $path")
+      }
+    }
+  }
+
+  private def currentNames: Seq[String] = latestManifest(fs).map(_._2).getOrElse(Seq.empty)
+
+  /** Fast insert, no existence check (reference @NoCheck path): new
+    * files + manifest commit, nothing rewritten. */
+  def append(rows: DataFrame): Unit = {
+    val added = writeFiles(rows)
+    commit(currentNames ++ added)
+  }
 
   /** `session.persist(o)` = insert-or-update by id
-    * (persistent/Session.java:436-457). Copy-on-write merge. */
+    * (persistent/Session.java:436-457). Copy-on-write of matching rows,
+    * atomic commit. */
   def upsert(rows: DataFrame): Unit = {
     if (!exists) { append(rows); return }
     val merged = read.join(rows.select(col(idCol)), Seq(idCol), "left_anti")
@@ -69,13 +158,18 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     res
   }
 
-  /** Copy-on-write: write to a side dir, swap atomically. */
-  private def rewrite(df: DataFrame): Unit = {
-    val tmp = s"$path/data_tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val dataPath = new Path(dataDir)
+  /** Replace the table contents in one committed version. */
+  private def rewrite(df: DataFrame): Unit = commit(writeFiles(df))
+
+  /** Drop data files unreferenced by the latest version and all older
+    * manifests (time-travel ends; current snapshot unaffected). */
+  def vacuum(): Unit = {
     val f = fs
-    if (f.exists(dataPath)) f.delete(dataPath, true)
-    f.rename(new Path(tmp), dataPath)
+    listVersions(f).dropRight(1).foreach { case (_, p) => f.delete(p, false) }
+    val live = currentNames.toSet
+    if (f.exists(new Path(filesDir)))
+      f.listStatus(new Path(filesDir)).toSeq.map(_.getPath)
+        .filterNot(p => live.contains(p.getName))
+        .foreach(p => f.delete(p, false))
   }
 }

@@ -137,6 +137,20 @@ class LoweringSpec extends AnyFunSuite {
     assert(df.select("c").distinct().collect().map(_.getLong(0)).toSeq == Seq(100L))
   }
 
+  test("LIKE metacharacters are literal — '%' is not a wildcard (quirk lock)") {
+    import spark.implicits._
+    val gs2 = new graft.core.GraftSession(spark)
+    gs2.register("t", Seq("a%b", "ab", "100% sure", "percentless").toDF("s"))
+    // reference LIKE is indexOf-contains (sql/NestedCondition.java:173-188):
+    // '%' must match only strings containing a literal percent sign
+    val got = gs2.execute("select t.s from t t where t.s like '%'")
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("100% sure", "a%b"))
+    // '_' likewise literal
+    val under = gs2.execute("select t.s from t t where t.s like '_'")
+    assert(under.count() == 0)
+  }
+
   test("lastAsAvg compat reproduces the reference F_LAST==F_AVG bug") {
     import org.apache.spark.sql.functions.col
     val gsBug = new graft.core.GraftSession(spark,

@@ -253,6 +253,19 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("snapshot isolation: a resolved reader survives concurrent commits; vacuum keeps only live files") {
+    val st = tmpStore()
+    st.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val snapshot = st.read // resolves version 0's file list now
+    st.delete(col("id") === 1L) // commits version 1
+    st.append(Seq((3L, "c")).toDF("id", "v")) // version 2
+    // the old snapshot still reads its files (no delete-then-rename window)
+    assert(snapshot.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    st.vacuum() // ends time-travel, current state intact
+    assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("store-backed PROCESS rewrites the table") {
     val st = tmpStore()
     st.append(Seq((1L, "x"), (2L, "drop"), (3L, "x")).toDF("id", "v"))
