@@ -46,6 +46,9 @@ object SparkEntry {
     "q_sql_window"     -> (DialectQueries.qSqlWindow _),
     "q_sql_window_keyed" -> (DialectQueries.qSqlWindowKeyed _),
     "q_sql_custom_agg" -> (DialectQueries.qSqlCustomAgg _),
+    "q_sql_in_subquery" -> (DialectQueries.qSqlInSubquery _),
+    "q_sql_not_in_subquery" -> (DialectQueries.qSqlNotInSubquery _),
+    "q_sql_null_funcs" -> (DialectQueries.qSqlNullFuncs _),
     "q_sql_last"       -> (DialectQueries.qSqlLast _),
     // streaming + CEP (real streaming queries, AvailableNow-drained)
     "q_stream_filter"  -> (StreamQueries.qStreamFilter _),
@@ -239,6 +242,19 @@ object SparkEntry {
       """SELECT event_type AS t, max_by(value, event_id) AS lv,
          max(event_id) AS mxid
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_sql_in_subquery" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS p FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+         ORDER BY o_orderkey""",
+    "q_sql_not_in_subquery" ->
+      """SELECT c_custkey AS k, c_name AS nm FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_sql_null_funcs" ->
+      """SELECT o_orderkey AS k, TRY_CAST(o_orderpriority AS DOUBLE) AS nc,
+         CAST(o_totalprice AS DOUBLE) AS np
+         FROM orders ORDER BY o_orderkey""",
     "q_sql_window_keyed" ->
       """SELECT uid, id, c, mn, mx FROM (
            SELECT user_id AS uid, event_id AS id,

@@ -56,7 +56,40 @@ object Lowering {
     val ctx = new Ctx(joined, compat)
     import ctx.{colType, resolveRef}
 
-    val filtered = stmt.where.map(c => joined.filter(ctx.lowerCond(c))).getOrElse(joined)
+    // IN [SELECT …] terms become semi/anti joins (they are joins, not
+    // row predicates); supported at the top level of an AND chain —
+    // under OR the membership test can't be separated from the filter.
+    def hasSub(c: Cond): Boolean = c match {
+      case _: InSubquery => true
+      case BoolOp(_, ch) => ch.exists(hasSub)
+      case _ => false
+    }
+    val (subqs, residual) = stmt.where match {
+      case None => (Seq.empty[InSubquery], None)
+      case Some(s: InSubquery) => (Seq(s), None)
+      case Some(BoolOp("AND", children)) =>
+        val subs = children.collect { case s: InSubquery => s }
+        val rest = children.filterNot(_.isInstanceOf[InSubquery])
+        if (rest.exists(hasSub))
+          throw AnalysisException2("IN [SELECT …] is only supported in a top-level AND chain")
+        val restCond =
+          if (rest.isEmpty) None
+          else if (rest.size == 1) Some(rest.head)
+          else Some(BoolOp("AND", rest))
+        (subs, restCond)
+      case Some(other) =>
+        if (hasSub(other))
+          throw AnalysisException2("IN [SELECT …] is only supported in a top-level AND chain")
+        (Seq.empty[InSubquery], Some(other))
+    }
+    val filteredBase = residual.map(c => joined.filter(ctx.lowerCond(c))).getOrElse(joined)
+    val filtered = subqs.foldLeft(filteredBase) { (df, s) =>
+      val subDf = lower(s.sub, resolve, compat, customAggs)
+      val key = ctx.resolveRef(s.col)
+      val subKey = subDf.select(col(subDf.columns.head).as("__graft_subq_key"))
+      df.join(subKey, key === col("__graft_subq_key"),
+        if (s.negated) "left_anti" else "left_semi")
+    }
 
     // 2. select list
     val builtinAggs = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAST")
@@ -109,7 +142,9 @@ object Lowering {
     def scalarExpr(sc: SelCol): Column = {
       val c = resolveRef(sc.ref)
       val base = sc.func match {
-        case Some("TO_NUMBER") => c.cast(DoubleType)
+        // try_cast: malformed input → NULL (ANSI cast would throw; the
+        // reference's TO_NUMBER never errors — it's a null-producing slot)
+        case Some("TO_NUMBER") => c.try_cast(DoubleType)
         case Some("TO_CHAR") =>
           colType(sc.ref.flatName).orElse(colType(sc.ref.name)) match {
             case Some(TimestampType) | Some(DateType) =>
@@ -282,6 +317,9 @@ object Lowering {
       case BoolOp(op, children) =>
         val lowered = children.map(lowerCond)
         if (op == "AND") lowered.reduce(_ && _) else lowered.reduce(_ || _)
+      case _: InSubquery =>
+        throw AnalysisException2(
+          "IN [SELECT …] is only supported in a top-level AND chain of a SELECT's WHERE")
     }
   }
 

@@ -70,6 +70,30 @@ object DialectQueries {
          from events e window by e.event_id interval = 10 partition by e.user_id
          order by e.user_id, e.event_id""")
 
+  /** IN [SELECT …] subquery → left-semi join (the reference detects
+    * this form but never evaluates it — sql/ValueCondition.java:92-96;
+    * real here, exceeds reference). */
+  def qSqlInSubquery(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select o.o_orderkey k, o.o_orderpriority p from orders o
+         where o.o_orderkey in [select l.l_orderkey from lineitem l where l.l_quantity >= 49]
+         order by o.o_orderkey""")
+
+  /** NOT IN [SELECT …] → left-anti join. */
+  def qSqlNotInSubquery(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select c.c_custkey k, c.c_name nm from customer c
+         where c.c_custkey not in [select o.o_custkey from orders o
+                                   where o.o_orderpriority = '1-URGENT']
+         order by c.c_custkey""")
+
+  /** Null-producing scalar funcs (P9): TO_NUMBER of a non-numeric
+    * string is NULL on both engines (Spark cast / DuckDB TRY_CAST). */
+  def qSqlNullFuncs(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select o.o_orderkey k, to_number(o.o_orderpriority) nc, to_number(o.o_totalprice) np
+         from orders o order by o.o_orderkey""")
+
   /** Custom UDAF through the dialect — the reference's F_CUSTOM slot
     * (sql/SQLGroupFunction.java:53,60-63, a dead stub there) implemented
     * as a typed Aggregator with partial aggregation. Sum-of-squares over

@@ -40,6 +40,10 @@ object Ast {
   /** op ∈ =, <>, <, >, <=, >= (reference: sql/Condition.java:34-43). */
   final case class Cmp(op: String, left: ColRef, right: Either[Literal, ColRef]) extends Cond
   final case class InList(col: ColRef, values: Seq[Literal], negated: Boolean) extends Cond
+  /** `col [NOT] IN [SELECT …]` — the reference detects but never
+    * evaluates this (stub: sql/ValueCondition.java:92-96); here it
+    * lowers to a semi/anti join (exceeds reference). */
+  final case class InSubquery(col: ColRef, sub: SelectStmt, negated: Boolean) extends Cond
   /** Reference LIKE is indexOf-contains, NOT SQL patterns
     * (sql/NestedCondition.java:173-188). */
   final case class Like(col: ColRef, substring: String, negated: Boolean) extends Cond

@@ -183,10 +183,17 @@ object Parser {
       // reference uses square brackets (sql/ValueCondition.java:92-141);
       // accept parentheses too.
       val close = if (eatSym("[")) "]" else { expectSym("("); ")" }
-      val vs = ArrayBuffer(literal())
-      while (eatSym(",")) vs += literal()
-      expectSym(close)
-      InList(c, vs.toSeq, negated)
+      if (peekKw("SELECT")) {
+        // IN [SELECT …] subquery (reference stubs it — sql/ValueCondition.java:92-96)
+        val sub = selectInner()
+        expectSym(close)
+        InSubquery(c, sub, negated)
+      } else {
+        val vs = ArrayBuffer(literal())
+        while (eatSym(",")) vs += literal()
+        expectSym(close)
+        InList(c, vs.toSeq, negated)
+      }
     }
 
     private def like(c: ColRef, negated: Boolean): Cond = next() match {
@@ -195,6 +202,14 @@ object Parser {
     }
 
     def select(): SelectStmt = {
+      val stmt = selectInner()
+      if (!done) throw ParseException(s"trailing tokens from ${peek.get}")
+      stmt
+    }
+
+    /** One SELECT/PROCESS statement, stopping at the first token that
+      * doesn't belong to it (so subqueries can be parsed in place). */
+    def selectInner(): SelectStmt = {
       val isProcess = eatKw("PROCESS")
       if (!isProcess) expectKw("SELECT")
       val stream = eatKw("STREAM")
@@ -261,7 +276,6 @@ object Parser {
           }
         } else more = false
       }
-      if (!done) throw ParseException(s"trailing tokens from ${peek.get}")
       if (star && tabs.size > 1)
         throw ParseException("SELECT * is only valid for a single table") // sql/SQLSelect.java:292-301
       SelectStmt(stream, distinct, star, cols.toSeq, tabs.toSeq, where,

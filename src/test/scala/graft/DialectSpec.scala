@@ -137,6 +137,36 @@ class LoweringSpec extends AnyFunSuite {
     assert(df.select("c").distinct().collect().map(_.getLong(0)).toSeq == Seq(100L))
   }
 
+  test("IN [SELECT ...] parses and lowers to semi/anti joins") {
+    import org.apache.spark.sql.functions.col
+    val stmt = graft.sqlparse.Parser.parse(
+      "select o.o_orderkey from orders o where o.o_orderkey in [select l.l_orderkey from lineitem l]")
+    assert(stmt.where.exists(_.isInstanceOf[graft.sqlparse.Ast.InSubquery]))
+    val got = gs.execute(
+      """select o.o_orderkey k from orders o
+         where o.o_orderkey in [select l.l_orderkey from lineitem l where l.l_quantity >= 49]
+         order by o.o_orderkey""")
+    val expectKeys = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") >= 49).select(col("l_orderkey")).distinct()
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .join(expectKeys, col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(got.count() == expect)
+    // plan is a real join, not a cartesian or a collected list
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    // subqueries under OR are rejected with a clear message
+    assertThrows[Lowering.AnalysisException2](gs.execute(
+      """select o.o_orderkey from orders o
+         where o.o_orderstatus = 'F' or o.o_orderkey in [select l.l_orderkey from lineitem l]"""))
+  }
+
+  test("quoted empty string is NULL (reference quirk)") {
+    // '' parses to a null literal (sql/ValueCondition.java:58-60):
+    // comparisons with it match nothing, in either direction
+    assert(gs.execute("select c.c_custkey k from customer c where c.c_name = ''").count() == 0)
+    assert(gs.execute("select c.c_custkey k from customer c where c.c_name <> ''").count() == 0)
+  }
+
   test("LIKE metacharacters are literal — '%' is not a wildcard (quirk lock)") {
     import spark.implicits._
     val gs2 = new graft.core.GraftSession(spark)
