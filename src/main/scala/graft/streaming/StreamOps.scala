@@ -37,6 +37,14 @@ object StreamOps {
                aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
     stream.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Per-row stream callback (reference `StreamCallable` — deprecated
+    * there in favor of PROCESS STREAM, core/StreamCallable.java,
+    * persistent/Session.java:392-418; kept for surface parity). A pure
+    * map over the stream: the callable's result replaces the row.
+    * Unlike EventProcessor it has no delete side-effect. */
+  def mapStream[T, O](stream: Dataset[T], f: T => O)(implicit eo: Encoder[O]): Dataset[O] =
+    stream.map(f)
+
   /** C7 — event-time tumbling window with a watermark (exceeds the
     * reference, which has no event-time notion; SURVEY.md flags this as
     * needed for correctness at scale): per-key per-window state is

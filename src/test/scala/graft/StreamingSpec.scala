@@ -50,6 +50,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey("a") == (30.0, 2L) && byKey("b") == (5.0, 1L))
   }
 
+  test("StreamCallable surface: per-row map over a stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[TestEvent]
+    mem.addData(TestEvent(1, 1, "click", 2.0), TestEvent(2, 1, "view", 3.0))
+    val mapped = StreamOps.mapStream(mem.toDS(), (e: TestEvent) => e.value * 10)
+    val out = StreamOps.runToMemory(spark, mapped.toDF(), "callable_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(out.collect().map(_.getDouble(0)).sorted.toSeq == Seq(20.0, 30.0))
+  }
+
   test("watermarked time window: bounded state, late data dropped (C7)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
