@@ -65,11 +65,22 @@ object StreamOps {
     * `StreamHandle.start` below). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
                   mode: OutputMode): DataFrame = {
-    val q = stream.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Size the state shuffle to the workload: each state partition is a
+    // RocksDB/HDFS store instance with per-batch commit overhead; a
+    // drained gate query with small keyspaces doesn't need the session's
+    // scan parallelism. The partition count is baked into the (fresh)
+    // checkpoint, so production streams with large keyspaces should set
+    // their own value before start.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, 8).toString)
+    try {
+      val q = stream.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 

@@ -101,6 +101,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"ivfAssign must not shuffle:\n$plan")
   }
 
+  test("salted equi-join is row-identical to the plain join") {
+    import graft.ops.SkewJoins
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(ord, Seq("l_orderkey"))
+    val salted = SkewJoins.saltedEquiJoin(li, ord, "l_orderkey", saltFactor = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain.select(salted.columns.map(col): _*)).isEmpty)
+  }
+
   test("cosine matches a manual computation") {
     val df = Seq((1L, Array(1.0f, 0.0f), 2L, Array(1.0f, 1.0f))).toDF("a_id", "a", "b_id", "b")
     val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().head.getDouble(0)
