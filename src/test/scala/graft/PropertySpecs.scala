@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.TextHash
+import graft.ops.TextAnalysis
+
+/** ScalaCheck properties for the load-bearing equivalences. Each case
+  * runs one Spark job over a generated batch (not one job per sample),
+  * so minSuccessfulTests stays small while string coverage stays wide.
+  */
+abstract class SparkProperties(name: String) extends Properties(name) {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+  protected lazy val spark = SparkTestSession.spark
+}
+
+class TextHashProps extends SparkProperties("TextHash") {
+  // strings over a alphabet that exercises the tokenizer's edges:
+  // whitespace runs, tabs/newlines (btrim strips spaces only), case,
+  // punctuation, digits
+  private val tokenChars = Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(' ', ' ', '\t', '\n', '.', ',', '%', '_'),
+    Gen.oneOf('A', 'z', 'ß', 'é'))
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, tokenChars).map(_.mkString))
+  private val batchGen: Gen[List[String]] = Gen.listOfN(60, textGen)
+
+  property("kernel tokenization == column pipeline (lower/btrim/split)") =
+    Prop.forAll(batchGen) { texts =>
+      import spark.implicits._
+      val fromCols = texts.toDF("t")
+        .select(TextAnalysis.tokens(col("t"))).collect()
+        .map(_.getSeq[String](0).toList).toList
+      val fromKernel = texts.map(s => TextHash.tokenize(UTF8String.fromString(s)).toList)
+      fromCols == fromKernel
+    }
+
+  property("shingle count == HOF shingle count for any k") =
+    Prop.forAll(batchGen, Gen.chooseNum(1, 8)) { (texts, k) =>
+      import spark.implicits._
+      val rows = texts.toDF("t").select(
+        size(graft.functions.TextHashFunctions.shingleHashes(col("t"), k)),
+        size(TextAnalysis.shingleFingerprints(col("t"), k))).collect()
+      rows.forall(r => r.getInt(0) == r.getInt(1))
+    }
+}
+
+class CountWindowProps extends SparkProperties("CountWindow") {
+  private val dataGen: Gen[List[(Long, Double)]] = for {
+    n <- Gen.chooseNum(0, 300)
+    ids <- Gen.pick(n, 0L until 1000L)
+    vals <- Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_.toDouble))
+  } yield ids.toList.zip(vals)
+
+  property("bucketed carry-over lowering == one-task sort, any n") =
+    Prop.forAll(dataGen, Gen.chooseNum(1, 25)) { (data, n) =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val df = data.toDF("id", "v")
+      val naiveW = Window.orderBy(col("id")).rowsBetween(-(n - 1), Window.currentRow)
+      val naive = df.select(col("id"), sum(col("v")).over(naiveW).as("s"),
+          row_number().over(Window.orderBy(col("id"))).as("rn"))
+        .filter(col("rn") >= n).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val fast = graft.plan.CountWindow.global(df, "id", n,
+          w => Seq(col("id"), sum(col("v")).over(w).as("s")))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      naive == fast
+    }
+}
