@@ -127,6 +127,12 @@ class GraftSession(val spark: SparkSession,
     Lowering.lower(stmt, table, compat, customAggs.toMap)
   }
 
+  /** Entity-result mode (reference: `SELECT * FROM one_table` returns
+    * the entity class itself, sql/SQLSelect.java:292-301 → here a
+    * typed Dataset[T]). */
+  def executeAs[T: org.apache.spark.sql.Encoder](sql: String): org.apache.spark.sql.Dataset[T] =
+    execute(sql).as[T]
+
   // ---- streaming (SELECT STREAM — reference C1-C4) -------------------
   private val streams = TrieMap.empty[String, DataFrame]
 

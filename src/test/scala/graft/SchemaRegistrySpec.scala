@@ -29,7 +29,7 @@ class SchemaRegistrySpec extends AnyFunSuite {
     val tt = gs.registerEntity[Person]("person", tmp())
     tt.persist(Seq(Person(1, "ada", "eng"), Person(2, "grace", "eng")))
     // entity result: SELECT * over a single table returns the entity rows
-    val ds = gs.execute("select * from person").as[Person]
+    val ds = gs.executeAs[Person]("select * from person")
     assert(ds.collect().toSet == Set(Person(1, "ada", "eng"), Person(2, "grace", "eng")))
     // persist = insert-or-update by id; the dialect sees the new state
     tt.persist(Seq(Person(2, "grace hopper", "research")))
