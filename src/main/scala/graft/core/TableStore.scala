@@ -4,6 +4,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.cep.{EventProcessor, Process}
 
 /** Mutable table with a version-manifest commit protocol — the
@@ -13,27 +14,52 @@ import graft.cep.{EventProcessor, Process}
   *
   * Layout:
   *   <path>/files/<uuid>-part-*.parquet   immutable data files
-  *   <path>/_versions/v{N}.manifest       one data-file name per line
+  *   <path>/_versions/v{N}.manifest       "name<TAB>idMin<TAB>idMax" per file
   *
   * A version is committed by renaming a temp manifest into place —
   * one atomic filesystem op, so there is NO window where a reader sees
-  * a half-written table (the previous copy-on-write delete-then-rename
-  * had a data-loss window on crash). Readers resolve the latest
-  * manifest at scan time and keep reading that snapshot even while
-  * writers commit — single-table snapshot isolation, the same property
-  * a transactional table format (Delta/Iceberg) provides; this is the
-  * minimal parquet-only version of it for this environment.
+  * a half-written table. Readers resolve the latest manifest at scan
+  * time and keep reading that snapshot even while writers commit —
+  * single-table snapshot isolation, the minimal parquet-only version of
+  * what a transactional table format (Delta/Iceberg) provides.
   *
   * Appends are the hot path (the reference's 100k objects/s insert
   * claim): executor-parallel columnar writes of NEW files plus one
   * manifest commit — existing data is never rewritten, matching
   * @NoCheck fast-insert semantics (persistent/Table.java:577-584).
-  * Upsert/delete rewrite the rows they must (copy-on-write) but commit
-  * atomically; old versions remain for time-travel until `vacuum`.
+  *
+  * Keyed mutations prune at file level: manifests carry per-file id
+  * min/max (integral ids), so `upsert`/`deleteKeys` rewrite only files
+  * whose id range intersects the incoming key range — point updates
+  * are O(affected files), not O(table). This is the same data-skipping
+  * idea the reference gets from its persistent id index
+  * (persistent/Table.java:1880-2035) and Delta gets from file stats.
+  * Arbitrary-predicate `delete` still rewrites the table. Old versions
+  * remain for time-travel until `vacuum`.
   */
 final class TableStore(val spark: SparkSession, val path: String, val idCol: String) {
   private val filesDir = s"$path/files"
   private val versionsDir = s"$path/_versions"
+
+  /** One manifest line: a data file and, when the id column is
+    * integral, its id range for pruning. */
+  private case class FileEntry(name: String, idMin: Option[Long], idMax: Option[Long]) {
+    def overlaps(kmin: Long, kmax: Long): Boolean = (idMin, idMax) match {
+      case (Some(lo), Some(hi)) => lo <= kmax && hi >= kmin
+      case _ => true // no stats → always a rewrite candidate
+    }
+    def line: String =
+      s"$name\t${idMin.map(_.toString).getOrElse("")}\t${idMax.map(_.toString).getOrElse("")}"
+  }
+  private object FileEntry {
+    def parse(line: String): FileEntry = line.split("\t", -1) match {
+      case Array(n, lo, hi) =>
+        FileEntry(n, Option(lo).filter(_.nonEmpty).map(_.toLong),
+          Option(hi).filter(_.nonEmpty).map(_.toLong))
+      case Array(n) => FileEntry(n, None, None)
+      case other => FileEntry(other.head, None, None)
+    }
+  }
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -48,31 +74,37 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       .sortBy(_._1)
   }
 
-  private def latestManifest(f: FileSystem): Option[(Long, Seq[String])] =
+  private def latestManifest(f: FileSystem): Option[(Long, Seq[FileEntry])] =
     listVersions(f).lastOption.map { case (v, p) =>
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      (v, txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      (v, txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(FileEntry.parse))
     }
 
   def exists: Boolean = latestManifest(fs).isDefined
 
+  private def readFiles(entries: Seq[FileEntry]): DataFrame =
+    if (entries.nonEmpty) spark.read.parquet(entries.map(e => s"$filesDir/${e.name}"): _*)
+    else spark.read.parquet(filesDir).limit(0) // committed-empty: schema via dir scan
+
   /** Current snapshot. The file list is resolved now; concurrent
     * commits do not disturb this DataFrame. */
   def read: DataFrame = {
-    val f = fs
-    latestManifest(f) match {
-      case Some((_, names)) if names.nonEmpty =>
-        spark.read.parquet(names.map(n => s"$filesDir/$n"): _*)
-      case Some(_) => // committed empty table: preserve schema via empty scan
-        spark.read.parquet(filesDir).limit(0)
+    latestManifest(fs) match {
+      case Some((_, entries)) => readFiles(entries)
       case None =>
         throw new IllegalStateException(s"table store at $path has no committed version")
     }
   }
 
-  /** Write `rows` as new immutable files; returns their names. */
-  private def writeFiles(rows: DataFrame): Seq[String] = {
+  private def isIntegralId(df: DataFrame): Boolean =
+    df.schema.fields.find(_.name == idCol).map(_.dataType).exists {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
+      case _ => false
+    }
+
+  /** Write `rows` as new immutable files with per-file id stats. */
+  private def writeFiles(rows: DataFrame): Seq[FileEntry] = {
     val f = fs
     f.mkdirs(new Path(filesDir))
     val tmp = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
@@ -80,19 +112,47 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     val parts = f.listStatus(new Path(tmp)).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
     val prefix = UUID.randomUUID().toString.take(8)
-    val names = parts.map { p =>
+    val renamed = parts.map { p =>
       val name = s"$prefix-${p.getName}"
       f.rename(p, new Path(s"$filesDir/$name"))
       name
     }
+    // per-file id range + emptiness: one column-pruned scan of just the
+    // new files. A file absent from the grouped result has zero rows
+    // (filter-everything rewrites produce them) — committing it would
+    // poison pruning forever (no stats ⇒ always affected), so drop it.
+    val integral = isIntegralId(rows)
+    val stats: Map[String, Option[(Long, Long)]] =
+      if (renamed.isEmpty) Map.empty
+      else {
+        val base = spark.read.parquet(renamed.map(n => s"$filesDir/$n"): _*)
+          .groupBy(input_file_name().as("__f"))
+        val grouped =
+          if (integral) base.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+          else base.agg(count(lit(1)).as("n"))
+        grouped.collect().map { r =>
+          val name = r.getString(0).split("/").last
+          val range =
+            if (integral) Some((r.get(1).asInstanceOf[Number].longValue(),
+              r.get(2).asInstanceOf[Number].longValue()))
+            else None
+          name -> range
+        }.toMap
+      }
     f.delete(new Path(tmp), true)
-    names
+    renamed.flatMap { n =>
+      stats.get(n) match {
+        case Some(Some((lo, hi))) => Some(FileEntry(n, Some(lo), Some(hi)))
+        case Some(None) => Some(FileEntry(n, None, None)) // non-integral id: no pruning
+        case None => f.delete(new Path(s"$filesDir/$n"), false); None // empty file
+      }
+    }
   }
 
-  /** Atomically commit a new version listing exactly `names`. Retries
+  /** Atomically commit a new version listing exactly `entries`. Retries
     * on version-number collision (optimistic concurrency: rename fails
     * if the manifest already exists). */
-  private def commit(names: Seq[String]): Unit = {
+  private def commit(entries: Seq[FileEntry]): Unit = {
     val f = fs
     f.mkdirs(new Path(versionsDir))
     var attempts = 0
@@ -101,7 +161,8 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       val next = latestManifest(f).map(_._1 + 1).getOrElse(0L)
       val tmp = new Path(s"$versionsDir/.tmp-${UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, false)
-      try out.write((names.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      try out.write((entries.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
       done = f.rename(tmp, new Path(s"$versionsDir/v$next.manifest"))
       if (!done) {
         f.delete(tmp, false)
@@ -111,42 +172,72 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     }
   }
 
-  private def currentNames: Seq[String] = latestManifest(fs).map(_._2).getOrElse(Seq.empty)
+  private def currentEntries: Seq[FileEntry] =
+    latestManifest(fs).map(_._2).getOrElse(Seq.empty)
 
   /** Fast insert, no existence check (reference @NoCheck path): new
     * files + manifest commit, nothing rewritten. */
   def append(rows: DataFrame): Unit = {
     val added = writeFiles(rows)
-    commit(currentNames ++ added)
+    commit(currentEntries ++ added)
+  }
+
+  /** Split the current entries into (files whose id range intersects
+    * the key range, untouched rest). Range pruning is conservative:
+    * a superset of truly-affected files. */
+  private def pruneByKeys(keys: DataFrame): (Seq[FileEntry], Seq[FileEntry]) = {
+    val entries = currentEntries
+    if (!isIntegralId(keys)) return (entries, Seq.empty)
+    val r = keys.agg(min(col(idCol)), max(col(idCol))).head
+    if (r.isNullAt(0)) return (Seq.empty, entries) // no keys at all
+    val kmin = r.get(0).asInstanceOf[Number].longValue()
+    val kmax = r.get(1).asInstanceOf[Number].longValue()
+    entries.partition(_.overlaps(kmin, kmax))
   }
 
   /** `session.persist(o)` = insert-or-update by id
-    * (persistent/Session.java:436-457). Copy-on-write of matching rows,
-    * atomic commit. */
+    * (persistent/Session.java:436-457). Rewrites only files whose id
+    * range intersects the incoming keys; pure inserts touch nothing. */
   def upsert(rows: DataFrame): Unit = {
     if (!exists) { append(rows); return }
-    val merged = read.join(rows.select(col(idCol)), Seq(idCol), "left_anti")
-      .unionByName(rows)
-    rewrite(merged)
+    val (affected, untouched) = pruneByKeys(rows.select(col(idCol)))
+    val merged =
+      if (affected.isEmpty) rows
+      else readFiles(affected)
+        .join(rows.select(col(idCol)), Seq(idCol), "left_anti")
+        .unionByName(rows)
+    commit(untouched ++ writeFiles(merged))
   }
 
-  /** `session.find(cls, id)` (persistent/Session.java:326-342). A scan
-    * with key predicate — parquet min/max skipping prunes row groups;
-    * at scale, partition or Z-order by the key. */
-  def find(id: Any): DataFrame = read.filter(col(idCol) === lit(id))
+  /** `session.find(cls, id)` (persistent/Session.java:326-342): the
+    * manifest's file stats prune to the file(s) whose range covers the
+    * key, then parquet row-group min/max prune within. */
+  def find(id: Any): DataFrame = {
+    val pruned = id match {
+      case n: Number =>
+        val k = n.longValue()
+        currentEntries.filter(_.overlaps(k, k))
+      case _ => currentEntries
+    }
+    readFiles(pruned).filter(col(idCol) === lit(id))
+  }
 
   /** DELETE WHERE: removes rows where the condition is TRUE only —
     * NULL-evaluating rows are retained (SQL three-valued semantics;
-    * a bare `!cond` would silently drop them). */
+    * a bare `!cond` would silently drop them). Arbitrary predicate →
+    * full rewrite; use deleteKeys for the pruned path. */
   def delete(condition: Column): Unit =
-    rewrite(read.filter(not(coalesce(condition, lit(false)))))
+    commit(writeFiles(read.filter(not(coalesce(condition, lit(false))))))
 
-  /** Delete by key set: one left-anti join on the id column — the
-    * delete path PROCESS STREAM uses per micro-batch (consumed row ids
-    * stay distributed; no key list ever reaches the driver). */
+  /** Delete by key set: files outside the key range are untouched;
+    * affected files are rewritten via one left-anti join (ids stay
+    * distributed — the PROCESS STREAM per-batch delete path). */
   def deleteKeys(keys: DataFrame): Unit = {
     val k = keys.select(col(idCol)).distinct()
-    rewrite(read.join(k, Seq(idCol), "left_anti"))
+    val (affected, untouched) = pruneByKeys(k)
+    if (affected.isEmpty) return
+    val retained = readFiles(affected).join(k, Seq(idCol), "left_anti")
+    commit(untouched ++ writeFiles(retained))
   }
 
   /** PROCESS … WITHIN over this table: run the callback, persist the
@@ -154,19 +245,16 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * sql/SQLSelect.java:278-285). */
   def process(condition: Column, processor: EventProcessor): Process.Result = {
     val res = Process.run(read, condition, processor, Some(idCol))
-    if (processor.delete()) rewrite(res.retained)
+    if (processor.delete()) commit(writeFiles(res.retained))
     res
   }
-
-  /** Replace the table contents in one committed version. */
-  private def rewrite(df: DataFrame): Unit = commit(writeFiles(df))
 
   /** Drop data files unreferenced by the latest version and all older
     * manifests (time-travel ends; current snapshot unaffected). */
   def vacuum(): Unit = {
     val f = fs
     listVersions(f).dropRight(1).foreach { case (_, p) => f.delete(p, false) }
-    val live = currentNames.toSet
+    val live = currentEntries.map(_.name).toSet
     if (f.exists(new Path(filesDir)))
       f.listStatus(new Path(filesDir)).toSeq.map(_.getPath)
         .filterNot(p => live.contains(p.getName))

@@ -264,6 +264,41 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("file-level pruning: upsert/deleteKeys leave non-overlapping files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    val st = new TableStore(spark, dir, "id")
+    st.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    st.append((1000L to 1100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    def manifestNames: Set[String] = {
+      val vdir = new java.io.File(s"$dir/_versions")
+      val latest = vdir.listFiles().filter(_.getName.endsWith(".manifest"))
+        .maxBy(_.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
+      scala.io.Source.fromFile(latest).getLines().map(_.split("\t").head).toSet
+    }
+    val before = manifestNames
+    // upsert touches only the 1000-1100 range: batch-1 files must
+    // survive by name (no rewrite), batch-2 files are replaced
+    st.upsert(Seq((1050L, "updated")).toDF("id", "v"))
+    val after = manifestNames
+    val batch2 = before -- after
+    assert((before -- batch2).subsetOf(after), "non-overlapping files must be untouched")
+    assert(batch2.nonEmpty, "overlapping files must be rewritten")
+    assert(st.find(1050L).collect().head.getString(1) == "updated")
+    assert(st.read.count() == 201)
+    // keyed delete outside batch-1's range leaves it untouched too
+    val beforeDel = manifestNames
+    st.deleteKeys(Seq(Tuple1(1050L)).toDF("id"))
+    assert((beforeDel -- (beforeDel -- manifestNames)).subsetOf(manifestNames))
+    assert(st.read.count() == 200)
+    // pure insert (no range overlap) rewrites nothing
+    val beforeIns = manifestNames
+    st.upsert(Seq((5000L, "new")).toDF("id", "v"))
+    assert(beforeIns.subsetOf(manifestNames),
+      s"pure inserts must not rewrite any file; lost=${beforeIns -- manifestNames} " +
+      s"before=$beforeIns after=$manifestNames")
+    assert(st.read.count() == 201)
+  }
+
   test("snapshot isolation: a resolved reader survives concurrent commits; vacuum keeps only live files") {
     val st = tmpStore()
     st.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
