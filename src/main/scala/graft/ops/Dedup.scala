@@ -157,18 +157,30 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
-  /** Embedding near-dup pairs: random-hyperplane LSH buckets (sign-bit
-    * signature over `planes` fixed pseudo-random hyperplanes), verified
-    * with exact cosine. Deterministic: hyperplane components derive
-    * from hash(plane, dim). */
+  /** Embedding near-dup pairs: multi-table random-hyperplane LSH
+    * (candidates = same sign-bit bucket in ANY of `tables` independent
+    * hyperplane families — OR-ing tables is what lifts recall:
+    * per-table p = (1-θ/π)^planes, overall 1-(1-p)^tables), verified
+    * with exact cosine. Candidate generation shuffles (id, tbl, sig)
+    * only; vectors attach once per distinct pair. Deterministic:
+    * hyperplane components derive from hash(table, plane, dim). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double = 0.9, planes: Int = 16): DataFrame = {
-    val sigExpr = Similarity.hyperplaneSignature(col(vecCol), planes)
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigExpr.as("bucket"))
-    val l = sig.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val r = sig.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("bucket"))
+                            threshold: Double = 0.9, planes: Int = 12,
+                            tables: Int = 4): DataFrame = {
+    val sigs = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        Similarity.hyperplaneSignature(col(vecCol), planes, seed = t).as("sig"))): _*)
+    val banded = df.select(col(idCol).as("id"), explode(sigs).as("b"))
+      .select(col("id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val pairs = banded.select(col("tbl"), col("sig"), col("id").as("id1"))
+      .join(banded.select(col("tbl"), col("sig"), col("id").as("id2")), Seq("tbl", "sig"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))

@@ -80,16 +80,26 @@ object Similarity {
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planes: Int = 8, tables: Int = 8): DataFrame = {
-    val c = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("item_vec"),
+    // Candidate generation carries IDS ONLY: the exploded signature
+    // rows are (id, tbl, sig) — ~24 bytes — not the embedding payload,
+    // so the bucket join and the pair-dedup never shuffle vectors (the
+    // naive shape replicates each vector `tables`× through the join).
+    // Vectors attach once per distinct candidate pair afterwards.
+    val cSig = corpus.select(col(corpusId).as("item_id"),
         explode(lshBuckets(col(corpusVec), planes, tables)).as("b"))
-      .select(col("item_id"), col("item_vec"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
-    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"),
+      .select(col("item_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val qSig = queries.select(col(queryId).as("query_id"),
         explode(lshBuckets(col(queryVec), planes, tables)).as("b"))
-      .select(col("query_id"), col("query_vec"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
-    val cand = c.join(q, Seq("tbl", "sig"))
+      .select(col("query_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val pairs = cSig.join(qSig, Seq("tbl", "sig"))
       .filter(col("item_id") =!= col("query_id"))
-      .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))
-      .dropDuplicates("query_id", "item_id")
+      .select(col("query_id"), col("item_id"))
+      .distinct()
+    val cand = pairs
+      .join(corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("item_vec")),
+        Seq("item_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("query_vec"))), Seq("query_id"))
     val scored = cand.withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("item_id").asc)

@@ -75,6 +75,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("embedding near-dup recall against exhaustive cosine pairs") {
+    val e = Tables.load(spark, sf, "embeddings")
+    // exhaustive truth at a threshold low enough to have pairs in the
+    // random fixture (max pairwise cosine at sf0.001 is ~0.5)
+    val thr = 0.45
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val truth = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("c", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("c") >= thr)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+        threshold = thr, planes = 4, tables = 8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain similar pairs at the test threshold")
+    val recall = truth.count(got.contains).toDouble / truth.size
+    // cos>=0.45 ⇒ θ<=63°: per-table collision (1-θ/π)^4 ≈ 0.18,
+    // 8 tables OR to ≈ 1-(1-0.18)^8 ≈ 0.79 expected recall
+    assert(recall >= 0.5, s"embedding near-dup recall $recall over ${truth.size} pairs")
+    assert(got.forall { case (x, y) => x < y })
+  }
+
   test("IVF top-k recall against brute force") {
     val e = Tables.load(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", e, "vec_id", "embedding", k = 1)
