@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text statistics + language-ID kernels. The column-
+  * expression versions walk the text once per feature (several regex
+  * passes + interpreted array intersections per row); these compute
+  * everything in a single compiled pass and reproduce the column
+  * pipeline's semantics exactly (cross-checked by tests, and for
+  * q_text_stats by the DuckDB oracle):
+  *   n_chars  = code points of text
+  *   n_tokens = 0 if btrim(text) empty else |split(btrim(lower), \s+)|
+  *   n_punct  = count of chars in [.,!?;:]
+  *   n_stop   = tokens (with duplicates) contained in the stopword set
+  */
+object TextStatsKernel {
+
+  def stats(u: UTF8String, stopwords: Array[String]): InternalRow = {
+    val s = u.toString
+    val nChars = s.codePointCount(0, s.length).toLong
+    var nPunct = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':') nPunct += 1
+      i += 1
+    }
+    // btrim (spaces only) emptiness decides token count 0
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val (nTokens, nStop) =
+      if (e == b) (0L, 0L)
+      else {
+        val toks = TextHash.tokenize(u)
+        var stop = 0L
+        var j = 0
+        while (j < toks.length) {
+          var k = 0
+          var hit = false
+          while (k < stopwords.length && !hit) { hit = stopwords(k) == toks(j); k += 1 }
+          if (hit) stop += 1
+          j += 1
+        }
+        (toks.length.toLong, stop)
+      }
+    new GenericInternalRow(Array[Any](nChars, nTokens, nPunct, nStop))
+  }
+
+  /** Language-ID: CJK code-point ratio > 0.2 → zh; otherwise the
+    * language whose marker lexicon has the largest DISTINCT overlap
+    * with the token set, ratio-scored, ties broken by the
+    * lexicographically largest language code (matches the column
+    * version's greatest() over (score, lang) structs). */
+  def langId(u: UTF8String, langs: Array[String],
+             markers: Array[Array[String]]): UTF8String = {
+    val s = u.toString
+    val nChars = s.codePointCount(0, s.length)
+    var cjk = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+      i += Character.charCount(cp)
+    }
+    if (cjk.toDouble / math.max(nChars, 1) > 0.2) return UTF8String.fromString("zh")
+    val toks = TextHash.tokenize(u)
+    // 0 if btrim-empty: mirrors tokenCount's greatest(_, 1) base
+    var bb = 0
+    var ee = s.length
+    while (bb < ee && s.charAt(bb) == ' ') bb += 1
+    while (ee > bb && s.charAt(ee - 1) == ' ') ee -= 1
+    val nTok = math.max(if (ee == bb) 0 else toks.length, 1).toDouble
+    val tokSet = toks.toSet
+    var best = ""
+    var bestScore = Double.NegativeInfinity
+    var l = 0
+    while (l < langs.length) {
+      var hits = 0
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var m = 0
+      while (m < markers(l).length) {
+        val w = markers(l)(m)
+        if (tokSet.contains(w) && seen.add(w)) hits += 1
+        m += 1
+      }
+      val score = hits / nTok
+      if (score > bestScore || (score == bestScore && langs(l) > best)) {
+        bestScore = score; best = langs(l)
+      }
+      l += 1
+    }
+    UTF8String.fromString(best)
+  }
+}
+
+case class TextStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  private val stopArr = stopwords.toArray
+  override def dataType: DataType = TextStatsExpr.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+  override def prettyName: String = "graft_text_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsKernel.stats(input.asInstanceOf[UTF8String], stopArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("stopwords", stopArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsKernel.stats($c, $arr)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+}
+
+object TextStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+}
+
+case class LangIdExpr(child: Expression, langs: Seq[String],
+                      markers: Seq[Seq[String]])
+    extends UnaryExpression {
+  private val langArr = langs.toArray
+  private val markerArr = markers.map(_.toArray).toArray
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+  override def prettyName: String = "graft_lang_id"
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsKernel.langId(input.asInstanceOf[UTF8String], langArr, markerArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ls = ctx.addReferenceObj("langs", langArr, "java.lang.String[]")
+    val ms = ctx.addReferenceObj("markers", markerArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsKernel.langId($c, $ls, $ms)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+/** Column-level entry points. */
+object TextStatsFunctions {
+  def textStats(text: Column, stopwords: Seq[String]): Column =
+    CatalystBridge.column(TextStatsExpr(CatalystBridge.expression(text), stopwords))
+  def langId(text: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
+    CatalystBridge.column(LangIdExpr(CatalystBridge.expression(text), langs, markers))
+}

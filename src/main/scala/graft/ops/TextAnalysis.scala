@@ -33,19 +33,27 @@ object TextAnalysis {
   private val punctClass = "[.,!?;:]"
   private val defaultStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** Raw counting stats in ONE compiled pass (native
+    * graft.functions.TextStatsExpr — the column-expression version
+    * walked the text once per feature with regex passes). */
+  def textStats(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    graft.functions.TextStatsFunctions.textStats(text, stopwords)
+
   /** Quality-scoring features: length, token stats, punctuation and
-    * stopword ratios. One pass, all codegen'd. */
+    * stopword ratios, derived from the single-pass stats kernel.
+    * NOTE vs the kernel's n_stop: this intersects DISTINCT tokens with
+    * the stopword set (array_intersect semantics of the original). */
   def qualityFeatures(text: Column,
                       stopwords: Seq[String] = defaultStopwords): Column = {
-    val toks = tokens(text)
-    val nTok = tokenCount(text).cast("double")
-    val nChar = length(text).cast("double")
-    val nPunct = length(regexp_replace(text, s"[^.,!?;:]", "")).cast("double")
-    val nStop = size(array_intersect(toks, typedlit(stopwords))).cast("double")
+    val st = textStats(text, stopwords)
+    val nTok = st.getField("n_tokens").cast("double")
+    val nChar = st.getField("n_chars").cast("double")
+    val nPunct = st.getField("n_punct").cast("double")
+    val nStop = size(array_intersect(tokens(text), typedlit(stopwords))).cast("double")
     val meanTokLen = when(nTok > 0, nChar / nTok).otherwise(lit(0.0))
     struct(
-      nChar.cast("long").as("n_chars"),
-      nTok.cast("long").as("n_tokens"),
+      st.getField("n_chars").as("n_chars"),
+      st.getField("n_tokens").as("n_tokens"),
       when(nChar > 0, nPunct / nChar).otherwise(lit(0.0)).as("punct_ratio"),
       when(nTok > 0, nStop / nTok).otherwise(lit(0.0)).as("stopword_ratio"),
       meanTokLen.as("mean_token_len"))
@@ -74,22 +82,12 @@ object TextAnalysis {
       "ist", "des", "ein", "eine", "auf", "für", "nicht"))
 
   /** Language identification: CJK character ratio decides zh; otherwise
-    * the language whose marker-lexicon overlaps the token set most.
-    * Pure column expressions — argmax via a fold over (score, lang)
-    * structs, no UDF. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = greatest(tokenCount(text), lit(1)).cast("double")
-    val cjkRatio = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
-      .cast("double") / greatest(length(text), lit(1)).cast("double")
-    val scored = langMarkers.map { case (lang, words) =>
-      struct(
-        (size(array_intersect(toks, typedlit(words))).cast("double") / nTok).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*) // struct ordering: score first ⇒ max score wins
-    when(cjkRatio > 0.2, lit("zh")).otherwise(best.getField("lang"))
-  }
+    * the language whose marker-lexicon overlaps the token set most —
+    * one compiled pass (native graft.functions.LangIdExpr; same scoring
+    * and tie-breaking as the original greatest-over-structs fold). */
+  def langId(text: Column): Column =
+    graft.functions.TextStatsFunctions.langId(text,
+      langMarkers.map(_._1), langMarkers.map(_._2))
 
   /** Whole-document fingerprint: 64-bit xxhash of the normalized text.
     * Exact-dup detection key. */

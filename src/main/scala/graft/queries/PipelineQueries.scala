@@ -57,17 +57,17 @@ object PipelineQueries {
       .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
   }
 
-  /** Token/char/punct/stopword statistics (occurrence counting —
-    * byte-compatible with the DuckDB expression). */
+  /** Token/char/punct/stopword statistics — one compiled pass (native
+    * TextStatsExpr; occurrence counting byte-compatible with the DuckDB
+    * expression, enforced by the oracle hash). */
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val toks = TextAnalysis.tokens(t)
+    val st = TextAnalysis.textStats(col("text"), Seq("the", "a", "and", "of", "to"))
     docs(s, dir).select(
       col("doc_id"),
-      length(t).cast("long").as("n_chars"),
-      TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-      length(regexp_replace(t, "[^.,!?;:]", "")).cast("long").as("n_punct"),
-      size(filter(toks, w => w.isin("the", "a", "and", "of", "to"))).cast("long").as("n_stop"))
+      st.getField("n_chars").as("n_chars"),
+      st.getField("n_tokens").as("n_tokens"),
+      st.getField("n_punct").as("n_punct"),
+      st.getField("n_stop").as("n_stop"))
       .orderBy(col("doc_id"))
   }
 

@@ -27,6 +27,28 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native text stats match the column-expression pipeline") {
+    val stop = Seq("the", "a", "and", "of", "to")
+    val extra = Seq("", "   ", "the the THE a.b,c!", "one", "tab\ttokens here .")
+      .toDF("text")
+    val docs = Tables.load(spark, sf, "documents").select("text")
+      .limit(200).unionByName(extra)
+    val st = graft.functions.TextStatsFunctions.textStats(col("text"), stop)
+    val rows = docs.select(
+      st.getField("n_chars"), length(col("text")).cast("long"),
+      st.getField("n_tokens"), TextAnalysis.tokenCount(col("text")).cast("long"),
+      st.getField("n_punct"), length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long"),
+      st.getField("n_stop"),
+      size(filter(TextAnalysis.tokens(col("text")), w => w.isin(stop.map(s => s: Any): _*))).cast("long"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "n_chars")
+      assert(r.getLong(2) == r.getLong(3), "n_tokens")
+      assert(r.getLong(4) == r.getLong(5), "n_punct")
+      assert(r.getLong(6) == r.getLong(7), "n_stop")
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val docs = Tables.load(spark, sf, "documents")
     val plan = docs.select(
