@@ -37,6 +37,13 @@ import graft.cep.{EventProcessor, Process}
   * Arbitrary-predicate `delete` still rewrites the table. Old versions
   * remain for time-travel until `vacuum`.
   */
+object TableStore {
+  /** Per-table-path commit monitor (all mutations run on the driver). */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
+}
+
 final class TableStore(val spark: SparkSession, val path: String, val idCol: String) {
   private val filesDir = s"$path/files"
   private val versionsDir = s"$path/_versions"
@@ -149,21 +156,34 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     }
   }
 
-  /** Atomically commit a new version listing exactly `entries`. Retries
-    * on version-number collision (optimistic concurrency: rename fails
-    * if the manifest already exists). */
-  private def commit(entries: Seq[FileEntry]): Unit = {
+  /** Atomically commit a new version whose content is `update(previous
+    * entries)` — the update function is RE-EVALUATED on every retry, so
+    * concurrent committers merge instead of clobbering each other
+    * (rename fails if the version already exists → optimistic retry
+    * with the newly observed entry list). */
+  private def commit(update: Seq[FileEntry] => Seq[FileEntry]): Unit =
+    TableStore.commitLock(path).synchronized {
+    // The monitor serializes commits from this driver JVM (where all
+    // table mutations run); the version-rename retry below additionally
+    // catches racing processes on filesystems whose rename is
+    // exclusive (HDFS). Local-FS rename silently overwrites, so the
+    // in-JVM lock is the real guarantee here; cross-JVM multi-writer
+    // needs a storage layer with conditional puts (Delta/Iceberg
+    // commit services) — single-writer-per-table matches the
+    // reference's table lock model anyway.
     val f = fs
     f.mkdirs(new Path(versionsDir))
     var attempts = 0
     var done = false
     while (!done) {
-      val next = latestManifest(f).map(_._1 + 1).getOrElse(0L)
+      val (prevVer, prevEntries) =
+        latestManifest(f).map { case (v, e) => (v, e) }.getOrElse((-1L, Seq.empty[FileEntry]))
+      val entries = update(prevEntries)
       val tmp = new Path(s"$versionsDir/.tmp-${UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, false)
       try out.write((entries.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      done = f.rename(tmp, new Path(s"$versionsDir/v$next.manifest"))
+      done = f.rename(tmp, new Path(s"$versionsDir/v${prevVer + 1}.manifest"))
       if (!done) {
         f.delete(tmp, false)
         attempts += 1
@@ -175,18 +195,34 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   private def currentEntries: Seq[FileEntry] =
     latestManifest(fs).map(_._2).getOrElse(Seq.empty)
 
+  /** Rewrite commit: `replaced` (from the writer's snapshot) is swapped
+    * for `newFiles`; files committed by OTHERS since the snapshot are
+    * preserved (append-vs-mutation concurrency is safe; two concurrent
+    * REWRITES are last-writer-wins, matching the reference's
+    * single-mutator table lock for PROCESS — sql/SQLSelect.java:278-285). */
+  private def commitRewrite(snapshot: Seq[FileEntry], replaced: Seq[FileEntry],
+                            newFiles: Seq[FileEntry]): Unit = {
+    val snapshotNames = snapshot.map(_.name).toSet
+    val replacedNames = replaced.map(_.name).toSet
+    commit { prev =>
+      val concurrentlyAdded = prev.filterNot(e => snapshotNames.contains(e.name))
+      prev.filter(e => snapshotNames.contains(e.name) && !replacedNames.contains(e.name)) ++
+        newFiles ++ concurrentlyAdded
+    }
+  }
+
   /** Fast insert, no existence check (reference @NoCheck path): new
     * files + manifest commit, nothing rewritten. */
   def append(rows: DataFrame): Unit = {
     val added = writeFiles(rows)
-    commit(currentEntries ++ added)
+    commit(prev => prev ++ added)
   }
 
-  /** Split the current entries into (files whose id range intersects
-    * the key range, untouched rest). Range pruning is conservative:
-    * a superset of truly-affected files. */
-  private def pruneByKeys(keys: DataFrame): (Seq[FileEntry], Seq[FileEntry]) = {
-    val entries = currentEntries
+  /** Split `entries` into (files whose id range intersects the key
+    * range, untouched rest). Range pruning is conservative: a superset
+    * of truly-affected files. */
+  private def pruneByKeys(entries: Seq[FileEntry],
+                          keys: DataFrame): (Seq[FileEntry], Seq[FileEntry]) = {
     if (!isIntegralId(keys)) return (entries, Seq.empty)
     val r = keys.agg(min(col(idCol)), max(col(idCol))).head
     if (r.isNullAt(0)) return (Seq.empty, entries) // no keys at all
@@ -200,13 +236,14 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * range intersects the incoming keys; pure inserts touch nothing. */
   def upsert(rows: DataFrame): Unit = {
     if (!exists) { append(rows); return }
-    val (affected, untouched) = pruneByKeys(rows.select(col(idCol)))
+    val snapshot = currentEntries
+    val (affected, _) = pruneByKeys(snapshot, rows.select(col(idCol)))
     val merged =
       if (affected.isEmpty) rows
       else readFiles(affected)
         .join(rows.select(col(idCol)), Seq(idCol), "left_anti")
         .unionByName(rows)
-    commit(untouched ++ writeFiles(merged))
+    commitRewrite(snapshot, affected, writeFiles(merged))
   }
 
   /** `session.find(cls, id)` (persistent/Session.java:326-342): the
@@ -226,26 +263,31 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * NULL-evaluating rows are retained (SQL three-valued semantics;
     * a bare `!cond` would silently drop them). Arbitrary predicate →
     * full rewrite; use deleteKeys for the pruned path. */
-  def delete(condition: Column): Unit =
-    commit(writeFiles(read.filter(not(coalesce(condition, lit(false))))))
+  def delete(condition: Column): Unit = {
+    val snapshot = currentEntries
+    val retained = readFiles(snapshot).filter(not(coalesce(condition, lit(false))))
+    commitRewrite(snapshot, snapshot, writeFiles(retained))
+  }
 
   /** Delete by key set: files outside the key range are untouched;
     * affected files are rewritten via one left-anti join (ids stay
     * distributed — the PROCESS STREAM per-batch delete path). */
   def deleteKeys(keys: DataFrame): Unit = {
     val k = keys.select(col(idCol)).distinct()
-    val (affected, untouched) = pruneByKeys(k)
+    val snapshot = currentEntries
+    val (affected, _) = pruneByKeys(snapshot, k)
     if (affected.isEmpty) return
     val retained = readFiles(affected).join(k, Seq(idCol), "left_anti")
-    commit(untouched ++ writeFiles(retained))
+    commitRewrite(snapshot, affected, writeFiles(retained))
   }
 
   /** PROCESS … WITHIN over this table: run the callback, persist the
     * post-delete state (reference: cluster-locked table rewrite —
     * sql/SQLSelect.java:278-285). */
   def process(condition: Column, processor: EventProcessor): Process.Result = {
-    val res = Process.run(read, condition, processor, Some(idCol))
-    if (processor.delete()) commit(writeFiles(res.retained))
+    val snapshot = currentEntries
+    val res = Process.run(readFiles(snapshot), condition, processor, Some(idCol))
+    if (processor.delete()) commitRewrite(snapshot, snapshot, writeFiles(res.retained))
     res
   }
 

@@ -264,6 +264,24 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("concurrent appends: optimistic commit retry loses no writer") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_").toString
+    val st = new TableStore(spark, dir, "id")
+    val writers = (0 until 6).map { w =>
+      Future { st.append(Seq((w.toLong, s"writer$w")).toDF("id", "v")) }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // every writer's row committed exactly once, versions linearized
+    assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == (0L until 6L))
+    val versions = new java.io.File(s"$dir/_versions").listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
+    assert(versions.toSeq == (0L until versions.length).toSeq, "contiguous version chain")
+  }
+
   test("file-level pruning: upsert/deleteKeys leave non-overlapping files untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
     val st = new TableStore(spark, dir, "id")
