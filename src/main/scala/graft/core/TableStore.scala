@@ -291,6 +291,17 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     res
   }
 
+  /** Small-file compaction: rewrite the current snapshot into
+    * ~targetFiles files (append-only ingest accumulates one file set
+    * per commit). Atomic like any rewrite; files appended concurrently
+    * since the snapshot survive. */
+  def compact(targetFiles: Int = 8): Unit = {
+    val snapshot = currentEntries
+    if (snapshot.size <= math.max(targetFiles, 1)) return
+    val packed = readFiles(snapshot).repartition(math.max(targetFiles, 1))
+    commitRewrite(snapshot, snapshot, writeFiles(packed))
+  }
+
   /** Drop data files unreferenced by the latest version and all older
     * manifests (time-travel ends; current snapshot unaffected). */
   def vacuum(): Unit = {

@@ -251,16 +251,19 @@ object Lowering {
     val distincted = if (stmt.distinct) projected.distinct() else projected
 
     if (stmt.orderBy.nonEmpty) {
-      // reference ORDER BY is ascending-only (sql/SQLSelect.java:309-324)
-      val orderCols = stmt.orderBy.map { r =>
-        val n = r.flatName
-        if (distincted.columns.contains(n)) col(n)
-        else {
-          // order col may have been aliased in the select list
-          val aliased = stmt.cols.find(sc => sc.ref == r && sc.func.isEmpty)
-            .flatMap(_.alias)
-          col(aliased.getOrElse(n))
-        }
+      // reference ORDER BY is ascending-only (sql/SQLSelect.java:309-324);
+      // DESC is a documented dialect extension
+      val orderCols = stmt.orderBy.map { oc =>
+        val n = oc.ref.flatName
+        val base =
+          if (distincted.columns.contains(n)) col(n)
+          else {
+            // order col may have been aliased in the select list
+            val aliased = stmt.cols.find(sc => sc.ref == oc.ref && sc.func.isEmpty)
+              .flatMap(_.alias)
+            col(aliased.getOrElse(n))
+          }
+        if (oc.desc) base.desc else base
       }
       distincted.orderBy(orderCols: _*)
     } else distincted

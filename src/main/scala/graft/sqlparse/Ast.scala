@@ -53,6 +53,9 @@ object Ast {
     * (reference: sql/SQLColumn.java:157-188). */
   final case class SelCol(func: Option[String], ref: ColRef, alias: Option[String])
   final case class TableRef(name: String, alias: Option[String])
+  /** ORDER BY item. The reference grammar is ascending-only
+    * (sql/SQLSelect.java:309-324); DESC is a documented extension. */
+  final case class OrderCol(ref: ColRef, desc: Boolean = false)
 
   final case class SelectStmt(
       stream: Boolean,
@@ -62,7 +65,7 @@ object Ast {
       tables: Seq[TableRef],
       where: Option[Cond],
       groupBy: Seq[ColRef],
-      orderBy: Seq[ColRef],
+      orderBy: Seq[OrderCol],
       windowBy: Option[(ColRef, Int)],
       processWithin: Option[String],
       /** Optional count-window partition keys (beyond-reference

@@ -245,7 +245,7 @@ object Parser {
       }
       val where = if (eatKw("WHERE")) Some(cond()) else None
       var groupBy = Seq.empty[ColRef]
-      var orderBy = Seq.empty[ColRef]
+      var orderBy = Seq.empty[OrderCol]
       var windowBy: Option[(ColRef, Int)] = None
       var windowPartition = Seq.empty[ColRef]
       var more = true
@@ -256,7 +256,13 @@ object Parser {
           groupBy = g.toSeq
         } else if (eatKw("ORDER")) {
           expectKw("BY")
-          val o = ArrayBuffer(colRef()); while (eatSym(",")) o += colRef()
+          def orderCol(): OrderCol = {
+            val r = colRef()
+            // ASC/DESC extension (reference is ascending-only)
+            if (eatKw("DESC")) OrderCol(r, desc = true)
+            else { eatKw("ASC"); OrderCol(r) }
+          }
+          val o = ArrayBuffer(orderCol()); while (eatSym(",")) o += orderCol()
           orderBy = o.toSeq
         } else if (eatKw("WINDOW")) {
           // WINDOW BY col INTERVAL = n (sql/CList.java:97-111), with an

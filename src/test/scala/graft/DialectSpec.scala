@@ -137,6 +137,13 @@ class LoweringSpec extends AnyFunSuite {
     assert(df.select("c").distinct().collect().map(_.getLong(0)).toSeq == Seq(100L))
   }
 
+  test("ORDER BY ASC/DESC extension (reference is ascending-only)") {
+    val df = gs.execute(
+      "select s.s_suppkey k, s.s_acctbal b from supplier s order by s.s_acctbal desc, s.s_suppkey asc")
+    val got = df.collect().map(_.getDouble(1))
+    assert(got.zip(got.tail).forall { case (a, b) => a >= b }, "descending by acctbal")
+  }
+
   test("IN [SELECT ...] parses and lowers to semi/anti joins") {
     import org.apache.spark.sql.functions.col
     val stmt = graft.sqlparse.Parser.parse(

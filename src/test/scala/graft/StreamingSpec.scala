@@ -264,6 +264,18 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("compaction packs small files without changing content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val st = new TableStore(spark, dir, "id")
+    (0 until 6).foreach(w => st.append(Seq((w.toLong, s"v$w")).toDF("id", "v")))
+    val before = st.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    st.compact(targetFiles = 2)
+    assert(st.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq == before)
+    st.vacuum()
+    val files = new java.io.File(s"$dir/files").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"expected <=2 data files after compact+vacuum, found $files")
+  }
+
   test("concurrent appends: optimistic commit retry loses no writer") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
