@@ -66,11 +66,18 @@ object Dedup {
       .select(col("band"), col("bucket"))
     val counted = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
 
+    // The bucket join must carry signatures once (pair scoring needs
+    // them), but the estimate is computed AT pair formation so the
+    // pair-dedup shuffles (id1, id2, est) — 24 bytes — instead of two
+    // 64-long signatures per candidate row.
     val l = counted.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
     val r = counted.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
       .dropDuplicates("id1", "id2")
   }
 
@@ -80,9 +87,6 @@ object Dedup {
                    threshold: Double = 0.7, k: Int = 5,
                    numHashes: Int = 64, bands: Int = 16): DataFrame =
     minhashCandidates(df, idCol, textCol, k, numHashes, bands)
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
-          x => x)).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("est_jaccard"))
 
