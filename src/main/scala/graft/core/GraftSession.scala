@@ -37,6 +37,7 @@ class GraftSession(val spark: SparkSession,
       name: String, path: String): TypedTable[T] = {
     val meta = EntityMeta.of[T]
     val store = new TableStore(spark, path, meta.idCol)
+    store.initialize(implicitly[org.apache.spark.sql.Encoder[T]].schema)
     val tt = new TypedTable[T](spark, store, meta,
       beforeWrite = () => if (frozen)
         throw new IllegalStateException("session is frozen (FREEZE); UNFREEZE to persist"))
@@ -101,9 +102,11 @@ class GraftSession(val spark: SparkSession,
       case Some(Freeze) => frozen0 = true; "ok: session frozen (writes rejected)"
       case Some(Unfreeze) => frozen0 = false; "ok: session unfrozen"
       case Some(AlterSystem("SHUTDOWN")) =>
-        val active = spark.streams.active.length
-        spark.streams.active.foreach(_.stop())
-        s"ok: stopped $active streaming queries"
+        // only THIS session's queries: the SparkSession (and its
+        // spark.streams registry) may be shared with other sessions
+        val mine = spark.streams.active.filter(q => ownedQueries.contains(q.id))
+        mine.foreach(_.stop())
+        s"ok: stopped ${mine.length} streaming queries"
       case Some(AlterSystem(_)) => "ok: instance already started"
       case Some(AlterSession(k, v)) => spark.conf.set(k, v); s"ok: $k=$v"
       case Some(Connect(t)) =>
@@ -161,6 +164,10 @@ class GraftSession(val spark: SparkSession,
     Lowering.lower(stmt.copy(orderBy = Seq.empty), streamTable, compat, customAggs.toMap)
   }
 
+  /** Streaming queries started by THIS session (the SparkSession's
+    * registry is global; lifecycle ops must not cross sessions). */
+  private val ownedQueries = TrieMap.empty[java.util.UUID, Unit]
+
   /** Start a SELECT STREAM query; returns the poll/stop handle
     * (reference: sql/StreamQueue.java:40-134). Grouped streams run in
     * update mode (group revisions), plain streams in append. */
@@ -171,7 +178,9 @@ class GraftSession(val spark: SparkSession,
       if (stmt.groupBy.nonEmpty && stmt.windowBy.isEmpty)
         org.apache.spark.sql.streaming.OutputMode.Update()
       else org.apache.spark.sql.streaming.OutputMode.Append()
-    graft.streaming.StreamHandle.start(spark, plan, mode, checkpoint)
+    val h = graft.streaming.StreamHandle.start(spark, plan, mode, checkpoint)
+    ownedQueries.put(h.queryId, ())
+    h
   }
 
   // ---- CEP (PROCESS … WITHIN — reference C5/C6) ----------------------
@@ -225,7 +234,9 @@ class GraftSession(val spark: SparkSession,
       .map(w => Lowering.lowerCondOn(df, w, compat))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val streamId = idCol.map(c => tref.alias.getOrElse("") + c)
-    graft.streaming.StreamProcess.start(df, cond, processor, store, streamId,
+    val h = graft.streaming.StreamProcess.start(df, cond, processor, store, streamId,
       checkpoint, trigger)
+    ownedQueries.put(h.queryId, ())
+    h
   }
 }

@@ -90,9 +90,26 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
 
   def exists: Boolean = latestManifest(fs).isDefined
 
+  private val schemaDir = s"$path/_schema"
+
+  /** Commit an empty version with a zero-row schema anchor, so reads
+    * work before the first persist (the reference's registerTable
+    * creates the table eagerly — persistent/Session.java:181-277).
+    * No-op if a version already exists. */
+  def initialize(schema: org.apache.spark.sql.types.StructType): Unit =
+    TableStore.commitLock(path).synchronized {
+      if (!exists) {
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .write.mode("overwrite").parquet(schemaDir)
+        commit(prev => prev)
+      }
+    }
+
   private def readFiles(entries: Seq[FileEntry]): DataFrame =
     if (entries.nonEmpty) spark.read.parquet(entries.map(e => s"$filesDir/${e.name}"): _*)
-    else spark.read.parquet(filesDir).limit(0) // committed-empty: schema via dir scan
+    else if (fs.exists(new Path(schemaDir)))
+      spark.read.parquet(schemaDir) // zero rows, schema preserved
+    else spark.read.parquet(filesDir).limit(0) // legacy committed-empty fallback
 
   /** Current snapshot. The file list is resolved now; concurrent
     * commits do not disturb this DataFrame. */
@@ -291,6 +308,23 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     res
   }
 
+  /** Retention truncation: remove all rows with id < cutoff. Files
+    * entirely below the cutoff are dropped from the manifest with NO
+    * data I/O; only the files straddling the cutoff (or lacking stats)
+    * are rewritten — the @Threshold hot path stays O(1 file) per
+    * enforcement instead of an O(table) rewrite. */
+  def deleteBelowId(cutoff: Long): Unit = {
+    val snapshot = currentEntries
+    val dropped = snapshot.filter(_.idMax.exists(_ < cutoff))
+    val untouched = snapshot.filter(_.idMin.exists(_ >= cutoff))
+    val straddling = snapshot.diff(dropped ++ untouched)
+    if (dropped.isEmpty && straddling.isEmpty) return
+    val newFiles =
+      if (straddling.isEmpty) Seq.empty
+      else writeFiles(readFiles(straddling).filter(col(idCol) >= cutoff))
+    commitRewrite(snapshot, dropped ++ straddling, newFiles)
+  }
+
   /** Small-file compaction: rewrite the current snapshot into
     * ~targetFiles files (append-only ingest accumulates one file set
     * per commit). Atomic like any rewrite; files appended concurrently
@@ -303,14 +337,22 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   }
 
   /** Drop data files unreferenced by the latest version and all older
-    * manifests (time-travel ends; current snapshot unaffected). */
-  def vacuum(): Unit = {
-    val f = fs
-    listVersions(f).dropRight(1).foreach { case (_, p) => f.delete(p, false) }
-    val live = currentEntries.map(_.name).toSet
-    if (f.exists(new Path(filesDir)))
-      f.listStatus(new Path(filesDir)).toSeq.map(_.getPath)
-        .filterNot(p => live.contains(p.getName))
-        .foreach(p => f.delete(p, false))
-  }
+    * manifests (time-travel ends; current snapshot unaffected).
+    * Runs under the commit monitor, and only deletes unreferenced files
+    * older than `graceMs`: a concurrent writer may have renamed new
+    * files into files/ but not committed yet — age is what keeps their
+    * in-flight work safe (the same reason Delta's VACUUM has a
+    * retention window). */
+  def vacuum(graceMs: Long = 10 * 60 * 1000L): Unit =
+    TableStore.commitLock(path).synchronized {
+      val f = fs
+      listVersions(f).dropRight(1).foreach { case (_, p) => f.delete(p, false) }
+      val live = currentEntries.map(_.name).toSet
+      val cutoff = System.currentTimeMillis() - graceMs
+      if (f.exists(new Path(filesDir)))
+        f.listStatus(new Path(filesDir)).toSeq
+          .filterNot(s => live.contains(s.getPath.getName))
+          .filter(_.getModificationTime < cutoff)
+          .foreach(s => f.delete(s.getPath, false))
+    }
 }

@@ -80,8 +80,9 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
   def find(id: Any): Option[T] = store.find(id).as[T].collect().headOption
 
   /** @Threshold retention: keep only the newest n rows by id order.
-    * Cutoff from a top-n over ids only (column-pruned scan), then one
-    * keyed filter rewrite — never a global sort of the data rows. */
+    * Cutoff from a top-n over ids only (column-pruned scan), then a
+    * manifest-pruned truncation: whole files below the cutoff drop
+    * with no I/O, only the straddling file is rewritten. */
   private def enforceThreshold(n: Long): Unit = {
     val idc = meta.idCol
     val total = store.read.count()
@@ -89,7 +90,7 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
       val cutoff = store.read.select(col(idc))
         .orderBy(col(idc).desc).limit(n.toInt)
         .agg(min(col(idc))).head.get(0).asInstanceOf[Number].longValue()
-      store.delete(col(idc) < cutoff)
+      store.deleteBelowId(cutoff)
     }
   }
 }

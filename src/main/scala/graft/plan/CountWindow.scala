@@ -34,11 +34,21 @@ object CountWindow {
   def global(df: DataFrame, orderCol: String, n: Int,
              aggs: WindowSpec => Seq[org.apache.spark.sql.Column]): DataFrame = {
     val spark = df.sparkSession
-    val buckets = spark.conf.getOption("spark.sql.shuffle.partitions")
-      .map(_.toInt).getOrElse(32)
-    val cuts = df.stat
-      .approxQuantile(orderCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      .distinct
+    // Bucket count must respect BOTH parallelism and the window size:
+    // the carry-over spans exactly one bucket boundary, so every bucket
+    // needs >= n-1 rows or frames spanning 2+ buckets would come up
+    // short and be dropped by the full-window filter. Cap buckets at
+    // rows/(4n) — each bucket holds ~4 windows minimum — falling back
+    // to a single bucket (tiny data: a one-task sort is then fine).
+    val maxPar = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption).getOrElse(32)
+    val rows = df.select(col(orderCol)).count() // column-pruned, like the quantile pass
+    val buckets = math.max(1, math.min(maxPar.toLong, rows / math.max(4L * n, 1L)).toInt)
+    val cuts =
+      if (buckets <= 1) Array.empty[Double]
+      else df.stat
+        .approxQuantile(orderCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct
     // bucket id = number of cut points strictly below this row's order
     // value — a pure projection, consistent across re-evaluations
     // (unlike spark_partition_id after repartitionByRange, whose

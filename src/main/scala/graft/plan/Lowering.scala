@@ -87,8 +87,16 @@ object Lowering {
       val subDf = lower(s.sub, resolve, compat, customAggs)
       val key = ctx.resolveRef(s.col)
       val subKey = subDf.select(col(subDf.columns.head).as("__graft_subq_key"))
-      df.join(subKey, key === col("__graft_subq_key"),
-        if (s.negated) "left_anti" else "left_semi")
+      if (s.negated)
+        // SQL NOT IN excludes NULL outer keys (NULL NOT IN (...) is
+        // never TRUE) — filter them before the anti join, which would
+        // otherwise keep them. Remaining documented divergence: a NULL
+        // in the SUBQUERY result makes SQL NOT IN return zero rows;
+        // the anti join ignores it (null keys never match).
+        df.filter(key.isNotNull)
+          .join(subKey, key === col("__graft_subq_key"), "left_anti")
+      else
+        df.join(subKey, key === col("__graft_subq_key"), "left_semi")
     }
 
     // 2. select list

@@ -22,6 +22,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 final class StreamHandle private (query: StreamingQuery,
                                   queue: LinkedBlockingQueue[Row]) {
 
+  /** For session-scoped lifecycle (ALTER SYSTEM SHUTDOWN stops only
+    * the owning session's queries). */
+  private[graft] def queryId: java.util.UUID = query.id
+
   /** Next unread result row, if any has been produced. Non-blocking,
     * like the reference's StreamQueue.poll timeout form. */
   def poll(): Option[Row] = Option(queue.poll())

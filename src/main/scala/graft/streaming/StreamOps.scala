@@ -73,7 +73,7 @@ object StreamOps {
     // their own value before start.
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(prev.toInt, 8).toString)
+    spark.conf.set(key, math.min(prev.toIntOption.getOrElse(8), 8).toString)
     try {
       val q = stream.writeStream
         .format("memory").queryName(name).outputMode(mode)

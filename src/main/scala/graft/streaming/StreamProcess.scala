@@ -28,6 +28,8 @@ object StreamProcess {
 
   final class Handle private[StreamProcess] (query: StreamingQuery,
                                              processed: AtomicLong) {
+    /** For session-scoped lifecycle (see StreamHandle.queryId). */
+    private[graft] def queryId: java.util.UUID = query.id
     /** Total rows consumed (process==true) across all batches so far. */
     def processedCount: Long = processed.get()
     def isActive: Boolean = query.isActive

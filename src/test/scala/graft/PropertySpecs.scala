@@ -54,8 +54,11 @@ class CountWindowProps extends SparkProperties("CountWindow") {
     vals <- Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_.toDouble))
   } yield ids.toList.zip(vals)
 
+  // n deliberately ranges past rows/shuffle-partitions so bucket
+  // auto-shrinking is exercised (a window wider than a bucket would
+  // otherwise lose frames spanning 2+ buckets)
   property("bucketed carry-over lowering == one-task sort, any n") =
-    Prop.forAll(dataGen, Gen.chooseNum(1, 25)) { (data, n) =>
+    Prop.forAll(dataGen, Gen.chooseNum(1, 120)) { (data, n) =>
       import org.apache.spark.sql.expressions.Window
       import spark.implicits._
       val df = data.toDF("id", "v")

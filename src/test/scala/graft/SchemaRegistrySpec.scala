@@ -27,6 +27,10 @@ class SchemaRegistrySpec extends AnyFunSuite {
   test("registerEntity: typed persist/find and dialect SELECT * round-trip") {
     val gs = new GraftSession(spark)
     val tt = gs.registerEntity[Person]("person", tmp())
+    // a freshly registered entity is queryable before any persist
+    // (the reference's registerTable creates the table eagerly)
+    assert(gs.execute("select * from person").count() == 0)
+    assert(tt.ds.isEmpty && tt.find(1L).isEmpty)
     tt.persist(Seq(Person(1, "ada", "eng"), Person(2, "grace", "eng")))
     // entity result: SELECT * over a single table returns the entity rows
     val ds = gs.executeAs[Person]("select * from person")

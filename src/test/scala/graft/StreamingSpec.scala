@@ -271,7 +271,7 @@ class TableStoreSpec extends AnyFunSuite {
     val before = st.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     st.compact(targetFiles = 2)
     assert(st.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq == before)
-    st.vacuum()
+    st.vacuum(graceMs = 0L)
     val files = new java.io.File(s"$dir/files").listFiles().count(_.getName.endsWith(".parquet"))
     assert(files <= 2, s"expected <=2 data files after compact+vacuum, found $files")
   }
@@ -338,7 +338,7 @@ class TableStoreSpec extends AnyFunSuite {
     // the old snapshot still reads its files (no delete-then-rename window)
     assert(snapshot.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
-    st.vacuum() // ends time-travel, current state intact
+    st.vacuum(graceMs = 0L) // ends time-travel, current state intact
     assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
