@@ -141,36 +141,52 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       f.rename(p, new Path(s"$filesDir/$name"))
       name
     }
-    // per-file id range + emptiness: one column-pruned scan of just the
-    // new files. A file absent from the grouped result has zero rows
-    // (filter-everything rewrites produce them) — committing it would
-    // poison pruning forever (no stats ⇒ always affected), so drop it.
+    // per-file id range + emptiness from the parquet FOOTERS — pure
+    // metadata reads, no data scan, so append throughput is untouched
+    // (this is how transactional table formats collect file stats at
+    // commit). Zero-row files (filter-everything rewrites produce
+    // them) are dropped: committing one would poison pruning forever
+    // (no stats ⇒ always affected).
     val integral = isIntegralId(rows)
-    val stats: Map[String, Option[(Long, Long)]] =
-      if (renamed.isEmpty) Map.empty
-      else {
-        val base = spark.read.parquet(renamed.map(n => s"$filesDir/$n"): _*)
-          .groupBy(input_file_name().as("__f"))
-        val grouped =
-          if (integral) base.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
-          else base.agg(count(lit(1)).as("n"))
-        grouped.collect().map { r =>
-          val name = r.getString(0).split("/").last
-          val range =
-            if (integral) Some((r.get(1).asInstanceOf[Number].longValue(),
-              r.get(2).asInstanceOf[Number].longValue()))
-            else None
-          name -> range
-        }.toMap
-      }
     f.delete(new Path(tmp), true)
     renamed.flatMap { n =>
-      stats.get(n) match {
-        case Some(Some((lo, hi))) => Some(FileEntry(n, Some(lo), Some(hi)))
-        case Some(None) => Some(FileEntry(n, None, None)) // non-integral id: no pruning
-        case None => f.delete(new Path(s"$filesDir/$n"), false); None // empty file
-      }
+      val (rowCount, range) = footerStats(f, new Path(s"$filesDir/$n"), integral)
+      if (rowCount == 0L) { f.delete(new Path(s"$filesDir/$n"), false); None }
+      else Some(FileEntry(n, range.map(_._1), range.map(_._2)))
     }
+  }
+
+  /** (rowCount, id min/max) from a parquet footer — metadata only. */
+  private def footerStats(f: FileSystem, p: Path,
+                          integral: Boolean): (Long, Option[(Long, Long)]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val range =
+        if (!integral || rows == 0L) None
+        else {
+          val perBlock = blocks.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == idCol).flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (lo: Number, hi: Number) => Some((lo.longValue(), hi.longValue()))
+                case _ => None
+              }
+            }
+          }
+          // every block must carry stats or the range is unsound
+          if (perBlock.length == blocks.length && perBlock.nonEmpty)
+            Some((perBlock.map(_._1).min, perBlock.map(_._2).max))
+          else None
+        }
+      (rows, range)
+    } finally reader.close()
   }
 
   /** Atomically commit a new version whose content is `update(previous
