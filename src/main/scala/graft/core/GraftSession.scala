@@ -106,6 +106,7 @@ class GraftSession(val spark: SparkSession,
         // spark.streams registry) may be shared with other sessions
         val mine = spark.streams.active.filter(q => ownedQueries.contains(q.id))
         mine.foreach(_.stop())
+        ownedQueries.clear() // stopped or already dead — drop the ids
         s"ok: stopped ${mine.length} streaming queries"
       case Some(AlterSystem(_)) => "ok: instance already started"
       case Some(AlterSession(k, v)) => spark.conf.set(k, v); s"ok: $k=$v"

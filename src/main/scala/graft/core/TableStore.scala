@@ -98,11 +98,13 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * No-op if a version already exists. */
   def initialize(schema: org.apache.spark.sql.types.StructType): Unit =
     TableStore.commitLock(path).synchronized {
-      if (!exists) {
+      // backfill the anchor for pre-anchor tables too, not only fresh
+      // ones — an already-populated table still needs it once every
+      // row is deleted and vacuum empties files/
+      if (!fs.exists(new Path(schemaDir)))
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
           .write.mode("overwrite").parquet(schemaDir)
-        commit(prev => prev)
-      }
+      if (!exists) commit(prev => prev)
     }
 
   private def readFiles(entries: Seq[FileEntry]): DataFrame =
@@ -149,8 +151,17 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     // (no stats ⇒ always affected).
     val integral = isIntegralId(rows)
     f.delete(new Path(tmp), true)
-    renamed.flatMap { n =>
-      val (rowCount, range) = footerStats(f, new Path(s"$filesDir/$n"), integral)
+    // footer reads are independent metadata round-trips — parallelize
+    // (sequential opens would make commit latency linear in file count
+    // on an object store)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val statted = Await.result(
+      Future.traverse(renamed) { n =>
+        Future((n, footerStats(f, new Path(s"$filesDir/$n"), integral)))
+      }, 10.minutes)
+    statted.flatMap { case (n, (rowCount, range)) =>
       if (rowCount == 0L) { f.delete(new Path(s"$filesDir/$n"), false); None }
       else Some(FileEntry(n, range.map(_._1), range.map(_._2)))
     }
@@ -173,7 +184,10 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
           val perBlock = blocks.flatMap { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == idCol).flatMap { c =>
               val st = c.getStatistics
-              if (st == null || !st.hasNonNullValue) None
+              // a block containing NULL ids yields no stats: range
+              // reasoning (file drops, key pruning) must not apply to
+              // rows whose id is NULL
+              if (st == null || !st.hasNonNullValue || st.getNumNulls != 0L) None
               else (st.genericGetMin, st.genericGetMax) match {
                 case (lo: Number, hi: Number) => Some((lo.longValue(), hi.longValue()))
                 case _ => None
@@ -331,13 +345,18 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * enforcement instead of an O(table) rewrite. */
   def deleteBelowId(cutoff: Long): Unit = {
     val snapshot = currentEntries
+    // whole-file drops require stats, and stats are only recorded for
+    // null-free files (footerStats), so no NULL-id row is ever dropped
+    // with a file; the straddling rewrite retains NULL ids explicitly
+    // (SQL three-valued semantics, same as delete())
     val dropped = snapshot.filter(_.idMax.exists(_ < cutoff))
     val untouched = snapshot.filter(_.idMin.exists(_ >= cutoff))
     val straddling = snapshot.diff(dropped ++ untouched)
     if (dropped.isEmpty && straddling.isEmpty) return
     val newFiles =
       if (straddling.isEmpty) Seq.empty
-      else writeFiles(readFiles(straddling).filter(col(idCol) >= cutoff))
+      else writeFiles(readFiles(straddling)
+        .filter(col(idCol) >= cutoff || col(idCol).isNull))
     commitRewrite(snapshot, dropped ++ straddling, newFiles)
   }
 
@@ -368,7 +387,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       if (f.exists(new Path(filesDir)))
         f.listStatus(new Path(filesDir)).toSeq
           .filterNot(s => live.contains(s.getPath.getName))
-          .filter(_.getModificationTime < cutoff)
+          .filter(_.getModificationTime <= cutoff) // inclusive: graceMs=0 means clean everything dead
           .foreach(s => f.delete(s.getPath, false))
     }
 }

@@ -38,17 +38,29 @@ object CountWindow {
     // the carry-over spans exactly one bucket boundary, so every bucket
     // needs >= n-1 rows or frames spanning 2+ buckets would come up
     // short and be dropped by the full-window filter. Cap buckets at
-    // rows/(4n) — each bucket holds ~4 windows minimum — falling back
-    // to a single bucket (tiny data: a one-task sort is then fine).
-    val maxPar = spark.conf.getOption("spark.sql.shuffle.partitions")
-      .flatMap(_.toIntOption).getOrElse(32)
-    val rows = df.select(col(orderCol)).count() // column-pruned, like the quantile pass
+    // rows/(4n) — each bucket targets ~4 windows — falling back to a
+    // single bucket (tiny data: a one-task sort is then fine).
+    // ONE column-pruned pass collects the row count and a fine-grained
+    // quantile sketch together; the sketch accuracy is sized so the
+    // rank error (~rows/accuracy) stays well under a bucket's 4n rows —
+    // quantile noise can then shrink a bucket to ~3n, never below n-1.
+    val maxPar = math.max(1, spark.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption).getOrElse(32))
+    val fracs = (1 until maxPar).map(_.toDouble / maxPar)
+    val accuracy = math.max(10000, 16 * maxPar)
+    val probe = df.select(
+      count(col(orderCol)).as("n"),
+      percentile_approx(col(orderCol).cast("double"),
+        typedLit(fracs), lit(accuracy)).as("qs")).head
+    val rows = probe.getLong(0)
+    val fineCuts: Seq[Double] =
+      if (probe.isNullAt(1)) Seq.empty else probe.getSeq[Double](1)
     val buckets = math.max(1, math.min(maxPar.toLong, rows / math.max(4L * n, 1L)).toInt)
     val cuts =
-      if (buckets <= 1) Array.empty[Double]
-      else df.stat
-        .approxQuantile(orderCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-        .distinct
+      if (buckets <= 1 || fineCuts.isEmpty) Array.empty[Double]
+      else (1 until buckets)
+        .map(b => fineCuts(math.min(b * maxPar / buckets, fineCuts.length) - 1))
+        .distinct.toArray
     // bucket id = number of cut points strictly below this row's order
     // value — a pure projection, consistent across re-evaluations
     // (unlike spark_partition_id after repartitionByRange, whose
