@@ -56,14 +56,23 @@ object StreamProcess {
     val processed = new AtomicLong(0L)
     var w = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (consumed, n) = Process.consumedRows(batch, cond, processor)
-        processed.addAndGet(n)
-        if (processor.delete()) (store, streamIdCol) match {
-          case (Some(st), Some(idc)) =>
-            st.deleteKeys(consumed.select(col(idc).as(st.idCol)))
-          case _ => ()
-        }
-        consumed.unpersist()
+        // batch jobs here are micro-batch-sized: run them (and the
+        // per-batch delete rewrite) at modest parallelism instead of
+        // the session's scan-sized shuffle partitioning
+        val spark = batch.sparkSession
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, math.min(prev.toIntOption.getOrElse(8), 8).toString)
+        try {
+          val (consumed, n) = Process.consumedRows(batch, cond, processor)
+          processed.addAndGet(n)
+          if (processor.delete()) (store, streamIdCol) match {
+            case (Some(st), Some(idc)) =>
+              st.deleteKeys(consumed.select(col(idc).as(st.idCol)))
+            case _ => ()
+          }
+          consumed.unpersist()
+        } finally spark.conf.set(key, prev)
         ()
       }
       .trigger(trigger)
