@@ -258,7 +258,7 @@ object Lowering {
 
     val distincted = if (stmt.distinct) projected.distinct() else projected
 
-    if (stmt.orderBy.nonEmpty) {
+    val ordered = if (stmt.orderBy.nonEmpty) {
       // reference ORDER BY is ascending-only (sql/SQLSelect.java:309-324);
       // DESC is a documented dialect extension
       val orderCols = stmt.orderBy.map { oc =>
@@ -275,6 +275,16 @@ object Lowering {
       }
       distincted.orderBy(orderCols: _*)
     } else distincted
+
+    stmt.limit match {
+      // with ORDER BY this is a distributed top-k
+      // (TakeOrderedAndProject: per-partition heaps, no global sort)
+      case Some(n) =>
+        if (ordered.isStreaming)
+          throw AnalysisException2("LIMIT is not supported on streams")
+        ordered.limit(n)
+      case None => ordered
+    }
   }
 
   /** Condition-lowering context over a resolved (possibly joined,

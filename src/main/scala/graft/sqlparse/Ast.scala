@@ -72,7 +72,11 @@ object Ast {
         * extension): bounds window state per key and distributes the
         * sort/state across executors. Empty = reference-compatible
         * global window. */
-      windowPartition: Seq[ColRef] = Seq.empty)
+      windowPartition: Seq[ColRef] = Seq.empty,
+      /** LIMIT n (beyond-reference: the grammar has no LIMIT —
+        * sql/SQLSelect.java:42-54; with ORDER BY this lowers to a
+        * distributed top-k, TakeOrderedAndProject). */
+      limit: Option[Int] = None)
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 }

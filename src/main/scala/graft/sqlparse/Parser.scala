@@ -248,6 +248,7 @@ object Parser {
       var orderBy = Seq.empty[OrderCol]
       var windowBy: Option[(ColRef, Int)] = None
       var windowPartition = Seq.empty[ColRef]
+      var limit: Option[Int] = None
       var more = true
       while (more && !done) {
         if (eatKw("GROUP")) {
@@ -280,12 +281,18 @@ object Parser {
             val p = ArrayBuffer(colRef()); while (eatSym(",")) p += colRef()
             windowPartition = p.toSeq
           }
+        } else if (eatKw("LIMIT")) {
+          // beyond-reference extension (no LIMIT in the reference grammar)
+          limit = Some(next() match {
+            case Num(v) => v.toInt
+            case t => throw ParseException(s"expected limit count, got $t")
+          })
         } else more = false
       }
       if (star && tabs.size > 1)
         throw ParseException("SELECT * is only valid for a single table") // sql/SQLSelect.java:292-301
       SelectStmt(stream, distinct, star, cols.toSeq, tabs.toSeq, where,
-        groupBy, orderBy, windowBy, processWithin, windowPartition)
+        groupBy, orderBy, windowBy, processWithin, windowPartition, limit)
     }
   }
 

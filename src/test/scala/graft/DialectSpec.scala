@@ -137,6 +137,19 @@ class LoweringSpec extends AnyFunSuite {
     assert(df.select("c").distinct().collect().map(_.getLong(0)).toSeq == Seq(100L))
   }
 
+  test("LIMIT extension lowers ORDER BY + LIMIT to a distributed top-k") {
+    val df = gs.execute(
+      "select o.o_orderkey k, o.o_totalprice p from orders o order by o.o_totalprice desc limit 10")
+    val got = df.collect()
+    assert(got.length == 10)
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc)
+      .limit(10).collect().map(_.getDouble(3))
+    assert(got.map(_.getDouble(1)).toSeq == expect.toSeq)
+    // top-k physical operator, not sort-then-limit
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("ORDER BY ASC/DESC extension (reference is ascending-only)") {
     val df = gs.execute(
       "select s.s_suppkey k, s.s_acctbal b from supplier s order by s.s_acctbal desc, s.s_suppkey asc")
