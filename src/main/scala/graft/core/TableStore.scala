@@ -14,7 +14,7 @@ import graft.cep.{EventProcessor, Process}
   *
   * Layout:
   *   <path>/files/<uuid>-part-*.parquet   immutable data files
-  *   <path>/_versions/v{N}.manifest       "name<TAB>idMin<TAB>idMax" per file
+  *   <path>/_versions/v{N}.manifest       "name<TAB>idMin<TAB>idMax<TAB>rowCount" per file
   *
   * A version is committed by renaming a temp manifest into place —
   * one atomic filesystem op, so there is NO window where a reader sees
@@ -48,23 +48,31 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   private val filesDir = s"$path/files"
   private val versionsDir = s"$path/_versions"
 
-  /** One manifest line: a data file and, when the id column is
-    * integral, its id range for pruning. */
-  private case class FileEntry(name: String, idMin: Option[Long], idMax: Option[Long]) {
+  /** One manifest line: a data file, its row count, and, when the id
+    * column is integral, its id range for pruning. Row counts make
+    * total-size questions (@Threshold) and id-base allocation
+    * (@DistributedId) metadata-only — no table scan on the insert hot
+    * path (the reference keeps the same state in its id generator,
+    * persistent/Table.java:61-157 idValue/incValue). */
+  private case class FileEntry(name: String, idMin: Option[Long], idMax: Option[Long],
+                               rows: Option[Long]) {
     def overlaps(kmin: Long, kmax: Long): Boolean = (idMin, idMax) match {
       case (Some(lo), Some(hi)) => lo <= kmax && hi >= kmin
       case _ => true // no stats → always a rewrite candidate
     }
-    def line: String =
-      s"$name\t${idMin.map(_.toString).getOrElse("")}\t${idMax.map(_.toString).getOrElse("")}"
+    def line: String = {
+      def s(o: Option[Long]) = o.map(_.toString).getOrElse("")
+      s"$name\t${s(idMin)}\t${s(idMax)}\t${s(rows)}"
+    }
   }
   private object FileEntry {
-    def parse(line: String): FileEntry = line.split("\t", -1) match {
-      case Array(n, lo, hi) =>
-        FileEntry(n, Option(lo).filter(_.nonEmpty).map(_.toLong),
-          Option(hi).filter(_.nonEmpty).map(_.toLong))
-      case Array(n) => FileEntry(n, None, None)
-      case other => FileEntry(other.head, None, None)
+    def parse(line: String): FileEntry = {
+      def opt(s: String) = Option(s).filter(_.nonEmpty).map(_.toLong)
+      line.split("\t", -1) match {
+        case Array(n, lo, hi, rc) => FileEntry(n, opt(lo), opt(hi), opt(rc))
+        case Array(n, lo, hi) => FileEntry(n, opt(lo), opt(hi), None) // pre-rowCount manifest
+        case other => FileEntry(other.head, None, None, None)
+      }
     }
   }
 
@@ -163,7 +171,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       }, 10.minutes)
     statted.flatMap { case (n, (rowCount, range)) =>
       if (rowCount == 0L) { f.delete(new Path(s"$filesDir/$n"), false); None }
-      else Some(FileEntry(n, range.map(_._1), range.map(_._2)))
+      else Some(FileEntry(n, range.map(_._1), range.map(_._2), Some(rowCount)))
     }
   }
 
@@ -256,6 +264,62 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       prev.filter(e => snapshotNames.contains(e.name) && !replacedNames.contains(e.name)) ++
         newFiles ++ concurrentlyAdded
     }
+  }
+
+  /** Largest id in the table, METADATA-ONLY when every live file
+    * carries id stats (the normal case for integral, null-free ids);
+    * falls back to a column scan for legacy/stat-less manifests. The
+    * @DistributedId id-base read — reference keeps this in its id
+    * generator (persistent/Table.java:61-157); here the manifest IS
+    * that state. */
+  private[graft] def maxId: Option[Long] = {
+    val entries = currentEntries
+    if (entries.isEmpty) None
+    else if (entries.forall(_.idMax.isDefined)) Some(entries.flatMap(_.idMax).max)
+    else read.agg(max(col(idCol))).head.get(0) match {
+      case null => None
+      case n: Number => Some(n.longValue())
+    }
+  }
+
+  /** Total rows, metadata-only when possible (None forces the caller's
+    * fallback — only legacy manifests lack per-file counts). */
+  private[graft] def rowCountFromManifest: Option[Long] = {
+    val entries = currentEntries
+    if (entries.forall(_.rows.isDefined)) Some(entries.flatMap(_.rows).sum) else None
+  }
+
+  /** Cutoff id such that `deleteBelowId(cutoff)` retains exactly the
+    * newest `n` rows by id order; None when the table already holds
+    * <= n rows. The total comes from manifest row counts, and the
+    * top-n scan is pruned to files that can contain a top-n id:
+    * sort files by idMax desc, take the shortest prefix holding >= n
+    * rows, and scan only files with idMax >= that prefix's min idMin
+    * (every row in the prefix has id >= that bound, so an id below it
+    * is outranked by >= n rows — provably outside the top-n). On an
+    * append-mostly @Threshold table that is the newest file or two,
+    * O(affected files) not O(table). */
+  private[graft] def newestCutoff(n: Long): Option[Long] = {
+    val entries = currentEntries
+    val statted = entries.nonEmpty &&
+      entries.forall(e => e.rows.isDefined && e.idMin.isDefined && e.idMax.isDefined)
+    val total: Long =
+      if (statted) entries.flatMap(_.rows).sum
+      else if (entries.isEmpty) 0L
+      else read.count()
+    if (total <= n) return None
+    val scan =
+      if (!statted) read
+      else {
+        val byMaxDesc = entries.sortBy(e => -e.idMax.get)
+        val cum = byMaxDesc.scanLeft(0L)(_ + _.rows.get).tail
+        val prefix = byMaxDesc.take(cum.indexWhere(_ >= n) + 1)
+        val bound = prefix.map(_.idMin.get).min
+        readFiles(entries.filter(_.idMax.get >= bound))
+      }
+    Some(scan.select(col(idCol))
+      .orderBy(col(idCol).desc).limit(n.toInt)
+      .agg(min(col(idCol))).head.get(0).asInstanceOf[Number].longValue())
   }
 
   /** Fast insert, no existence check (reference @NoCheck path): new

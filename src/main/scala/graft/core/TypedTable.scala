@@ -62,12 +62,12 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
         val keepIds = df.filter(col(idc) =!= 0)
         if (needGen.isEmpty) df
         else {
+          // id base from manifest stats — metadata-only, no table scan
+          // per insert batch (TableStore.maxId falls back to a scan
+          // only for legacy stat-less manifests)
           val base: Long =
             if (!store.exists) 0L
-            else store.read.agg(max(col(idc))).head.get(0) match {
-              case null => 0L
-              case n: Number => math.max(0L, n.longValue())
-            }
+            else store.maxId.map(m => math.max(0L, m)).getOrElse(0L)
           keepIds.unionByName(
             needGen.withColumn(idc, lit(base + 1) + monotonically_increasing_id()))
         }
@@ -80,17 +80,11 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
   def find(id: Any): Option[T] = store.find(id).as[T].collect().headOption
 
   /** @Threshold retention: keep only the newest n rows by id order.
-    * Cutoff from a top-n over ids only (column-pruned scan), then a
-    * manifest-pruned truncation: whole files below the cutoff drop
-    * with no I/O, only the straddling file is rewritten. */
-  private def enforceThreshold(n: Long): Unit = {
-    val idc = meta.idCol
-    val total = store.read.count()
-    if (total > n) {
-      val cutoff = store.read.select(col(idc))
-        .orderBy(col(idc).desc).limit(n.toInt)
-        .agg(min(col(idc))).head.get(0).asInstanceOf[Number].longValue()
-      store.deleteBelowId(cutoff)
-    }
-  }
+    * Total size and candidate files come from manifest row counts —
+    * the common no-op case (table under threshold) costs zero jobs,
+    * and enforcement scans only the files that can hold a top-n id
+    * (TableStore.newestCutoff), then truncates manifest-pruned: whole
+    * files below the cutoff drop with no I/O. */
+  private def enforceThreshold(n: Long): Unit =
+    store.newestCutoff(n).foreach(store.deleteBelowId)
 }

@@ -13,6 +13,8 @@ case class Person(@(Id @field) person_id: Long, name: String, dept: String)
 @Threshold(5)
 case class LogLine(@(DistributedId @field) id: Long, msg: String)
 
+case class EventRow(@(DistributedId @field) id: Long, v: String)
+
 class SchemaRegistrySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -79,6 +81,56 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(tt.ds.count() == 1)
     assertThrows[UnsupportedOperationException](gs.executeSystem("CONNECT node2"))
     assertThrows[IllegalArgumentException](gs.executeSystem("GARBAGE STATEMENT"))
+  }
+
+  test("persist id-base / @Threshold are metadata-only: correct even with data files gone") {
+    // The manifest carries per-file (idMin, idMax, rowCount); id-base
+    // allocation and threshold sizing must read ONLY that metadata.
+    // Proof: delete every data file under files/ (keeping the
+    // manifest) — a persist that needed a table scan would fail, and a
+    // stats accessor that read data would fail.
+    val gs = new GraftSession(spark)
+    val dir = tmp()
+    val tt = gs.registerEntity[EventRow]("evt_meta", dir)
+    tt.persist((1L to 50L).map(i => EventRow(i, s"v$i")))
+    val filesDir = new java.io.File(s"$dir/files")
+    filesDir.listFiles().foreach(f => assert(f.delete()))
+    // metadata accessors still answer from the manifest alone
+    assert(tt.store.rowCountFromManifest.contains(50L))
+    assert(tt.store.maxId.contains(50L))
+    assert(tt.store.newestCutoff(100L).isEmpty) // under threshold: zero jobs
+    // generated-id persist: base comes from manifest idMax; the new ids
+    // (51+) overlap no existing file range, so nothing old is read
+    tt.persist(Seq(EventRow(0, "gen1"), EventRow(0, "gen2")))
+    assert(tt.store.maxId.exists(_ > 50L))
+    assert(tt.store.rowCountFromManifest.contains(52L))
+  }
+
+  test("newestCutoff scans only files that can contain a top-n id") {
+    val gs = new GraftSession(spark)
+    val dir = tmp()
+    val tt = gs.registerEntity[EventRow]("evt_cutoff", dir)
+    // three appended files with disjoint id ranges
+    tt.store.append(spark.createDataset((1L to 10L).map(i => EventRow(i, "a"))).toDF())
+    tt.store.append(spark.createDataset((11L to 20L).map(i => EventRow(i, "b"))).toDF())
+    tt.store.append(spark.createDataset((21L to 30L).map(i => EventRow(i, "c"))).toDF())
+    // delete the data of the two LOW-RANGE files (footer max id <= 20):
+    // a cutoff for n=5 only needs ids from the newest range, so file
+    // pruning must keep newestCutoff working without them
+    new java.io.File(s"$dir/files").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), spark.sparkContext.hadoopConfiguration))
+      val blocks = reader.getFooter.getBlocks
+      reader.close()
+      import scala.jdk.CollectionConverters._
+      val maxId = blocks.asScala.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == "id"))
+        .map(_.getStatistics.genericGetMax.asInstanceOf[Number].longValue()).max
+      if (maxId <= 20L) assert(f.delete()) // files for ranges 1-10, 11-20
+    }
+    assert(tt.store.newestCutoff(5L).contains(26L))
   }
 
   test("@Threshold retention truncates oldest rows on persist") {
