@@ -21,6 +21,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // PROCESS callbacks are at-least-once under task retries; no
+      // speculative duplicates in the bench session (see SCALE.md)
+      .config("spark.speculation", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -60,11 +63,14 @@ object Bench {
         (rand(42) * 1000.0).as("value"),
         concat(lit("user_"), (col("id") % 1000)).as("tag"),
         (col("id") % 32).as("part"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
-      val store = new graft.core.TableStore(spark, dir, "id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_ingest_")
+      val store = new graft.core.TableStore(spark, dir.toString, "id")
       val t0 = System.nanoTime()
       store.append(df)
       val secs = (System.nanoTime() - t0) / 1e9
+      // the 1M-row copy is only needed for the measurement — reclaim it
+      // eagerly rather than letting bench runs accumulate in /tmp
+      graft.core.TempDirs.deleteRecursively(dir)
       nRows / secs
     }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"sf":"$sfDir"}""")

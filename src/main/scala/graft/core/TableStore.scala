@@ -219,13 +219,14 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   private def commit(update: Seq[FileEntry] => Seq[FileEntry]): Unit =
     TableStore.commitLock(path).synchronized {
     // The monitor serializes commits from this driver JVM (where all
-    // table mutations run); the version-rename retry below additionally
-    // catches racing processes on filesystems whose rename is
-    // exclusive (HDFS). Local-FS rename silently overwrites, so the
-    // in-JVM lock is the real guarantee here; cross-JVM multi-writer
-    // needs a storage layer with conditional puts (Delta/Iceberg
-    // commit services) — single-writer-per-table matches the
-    // reference's table lock model anyway.
+    // table mutations run). Cross-PROCESS racers are excluded by a
+    // claim marker: v{N}.claim is taken with an exclusive create
+    // (atomic even on local FS, where a bare rename would silently
+    // overwrite a racing committer's manifest), and only the claim
+    // holder renames its manifest into place — rename stays the
+    // content-visibility barrier, so readers never observe a
+    // half-written manifest. A losing claimer re-reads the latest
+    // entries and retries at the next version (optimistic, merge-aware).
     val f = fs
     f.mkdirs(new Path(versionsDir))
     var attempts = 0
@@ -238,11 +239,25 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       val out = f.create(tmp, false)
       try out.write((entries.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      done = f.rename(tmp, new Path(s"$versionsDir/v${prevVer + 1}.manifest"))
+      val claimed =
+        try { f.create(new Path(s"$versionsDir/v${prevVer + 1}.claim"), false).close(); true }
+        catch { case _: java.io.IOException => false }
+      done = claimed && f.rename(tmp, new Path(s"$versionsDir/v${prevVer + 1}.manifest"))
       if (!done) {
         f.delete(tmp, false)
+        if (!claimed) {
+          // a claim with no manifest after 60s is a crashed committer —
+          // steal it so a dangling marker can't wedge the table
+          val cl = new Path(s"$versionsDir/v${prevVer + 1}.claim")
+          try {
+            if (!f.exists(new Path(s"$versionsDir/v${prevVer + 1}.manifest")) &&
+                System.currentTimeMillis() - f.getFileStatus(cl).getModificationTime > 60000L)
+              f.delete(cl, false)
+          } catch { case _: java.io.IOException => }
+        }
         attempts += 1
         if (attempts > 20) throw new IllegalStateException(s"commit contention at $path")
+        Thread.sleep(5L * attempts) // let the claim holder finish its rename
       }
     }
   }
@@ -446,6 +461,13 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     TableStore.commitLock(path).synchronized {
       val f = fs
       listVersions(f).dropRight(1).foreach { case (_, p) => f.delete(p, false) }
+      // claim markers for superseded versions have done their job
+      val latest = listVersions(f).lastOption.map(_._1).getOrElse(-1L)
+      if (f.exists(new Path(versionsDir)))
+        f.listStatus(new Path(versionsDir)).toSeq.map(_.getPath)
+          .filter(_.getName.matches("v\\d+\\.claim"))
+          .filter(_.getName.stripPrefix("v").stripSuffix(".claim").toLong < latest)
+          .foreach(p => f.delete(p, false))
       val live = currentEntries.map(_.name).toSet
       val cutoff = System.currentTimeMillis() - graceMs
       if (f.exists(new Path(filesDir)))

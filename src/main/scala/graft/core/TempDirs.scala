@@ -1,0 +1,33 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+/** Temp directories for gate/bench table-store round-trips. Gate
+  * queries return lazy DataFrames still reading from their temp store,
+  * so the dir can't be deleted inline — a shutdown hook reclaims every
+  * registered dir when the (short-lived) Verify/Bench JVM exits,
+  * instead of accumulating multi-GB parquet copies in /tmp across runs.
+  */
+object TempDirs {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      dirs.forEach(p => deleteRecursively(p))
+    }))
+
+  /** Create a temp dir that is deleted on JVM exit. */
+  def create(prefix: String): String = {
+    hookInstalled
+    val p = Files.createTempDirectory(prefix)
+    dirs.add(p)
+    p.toString
+  }
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+}

@@ -39,6 +39,13 @@ object Lowering {
 
   final case class AnalysisException2(msg: String) extends RuntimeException(msg)
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.plan.Lowering")
+
+  /** Last single-task window-fallback warning (sticky test hook —
+    * unit tests clear it, run a lowering, and assert). */
+  private[graft] val lastWindowFallbackWarning =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def lower(stmt: SelectStmt, resolve: String => DataFrame,
             compat: Compat = Compat(),
             customAggs: Map[String, Column => Column] = Map.empty): DataFrame = {
@@ -85,17 +92,25 @@ object Lowering {
     val filteredBase = residual.map(c => joined.filter(ctx.lowerCond(c))).getOrElse(joined)
     val filtered = subqs.foldLeft(filteredBase) { (df, s) =>
       val subDf = lower(s.sub, resolve, compat, customAggs)
+      if (subDf.columns.length != 1)
+        throw AnalysisException2("IN [SELECT …] subquery must select exactly one column, " +
+          s"got ${subDf.columns.length}: ${subDf.columns.mkString(", ")}")
       val key = ctx.resolveRef(s.col)
       val subKey = subDf.select(col(subDf.columns.head).as("__graft_subq_key"))
-      if (s.negated)
-        // SQL NOT IN excludes NULL outer keys (NULL NOT IN (...) is
-        // never TRUE) — filter them before the anti join, which would
-        // otherwise keep them. Remaining documented divergence: a NULL
-        // in the SUBQUERY result makes SQL NOT IN return zero rows;
-        // the anti join ignores it (null keys never match).
+      if (s.negated) {
+        // SQL NOT IN three-valued semantics, in full: a NULL outer key
+        // is never TRUE (filtered before the anti join), and a NULL
+        // anywhere in the subquery result makes the predicate UNKNOWN
+        // for every row — zero rows. The guard is a broadcast <=1-row
+        // marker, empty exactly when the subquery contains a NULL, so
+        // the cross join empties the result without a driver round-trip.
+        val guard = subKey
+          .agg(count(when(col("__graft_subq_key").isNull, 1)).as("__graft_nulls"))
+          .filter(col("__graft_nulls") === 0).select(lit(1).as("__graft_guard"))
         df.filter(key.isNotNull)
           .join(subKey, key === col("__graft_subq_key"), "left_anti")
-      else
+          .crossJoin(broadcast(guard)).drop("__graft_guard")
+      } else
         df.join(subKey, key === col("__graft_subq_key"), "left_semi")
     }
 
@@ -223,8 +238,16 @@ object Lowering {
         } else {
           // keyed count window: per-key frames, sort parallelizes by
           // key. Empty keys = compat fallback for non-numeric order
-          // cols (single-partition — the reference's own shape).
+          // cols (single-partition — the reference's own shape); warn
+          // loudly so the shape can't silently surprise at scale.
           val keys = stmt.windowPartition.map(resolveRef)
+          if (keys.isEmpty) {
+            val msg = s"WINDOW BY ${inName(wcol)}: non-numeric order column with no " +
+              "PARTITION BY lowers to a SINGLE-partition window (reference-compatible " +
+              "shape, not the scale path) — add PARTITION BY <key> to distribute state"
+            lastWindowFallbackWarning.set(msg)
+            log.warn(msg)
+          }
           val w = Window.partitionBy(keys: _*).orderBy(order)
             .rowsBetween(-(n - 1), Window.currentRow)
           val rn = row_number().over(Window.partitionBy(keys: _*).orderBy(order))

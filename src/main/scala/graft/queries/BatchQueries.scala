@@ -259,7 +259,7 @@ object BatchQueries {
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
         col("o_orderpriority"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_persist_").toString
+    val tmp = graft.core.TempDirs.create("graft_persist_")
     val store = new graft.core.TableStore(s, tmp, "o_orderkey")
     store.append(base)
     // persist existing ids with a changed column (update arm of upsert)

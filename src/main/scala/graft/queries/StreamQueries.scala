@@ -82,7 +82,7 @@ object StreamQueries {
   def qProcessStream(s: SparkSession, dir: String): DataFrame = {
     val gs = new GraftSession(s)
     gs.registerStreamDir(dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_pstream_").toString
+    val tmp = graft.core.TempDirs.create("graft_pstream_")
     val store = new graft.core.TableStore(s, tmp, "event_id")
     store.append(Tables.load(s, dir, "events"))
     val h = gs.executeStreamProcess(

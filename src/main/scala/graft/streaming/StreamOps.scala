@@ -68,20 +68,21 @@ object StreamOps {
     // Size the state shuffle to the workload: each state partition is a
     // RocksDB/HDFS store instance with per-batch commit overhead; a
     // drained gate query with small keyspaces doesn't need the session's
-    // scan parallelism. The partition count is baked into the (fresh)
-    // checkpoint, so production streams with large keyspaces should set
-    // their own value before start.
+    // scan parallelism. The capped conf lives on an ISOLATED newSession
+    // so a concurrent batch query on `spark` never observes it (the
+    // partition count is baked into the fresh checkpoint; production
+    // streams with large keyspaces set their own session conf).
+    val iso = org.apache.spark.sql.graft.CatalystBridge.isolatedCopy(spark)
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(prev.toIntOption.getOrElse(8), 8).toString)
-    try {
-      val q = stream.writeStream
-        .format("memory").queryName(name).outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(key, prev)
-    spark.table(name)
+    iso.conf.set(key,
+      math.min(spark.conf.get(key).toIntOption.getOrElse(8), 8).toString)
+    val q = org.apache.spark.sql.graft.CatalystBridge.withSession(stream, iso)
+      .writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    iso.table(name)
   }
 
   /** A7/C4 — count-based sliding window over an ordered stream

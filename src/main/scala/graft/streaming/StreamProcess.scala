@@ -54,25 +54,28 @@ object StreamProcess {
             checkpoint: Option[String] = None,
             trigger: Trigger = Trigger.ProcessingTime(100L)): Handle = {
     val processed = new AtomicLong(0L)
+    // The per-batch delete rewrite (an anti-join over the affected
+    // files) is micro-batch-sized work: run it at modest parallelism on
+    // a DEDICATED isolated session, so (a) the cap actually reaches the
+    // rewrite's jobs — the store would otherwise plan through the
+    // session it was built on — and (b) no session-global conf is ever
+    // mutated (a concurrent batch query must never observe a changed
+    // shuffle.partitions).
+    val microStore = store.map { st =>
+      val micro = org.apache.spark.sql.graft.CatalystBridge.isolatedCopy(stream.sparkSession)
+      micro.conf.set("spark.sql.shuffle.partitions", "8")
+      new TableStore(micro, st.path, st.idCol)
+    }
     var w = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // batch jobs here are micro-batch-sized: run them (and the
-        // per-batch delete rewrite) at modest parallelism instead of
-        // the session's scan-sized shuffle partitioning
-        val spark = batch.sparkSession
-        val key = "spark.sql.shuffle.partitions"
-        val prev = spark.conf.get(key)
-        spark.conf.set(key, math.min(prev.toIntOption.getOrElse(8), 8).toString)
-        try {
-          val (consumed, n) = Process.consumedRows(batch, cond, processor)
-          processed.addAndGet(n)
-          if (processor.delete()) (store, streamIdCol) match {
-            case (Some(st), Some(idc)) =>
-              st.deleteKeys(consumed.select(col(idc).as(st.idCol)))
-            case _ => ()
-          }
-          consumed.unpersist()
-        } finally spark.conf.set(key, prev)
+        val (consumed, n) = Process.consumedRows(batch, cond, processor)
+        processed.addAndGet(n)
+        if (processor.delete()) (microStore, streamIdCol) match {
+          case (Some(st), Some(idc)) =>
+            st.deleteKeys(consumed.select(col(idc).as(st.idCol)))
+          case _ => ()
+        }
+        consumed.unpersist()
         ()
       }
       .trigger(trigger)

@@ -13,4 +13,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rebind a DataFrame's logical plan to another session (sharing the
+    * same SparkContext). Lets a streaming query run on an isolated
+    * `newSession()` — with its own SQLConf, e.g. state-store-sized
+    * shuffle partitioning — without mutating the conf of the session
+    * the plan was built on. */
+  def withSession(df: org.apache.spark.sql.DataFrame,
+                  s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.logical)
+
+  /** An isolated copy of the session carrying ALL its runtime conf
+    * (unlike `newSession()`, which resets to initial options — dropping
+    * e.g. legacy-parquet flags set at load time). Conf changes on the
+    * clone are invisible to the original. */
+  def isolatedCopy(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

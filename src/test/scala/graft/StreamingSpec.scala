@@ -228,6 +228,49 @@ class CepSpec extends AnyFunSuite {
     } finally h.stop()
   }
 
+  test("streaming bodies never mutate the caller session's conf (isolated sessions)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.shuffle.partitions"
+    val initial = spark.conf.get(key)
+    // poll the USER session's conf concurrently with streaming work: a
+    // batch query planned at any point during the stream must see the
+    // session's own parallelism, never the stream's capped value
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val polling = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val poller = new Thread(() => while (polling.get()) {
+      observed.add(spark.conf.get(key)); Thread.sleep(2)
+    })
+    poller.start()
+    try {
+      // memory-sink drain (runToMemory: isolated cloned session)
+      val mem = MemoryStream[TestEvent]
+      mem.addData(TestEvent(1, 1, "error", 1.0), TestEvent(2, 1, "click", 2.0))
+      val gs = new GraftSession(spark)
+      gs.registerStream("events", mem.toDF())
+      val plan = gs.executeStreamPlan("select stream e.event_id id from events e")
+      assert(StreamOps.runToMemory(spark, plan, "conf_iso_out",
+        OutputMode.Append()).count() == 2)
+      // PROCESS STREAM with per-batch store deletes (isolated micro session)
+      val dir = java.nio.file.Files.createTempDirectory("graft_confiso_").toString
+      val store = new TableStore(spark, dir, "event_id")
+      store.append(Seq(TestEvent(1, 1, "error", 1.0), TestEvent(2, 1, "click", 2.0)).toDF())
+      val mem2 = MemoryStream[TestEvent]
+      mem2.addData(TestEvent(1, 1, "error", 1.0))
+      val gs2 = new GraftSession(spark)
+      gs2.registerStream("events", mem2.toDF())
+      val h = gs2.executeStreamProcess(
+        "process stream e.event_id from events e within 'test.Handler' where e.event_type = 'error'",
+        DropErrorsForTest, store = Some(store), idCol = Some("event_id"))
+      try h.processAllAvailable() finally h.stop()
+      assert(store.read.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    } finally { polling.set(false); poller.join() }
+    assert(spark.conf.get(key) == initial)
+    import scala.jdk.CollectionConverters._
+    assert(observed.asScala.toSet == Set(initial),
+      s"user session conf leaked during streaming: ${observed.asScala.toSet}")
+  }
+
   test("PROCESS without delete keeps the table intact") {
     val gs = new GraftSession(spark)
     gs.registerDir(sf)
