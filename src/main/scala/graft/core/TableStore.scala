@@ -42,6 +42,12 @@ object TableStore {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def commitLock(path: String): Object =
     locks.computeIfAbsent(path, _ => new Object)
+
+  /** Age after which a claim marker with no manifest is treated as a
+    * crashed committer and stolen. Must be well below the commit retry
+    * budget (~20s of backoff) so a wedged table self-heals within one
+    * commit call. */
+  private[core] val staleClaimMs: Long = 10000L
 }
 
 final class TableStore(val spark: SparkSession, val path: String, val idCol: String) {
@@ -78,6 +84,27 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Exclusive-create of an empty marker file. Hadoop's local
+    * FileSystem implements create(overwrite=false) as exists-then-create
+    * (not atomic), so on file:// paths we take the claim with
+    * java.nio.file.Files.createFile — a true O_CREAT|O_EXCL. On real
+    * cluster filesystems (HDFS, object stores with conditional PUT)
+    * f.create(p, false) is the atomic primitive. */
+  private def createExclusive(f: FileSystem, p: Path): Boolean = {
+    val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
+    if (scheme == "file" || (scheme == null && f.getScheme == "file")) {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try { java.nio.file.Files.createFile(local); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
 
   private def listVersions(f: FileSystem): Seq[(Long, Path)] = {
     val dir = new Path(versionsDir)
@@ -239,25 +266,32 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       val out = f.create(tmp, false)
       try out.write((entries.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      val claimed =
-        try { f.create(new Path(s"$versionsDir/v${prevVer + 1}.claim"), false).close(); true }
-        catch { case _: java.io.IOException => false }
+      val claimPath = new Path(s"$versionsDir/v${prevVer + 1}.claim")
+      val claimed = createExclusive(f, claimPath)
       done = claimed && f.rename(tmp, new Path(s"$versionsDir/v${prevVer + 1}.manifest"))
       if (!done) {
         f.delete(tmp, false)
-        if (!claimed) {
-          // a claim with no manifest after 60s is a crashed committer —
-          // steal it so a dangling marker can't wedge the table
-          val cl = new Path(s"$versionsDir/v${prevVer + 1}.claim")
+        if (claimed) {
+          // our rename failed but we hold the claim — release it, or the
+          // marker is orphaned with no owner and wedges every writer
+          try f.delete(claimPath, false)
+          catch { case _: java.io.IOException => }
+        } else {
+          // a claim with no manifest after staleClaimMs is a crashed
+          // committer — steal it so a dangling marker can't wedge the
+          // table. The retry budget (sum of backoffs below ≈ 20s)
+          // deliberately exceeds this threshold so the steal path is
+          // reachable before "commit contention" fires.
           try {
             if (!f.exists(new Path(s"$versionsDir/v${prevVer + 1}.manifest")) &&
-                System.currentTimeMillis() - f.getFileStatus(cl).getModificationTime > 60000L)
-              f.delete(cl, false)
+                System.currentTimeMillis() -
+                  f.getFileStatus(claimPath).getModificationTime > TableStore.staleClaimMs)
+              f.delete(claimPath, false)
           } catch { case _: java.io.IOException => }
         }
         attempts += 1
-        if (attempts > 20) throw new IllegalStateException(s"commit contention at $path")
-        Thread.sleep(5L * attempts) // let the claim holder finish its rename
+        if (attempts > 40) throw new IllegalStateException(s"commit contention at $path")
+        Thread.sleep(math.min(1000L, 25L * attempts)) // let the claim holder finish its rename
       }
     }
   }
@@ -304,9 +338,13 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     if (entries.forall(_.rows.isDefined)) Some(entries.flatMap(_.rows).sum) else None
   }
 
-  /** Cutoff id such that `deleteBelowId(cutoff)` retains exactly the
-    * newest `n` rows by id order; None when the table already holds
-    * <= n rows. The total comes from manifest row counts, and the
+  /** Cutoff id such that `deleteBelowId(cutoff)` retains the newest
+    * `n` rows by id order; None when the table already holds <= n rows
+    * (or when n exceeds Int.MaxValue — the limit below is an Int, and
+    * a threshold that large is a no-op at any realistic table size).
+    * With duplicate ids the retained count can exceed n: every row
+    * sharing the cutoff id survives `deleteBelowId`, which only
+    * compares ids. The total comes from manifest row counts, and the
     * top-n scan is pruned to files that can contain a top-n id:
     * sort files by idMax desc, take the shortest prefix holding >= n
     * rows, and scan only files with idMax >= that prefix's min idMin
@@ -315,6 +353,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * append-mostly @Threshold table that is the newest file or two,
     * O(affected files) not O(table). */
   private[graft] def newestCutoff(n: Long): Option[Long] = {
+    if (n > Int.MaxValue) return None // limit(Int) would truncate silently
     val entries = currentEntries
     val statted = entries.nonEmpty &&
       entries.forall(e => e.rows.isDefined && e.idMin.isDefined && e.idMax.isDefined)

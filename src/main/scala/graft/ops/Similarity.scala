@@ -108,42 +108,54 @@ object Similarity {
       .select(col("query_id"), col("item_id"), col("cosine"), col("rank"))
   }
 
-  /** Mini k-means (Lloyd) over a bounded driver-side sample — builds
-    * the IVF coarse codebook. The sample is capped at `maxSample` rows
-    * regardless of corpus size (codebook construction is O(sample·k·d),
-    * never O(corpus)); assignment of the full corpus stays distributed
-    * in `ivfAssign`. Deterministic: sample by id order, centroids
-    * seeded at evenly-spaced sample points. */
+  /** Distributed k-means (Lloyd) — builds the IVF coarse codebook.
+    *
+    * Every iteration is DataFrame-side: assign each vector to its
+    * nearest current centroid (a map-only projection against the
+    * literal codebook — no shuffle), then recompute centroids as
+    * per-cell per-dimension means (posexplode + groupBy(cell, pos) —
+    * one k×d-row aggregate). Only k×d doubles ever reach the driver,
+    * per iteration; no row sample is collected.
+    *
+    * The training set is a UNIFORM hash-based sample of the corpus
+    * (~`targetSample` rows, deterministic in `id`) — codebook quality
+    * no longer depends on id-prefix locality, and training cost is
+    * O(sample·k·d) regardless of corpus size. Pass
+    * `targetSample = Int.MaxValue` to train on the full corpus.
+    * Seeding: the k hash-smallest sample vectors (deterministic,
+    * spread uniformly by the hash). */
   def kmeansCentroids(vectors: DataFrame, id: String, vec: String,
-                      k: Int, iters: Int = 5, maxSample: Int = 2000): Array[Array[Double]] = {
-    val sample = vectors.orderBy(col(id)).limit(maxSample)
-      .select(col(vec)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
-    val d = sample.head.length
-    var cents = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      val nn = math.sqrt(na) * math.sqrt(nb)
-      if (nn > 0) dp / nn else 0.0
-    }
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](d))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bestSim = Double.NegativeInfinity
-        var c = 0
-        while (c < k) { val s = cos(v, cents(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1 }
-        var i = 0
-        while (i < d) { sums(best)(i) += v(i); i += 1 }
-        counts(best) += 1
+                      k: Int, iters: Int = 5, targetSample: Int = 20000): Array[Array[Double]] = {
+    val n = vectors.count() // parquet footer counts — metadata-cheap
+    require(n >= k, s"need >= $k vectors, got $n")
+    // deterministic uniform sample: keep ids whose hash lands in the
+    // smallest bucket range (no driver round-trip, no RNG state)
+    val buckets = math.max(1L, n / math.max(1, targetSample))
+    val sampled =
+      (if (buckets <= 1L) vectors.select(col(id).as("__kid"), col(vec).as("__kv"))
+       else vectors.select(col(id).as("__kid"), col(vec).as("__kv"))
+         .filter(pmod(xxhash64(col("__kid")), lit(buckets)) === 0))
+        .persist()
+    try {
+      val seeds = sampled.orderBy(xxhash64(col("__kid")), col("__kid")).limit(k)
+        .select(col("__kv")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(seeds.length >= k, s"sample too small for $k centroids (${seeds.length})")
+      var cents: Array[Array[Double]] = seeds
+      val d = seeds.head.length
+      for (_ <- 0 until iters) {
+        // assign (map-only) then mean per (cell, dim): k*d rows collect
+        val means = sampled
+          .select(array_max(cellSims(col("__kv"), cents)).getField("cell").as("cell"),
+            posexplode(col("__kv")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+          .collect()
+        val next = cents.map(_.clone()) // empty cell keeps its centroid
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next
       }
-      cents = Array.tabulate(k)(c =>
-        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
-        else sums(c).map(_ / counts(c)))
-    }
-    cents
+      cents
+    } finally { sampled.unpersist(); () }
   }
 
   // float literals: the native cosine takes array<float> on both sides

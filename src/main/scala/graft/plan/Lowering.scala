@@ -98,18 +98,24 @@ object Lowering {
       val key = ctx.resolveRef(s.col)
       val subKey = subDf.select(col(subDf.columns.head).as("__graft_subq_key"))
       if (s.negated) {
-        // SQL NOT IN three-valued semantics, in full: a NULL outer key
-        // is never TRUE (filtered before the anti join), and a NULL
-        // anywhere in the subquery result makes the predicate UNKNOWN
-        // for every row — zero rows. The guard is a broadcast <=1-row
-        // marker, empty exactly when the subquery contains a NULL, so
-        // the cross join empties the result without a driver round-trip.
-        val guard = subKey
-          .agg(count(when(col("__graft_subq_key").isNull, 1)).as("__graft_nulls"))
-          .filter(col("__graft_nulls") === 0).select(lit(1).as("__graft_guard"))
-        df.filter(key.isNotNull)
-          .join(subKey, key === col("__graft_subq_key"), "left_anti")
-          .crossJoin(broadcast(guard)).drop("__graft_guard")
+        // SQL NOT IN three-valued semantics, in full:
+        //  - subquery contains a NULL → UNKNOWN for every row → zero rows
+        //  - NULL outer key → UNKNOWN (dropped), EXCEPT when the
+        //    subquery is empty: x NOT IN (empty set) is TRUE even for
+        //    NULL x, so NULL keys survive only then
+        //  - otherwise: keep rows whose key matches nothing (anti join;
+        //    NULL keys pass the anti join trivially and are culled by
+        //    the key-null guard below)
+        // The stats marker is one broadcast row (count + null-count of
+        // the subquery result) — no driver round-trip.
+        val stats = broadcast(subKey.agg(
+          count(lit(1)).as("__graft_sub_cnt"),
+          count(when(col("__graft_subq_key").isNull, 1)).as("__graft_sub_nulls")))
+        df.join(subKey, key === col("__graft_subq_key"), "left_anti")
+          .crossJoin(stats)
+          .filter(col("__graft_sub_nulls") === 0 &&
+            (key.isNotNull || col("__graft_sub_cnt") === 0))
+          .drop("__graft_sub_cnt", "__graft_sub_nulls")
       } else
         df.join(subKey, key === col("__graft_subq_key"), "left_semi")
     }

@@ -180,6 +180,57 @@ class LoweringSpec extends AnyFunSuite {
          where o.o_orderstatus = 'F' or o.o_orderkey in [select l.l_orderkey from lineitem l]"""))
   }
 
+  test("NOT IN [SELECT ...] three-valued semantics: null keys, null subquery, empty subquery") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.register("t", Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("k"))
+    g.register("sub_plain", Seq(1L).toDF("v"))
+    g.register("sub_withnull", Seq(Option(1L), Option.empty[Long]).toDF("v"))
+    g.register("sub_empty", Seq.empty[Long].toDF("v"))
+    // non-empty subquery: NULL outer key is UNKNOWN → dropped; 2 survives
+    val plain = g.execute("select t.k from t t where t.k not in [select s.v from sub_plain s]")
+    assert(plain.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // NULL anywhere in the subquery → UNKNOWN for every row → zero rows
+    assert(g.execute(
+      "select t.k from t t where t.k not in [select s.v from sub_withnull s]").count() == 0)
+    // EMPTY subquery: x NOT IN (empty) is TRUE for every x, even NULL —
+    // all 3 rows survive, including the NULL key
+    assert(g.execute(
+      "select t.k from t t where t.k not in [select s.v from sub_empty s]").count() == 3)
+  }
+
+  test("date </> comparisons are a dialect EXTENSION (reference: equality/IN only)") {
+    // sql/NestedCondition.java:190-216 admits only = and IN on Date
+    // columns; graft additionally lowers < <= > >= on dates. Lock the
+    // divergence: equality matches the reference, range is the
+    // documented extension (README "Divergences").
+    import org.apache.spark.sql.functions.col
+    val eq = gs.execute(
+      "select o.o_orderkey k from orders o where o.o_orderdate = '04.03.1997'")
+    val eqExpect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") === java.sql.Timestamp.valueOf("1997-03-04 00:00:00")).count()
+    assert(eq.count() == eqExpect)
+    val lt = gs.execute(
+      "select o.o_orderkey k from orders o where o.o_orderdate < '01.01.1997'")
+    val ltExpect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") < java.sql.Timestamp.valueOf("1997-01-01 00:00:00")).count()
+    assert(lt.count() == ltExpect && ltExpect > 0)
+  }
+
+  test("non-numeric global WINDOW BY warns about the single-task fallback") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.register("wt", Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("s", "v"))
+    Lowering.lastWindowFallbackWarning.set(null)
+    g.execute("select count(t.v) c from wt t window by t.s interval = 2")
+    assert(Option(Lowering.lastWindowFallbackWarning.get())
+      .exists(_.contains("SINGLE-partition")), "fallback must warn")
+    // numeric order column takes the bucketed scale path — no warning
+    Lowering.lastWindowFallbackWarning.set(null)
+    gs.execute("select count(e.value) c from events e window by e.event_id interval = 10")
+    assert(Lowering.lastWindowFallbackWarning.get() == null)
+  }
+
   test("quoted empty string is NULL (reference quirk)") {
     // '' parses to a null literal (sql/ValueCondition.java:58-60):
     // comparisons with it match nothing, in either direction

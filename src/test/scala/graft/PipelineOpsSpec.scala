@@ -70,8 +70,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val hits = exact.count { case (q, item) => approx.get(q).contains(item) }
     val recall = hits.toDouble / exact.size
     // random 64-dim data: nearest neighbors sit near cos≈0.4 (θ≈66°) —
-    // per-table collision ≈0.63^4≈0.16, 8 tables → ≈1-(1-0.16)^8≈0.75
-    assert(recall >= 0.5, s"lsh top-1 recall $recall")
+    // per-table collision ≈0.63^4≈0.16, 8 tables → ≈1-(1-0.16)^8≈0.75.
+    // Floor = expected minus noise margin, so a signature-kernel
+    // regression can't hide behind a slack bar.
+    assert(recall >= 0.65, s"lsh top-1 recall $recall (expected ≈0.75)")
     assert(approx.nonEmpty)
   }
 
@@ -92,8 +94,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(truth.nonEmpty, "fixture should contain similar pairs at the test threshold")
     val recall = truth.count(got.contains).toDouble / truth.size
     // cos>=0.45 ⇒ θ<=63°: per-table collision (1-θ/π)^4 ≈ 0.18,
-    // 8 tables OR to ≈ 1-(1-0.18)^8 ≈ 0.79 expected recall
-    assert(recall >= 0.5, s"embedding near-dup recall $recall over ${truth.size} pairs")
+    // 8 tables OR to ≈ 1-(1-0.18)^8 ≈ 0.79 expected recall; floor is
+    // expected minus noise margin (small truth set → high variance)
+    assert(recall >= 0.65, s"embedding near-dup recall $recall over ${truth.size} pairs")
     assert(got.forall { case (x, y) => x < y })
   }
 
