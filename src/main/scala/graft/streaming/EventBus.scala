@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList, LinkedBlockingQueue}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** C8 — event subscription (reference persistent/EventSubscriber.java:44-63,
+  * an entityId→subscriberId registry row; matched events are shipped to
+  * the subscriber's session). The reference delivers over its cluster
+  * transport (S8, out of scope here); graft terminates the fan-out in
+  * bounded per-subscriber queues — the same client boundary StreamHandle
+  * draws for SELECT STREAM results, so swapping a queue for a network
+  * sink is a one-method change.
+  *
+  * Shape: ONE continuous query per entity stream (`dispatch`), with the
+  * subscriber fan-out inside `foreachBatch` — adding a subscriber is a
+  * registry insert, not a new streaming query, matching the reference's
+  * loop over EventSubscriber rows. Each micro-batch is cached once and
+  * each subscriber's (optional) predicate filters it independently, so
+  * N subscribers cost N filters over one in-memory batch, not N source
+  * re-reads.
+  */
+final class EventSubscription private[streaming] (
+    val entityId: String,
+    val subscriberId: String,
+    private[streaming] val predicate: Option[Column],
+    capacity: Int) {
+
+  private val queue = new LinkedBlockingQueue[Row](capacity)
+
+  private[streaming] def deliver(matched: DataFrame): Unit = {
+    // toLocalIterator bounds driver memory at one partition; a full
+    // queue blocks the dispatcher — per-subscriber backpressure, the
+    // StreamHandle contract
+    val it = matched.toLocalIterator()
+    while (it.hasNext) queue.put(it.next())
+  }
+
+  /** Next undelivered event, if any. */
+  def poll(): Option[Row] = Option(queue.poll())
+
+  /** Drain everything currently delivered. */
+  def pollAll(): Seq[Row] = {
+    val buf = new java.util.ArrayList[Row]()
+    queue.drainTo(buf)
+    scala.jdk.CollectionConverters.ListHasAsScala(buf).asScala.toSeq
+  }
+}
+
+final class EventBus {
+
+  private val registry =
+    new ConcurrentHashMap[String, CopyOnWriteArrayList[EventSubscription]]()
+
+  /** Register subscriberId for entityId's events. `predicate` narrows
+    * the delivered rows (the reference routes every event of the
+    * entity; a predicate is the natural Spark extension — None matches
+    * all). Queue capacity mirrors StreamQueue's 10 000 bound. */
+  def subscribe(entityId: String, subscriberId: String,
+                predicate: Option[Column] = None,
+                capacity: Int = 10000): EventSubscription = {
+    val sub = new EventSubscription(entityId, subscriberId, predicate, capacity)
+    registry.computeIfAbsent(entityId, _ => new CopyOnWriteArrayList[EventSubscription]())
+      .add(sub)
+    sub
+  }
+
+  /** Drop one subscription; delivery to others is unaffected. */
+  def unsubscribe(sub: EventSubscription): Unit = {
+    val subs = registry.get(sub.entityId)
+    if (subs != null) { subs.remove(sub); () }
+  }
+
+  /** Start the single dispatcher query for `entityId` over its event
+    * stream. Subscribers added AFTER start receive events from the next
+    * micro-batch on — registration is a live registry insert, exactly
+    * the reference's insert-an-EventSubscriber-row semantics. */
+  def dispatch(entityId: String, stream: DataFrame,
+               checkpoint: Option[String] = None,
+               triggerMs: Long = 100L): StreamingQuery = {
+    var w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val subs = registry.get(entityId)
+        if (subs != null && !subs.isEmpty) {
+          val cached = batch.persist()
+          try {
+            cached.count() // materialize once before the fan-out filters
+            subs.forEach { sub =>
+              sub.deliver(sub.predicate.map(cached.filter).getOrElse(cached))
+            }
+          } finally { cached.unpersist(); () }
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(triggerMs))
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    w.start()
+  }
+}

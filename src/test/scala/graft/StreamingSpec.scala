@@ -37,6 +37,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("event subscription routes disjoint streams to two subscribers (C8)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    mem.addData(TestEvent(1, 1, "error", 1.0), TestEvent(2, 1, "click", 2.0))
+    val bus = new graft.streaming.EventBus
+    val errors = bus.subscribe("events", "subA", Some(col("event_type") === "error"))
+    val clicks = bus.subscribe("events", "subB", Some(col("event_type") === "click"))
+    val q = bus.dispatch("events", mem.toDF())
+    try {
+      q.processAllAvailable()
+      // late registration: subC joins after the first batch and only
+      // sees events from the next one (reference: registry-row insert)
+      val late = bus.subscribe("events", "subC", Some(col("event_type") === "error"))
+      mem.addData(TestEvent(3, 2, "error", 3.0), TestEvent(4, 2, "view", 4.0))
+      q.processAllAvailable()
+      val gotErrors = errors.pollAll().map(_.getLong(0)).sorted
+      val gotClicks = clicks.pollAll().map(_.getLong(0)).sorted
+      val gotLate = late.pollAll().map(_.getLong(0)).sorted
+      assert(gotErrors == Seq(1L, 3L), s"subA: $gotErrors")
+      assert(gotClicks == Seq(2L), s"subB: $gotClicks")
+      assert(gotLate == Seq(3L), s"subC (late): $gotLate")
+      // unsubscribe stops delivery to that subscriber only
+      bus.unsubscribe(errors)
+      mem.addData(TestEvent(5, 3, "error", 5.0))
+      q.processAllAvailable()
+      assert(errors.pollAll().isEmpty)
+      assert(late.pollAll().map(_.getLong(0)) == Seq(5L))
+    } finally q.stop()
+  }
+
   test("streaming tumbling group-by revises per key (C3)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TestEvent]
