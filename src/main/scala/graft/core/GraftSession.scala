@@ -45,9 +45,12 @@ class GraftSession(val spark: SparkSession,
     tt
   }
 
-  /** Register every driver-generated parquet table from a sf dir. */
+  /** Register every driver-generated parquet table from a sf dir.
+    * Lazy: a table's scan (and its one-time schema read) is built only
+    * when a query first references it — a session touching 2 of 10
+    * tables pays 2 schema resolutions, not 10. */
   def registerDir(dir: String): Unit =
-    Tables.names.foreach(n => register(n, Tables.load(spark, dir, n)))
+    Tables.names.foreach(n => registerProvider(n, () => Tables.load(spark, dir, n)))
 
   def table(name: String): DataFrame =
     tables.getOrElse(name.toLowerCase,
@@ -138,22 +141,24 @@ class GraftSession(val spark: SparkSession,
     execute(sql).as[T]
 
   // ---- streaming (SELECT STREAM — reference C1-C4) -------------------
-  private val streams = TrieMap.empty[String, DataFrame]
+  private val streams = TrieMap.empty[String, () => DataFrame]
 
   /** Register a streaming source under a table name (the reference's
     * table-is-a-queue duality: same name, stream scan). */
   def registerStream(name: String, stream: DataFrame): Unit = {
     require(stream.isStreaming, s"$name is not a streaming DataFrame")
-    streams.put(name.toLowerCase, stream)
+    streams.put(name.toLowerCase, () => stream)
   }
 
-  /** Register streaming scans over every parquet table in a sf dir. */
+  /** Register streaming scans over every parquet table in a sf dir.
+    * Lazy, like registerDir: only queried tables resolve a schema. */
   def registerStreamDir(dir: String): Unit =
-    Tables.names.foreach(n => registerStream(n, Tables.loadStream(spark, dir, n)))
+    Tables.names.foreach(n => streams.put(n.toLowerCase,
+      () => Tables.loadStream(spark, dir, n)))
 
   def streamTable(name: String): DataFrame =
     streams.getOrElse(name.toLowerCase,
-      throw new IllegalArgumentException(s"stream not registered: $name"))
+      throw new IllegalArgumentException(s"stream not registered: $name"))()
 
   /** Lower a SELECT STREAM statement to an unstarted streaming
     * DataFrame (filter/project, tumbling group-by, or count window —

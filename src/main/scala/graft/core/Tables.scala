@@ -20,19 +20,28 @@ object Tables {
     if (!spark.conf.getOption(k).contains("true")) spark.conf.set(k, "true")
   }
 
+  /** Schema per table path — the testdata tables are immutable, so one
+    * footer read serves every GraftSession/query in the JVM (each gate
+    * query builds a fresh session; without the cache each one re-ran
+    * schema inference — a listing + footer read per table). */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureNanosConf(spark)
-    fixup(name, spark.read.parquet(s"$dir/$name.parquet"))
+    val p = s"$dir/$name.parquet"
+    fixup(name, spark.read.schema(schemaOf(spark, p)).parquet(p))
   }
 
   /** Streaming scan of the same table (backlog + tail — the reference's
     * SELECT STREAM source, sql/SQLCursor.java:339-430). */
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureNanosConf(spark)
-    val raw = spark.read.parquet(s"$dir/$name.parquet").schema
     // file stream sources need a directory basePath; select the single
     // table file with a glob filter
-    fixup(name, spark.readStream.schema(raw)
+    fixup(name, spark.readStream.schema(schemaOf(spark, s"$dir/$name.parquet"))
       .option("basePath", dir)
       .option("pathGlobFilter", s"$name.parquet")
       .parquet(dir))

@@ -24,6 +24,21 @@ object TempDirs {
     p.toString
   }
 
+  /** Temp dir on tmpfs (/dev/shm) when available, else java.io.tmpdir.
+    * Streaming checkpoint latency is dominated by many tiny offset/WAL/
+    * state-delta file writes; a RAM-backed fs makes those free. For the
+    * LOCAL gate/test harness only — on a cluster a checkpoint must live
+    * on storage every node (and a restarted driver) can reach. */
+  def createFast(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) {
+      hookInstalled
+      val p = Files.createTempDirectory(shm, prefix)
+      dirs.add(p)
+      p.toString
+    } else create(prefix)
+  }
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

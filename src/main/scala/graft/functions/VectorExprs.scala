@@ -43,6 +43,55 @@ object VectorSim {
     (java.lang.Math.floorMod(TextHash.combine(plane.toLong, d.toLong), 2000001L)
       - 1000000L).toDouble / 1000000.0
 
+  /** Cells of a pre-NORMALIZED codebook ranked by dot product with `v`
+    * (== cosine ranking: |v| is constant across cells), top `n` cell
+    * ids descending; ties keep the lower cell. Selection by repeated
+    * scan — n and the codebook are both small (coarse quantizer). */
+  def nearestCells(v: ArrayData, cbNorm: Array[Array[Double]], n: Int): Array[Int] = {
+    val k = cbNorm.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cbNorm(c)
+      val d = math.min(v.numElements(), cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += v.getFloat(i).toDouble * cent(i); i += 1 }
+      sims(c) = acc
+      c += 1
+    }
+    val out = new Array[Int](math.min(n, k))
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < out.length) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && sims(c) > bestSim) { bestSim = sims(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    out
+  }
+
+  def nearestCell(v: ArrayData, cbNorm: Array[Array[Double]]): Int =
+    nearestCells(v, cbNorm, 1)(0)
+
+  def nearestCellsData(v: ArrayData, cbNorm: Array[Array[Double]], n: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(nearestCells(v, cbNorm, n))
+
+  /** L2-normalize a codebook once, driver-side, so per-row ranking is a
+    * plain dot product. Zero-norm centroids stay zero (sim 0). */
+  def normalizeCodebook(cb: Array[Array[Double]]): Array[Array[Double]] =
+    cb.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n > 0) c.map(_ / n) else c.clone()
+    }
+
   /** Sign-bit signature over `planes` fixed hyperplanes → one long
     * bucket key; `seed` selects the hyperplane family (one per LSH
     * table). */
@@ -98,10 +147,38 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** Top-`n` nearest codebook cells for a vector, ranked by cosine,
+  * as array<int> descending. The codebook rides along as a codegen
+  * REFERENCE OBJECT, not as literal expressions: a k×d codebook as
+  * `lit()`s costs k·d literal nodes compiled into every plan that
+  * touches it (and Janino can't cache across plans because the source
+  * differs per codebook); here the generated source is codebook-
+  * independent, so repeated IVF/k-means plans hit the codegen cache. */
+case class NearestCellsExpr(child: Expression, codebook: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  private lazy val cbNorm = VectorSim.normalizeCodebook(codebook)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<float> column")
+  }
+  override def prettyName: String = "graft_nearest_cells"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorSim.nearestCellsData(v.asInstanceOf[ArrayData], cbNorm, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cbNorm", cbNorm, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorSim.nearestCellsData($c, $cb, $n)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     CatalystBridge.column(CosineSim(CatalystBridge.expression(a), CatalystBridge.expression(b)))
   def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 0): Column =
     CatalystBridge.column(HyperplaneSigExpr(CatalystBridge.expression(vec), planes, seed))
+  def nearestCells(vec: Column, codebook: Array[Array[Double]], n: Int): Column =
+    CatalystBridge.column(NearestCellsExpr(CatalystBridge.expression(vec), codebook, n))
 }

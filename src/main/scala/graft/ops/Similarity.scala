@@ -120,12 +120,13 @@ object Similarity {
     * The training set is a UNIFORM hash-based sample of the corpus
     * (~`targetSample` rows, deterministic in `id`) — codebook quality
     * no longer depends on id-prefix locality, and training cost is
-    * O(sample·k·d) regardless of corpus size. Pass
-    * `targetSample = Int.MaxValue` to train on the full corpus.
-    * Seeding: the k hash-smallest sample vectors (deterministic,
-    * spread uniformly by the hash). */
+    * O(sample·k·d) regardless of corpus size. The default (4 000) gives
+    * ≥250 training vectors per centroid at k=16; raise it with k
+    * (≈250·k). Pass `targetSample = Int.MaxValue` to train on the
+    * full corpus. Seeding: the k hash-smallest sample vectors
+    * (deterministic, spread uniformly by the hash). */
   def kmeansCentroids(vectors: DataFrame, id: String, vec: String,
-                      k: Int, iters: Int = 5, targetSample: Int = 20000): Array[Array[Double]] = {
+                      k: Int, iters: Int = 5, targetSample: Int = 4000): Array[Array[Double]] = {
     val n = vectors.count() // parquet footer counts — metadata-cheap
     require(n >= k, s"need >= $k vectors, got $n")
     // deterministic uniform sample: keep ids whose hash lands in the
@@ -146,7 +147,7 @@ object Similarity {
       for (_ <- 0 until iters) {
         // assign (map-only) then mean per (cell, dim): k*d rows collect
         val means = sampled
-          .select(array_max(cellSims(col("__kv"), cents)).getField("cell").as("cell"),
+          .select(nearestCell(col("__kv"), cents).as("cell"),
             posexplode(col("__kv")).as(Seq("pos", "x")))
           .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
           .collect()
@@ -158,28 +159,22 @@ object Similarity {
     } finally { sampled.unpersist(); () }
   }
 
-  // float literals: the native cosine takes array<float> on both sides
-  private def centroidLit(c: Array[Double]): Column =
-    array(c.map(x => lit(x.toFloat)): _*)
-
-  /** Per-row array of (sim, cell) structs against the literal codebook —
-    * a single narrow projection: no crossJoin, no shuffle, no window.
-    * Struct ordering compares sim first, so array_max/array_sort rank
-    * cells by similarity. */
-  private def cellSims(vec: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, centroidLit(c)).as("sim"), lit(i).as("cell"))
-    }: _*)
+  /** Nearest-cell rank against the codebook — one native expression
+    * (graft.functions.NearestCellsExpr): the codebook travels as a
+    * codegen reference object, so the generated code is codebook-
+    * independent and cached across k-means iterations and IVF plans
+    * (a literal-array codebook recompiled k·d literal nodes per plan —
+    * the dominant cost of the previous shape). */
+  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(graft.functions.VectorFunctions.nearestCells(vec, centroids, 1), 1)
 
   /** IVF coarse quantization: assign every vector to its nearest
-    * centroid cell. The codebook is baked in as literals (built by
-    * `kmeansCentroids`), so assignment is map-side only — the
-    * partition-by-cell layout is what makes 100 TB ANN tractable:
-    * each query later touches nprobe/|cells| of the corpus. */
+    * centroid cell. Map-side only (no shuffle) — the partition-by-cell
+    * layout is what makes 100 TB ANN tractable: each query later
+    * touches nprobe/|cells| of the corpus. */
   def ivfAssign(vectors: DataFrame, id: String, vec: String,
                 centroids: Array[Array[Double]]): DataFrame =
-    vectors.select(col(id), col(vec),
-      array_max(cellSims(col(vec), centroids)).getField("cell").as("cell"))
+    vectors.select(col(id), col(vec), nearestCell(col(vec), centroids).as("cell"))
 
   /** IVF approximate top-k: corpus partitioned by nearest cell, each
     * query probes its `nprobe` nearest cells, exact cosine rank within
@@ -193,10 +188,9 @@ object Similarity {
               k: Int, centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
     val c = ivfAssign(corpus, corpusId, corpusVec, centroids)
       .select(col(corpusId).as("item_id"), col(corpusVec).as("item_vec"), col("cell"))
-    val probes = slice(reverse(array_sort(cellSims(col(queryVec), centroids))), 1, nprobe)
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"),
-        explode(probes).as("p"))
-      .select(col("query_id"), col("query_vec"), col("p.cell").as("cell"))
+        explode(graft.functions.VectorFunctions.nearestCells(
+          col(queryVec), centroids, nprobe)).as("cell"))
     val cand = c.join(broadcast(q), Seq("cell"))
       .filter(col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))

@@ -93,13 +93,15 @@ object PipelineQueries {
       .orderBy(col("query_id"))
   }
 
-  /** IVF approximate top-k: mini-k-means codebook (bounded driver-side
-    * sample), shuffle-free cell assignment, nprobe cell probing —
-    * recall vs brute-force asserted in PipelineOpsSpec. Rows-only gate
-    * (approximate results have no SQL oracle). */
+  /** IVF approximate top-k: distributed-Lloyd codebook over a uniform
+    * hash-sample (only k×d doubles reach the driver), shuffle-free cell
+    * assignment, nprobe cell probing — recall vs brute-force asserted
+    * in PipelineOpsSpec. Rows-only gate (approximate results have no
+    * SQL oracle). 3 Lloyd iterations: a coarse quantizer converges in
+    * 2-3 — more iterations buy assignment time, not recall. */
   def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 5)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 3)
     val queries = e.filter(col("vec_id") < 200)
     Similarity.ivfTopK(e, "vec_id", "embedding", queries, "vec_id", "embedding",
         k = 3, cents, nprobe = 4)

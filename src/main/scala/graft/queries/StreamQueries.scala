@@ -89,6 +89,9 @@ object StreamQueries {
       """process stream e.event_id from events e within 'graft.queries.DropErrors'
          where e.event_type = 'click' and e.value < 50.0""",
       DropErrors, store = Some(store), idCol = Some("event_id"),
+      // throwaway drain-once checkpoint: tmpfs keeps offset/WAL/commit
+      // fsyncs off the gate timing (cluster runs pass a durable path)
+      checkpoint = Some(graft.core.TempDirs.createFast("graft_pstream_ckpt_")),
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     h.awaitTermination()
     store.read

@@ -75,10 +75,15 @@ object StreamOps {
     val iso = org.apache.spark.sql.graft.CatalystBridge.isolatedCopy(spark)
     val key = "spark.sql.shuffle.partitions"
     iso.conf.set(key,
-      math.min(spark.conf.get(key).toIntOption.getOrElse(8), 8).toString)
+      math.min(spark.conf.get(key).toIntOption.getOrElse(4), 4).toString)
+    // drain-once harness: the checkpoint is throwaway, so put its many
+    // tiny offset/WAL/state-delta writes on tmpfs and retain the
+    // minimum batch history — ~0.4s/batch of fsync latency at sf0.1
+    iso.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     val q = org.apache.spark.sql.graft.CatalystBridge.withSession(stream, iso)
       .writeStream
       .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", graft.core.TempDirs.createFast("graft_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -105,7 +105,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", e, "vec_id", "embedding", k = 1)
       .select("query_id", "item_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 5)
+    // 3 iterations = the gate query's configuration (qSimIvf)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
     val approx = Similarity.ivfTopK(e, "vec_id", "embedding", e, "vec_id", "embedding",
         k = 1, cents, nprobe = 3)
       .select("query_id", "item_id").collect()
