@@ -48,6 +48,8 @@ object SparkEntry {
     "q_sql_custom_agg" -> (DialectQueries.qSqlCustomAgg _),
     "q_sql_in_subquery" -> (DialectQueries.qSqlInSubquery _),
     "q_sql_not_in_subquery" -> (DialectQueries.qSqlNotInSubquery _),
+    "q_sql_not_in_empty" -> (DialectQueries.qSqlNotInEmpty _),
+    "q_sql_date_range" -> (DialectQueries.qSqlDateRange _),
     "q_sql_null_funcs" -> (DialectQueries.qSqlNullFuncs _),
     "q_sql_last"       -> (DialectQueries.qSqlLast _),
     // streaming + CEP (real streaming queries, AvailableNow-drained)
@@ -64,6 +66,7 @@ object SparkEntry {
     "q_dedup_ngram"    -> (PipelineQueries.qDedupNgram _),
     "q_dedup_embed"    -> (PipelineQueries.qDedupEmbed _),
     "q_text_stats"     -> (PipelineQueries.qTextStats _),
+    "q_text_quality"   -> (PipelineQueries.qTextQuality _),
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_sim_bruteforce" -> (PipelineQueries.qSimBruteforce _),
     "q_sim_lsh"        -> (PipelineQueries.qSimLsh _),
@@ -251,6 +254,15 @@ object SparkEntry {
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    "q_sql_not_in_empty" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 1000)
+         ORDER BY o_orderkey""",
+    "q_sql_date_range" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         ORDER BY o_orderkey""",
     "q_sql_null_funcs" ->
       """SELECT o_orderkey AS k, TRY_CAST(o_orderpriority AS DOUBLE) AS nc,
          CAST(o_totalprice AS DOUBLE) AS np
@@ -322,6 +334,28 @@ object SparkEntry {
          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
              w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop
          FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  length(text) AS n_chars,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+                  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+                  len(list_intersect(regexp_split_to_array(trim(lower(text)), '\s+'),
+                      ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS n_stop
+           FROM documents
+         )
+         SELECT doc_id, n_tokens,
+                CASE WHEN n_chars > 0
+                     THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                     ELSE 0.0 END AS punct_ratio,
+                CASE WHEN n_tokens > 0
+                     THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     ELSE 0.0 END AS stopword_ratio,
+                CASE WHEN n_tokens > 0
+                     THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     ELSE 0.0 END AS mean_token_len
+         FROM f ORDER BY doc_id""",
     "q_sim_bruteforce" ->
       """SELECT query_id, item_id FROM (
            SELECT a.vec_id AS query_id, b.vec_id AS item_id,

@@ -107,6 +107,25 @@ object DialectQueries {
          from lineitem l group by l.l_returnflag order by l.l_returnflag""")
   }
 
+  /** NOT IN against an EMPTY subquery result: x NOT IN (empty) is TRUE
+    * for every row — the three-valued edge the anti-join lowering must
+    * not drop (lineitem has no quantity above 1000, so the subquery is
+    * provably empty at every sf). */
+  def qSqlNotInEmpty(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select o.o_orderkey k, o.o_orderstatus st from orders o
+         where o.o_orderkey not in [select l.l_orderkey from lineitem l where l.l_quantity > 1000]
+         order by o.o_orderkey""")
+
+  /** Date RANGE comparisons — a documented dialect extension (the
+    * reference admits only = and IN on Date columns,
+    * sql/NestedCondition.java:190-216). dd.MM.yyyy literals. */
+  def qSqlDateRange(s: SparkSession, dir: String): DataFrame =
+    session(s, dir).execute(
+      """select o.o_orderkey k, o.o_orderstatus st from orders o
+         where o.o_orderdate >= '01.06.1997' and o.o_orderdate < '01.06.1998'
+         order by o.o_orderkey""")
+
   /** LAST with defined order (reference semantics: last by monotonic
     * @Id insertion order, sql/SQLColumn.java:157-188) — lowered to
     * max_by(col, idCol), deterministic under shuffling. */

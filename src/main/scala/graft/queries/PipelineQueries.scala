@@ -71,6 +71,21 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-scoring FEATURES with a full DuckDB oracle: token count,
+    * punctuation ratio, distinct-stopword ratio, mean token length.
+    * Ratios are per-row double divisions of exact integer counts —
+    * IEEE-deterministic in both engines, no rounding needed. */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val f = TextAnalysis.qualityFeatures(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      f.getField("n_tokens").as("n_tokens"),
+      f.getField("punct_ratio").as("punct_ratio"),
+      f.getField("stopword_ratio").as("stopword_ratio"),
+      f.getField("mean_token_len").as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language ID + quality score (heuristics — no SQL oracle; accuracy
     * asserted in PipelineOpsSpec on known-language sentences). */
   def qTextAnalyze(s: SparkSession, dir: String): DataFrame =
