@@ -44,10 +44,13 @@ object TableStore {
     locks.computeIfAbsent(path, _ => new Object)
 
   /** Age after which a claim marker with no manifest is treated as a
-    * crashed committer and stolen. Must be well below the commit retry
-    * budget (~20s of backoff) so a wedged table self-heals within one
-    * commit call. */
-  private[core] val staleClaimMs: Long = 10000L
+    * crashed committer and stolen. High on purpose: stealing from a
+    * LIVE committer that is merely paused (GC, fs hiccup) re-opens the
+    * double-rename lost-update the claim exists to prevent, so the
+    * threshold must exceed any plausible pause. The commit retry budget
+    * (~2 min of backoff) exceeds it, so a genuinely crashed committer
+    * still self-heals within one commit call. */
+  private[core] val staleClaimMs: Long = 60000L
 }
 
 final class TableStore(val spark: SparkSession, val path: String, val idCol: String) {
@@ -85,26 +88,51 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Exclusive-create of an empty marker file. Hadoop's local
-    * FileSystem implements create(overwrite=false) as exists-then-create
-    * (not atomic), so on file:// paths we take the claim with
-    * java.nio.file.Files.createFile — a true O_CREAT|O_EXCL. On real
-    * cluster filesystems (HDFS, object stores with conditional PUT)
-    * f.create(p, false) is the atomic primitive. */
-  private def createExclusive(f: FileSystem, p: Path): Boolean = {
+  /** Exclusive-create of a marker file carrying `token` (this commit
+    * attempt's identity). Hadoop's local FileSystem implements
+    * create(overwrite=false) as exists-then-create (not atomic), so on
+    * file:// paths the claim is taken with java.nio.file CREATE_NEW —
+    * a true O_CREAT|O_EXCL. On real cluster filesystems (HDFS, object
+    * stores with conditional PUT) f.create(p, false) is the atomic
+    * primitive. The create is atomic; the token bytes land just after —
+    * `ownsClaim` treats a not-yet-readable token as not-ours (safe,
+    * merely conservative). */
+  private def createExclusive(f: FileSystem, p: Path, token: String): Boolean = {
     val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
-    if (scheme == "file" || (scheme == null && f.getScheme == "file")) {
-      val local = java.nio.file.Paths.get(p.toUri.getPath)
-      try { java.nio.file.Files.createFile(local); true }
-      catch {
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
+          token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.io.IOException => false
       }
     } else {
-      try { f.create(p, false).close(); true }
+      try {
+        val out = f.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      }
       catch { case _: java.io.IOException => false }
     }
   }
+
+  /** Does the claim at `p` still carry OUR token? Guards the rename:
+    * if a stale-claim steal re-issued the claim to another committer
+    * while we were paused, the token differs and we must NOT rename
+    * (a blind rename would clobber the new owner's manifest — the
+    * double-rename lost-update). Narrows the unsafe window from
+    * claim-to-rename (arbitrarily long under a pause) to
+    * token-read-to-rename (microseconds). */
+  private def ownsClaim(f: FileSystem, p: Path, token: String): Boolean =
+    try {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt == token
+    } catch { case _: java.io.IOException => false }
 
   private def listVersions(f: FileSystem): Seq[(Long, Path)] = {
     val dir = new Path(versionsDir)
@@ -267,19 +295,24 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       try out.write((entries.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       val claimPath = new Path(s"$versionsDir/v${prevVer + 1}.claim")
-      val claimed = createExclusive(f, claimPath)
-      done = claimed && f.rename(tmp, new Path(s"$versionsDir/v${prevVer + 1}.manifest"))
+      val token = UUID.randomUUID().toString
+      val claimed = createExclusive(f, claimPath, token)
+      // re-verify claim ownership immediately before the rename: a
+      // stale-claim steal during a long pause re-issues the claim to
+      // someone else, and renaming anyway would clobber their manifest
+      done = claimed && ownsClaim(f, claimPath, token) &&
+        f.rename(tmp, new Path(s"$versionsDir/v${prevVer + 1}.manifest"))
       if (!done) {
         f.delete(tmp, false)
         if (claimed) {
-          // our rename failed but we hold the claim — release it, or the
-          // marker is orphaned with no owner and wedges every writer
-          try f.delete(claimPath, false)
+          // our rename failed (or our claim was stolen) — release the
+          // marker only if it is still ours, or it wedges every writer
+          try { if (ownsClaim(f, claimPath, token)) f.delete(claimPath, false) }
           catch { case _: java.io.IOException => }
         } else {
           // a claim with no manifest after staleClaimMs is a crashed
           // committer — steal it so a dangling marker can't wedge the
-          // table. The retry budget (sum of backoffs below ≈ 20s)
+          // table. The retry budget (sum of backoffs below ≈ 2 min)
           // deliberately exceeds this threshold so the steal path is
           // reachable before "commit contention" fires.
           try {
@@ -290,8 +323,8 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
           } catch { case _: java.io.IOException => }
         }
         attempts += 1
-        if (attempts > 40) throw new IllegalStateException(s"commit contention at $path")
-        Thread.sleep(math.min(1000L, 25L * attempts)) // let the claim holder finish its rename
+        if (attempts > 80) throw new IllegalStateException(s"commit contention at $path")
+        Thread.sleep(math.min(2000L, 50L * attempts)) // let the claim holder finish its rename
       }
     }
   }

@@ -23,11 +23,18 @@ object Tables {
   /** Schema per table path — the testdata tables are immutable, so one
     * footer read serves every GraftSession/query in the JVM (each gate
     * query builds a fresh session; without the cache each one re-ran
-    * schema inference — a listing + footer read per table). */
+    * schema inference — a listing + footer read per table). JVM-global
+    * and never auto-invalidated BY DESIGN: this registry only fronts
+    * the fixed `names` fixture layout. If a fixture file is regenerated
+    * in-place with a different schema, call `invalidateSchemaCache()`
+    * (mutable tables go through TableStore, never through here). */
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
   private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
     schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+
+  /** Drop all cached schemas (next load re-infers from footers). */
+  def invalidateSchemaCache(): Unit = schemaCache.clear()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureNanosConf(spark)

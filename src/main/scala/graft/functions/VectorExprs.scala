@@ -68,7 +68,10 @@ object VectorSim {
       var bestSim = Double.NegativeInfinity
       c = 0
       while (c < k) {
-        if (!taken(c) && sims(c) > bestSim) { bestSim = sims(c); best = c }
+        // `best == -1` guard: NaN sims (corrupt vector) compare false
+        // against everything — fall back to first untaken cell instead
+        // of indexing with -1
+        if (!taken(c) && (best == -1 || sims(c) > bestSim)) { bestSim = sims(c); best = c }
         c += 1
       }
       taken(best) = true
@@ -156,6 +159,8 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, seed: Int)
   * independent, so repeated IVF/k-means plans hit the codegen cache. */
 case class NearestCellsExpr(child: Expression, codebook: Array[Array[Double]], n: Int)
     extends UnaryExpression {
+  require(codebook.nonEmpty, "codebook must contain at least one centroid")
+  require(n >= 1, s"n must be >= 1, got $n")
   private lazy val cbNorm = VectorSim.normalizeCodebook(codebook)
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

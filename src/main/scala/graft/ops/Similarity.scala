@@ -152,7 +152,13 @@ object Similarity {
           .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
           .collect()
         val next = cents.map(_.clone()) // empty cell keeps its centroid
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        // pos >= d: a sampled vector longer than the seed dimension
+        // (mixed-dimension corpus) — ignore the overflow positions, the
+        // same truncate-to-common-prefix rule the dot-product kernel uses
+        means.foreach { r =>
+          val pos = r.getInt(1)
+          if (pos < d) next(r.getInt(0))(pos) = r.getDouble(2)
+        }
         cents = next
       }
       cents

@@ -85,15 +85,17 @@ object StreamQueries {
     val tmp = graft.core.TempDirs.create("graft_pstream_")
     val store = new graft.core.TableStore(s, tmp, "event_id")
     store.append(Tables.load(s, dir, "events"))
+    // throwaway drain-once checkpoint: tmpfs keeps offset/WAL/commit
+    // fsyncs off the gate timing (cluster runs pass a durable path)
+    val ckpt = graft.core.TempDirs.createFast("graft_pstream_ckpt_")
     val h = gs.executeStreamProcess(
       """process stream e.event_id from events e within 'graft.queries.DropErrors'
          where e.event_type = 'click' and e.value < 50.0""",
       DropErrors, store = Some(store), idCol = Some("event_id"),
-      // throwaway drain-once checkpoint: tmpfs keeps offset/WAL/commit
-      // fsyncs off the gate timing (cluster runs pass a durable path)
-      checkpoint = Some(graft.core.TempDirs.createFast("graft_pstream_ckpt_")),
+      checkpoint = Some(ckpt),
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     h.awaitTermination()
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(ckpt))
     store.read
       .select(col("event_id").as("id"), col("user_id").as("uid"),
         col("event_type").as("t"), col("value").as("v"))

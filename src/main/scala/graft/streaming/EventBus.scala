@@ -27,13 +27,20 @@ final class EventSubscription private[streaming] (
     capacity: Int) {
 
   private val queue = new LinkedBlockingQueue[Row](capacity)
+  @volatile private[streaming] var active = true
 
   private[streaming] def deliver(matched: DataFrame): Unit = {
-    // toLocalIterator bounds driver memory at one partition; a full
-    // queue blocks the dispatcher — per-subscriber backpressure, the
-    // StreamHandle contract
+    // toLocalIterator bounds driver memory at one partition. A full
+    // queue blocks the dispatcher, and the fan-out is serial — so
+    // backpressure is BUS-WIDE: one non-polling subscriber pauses
+    // delivery to every subscriber of the entity (the StreamHandle
+    // contract, fanned out). unsubscribe() drains the stuck queue,
+    // unblocking the bus. Delivery is AT-LEAST-ONCE: a micro-batch
+    // that fails after a partial deliver is re-run by the engine and
+    // re-enqueues its rows — clients needing exactly-once must dedup
+    // on an event key (same contract as PROCESS, see SCALE.md).
     val it = matched.toLocalIterator()
-    while (it.hasNext) queue.put(it.next())
+    while (it.hasNext && active) queue.put(it.next())
   }
 
   /** Next undelivered event, if any. */
@@ -44,6 +51,11 @@ final class EventSubscription private[streaming] (
     val buf = new java.util.ArrayList[Row]()
     queue.drainTo(buf)
     scala.jdk.CollectionConverters.ListHasAsScala(buf).asScala.toSeq
+  }
+
+  private[streaming] def shutdown(): Unit = {
+    active = false
+    queue.clear() // frees a dispatcher blocked on put into this queue
   }
 }
 
@@ -65,10 +77,13 @@ final class EventBus {
     sub
   }
 
-  /** Drop one subscription; delivery to others is unaffected. */
+  /** Drop one subscription; delivery to others is unaffected. Also
+    * drains the subscription's queue, so a dispatcher blocked on this
+    * subscriber's full queue resumes. */
   def unsubscribe(sub: EventSubscription): Unit = {
     val subs = registry.get(sub.entityId)
     if (subs != null) { subs.remove(sub); () }
+    sub.shutdown()
   }
 
   /** Start the single dispatcher query for `entityId` over its event

@@ -80,13 +80,18 @@ object StreamOps {
     // tiny offset/WAL/state-delta writes on tmpfs and retain the
     // minimum batch history — ~0.4s/batch of fsync latency at sf0.1
     iso.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    val ckpt = graft.core.TempDirs.createFast("graft_ckpt_")
     val q = org.apache.spark.sql.graft.CatalystBridge.withSession(stream, iso)
       .writeStream
       .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", graft.core.TempDirs.createFast("graft_ckpt_"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // drain complete, query stopped: reclaim the throwaway checkpoint
+    // now (it lives on RAM-backed tmpfs — waiting for the exit hook
+    // would accumulate one dir per query across a long run)
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(ckpt))
     iso.table(name)
   }
 
