@@ -367,6 +367,21 @@ class TableStoreSpec extends AnyFunSuite {
     assert(versions.toSeq == (0L until versions.length).toSeq, "contiguous version chain")
   }
 
+  test("a stale claim from a crashed committer is stolen; commit proceeds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_claim_").toString
+    val st = new TableStore(spark, dir, "id")
+    st.append(Seq((1L, "a")).toDF("id", "v")) // commits v0
+    // plant a dead committer's claim for the NEXT version, backdated
+    // past the steal threshold (claim with no manifest = crash)
+    val claim = java.nio.file.Paths.get(dir, "_versions", "v1.claim")
+    java.nio.file.Files.write(claim, "dead-committer-token".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    st.append(Seq((2L, "b")).toDF("id", "v")) // must steal the claim and commit v1
+    assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("file-level pruning: upsert/deleteKeys leave non-overlapping files untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
     val st = new TableStore(spark, dir, "id")
