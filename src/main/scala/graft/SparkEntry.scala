@@ -59,6 +59,7 @@ object SparkEntry {
     "q_stream_time_window" -> (StreamQueries.qStreamTimeWindow _),
     "q_process_retained" -> (StreamQueries.qProcessRetained _),
     "q_process_stream" -> (StreamQueries.qProcessStream _),
+    "q_subscription"   -> (StreamQueries.qSubscription _),
     // training-data pipeline ops (documents / embeddings tables)
     "q_dedup_exact"    -> (PipelineQueries.qDedupExact _),
     "q_dedup_minhash"  -> (PipelineQueries.qDedupMinhash _),
@@ -308,6 +309,12 @@ object SparkEntry {
     "q_process_stream" ->
       """SELECT event_id AS id, user_id AS uid, event_type AS t, value AS v
          FROM events WHERE NOT (event_type = 'click' AND value < 50.0) ORDER BY id""",
+    "q_subscription" ->
+      """SELECT * FROM (
+           SELECT 'subA' AS sub, event_id AS id FROM events WHERE event_type = 'error'
+           UNION ALL
+           SELECT 'subB' AS sub, event_id AS id FROM events WHERE event_type = 'purchase'
+         ) ORDER BY sub, id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS group_size
          FROM documents GROUP BY 1 ORDER BY 1""",

@@ -102,6 +102,32 @@ object StreamQueries {
       .orderBy(col("id"))
   }
 
+  /** C8 — event subscription: two subscribers with disjoint predicates
+    * on one entity stream; ONE dispatcher query fans each micro-batch
+    * out to their queues (reference EventSubscriber routing minus the
+    * remote transport). The gate drains the source and returns the
+    * union of delivered (subscriber, event) rows — oracle = two batch
+    * filters unioned. */
+  def qSubscription(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = Tables.loadStream(s, dir, "events")
+    val bus = new graft.streaming.EventBus
+    // capacity above the sf0.1 match count: the gate polls AFTER the
+    // drain, so delivery must not block on a full queue mid-batch
+    val a = bus.subscribe("events", "subA", Some(col("event_type") === "error"),
+      capacity = 1 << 20)
+    val b = bus.subscribe("events", "subB", Some(col("event_type") === "purchase"),
+      capacity = 1 << 20)
+    val ckpt = graft.core.TempDirs.createFast("graft_sub_ckpt_")
+    val q = bus.dispatch("events", stream, checkpoint = Some(ckpt))
+    try q.processAllAvailable() finally q.stop()
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    val idIdx = stream.schema.fieldIndex("event_id")
+    val rows = a.pollAll().map(r => ("subA", r.getLong(idIdx))) ++
+      b.pollAll().map(r => ("subB", r.getLong(idIdx)))
+    rows.toDF("sub", "id").orderBy(col("sub"), col("id"))
+  }
+
   /** C5 — PROCESS … WITHIN: callback per matching row, delete-on-true;
     * returns the retained table (ts excluded: sub-microsecond precision
     * is not representable on the Spark side). */
