@@ -120,6 +120,11 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     }
   }
 
+  private def readUtf8(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   /** Does the claim at `p` still carry OUR token? Guards the rename:
     * if a stale-claim steal re-issued the claim to another committer
     * while we were paused, the token differs and we must NOT rename
@@ -128,11 +133,8 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * claim-to-rename (arbitrarily long under a pause) to
     * token-read-to-rename (microseconds). */
   private def ownsClaim(f: FileSystem, p: Path, token: String): Boolean =
-    try {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      txt == token
-    } catch { case _: java.io.IOException => false }
+    try readUtf8(f, p) == token
+    catch { case _: java.io.IOException => false }
 
   private def listVersions(f: FileSystem): Seq[(Long, Path)] = {
     val dir = new Path(versionsDir)
@@ -146,9 +148,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
 
   private def latestManifest(f: FileSystem): Option[(Long, Seq[FileEntry])] =
     listVersions(f).lastOption.map { case (v, p) =>
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      (v, txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(FileEntry.parse))
+      (v, readUtf8(f, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(FileEntry.parse))
     }
 
   def exists: Boolean = latestManifest(fs).isDefined

@@ -39,6 +39,9 @@ object TempDirs {
     } else create(prefix)
   }
 
+  /** String-path convenience for call sites holding a dir as String. */
+  def delete(path: String): Unit = deleteRecursively(java.nio.file.Paths.get(path))
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

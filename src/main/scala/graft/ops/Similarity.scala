@@ -111,8 +111,8 @@ object Similarity {
   /** Distributed k-means (Lloyd) — builds the IVF coarse codebook.
     *
     * Every iteration is DataFrame-side: assign each vector to its
-    * nearest current centroid (a map-only projection against the
-    * literal codebook — no shuffle), then recompute centroids as
+    * nearest current centroid (a map-only projection via the
+    * reference-object codebook expression — no shuffle), then recompute centroids as
     * per-cell per-dimension means (posexplode + groupBy(cell, pos) —
     * one k×d-row aggregate). Only k×d doubles ever reach the driver,
     * per iteration; no row sample is collected.

@@ -95,7 +95,7 @@ object StreamQueries {
       checkpoint = Some(ckpt),
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     h.awaitTermination()
-    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    graft.core.TempDirs.delete(ckpt)
     store.read
       .select(col("event_id").as("id"), col("user_id").as("uid"),
         col("event_type").as("t"), col("value").as("v"))
@@ -121,7 +121,7 @@ object StreamQueries {
     val ckpt = graft.core.TempDirs.createFast("graft_sub_ckpt_")
     val q = bus.dispatch("events", stream, checkpoint = Some(ckpt))
     try q.processAllAvailable() finally q.stop()
-    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    graft.core.TempDirs.delete(ckpt)
     val idIdx = stream.schema.fieldIndex("event_id")
     val rows = a.pollAll().map(r => ("subA", r.getLong(idIdx))) ++
       b.pollAll().map(r => ("subB", r.getLong(idIdx)))

@@ -91,7 +91,7 @@ object StreamOps {
     // drain complete, query stopped: reclaim the throwaway checkpoint
     // now (it lives on RAM-backed tmpfs — waiting for the exit hook
     // would accumulate one dir per query across a long run)
-    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    graft.core.TempDirs.delete(ckpt)
     iso.table(name)
   }
 
