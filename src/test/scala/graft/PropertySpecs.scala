@@ -73,3 +73,55 @@ class CountWindowProps extends SparkProperties("CountWindow") {
       naive == fast
     }
 }
+
+class NearestCellsProps extends SparkProperties("NearestCells") {
+  import graft.functions.VectorSim
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val dimGen = Gen.chooseNum(1, 8)
+  private def vecGen(d: Int): Gen[Array[Float]] =
+    Gen.listOfN(d, Gen.chooseNum(-100, 100).map(_ / 10.0f)).map(_.toArray)
+
+  // reference ranking: cosine against the RAW codebook, stable by cell
+  private def naiveRank(v: Array[Float], cb: Array[Array[Double]]): List[Int] = {
+    def cos(a: Array[Float], c: Array[Double]): Double = {
+      val n = math.min(a.length, c.length)
+      var dp = 0.0; var i = 0
+      while (i < n) { dp += a(i).toDouble * c(i); i += 1 }
+      var na = 0.0; i = 0
+      while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+      var nc = 0.0; i = 0
+      while (i < c.length) { nc += c(i) * c(i); i += 1 }
+      val nn = math.sqrt(na) * math.sqrt(nc)
+      if (nn > 0) dp / nn else 0.0
+    }
+    cb.indices.sortBy(c => (-cos(v, cb(c)), c)).toList
+  }
+
+  property("kernel top-n ranking == naive cosine argsort (ties by lower cell)") =
+    Prop.forAll(dimGen.flatMap(d =>
+      for {
+        v <- vecGen(d)
+        k <- Gen.chooseNum(1, 6)
+        cb <- Gen.listOfN(k, vecGen(d).map(_.map(_.toDouble)))
+        n <- Gen.chooseNum(1, k)
+      } yield (v, cb.toArray, n))) { case (v, cb, n) =>
+      // zero-norm centroids and exact ties are legitimate generator
+      // outputs; the kernel resolves ties to the lower cell, so compare
+      // against the same rule
+      val got = VectorSim.nearestCells(
+        new GenericArrayData(v.map(_.asInstanceOf[Any])),
+        VectorSim.normalizeCodebook(cb), n).toList
+      val want = naiveRank(v, cb).take(n)
+      // compare by similarity VALUE, not cell id: distinct cells with
+      // equal cosine are interchangeable ranks
+      got.length == n && {
+        def cosOf(c: Int) = {
+          val nd = VectorSim.normalizeCodebook(cb)
+          val d = math.min(v.length, nd(c).length)
+          (0 until d).map(i => v(i).toDouble * nd(c)(i)).sum
+        }
+        got.map(cosOf).zip(want.map(cosOf)).forall { case (a, b) => math.abs(a - b) < 1e-9 }
+      }
+    }
+}
