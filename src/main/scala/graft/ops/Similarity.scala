@@ -182,13 +182,51 @@ object Similarity {
                 centroids: Array[Array[Double]]): DataFrame =
     vectors.select(col(id), col(vec), nearestCell(col(vec), centroids).as("cell"))
 
+  /** Persist the corpus as an on-disk IVF index: one parquet partition
+    * directory per coarse cell. Build cost is one assignment pass +
+    * write; every later query batch reads ONLY its probed cells via
+    * partition pruning (`ivfTopKIndexed`) instead of re-assigning the
+    * corpus — the 100 TB serving shape. */
+  def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    path: String, centroids: Array[Array[Double]]): Unit =
+    ivfAssign(corpus, corpusId, corpusVec, centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Approximate top-k over a persisted IVF index. The distinct probe
+    * cells of the query batch (≤ |codebook| values — bounded, driver-
+    * side) become a static `cell IN (…)` predicate, so the scan's
+    * PartitionFilters prune to probed cell directories: per-batch cost
+    * is ~nprobe/|cells| of the corpus REGARDLESS of corpus size, with
+    * no assignment pass. Same ranking as `ivfTopK` by construction. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"),
+      explode(graft.functions.VectorFunctions.nearestCells(
+        col(queryVec), centroids, nprobe)).as("cell"))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+      .select(col("cell"), col(corpusId).as("item_id"), col(corpusVec).as("item_vec"))
+    val cand = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))
+    val scored = cand.withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF approximate top-k: corpus partitioned by nearest cell, each
     * query probes its `nprobe` nearest cells, exact cosine rank within
     * the probed cells. Recall is tunable via nprobe/|cells|; cost per
     * query is ~nprobe/|cells| of a full scan. At scale, size the
     * codebook ~sqrt(corpus) so cells stay executor-sized, and persist
-    * the cell assignment (partitionBy(cell)) so repeated query batches
-    * skip re-assignment. */
+    * the cell assignment via `buildIvfIndex` so repeated query batches
+    * skip re-assignment (`ivfTopKIndexed`). */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {

@@ -119,6 +119,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(approx.size == exact.size, "every query must get a result")
   }
 
+  test("persisted IVF index: partition-pruned scan, results identical to ivfTopK") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", idx, cents)
+    val queries = e.filter(col("vec_id") < 50)
+    val direct = Similarity.ivfTopK(e, "vec_id", "embedding", queries,
+        "vec_id", "embedding", k = 2, cents, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 2, cents, nprobe = 3)
+    assert(indexed.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      == direct, "indexed path must rank identically to the assignment path")
+    // the scan must prune to probed cell directories: PartitionFilters
+    // carries the cell IN (...) predicate and PartitionCount < 8
+    val scan = indexed.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("cell") && pf.contains("IN"),
+      s"expected `cell IN (…)` partition pruning, got: $pf")
+  }
+
   test("IVF cell assignment is a narrow projection (no shuffle)") {
     val e = Tables.load(spark, sf, "embeddings")
     val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
