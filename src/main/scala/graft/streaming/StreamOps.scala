@@ -134,7 +134,13 @@ object StreamOps {
       specs: Seq[WindowAggSpec], keyCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.{Encoders, Row}
-    val inSchema = stream.schema
+    // project to the referenced columns only: state is n ROWS PER KEY
+    // held across every micro-batch, and the groupByKey shuffle carries
+    // each arriving row — unreferenced columns would inflate both for
+    // the stream's lifetime
+    val needed = (specs.map(_.in) ++ Seq(orderCol) ++ keyCol).distinct
+    val projected = stream.select(needed.map(org.apache.spark.sql.functions.col): _*)
+    val inSchema = projected.schema
     def inType(name: String): DataType = inSchema(name).dataType
     def isIntegral(dt: DataType): Boolean = dt match {
       case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
@@ -186,7 +192,7 @@ object StreamOps {
     val bufEnc: Encoder[Seq[Row]] = Encoders.kryo[Seq[Row]]
     val keyEnc: Encoder[String] = Encoders.STRING
 
-    stream
+    projected
       .groupByKey((r: Row) => keyIdx.map(k => String.valueOf(r.get(k))).getOrElse(""))(keyEnc)
       .flatMapGroupsWithState[Seq[Row], Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Seq[Row]]) =>
