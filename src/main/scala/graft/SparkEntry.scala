@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{BatchQueries, DialectQueries, PipelineQueries, StreamQueries}
+import graft.queries.{BatchQueries, DialectQueries, PipelineQueries, RemoteQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,8 @@ object SparkEntry {
     "q_process_retained" -> (StreamQueries.qProcessRetained _),
     "q_process_stream" -> (StreamQueries.qProcessStream _),
     "q_subscription"   -> (StreamQueries.qSubscription _),
+    // remote client (S8): dialect over the Thrift/JDBC endpoint
+    "q_remote"         -> (RemoteQueries.qRemote _),
     // training-data pipeline ops (documents / embeddings tables)
     "q_dedup_exact"    -> (PipelineQueries.qDedupExact _),
     "q_dedup_minhash"  -> (PipelineQueries.qDedupMinhash _),
@@ -315,6 +317,10 @@ object SparkEntry {
            UNION ALL
            SELECT 'subB' AS sub, event_id AS id FROM events WHERE event_type = 'purchase'
          ) ORDER BY sub, id""",
+    "q_remote" ->
+      """SELECT n_name AS nname, count(c_custkey) AS ncust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS group_size
          FROM documents GROUP BY 1 ORDER BY 1""",

@@ -15,6 +15,9 @@ object Verify {
       // PROCESS callbacks are at-least-once under task retries; no
       // speculative duplicates in the gate session (see SCALE.md)
       .config("spark.speculation", "false")
+      // q_remote (S8) runs the dialect through the Thrift endpoint
+      .config("spark.sql.extensions", "graft.remote.GraftExtensions")
+      .config("spark.sql.warehouse.dir", graft.core.TempDirs.create("graft_wh_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -40,6 +43,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.queries.RemoteQueries.stopAll()
     spark.stop()
   }
 }

@@ -17,6 +17,7 @@ import graft.plan.Lowering
 class GraftSession(val spark: SparkSession,
                    val compat: Lowering.Compat = Lowering.Compat()) {
   private val tables = TrieMap.empty[String, () => DataFrame]
+  private val stores = TrieMap.empty[String, TableStore]
 
   /** registerTable equivalent: name → DataFrame (any source). */
   def register(name: String, df: DataFrame): Unit =
@@ -42,8 +43,21 @@ class GraftSession(val spark: SparkSession,
       beforeWrite = () => if (frozen)
         throw new IllegalStateException("session is frozen (FREEZE); UNFREEZE to persist"))
     registerProvider(name, () => store.read)
+    stores.put(name.toLowerCase, store)
     tt
   }
+
+  /** Register a raw TableStore as a writable dialect table (the typed
+    * path is registerEntity; this is the DataFrame-schema path). Makes
+    * the table a remote-persist target (`INSERT INTO` over the S8
+    * surface, remote/GraftDialect.scala). */
+  def registerStore(name: String, store: TableStore): Unit = {
+    stores.put(name.toLowerCase, store)
+    registerProvider(name, () => store.read)
+  }
+
+  /** Writable store behind a table name, if one backs it. */
+  def store(name: String): Option[TableStore] = stores.get(name.toLowerCase)
 
   /** Register every driver-generated parquet table from a sf dir.
     * Lazy: a table's scan (and its one-time schema read) is built only
@@ -66,6 +80,12 @@ class GraftSession(val spark: SparkSession,
   def registerAggregate(name: String,
       f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
     customAggs.put(name.toUpperCase, f)
+
+  /** Snapshot of the registered custom aggregates (the remote dialect
+    * surface lowers with the same registry — remote/GraftDialect.scala). */
+  private[graft] def customAggregates
+      : Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+    customAggs.toMap
 
   /** Register a typed Aggregator[IN,BUF,OUT] as a dialect aggregate —
     * the real implementation of the reference's F_CUSTOM UDAF surface
@@ -114,14 +134,22 @@ class GraftSession(val spark: SparkSession,
       case Some(AlterSystem(_)) => "ok: instance already started"
       case Some(AlterSession(k, v)) => spark.conf.set(k, v); s"ok: $k=$v"
       case Some(Connect(t)) =>
-        throw new UnsupportedOperationException(
-          s"CONNECT $t: remote sessions are out of scope (SURVEY.md S8)")
+        // reference CONNECT authenticates THIS session against the local
+        // instance (sql/SQLSystem.java:130-144 — auth + session insert);
+        // it is not the remote-client entry point (that is
+        // transport/RemoteSession, here remote/RemoteGraftSession over
+        // the Thrift/JDBC surface). Auth is the cluster manager's job in
+        // Spark; accept and record the identity.
+        connectedAs0 = Some(t); s"ok: connected as $t"
       case None =>
         throw new IllegalArgumentException(s"not a system statement: $sql")
     }
   }
 
   @volatile private var frozen0 = false
+  @volatile private var connectedAs0: Option[String] = None
+  /** Identity recorded by the CONNECT system statement. */
+  def connectedAs: Option[String] = connectedAs0
   /** FREEZE state — TypedTable/TableStore callers consult this before
     * mutating (reference FREEZE halts persistence). */
   def frozen: Boolean = frozen0

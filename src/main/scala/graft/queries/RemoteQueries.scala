@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.core.GraftSession
+import graft.remote.{GraftServer, RemoteGraftSession}
+
+/** S8 gate query: a dialect statement executed end-to-end THROUGH the
+  * remote surface — Thrift endpoint, JDBC wire, batched fetch — and
+  * re-materialized driver-side, the way a reference `RemoteSession`
+  * client consumes results (transport/RemoteResultSet.java poll loop).
+  */
+object RemoteQueries {
+
+  /** One active endpoint per JVM: HiveServer2 holds JVM-global service
+    * state and a second instance refuses to start, so every caller
+    * (gate query, specs) shares this one. Re-keyed if a different sf
+    * dir shows up. */
+  private var current: Option[(String, GraftSession, GraftServer.Handle, RemoteGraftSession)] =
+    None
+
+  /** Server startup is deployment cost, not per-query cost: Bench
+    * warms this before the timed loop, like its parquet-reader warm-up.
+    * Returns the server-side GraftSession too (tests register extra
+    * entities on it). */
+  def endpointSession(s: SparkSession, dir: String): (GraftSession, RemoteGraftSession) =
+    synchronized {
+      current match {
+        case Some((d, gs, _, remote)) if d == dir => (gs, remote)
+        case other =>
+          other.foreach { case (_, _, srv, remote) =>
+            try remote.close() finally srv.stop()
+          }
+          val gs = new GraftSession(s)
+          gs.registerDir(dir)
+          val srv = GraftServer.start(gs)
+          val remote = new RemoteGraftSession("localhost", srv.port)
+          current = Some((dir, gs, srv, remote))
+          (gs, remote)
+      }
+    }
+
+  def endpoint(s: SparkSession, dir: String): RemoteGraftSession =
+    endpointSession(s, dir)._2
+
+  /** Orderly teardown before SparkContext stop (a live endpoint would
+    * log stopped-context errors from its session manager). */
+  def stopAll(): Unit = synchronized {
+    current.foreach { case (_, _, srv, remote) =>
+      try remote.close() finally srv.stop()
+    }
+    current = None
+  }
+
+  /** Dialect join + aggregate over JDBC; the driver sees only the 25
+    * aggregated rows — all heavy lifting stays server-side. */
+  def qRemote(s: SparkSession, dir: String): DataFrame = {
+    val remote = endpoint(s, dir)
+    val rs = remote.execute(
+      """select n.n_name nname, count(c.c_custkey) ncust
+         from customer c, nation n
+         where c.c_nationkey = n.n_nationkey
+         group by n.n_name order by n.n_name""")
+    val rows = rs.map(Row.fromSeq).toList
+    val schema = StructType(Seq(
+      StructField("nname", StringType), StructField("ncust", LongType)))
+    s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+}

@@ -10,6 +10,11 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // graft dialect parser: inert until spark.graft.dialect=on (S8)
+    .config("spark.sql.extensions", "graft.remote.GraftExtensions")
+    // the thrift-server suite would otherwise drop a spark-warehouse/
+    // dir in the repo CWD
+    .config("spark.sql.warehouse.dir", graft.core.TempDirs.create("graft_wh_"))
     .getOrCreate()
 }
 

@@ -79,7 +79,11 @@ class SchemaRegistrySpec extends AnyFunSuite {
     gs.executeSystem("UNFREEZE")
     tt.persist(Seq(Person(1, "x", "y")))
     assert(tt.ds.count() == 1)
-    assertThrows[UnsupportedOperationException](gs.executeSystem("CONNECT node2"))
+    // CONNECT records the identity (reference: local auth + session
+    // insert, sql/SQLSystem.java:130-144); remote clients live in
+    // remote/RemoteGraftSession (S8)
+    assert(gs.executeSystem("CONNECT node2").contains("connected"))
+    assert(gs.connectedAs.contains("node2"))
     assertThrows[IllegalArgumentException](gs.executeSystem("GARBAGE STATEMENT"))
   }
 
