@@ -116,7 +116,8 @@ class GraftSession(val spark: SparkSession,
     * ALTER SYSTEM SHUTDOWN stops this session's active streaming
     * queries (the long-running state a Spark "instance" holds); FREEZE
     * blocks TableStore-style mutation via the returned flag on the
-    * session; CONNECT (remote sessions, S8) is out of v0 scope. */
+    * session; CONNECT records the client identity (reference: local
+    * auth — remote clients are remote/RemoteGraftSession, S8). */
   def executeSystem(sql: String): String = {
     import graft.sqlparse.SystemParser._
     graft.sqlparse.SystemParser.parse(sql) match {

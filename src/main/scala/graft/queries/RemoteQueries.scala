@@ -15,8 +15,8 @@ object RemoteQueries {
 
   /** One active endpoint per JVM: HiveServer2 holds JVM-global service
     * state and a second instance refuses to start, so every caller
-    * (gate query, specs) shares this one. Re-keyed if a different sf
-    * dir shows up. */
+    * (gate query, specs) shares this one — bound to the first sf dir
+    * requested for the life of the JVM. */
   private var current: Option[(String, GraftSession, GraftServer.Handle, RemoteGraftSession)] =
     None
 
@@ -28,10 +28,14 @@ object RemoteQueries {
     synchronized {
       current match {
         case Some((d, gs, _, remote)) if d == dir => (gs, remote)
-        case other =>
-          other.foreach { case (_, _, srv, remote) =>
-            try remote.close() finally srv.stop()
-          }
+        case Some((d, _, _, _)) =>
+          // HiveServer2 cannot be restarted in-process (stop leaves
+          // JVM-global service state behind; an attempted restart
+          // hangs), so a different sf dir is a caller error, not a
+          // re-key. Verify/Bench/test JVMs each use exactly one dir.
+          throw new IllegalStateException(
+            s"remote endpoint already bound to $d in this JVM; cannot rebind to $dir")
+        case None =>
           val gs = new GraftSession(s)
           gs.registerDir(dir)
           val srv = GraftServer.start(gs)

@@ -59,10 +59,17 @@ object GraftDialect {
 
   /** Table resolution: the bound GraftSession's registry first (live
     * TableStore-backed providers), then the executing session's own
-    * catalog (temp views, catalog tables). */
+    * catalog (temp views, catalog tables). Only "not registered" falls
+    * through — a registered table whose provider fails (corrupt
+    * manifest, IO error) must surface that error, not mutate into
+    * TABLE_OR_VIEW_NOT_FOUND. */
   def resolve(s: SparkSession, name: String): DataFrame =
-    bound.flatMap(gs => scala.util.Try(gs.table(name)).toOption)
-      .getOrElse(s.table(name))
+    bound match {
+      case Some(gs) =>
+        try gs.table(name)
+        catch { case _: IllegalArgumentException => s.table(name) }
+      case None => s.table(name)
+    }
 }
 
 /** Delegating parser: dialect-first when enabled, Spark SQL otherwise.
@@ -136,9 +143,17 @@ final case class GraftSystemCommand(sql: String) extends LeafRunnableCommand {
     import SystemParser._
     val status = SystemParser.parse(sql) match {
       case Some(AlterSession(k, v)) => session.conf.set(k, v); s"ok: $k=$v"
-      case Some(_) => GraftDialect.attached match {
+      // stateless acks — same responses attached or not
+      case Some(Commit) | Some(Rollback) =>
+        "ok: reads are committed snapshots; nothing to end"
+      case Some(stmt) => GraftDialect.attached match {
         case Some(gs) => gs.executeSystem(sql)
-        case None => new GraftSession(session).executeSystem(sql)
+        case None =>
+          // FREEZE/SHUTDOWN/CONNECT mutate GraftSession state; running
+          // them on a throwaway session would report success with no
+          // effect
+          throw new IllegalStateException(
+            s"$stmt needs an attached GraftSession (GraftServer.start)")
       }
       case None => throw new IllegalArgumentException(s"not a system statement: $sql")
     }
@@ -162,10 +177,11 @@ final case class GraftInsertCommand(table: String, columns: Seq[String],
     import org.apache.spark.sql.functions.col
     val gs = GraftDialect.attached.getOrElse(
       throw new IllegalStateException("no GraftSession attached (GraftServer.start)"))
-    val store = gs.store(table).getOrElse(
-      throw new IllegalArgumentException(s"no writable store for table: $table"))
+    // frozen first: FREEZE rejects ALL writes, known table or not
     if (gs.frozen)
       throw new IllegalStateException("session is frozen (FREEZE); UNFREEZE to persist")
+    val store = gs.store(table).getOrElse(
+      throw new IllegalArgumentException(s"no writable store for table: $table"))
     val schema = store.read.schema
     val target = if (columns.isEmpty) schema.map(_.name) else columns
     val unknown = target.filterNot(c => schema.exists(_.name.equalsIgnoreCase(c)))

@@ -58,8 +58,16 @@ object GraftServer {
     // in a FRESH dir per start (derby refuses a reused one)
     System.setProperty("derby.system.home",
       graft.core.TempDirs.create("graft_derby_"))
-    val server = HiveThriftServer2.startWithSparkSession(gs.spark, exitOnError = false)
-    new Handle(p, server, prior)
+    try {
+      val server = HiveThriftServer2.startWithSparkSession(gs.spark, exitOnError = false)
+      new Handle(p, server, prior)
+    } catch { case e: Throwable =>
+      // don't leave the process half-configured for a server that
+      // never came up
+      GraftDialect.detach()
+      System.setProperty("hive.server2.thrift.port", prior)
+      throw e
+    }
   }
 
   private def freePort(): Int = {

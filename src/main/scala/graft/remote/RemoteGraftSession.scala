@@ -28,32 +28,25 @@ final class RemoteGraftSession(host: String, port: Int,
   def execute(sql: String): RemoteResultSet = {
     val st = conn.createStatement()
     st.setFetchSize(1000)
-    new RemoteResultSet(st.executeQuery(sql), st)
+    try new RemoteResultSet(st.executeQuery(sql), st)
+    catch { case e: Throwable => st.close(); throw e }
   }
 
   /** Statement-form persist: INSERT INTO a graft-backed table
     * (reference RemoteSession.persist, transport/RemoteSession.java:92-101).
     * Values are rendered as literals; strings are quoted, None → NULL. */
   def persist(table: String, rows: Seq[Seq[Any]], columns: Seq[String] = Seq.empty): String = {
-    def lit(v: Any): String = v match {
-      case null | None => "null"
-      case Some(x) => lit(x)
-      case s: String => "'" + s.replace("'", "''") + "'"
-      case other => other.toString
-    }
     val cols = if (columns.isEmpty) "" else columns.mkString(" (", ", ", ")")
-    val values = rows.map(_.map(lit).mkString("(", ", ", ")")).mkString(", ")
+    val values = rows.map(_.map(RemoteGraftSession.literal).mkString("(", ", ", ")"))
+      .mkString(", ")
     statusOf(s"INSERT INTO $table$cols VALUES $values")
   }
 
   /** Primary-key lookup (reference RemoteSession.find,
     * transport/RemoteSession.java:70-80). */
   def find(table: String, idCol: String, id: Any): Option[Map[String, Any]] = {
-    val idLit = id match {
-      case s: String => "'" + s.replace("'", "''") + "'"
-      case other => other.toString
-    }
-    val rs = execute(s"SELECT * FROM $table WHERE $idCol = $idLit")
+    val rs = execute(
+      s"SELECT * FROM $table WHERE $idCol = ${RemoteGraftSession.literal(id)}")
     try rs.poll().map(row => rs.columns.zip(row).toMap) finally rs.close()
   }
 
@@ -73,6 +66,26 @@ final class RemoteGraftSession(host: String, port: Int,
   }
 
   override def close(): Unit = conn.close()
+}
+
+object RemoteGraftSession {
+  /** Render a client value as a dialect literal the server-side
+    * tokenizer can lex: strings ''-escaped, floating point in plain
+    * (never scientific) notation, date/timestamp values as quoted ISO
+    * strings (the INSERT command casts them back via Catalyst Cast). */
+  private[remote] def literal(v: Any): String = v match {
+    case null | None => "null"
+    case Some(x) => literal(x)
+    case s: String => "'" + s.replace("'", "''") + "'"
+    // valueOf keeps Double.toString's shortest-roundtrip digits (a raw
+    // new BigDecimal(d) would expand the exact binary fraction)
+    case d: Double => java.math.BigDecimal.valueOf(d).toPlainString
+    case f: Float => new java.math.BigDecimal(f.toString).toPlainString
+    case b: java.math.BigDecimal => b.toPlainString
+    case b: BigDecimal => b.underlying.toPlainString
+    case t: java.util.Date => "'" + t.toString + "'" // sql.Date/Timestamp: ISO
+    case other => other.toString
+  }
 }
 
 /** Incremental result cursor (reference `RemoteResultSet`:

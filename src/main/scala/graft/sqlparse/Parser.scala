@@ -27,9 +27,20 @@ object Parser {
       val c = sql(i)
       if (c.isWhitespace) i += 1
       else if (c == '\'') {
-        val j = sql.indexOf('\'', i + 1)
-        if (j < 0) throw ParseException(s"unterminated string literal at $i")
-        out += Str(sql.substring(i + 1, j)); i = j + 1
+        // '' inside a literal is an escaped quote — a safe superset of
+        // the reference's indexOf splitter (there, 'O''Brien' is two
+        // adjacent literals, i.e. a parse error downstream), and what
+        // the remote client's literal rendering emits
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          if (sql(j) != '\'') { sb += sql(j); j += 1 }
+          else if (j + 1 < n && sql(j + 1) == '\'') { sb += '\''; j += 2 }
+          else { closed = true; j += 1 }
+        }
+        if (!closed) throw ParseException(s"unterminated string literal at $i")
+        out += Str(sb.toString); i = j
       } else if (c.isDigit || (c == '-' && i + 1 < n && sql(i + 1).isDigit &&
                  (out.isEmpty || out.last.isInstanceOf[Sym]))) {
         val j = Iterator.range(i + 1, n)

@@ -79,10 +79,33 @@ class RemoteSpec extends AnyFunSuite {
   test("FREEZE rejects remote persist until UNFREEZE") {
     val (_, remote) = fixture
     assert(remote.statusOf("FREEZE").contains("frozen"))
-    val err = intercept[java.sql.SQLException] {
-      remote.persist("remote_docs", rows = Seq(Seq(3L, "gamma", 0.0)))
+    try {
+      // frozen is checked before table lookup, so this needs no
+      // registered store — FREEZE rejects all writes
+      val err = intercept[java.sql.SQLException] {
+        remote.persist("remote_docs", rows = Seq(Seq(3L, "gamma", 0.0)))
+      }
+      assert(err.getMessage.toLowerCase.contains("frozen"))
+    } finally {
+      // the GraftSession is shared JVM-wide (q_remote, other suites) —
+      // never leave it frozen on assertion failure
+      assert(remote.statusOf("UNFREEZE").contains("unfrozen"))
     }
-    assert(err.getMessage.toLowerCase.contains("frozen"))
-    assert(remote.statusOf("UNFREEZE").contains("unfrozen"))
+  }
+
+  test("literal rendering survives quotes, small doubles, and timestamps") {
+    val (gs, remote) = fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_lit").toString
+    import spark.implicits._
+    gs.registerEntity[RemoteDoc]("remote_lit", dir)
+    remote.persist("remote_lit",
+      rows = Seq(Seq(1L, "O'Brien's doc", 0.0001), Seq(2L, "plain", 12345678.9)))
+    val a = remote.find("remote_lit", "id", 1L).get
+    assert(a("body") == "O'Brien's doc")
+    assert(a("score").asInstanceOf[Double] == 0.0001)
+    val b = remote.find("remote_lit", "id", 2L).get
+    assert(b("score").asInstanceOf[Double] == 12345678.9)
+    // string-keyed find with an apostrophe round-trips too
+    assert(remote.find("remote_lit", "body", "O'Brien's doc").isDefined)
   }
 }
