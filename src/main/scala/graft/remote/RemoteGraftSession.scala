@@ -21,7 +21,14 @@ final class RemoteGraftSession(host: String, port: Int,
     DriverManager.getConnection(s"jdbc:hive2://$host:$port/default", user, "")
   locally {
     val st = conn.createStatement()
-    try st.execute(s"SET ${GraftDialect.ConfKey}=on") finally st.close()
+    try {
+      st.execute(s"SET ${GraftDialect.ConfKey}=on")
+      // stream results through toLocalIterator on the server instead of
+      // a full collect — with this, a 100 TB-scale result only ever
+      // holds one partition on the driver while the client paginates
+      // (SET is per-connection: each Thrift connection owns a session)
+      st.execute("SET spark.sql.thriftServer.incrementalCollect=true")
+    } finally st.close()
   }
 
   /** Execute a dialect (or Spark SQL) statement; poll the result. */

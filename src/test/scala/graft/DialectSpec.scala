@@ -38,6 +38,31 @@ class ParserSpec extends AnyFunSuite {
     assert(lk.negated && lk.substring == "xyz")
   }
 
+  test("'' escapes a quote inside string literals (remote-client round trip)") {
+    val toks = Parser.tokenize("select a from T where b = 'O''Brien''s'")
+    assert(toks.collect { case Parser.Str(s) => s } == Seq("O'Brien's"))
+    // unterminated still rejected
+    assertThrows[ParseException](Parser.tokenize("select a from T where b = 'x"))
+    assertThrows[ParseException](Parser.tokenize("select a from T where b = 'x''"))
+  }
+
+  test("InsertParser accepts the dialect INSERT shape and nothing else") {
+    import graft.sqlparse.InsertParser
+    val ins = InsertParser.parse(
+      "INSERT INTO docs (id, body, score) VALUES (1, 'O''Brien', 0.0001), (2, null, true)").get
+    assert(ins.table == "docs" && ins.columns == Seq("id", "body", "score"))
+    assert(ins.rows == Seq(
+      Seq(Some("1"), Some("O'Brien"), Some("0.0001")),
+      Seq(Some("2"), None, Some("true"))))
+    // no column list
+    assert(InsertParser.parse("insert into t values (1, 'x')").get.columns.isEmpty)
+    // arity mismatch, trailing tokens, non-INSERT → None (delegate's turn)
+    assert(InsertParser.parse("INSERT INTO t (a, b) VALUES (1)").isEmpty)
+    assert(InsertParser.parse("INSERT INTO t VALUES (1) garbage").isEmpty)
+    assert(InsertParser.parse("SELECT a FROM t").isEmpty)
+    assert(InsertParser.parse("INSERT INTO t SELECT * FROM u").isEmpty)
+  }
+
   test("mixed AND/OR at one level is rejected (reference quirk)") {
     assertThrows[ParseException](
       Parser.parse("select a from T where a = 1 and b = 2 or c = 3"))
