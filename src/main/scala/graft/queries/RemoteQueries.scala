@@ -48,6 +48,12 @@ object RemoteQueries {
   def endpoint(s: SparkSession, dir: String): RemoteGraftSession =
     endpointSession(s, dir)._2
 
+  /** Listening port of the active endpoint, if one is up (tests open
+    * extra raw connections against it). */
+  def endpointPort: Option[Int] = synchronized {
+    current.map { case (_, _, srv, _) => srv.port }
+  }
+
   /** Orderly teardown before SparkContext stop (a live endpoint would
     * log stopped-context errors from its session manager). */
   def stopAll(): Unit = synchronized {

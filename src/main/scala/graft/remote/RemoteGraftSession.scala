@@ -80,7 +80,7 @@ object RemoteGraftSession {
     * tokenizer can lex: strings ''-escaped, floating point in plain
     * (never scientific) notation, date/timestamp values as quoted ISO
     * strings (the INSERT command casts them back via Catalyst Cast). */
-  private[remote] def literal(v: Any): String = v match {
+  private[graft] def literal(v: Any): String = v match {
     case null | None => "null"
     case Some(x) => literal(x)
     case s: String => "'" + s.replace("'", "''") + "'"

@@ -125,3 +125,42 @@ class NearestCellsProps extends SparkProperties("NearestCells") {
       }
     }
 }
+
+/** Remote literal rendering → server-side parse round trip: whatever a
+  * client persists must survive `RemoteGraftSession.literal` →
+  * `Parser.tokenize`/`InsertParser.parse` without falling through to
+  * the delegate parser (the silent-fallthrough failure class found in
+  * review: apostrophes, scientific-notation doubles). No Spark session
+  * needed — this is the pure wire-format contract. */
+class RemoteLiteralProps extends Properties("RemoteLiteral") {
+  import graft.sqlparse.InsertParser
+
+  private val anyString: Gen[String] = Gen.chooseNum(0, 30).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('\'', ' ', ',', '(', ')', '.', '-', 'é', '_'))).map(_.mkString))
+  private val anyVal: Gen[Any] = Gen.oneOf(
+    anyString,
+    Gen.chooseNum(Long.MinValue + 1, Long.MaxValue).map(_.asInstanceOf[Any]),
+    Gen.chooseNum(-1e12, 1e12).map(_.asInstanceOf[Any]),
+    Gen.oneOf(1e-7, 4.9e-324, 1.7e308, -0.0).map(_.asInstanceOf[Any]),
+    Gen.const(null))
+
+  property("persist-rendered INSERT re-parses with identical values") =
+    Prop.forAll(Gen.listOfN(4, anyVal)) { vals =>
+      val rendered = vals.map(v =>
+        graft.remote.RemoteGraftSession.literal(v)).mkString(", ")
+      InsertParser.parse(s"INSERT INTO t VALUES ($rendered)") match {
+        case Some(ins) =>
+          ins.rows.head.zip(vals).forall {
+            case (None, v) => v == null
+            case (Some(s), v: String) => s == v
+            case (Some(s), v: Long) => s.toLong == v
+            case (Some(s), v: Double) =>
+              // plain notation must round-trip the exact double
+              s.toDouble == v && !s.toLowerCase.contains("e")
+            case _ => false
+          }
+        case None => false
+      }
+    }
+}

@@ -93,6 +93,26 @@ class RemoteSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect opt-in is per connection: a plain JDBC client gets stock Spark SQL") {
+    val (_, remote) = fixture
+    // bare connection, no graft preamble: spark.graft.dialect stays off
+    // in ITS thrift session, so the dialect-registry table is invisible
+    val port = graft.queries.RemoteQueries.endpointPort.get
+    val conn = java.sql.DriverManager.getConnection(
+      s"jdbc:hive2://localhost:$port/default", "anonymous", "")
+    try {
+      val st = conn.createStatement()
+      val err = intercept[java.sql.SQLException] {
+        st.executeQuery("SELECT c_name FROM customer WHERE c_name LIKE 'Customer'")
+      }
+      assert(err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+      st.close()
+    } finally conn.close()
+    // while the graft client on ITS connection still resolves it
+    assert(remote.execute("SELECT c_name FROM customer WHERE c_name LIKE 'Customer'")
+      .toSeq.nonEmpty)
+  }
+
   test("literal rendering survives quotes, small doubles, and timestamps") {
     val (gs, remote) = fixture
     val dir = java.nio.file.Files.createTempDirectory("graft_remote_lit").toString
