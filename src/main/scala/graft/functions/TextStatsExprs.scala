@@ -20,6 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   n_tokens = 0 if btrim(text) empty else |split(btrim(lower), \s+)|
   *   n_punct  = count of chars in [.,!?;:]
   *   n_stop   = tokens (with duplicates) contained in the stopword set
+  *   n_stop_distinct = DISTINCT stopwords present among the tokens
+  *       (= size(array_intersect(tokens, stopwords)) — the quality-
+  *       feature variant, folded into the same pass so feature
+  *       extraction needs no second tokenization)
   */
 object TextStatsKernel {
 
@@ -38,22 +42,30 @@ object TextStatsKernel {
     var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    val (nTokens, nStop) =
-      if (e == b) (0L, 0L)
+    val (nTokens, nStop, nStopDistinct) =
+      if (e == b) (0L, 0L, 0L)
       else {
         val toks = TextHash.tokenize(u)
+        val seen = new Array[Boolean](stopwords.length)
         var stop = 0L
+        var distinct = 0L
         var j = 0
         while (j < toks.length) {
           var k = 0
           var hit = false
-          while (k < stopwords.length && !hit) { hit = stopwords(k) == toks(j); k += 1 }
+          while (k < stopwords.length && !hit) {
+            if (stopwords(k) == toks(j)) {
+              hit = true
+              if (!seen(k)) { seen(k) = true; distinct += 1 }
+            }
+            k += 1
+          }
           if (hit) stop += 1
           j += 1
         }
-        (toks.length.toLong, stop)
+        (toks.length.toLong, stop, distinct)
       }
-    new GenericInternalRow(Array[Any](nChars, nTokens, nPunct, nStop))
+    new GenericInternalRow(Array[Any](nChars, nTokens, nPunct, nStop, nStopDistinct))
   }
 
   /** Language-ID: CJK code-point ratio > 0.2 → zh; otherwise the
@@ -126,7 +138,8 @@ object TextStatsExpr {
     StructField("n_chars", LongType, nullable = false),
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_punct", LongType, nullable = false),
-    StructField("n_stop", LongType, nullable = false)))
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_stop_distinct", LongType, nullable = false)))
 }
 
 case class LangIdExpr(child: Expression, langs: Seq[String],

@@ -41,15 +41,17 @@ object TextAnalysis {
 
   /** Quality-scoring features: length, token stats, punctuation and
     * stopword ratios, derived from the single-pass stats kernel.
-    * NOTE vs the kernel's n_stop: this intersects DISTINCT tokens with
-    * the stopword set (array_intersect semantics of the original). */
+    * The stopword ratio uses the kernel's n_stop_distinct (DISTINCT
+    * stopwords present = array_intersect semantics of the original
+    * column pipeline) — the whole feature struct is ONE kernel pass,
+    * no second tokenization. */
   def qualityFeatures(text: Column,
                       stopwords: Seq[String] = defaultStopwords): Column = {
     val st = textStats(text, stopwords)
     val nTok = st.getField("n_tokens").cast("double")
     val nChar = st.getField("n_chars").cast("double")
     val nPunct = st.getField("n_punct").cast("double")
-    val nStop = size(array_intersect(tokens(text), typedlit(stopwords))).cast("double")
+    val nStop = st.getField("n_stop_distinct").cast("double")
     val meanTokLen = when(nTok > 0, nChar / nTok).otherwise(lit(0.0))
     struct(
       st.getField("n_chars").as("n_chars"),

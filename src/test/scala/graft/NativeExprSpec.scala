@@ -39,13 +39,16 @@ class NativeExprSpec extends AnyFunSuite {
       st.getField("n_tokens"), TextAnalysis.tokenCount(col("text")).cast("long"),
       st.getField("n_punct"), length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long"),
       st.getField("n_stop"),
-      size(filter(TextAnalysis.tokens(col("text")), w => w.isin(stop.map(s => s: Any): _*))).cast("long"))
+      size(filter(TextAnalysis.tokens(col("text")), w => w.isin(stop.map(s => s: Any): _*))).cast("long"),
+      st.getField("n_stop_distinct"),
+      size(array_intersect(TextAnalysis.tokens(col("text")), typedlit(stop))).cast("long"))
       .collect()
     rows.foreach { r =>
       assert(r.getLong(0) == r.getLong(1), "n_chars")
       assert(r.getLong(2) == r.getLong(3), "n_tokens")
       assert(r.getLong(4) == r.getLong(5), "n_punct")
       assert(r.getLong(6) == r.getLong(7), "n_stop")
+      assert(r.getLong(8) == r.getLong(9), "n_stop_distinct")
     }
   }
 
