@@ -369,6 +369,48 @@ object SparkEntry {
                      THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                      ELSE 0.0 END AS mean_token_len
          FROM f ORDER BY doc_id""",
+    // Language-ID + quality score, fully oracle-backed: the heuristics
+    // are deterministic SQL over token/char counts — CJK code-point
+    // ratio, marker-lexicon overlap with argmax via struct sort (ties →
+    // lexicographically largest lang code, the kernel's rule), and the
+    // length×punct×stopword quality product. Marker lists must stay in
+    // sync with TextAnalysis.langMarkers.
+    "q_text_analyze" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  length(text) AS n_chars,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+                  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+                  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk
+           FROM documents
+         ), s AS (
+           SELECT doc_id, n_tokens, toks,
+                  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+                  CASE WHEN n_tokens > 0
+                       THEN CAST(len(list_intersect(toks, ['the','a','and','of','to','in','is'])) AS DOUBLE)/n_tokens
+                       ELSE 0.0 END AS stopword_ratio,
+                  CAST(n_cjk AS DOUBLE)/greatest(n_chars, 1) AS cjk_ratio,
+                  CAST(greatest(n_tokens, 1) AS DOUBLE) AS ntokf
+           FROM f
+         ), l AS (
+           SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+             CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+             ELSE (list_sort([
+               {s: len(list_intersect(toks, ['the','and','of','to','a','in','is','that','it','for','table','key','value','row','scan','fast','slow','part']))/ntokf, l: 'en'},
+               {s: len(list_intersect(toks, ['el','la','de','que','y','en','un','una','los','las','es','por','con','para','del','se']))/ntokf, l: 'es'},
+               {s: len(list_intersect(toks, ['le','la','les','de','des','et','en','un','une','est','que','pour','dans','du','sur','avec']))/ntokf, l: 'fr'},
+               {s: len(list_intersect(toks, ['der','die','das','und','in','den','von','zu','mit','ist','des','ein','eine','auf','für','nicht']))/ntokf, l: 'de'}
+             ], 'DESC')[1]).l END AS lang_pred
+           FROM s
+         )
+         SELECT doc_id, lang_pred,
+                round(least(CAST(n_tokens AS DOUBLE)/20.0, 1.0)
+                      * (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END)
+                      * (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.7 END), 4) AS quality,
+                n_tokens
+         FROM l ORDER BY doc_id""",
     "q_sim_bruteforce" ->
       """SELECT query_id, item_id FROM (
            SELECT a.vec_id AS query_id, b.vec_id AS item_id,

@@ -186,6 +186,25 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     }
   }
 
+  /** Committed version numbers still present, oldest first — the
+    * time-travel index (`vacuum` trims all but the latest). */
+  def versions: Seq[Long] = listVersions(fs).map(_._1)
+
+  /** Snapshot read AS OF a past version (time travel): the manifest is
+    * immutable, so this is exactly the table as committed then. Data
+    * files of superseded versions survive until `vacuum`; after vacuum
+    * only the latest version is readable. The reference's MVCC keeps
+    * superseded frames for in-flight READ COMMITTED readers
+    * (persistent/UndoChunk.java:46-70); version manifests are the
+    * table-format rendering of the same idea with an explicit handle. */
+  def readVersion(version: Long): DataFrame = {
+    val p = new Path(s"$versionsDir/v$version.manifest")
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"version $version not present at $path (available: ${versions.mkString(",")})")
+    readFiles(readUtf8(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(FileEntry.parse))
+  }
+
   private def isIntegralId(df: DataFrame): Boolean =
     df.schema.fields.find(_.name == idCol).map(_.dataType).exists {
       case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
@@ -514,13 +533,32 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   /** Small-file compaction: rewrite the current snapshot into
     * ~targetFiles files (append-only ingest accumulates one file set
     * per commit). Atomic like any rewrite; files appended concurrently
-    * since the snapshot survive. */
-  def compact(targetFiles: Int = 8): Unit = {
+    * since the snapshot survive.
+    *
+    * With `clusterBy`, the rewrite RANGE-partitions and sorts by those
+    * columns (Delta OPTIMIZE ZORDER's job, done the single-key way —
+    * for one sort key, range clustering is optimal): files stop
+    * overlapping in the cluster key, so manifest id ranges and parquet
+    * row-group min/max prune keyed reads to exactly one file instead of
+    * "every file that ever appended". The maintenance companion of the
+    * append hot path: appends stay O(batch), clustering restores
+    * pruning precision off the hot path. */
+  def compact(targetFiles: Int = 8, clusterBy: Seq[String] = Seq.empty): Unit = {
     val snapshot = currentEntries
-    if (snapshot.size <= math.max(targetFiles, 1)) return
-    val packed = readFiles(snapshot).repartition(math.max(targetFiles, 1))
+    val n = math.max(targetFiles, 1)
+    if (clusterBy.isEmpty && snapshot.size <= n) return
+    val base = readFiles(snapshot)
+    val packed =
+      if (clusterBy.isEmpty) base.repartition(n)
+      else base.repartitionByRange(n, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     commitRewrite(snapshot, snapshot, writeFiles(packed))
   }
+
+  /** Per-file (idMin, idMax) of the current snapshot — lets tests and
+    * maintenance tooling observe clustering/pruning precision. */
+  private[graft] def fileIdRanges: Seq[(Option[Long], Option[Long])] =
+    currentEntries.map(e => (e.idMin, e.idMax))
 
   /** Drop data files unreferenced by the latest version and all older
     * manifests (time-travel ends; current snapshot unaffected).

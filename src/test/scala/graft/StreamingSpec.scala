@@ -349,6 +349,45 @@ class TableStoreSpec extends AnyFunSuite {
     assert(files <= 2, s"expected <=2 data files after compact+vacuum, found $files")
   }
 
+  test("time travel: readVersion returns each committed snapshot until vacuum") {
+    val st = tmpStore()
+    st.append(Seq((1L, "a")).toDF("id", "v"))
+    st.append(Seq((2L, "b")).toDF("id", "v"))
+    st.deleteKeys(Seq(Tuple1(1L)).toDF("id"))
+    val vs = st.versions
+    assert(vs.size == 3 && vs == vs.sorted)
+    assert(st.readVersion(vs(0)).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(st.readVersion(vs(1)).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(st.read.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[IllegalArgumentException] { st.readVersion(999L) }
+    // vacuum ends time travel: only the latest version remains listed
+    st.vacuum(graceMs = 0L)
+    assert(st.versions == Seq(vs.last))
+  }
+
+  test("clustered compaction: files stop overlapping in the cluster key") {
+    val st = tmpStore()
+    // interleaved appends: every file's id range spans the whole key
+    // space, so keyed pruning degrades to "rewrite everything"
+    st.append(Seq((1L, "x"), (50L, "x"), (100L, "x")).toDF("id", "v").coalesce(1))
+    st.append(Seq((2L, "y"), (51L, "y"), (99L, "y")).toDF("id", "v").coalesce(1))
+    st.append(Seq((3L, "z"), (52L, "z"), (98L, "z")).toDF("id", "v").coalesce(1))
+    val ranges0 = st.fileIdRanges
+    def overlapping(rs: Seq[(Option[Long], Option[Long])]): Boolean =
+      rs.combinations(2).exists {
+        case Seq((Some(a), Some(b)), (Some(c), Some(d))) => a <= d && c <= b
+        case _ => true
+      }
+    assert(overlapping(ranges0), "fixture should start overlapped")
+    val before = st.read.orderBy("id").collect().map(_.getLong(0)).toSeq
+    st.compact(targetFiles = 3, clusterBy = Seq("id"))
+    assert(st.read.orderBy("id").collect().map(_.getLong(0)).toSeq == before)
+    val ranges1 = st.fileIdRanges
+    assert(ranges1.size > 1, "range partitioning should produce multiple files")
+    assert(!overlapping(ranges1),
+      s"clustered files must carry disjoint id ranges, got $ranges1")
+  }
+
   test("concurrent appends: optimistic commit retry loses no writer") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
