@@ -60,6 +60,7 @@ object SparkEntry {
     "q_process_retained" -> (StreamQueries.qProcessRetained _),
     "q_process_stream" -> (StreamQueries.qProcessStream _),
     "q_subscription"   -> (StreamQueries.qSubscription _),
+    "q_stream_dedup"   -> (StreamQueries.qStreamDedup _),
     // remote client (S8): dialect over the Thrift/JDBC endpoint
     "q_remote"         -> (RemoteQueries.qRemote _),
     // training-data pipeline ops (documents / embeddings tables)
@@ -71,6 +72,8 @@ object SparkEntry {
     "q_text_stats"     -> (PipelineQueries.qTextStats _),
     "q_text_quality"   -> (PipelineQueries.qTextQuality _),
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
+    "q_text_tokens"    -> (PipelineQueries.qTextTokens _),
+    "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_sim_bruteforce" -> (PipelineQueries.qSimBruteforce _),
     "q_sim_lsh"        -> (PipelineQueries.qSimLsh _),
     "q_sim_ivf"        -> (PipelineQueries.qSimIvf _),
@@ -317,6 +320,9 @@ object SparkEntry {
            UNION ALL
            SELECT 'subB' AS sub, event_id AS id FROM events WHERE event_type = 'purchase'
          ) ORDER BY sub, id""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id AS uid, event_type AS t
+         FROM events ORDER BY uid, t""",
     "q_remote" ->
       """SELECT n_name AS nname, count(c_custkey) AS ncust
          FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -411,6 +417,37 @@ object SparkEntry {
                       * (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.7 END), 4) AS quality,
                 n_tokens
          FROM l ORDER BY doc_id""",
+    // BPE-ish token budget: words + punct + one unit per FULL 6 chars
+    // of long words; floor() on both sides (Spark cast truncates,
+    // DuckDB cast rounds — floor is the portable spelling)
+    "q_text_tokens" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+                  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+           FROM documents
+         )
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_tokens
+                     + list_sum(list_transform(toks,
+                         w -> greatest(0, CAST(floor((length(w) - 1) / 6.0) AS BIGINT))))
+                     + n_punct AS BIGINT) AS n_subwords
+         FROM f ORDER BY doc_id""",
+    // frame sampling: stub frame count = payload bytes / 64 (min 1),
+    // every 4th frame sampled; generate_series is inclusive like
+    // Spark's sequence()
+    "q_multimodal_frames" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  greatest(1, CAST(floor(octet_length(encode(text)) / 64.0) AS INT)) AS nf
+           FROM documents
+         )
+         SELECT doc_id, frame_idx,
+                'frame:' || CAST(frame_idx AS VARCHAR) AS frame_ref
+         FROM f, unnest(generate_series(0, nf - 1, 4)) AS u(frame_idx)
+         ORDER BY doc_id, frame_idx""",
     "q_sim_bruteforce" ->
       """SELECT query_id, item_id FROM (
            SELECT a.vec_id AS query_id, b.vec_id AS item_id,

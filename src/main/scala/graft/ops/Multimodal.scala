@@ -84,8 +84,10 @@ object Multimodal {
     * index (explode — the output-shape pattern for frame-level rows).
     * Frame count is stub-derived from payload size; sampling every
     * `stride`-th frame is the real logic. */
-  def sampleFrames(df: DataFrame, binCol: String, stride: Int): DataFrame = {
-    val nFrames = greatest(lit(1), (length(col(binCol)) / 1024).cast("int")) // ??? real: container demux
+  def sampleFrames(df: DataFrame, binCol: String, stride: Int,
+                   bytesPerFrame: Int = 1024): DataFrame = {
+    val nFrames = greatest(lit(1),
+      (length(col(binCol)) / bytesPerFrame).cast("int")) // ??? real: container demux
     df.withColumn("frame_idx",
         explode(sequence(lit(0), nFrames - 1, lit(stride))))
       .withColumn("frame_ref",

@@ -20,12 +20,14 @@ object TextAnalysis {
     when(length(btrim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
   /** A BPE-ish subword count estimate: words + punctuation marks +
-    * one extra unit per 6 chars of long words (approximates byte-pair
-    * splits of rare words without a vocab file). */
+    * one extra unit per full 6 chars of long words (approximates
+    * byte-pair splits of rare words without a vocab file). Integral —
+    * the extra units use floor division, so the count is a token
+    * budget, not a fraction. */
   def subwordCountEstimate(text: Column): Column = {
     val words = tokens(text)
-    val longWordExtra = aggregate(words, lit(0),
-      (acc, w) => acc + greatest(lit(0), (length(w) - 1) / 6))
+    val longWordExtra = aggregate(words, lit(0L),
+      (acc, w) => acc + greatest(lit(0L), floor((length(w) - 1) / lit(6.0)).cast("long")))
     tokenCount(text) + longWordExtra +
       length(regexp_replace(text, "[^.,!?;:]", ""))
   }

@@ -86,8 +86,31 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Language ID + quality score (heuristics — no SQL oracle; accuracy
-    * asserted in PipelineOpsSpec on known-language sentences). */
+  /** Token counting: whitespace tokens + the BPE-ish subword budget
+    * (words + punctuation + one unit per full 6 chars of long words).
+    * Oracle reproduces the floor-division estimate in DuckDB. */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling over a binary payload column: one row per sampled
+    * frame index. The frame count comes from the documented stub
+    * (payload bytes / 1024); the explode/stride plumbing — the real
+    * operator shape — is what the oracle locks. */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val withBin = docs(s, dir).select(col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"))
+    Multimodal.sampleFrames(withBin, "payload", stride = 4, bytesPerFrame = 64)
+      .select(col("doc_id"), col("frame_idx"), col("frame_ref"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Language ID + quality score — fully oracle-backed (the heuristics
+    * are deterministic SQL; accuracy on known-language sentences is
+    * additionally asserted in PipelineOpsSpec). */
   def qTextAnalyze(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.analyze(docs(s, dir))
       .select(col("doc_id"), col("lang_pred"), col("quality"),

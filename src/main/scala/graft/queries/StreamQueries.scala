@@ -128,6 +128,18 @@ object StreamQueries {
     rows.toDF("sub", "id").orderBy(col("sub"), col("id"))
   }
 
+  /** Streaming exact dedup at ingest: distinct (user_id, event_type)
+    * pairs surviving a cross-batch dropDuplicates. Projected to the key
+    * columns so every surviving row is identical ⇒ deterministic result
+    * set (oracle = batch DISTINCT). */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.loadStream(s, dir, "events")
+      .select(col("user_id").as("uid"), col("event_type").as("t"))
+    val deduped = StreamOps.dedupStream(stream, Seq("uid", "t"))
+    StreamOps.runToMemory(s, deduped, uniq("stream_dedup"), OutputMode.Append())
+      .orderBy(col("uid"), col("t"))
+  }
+
   /** C5 — PROCESS … WITHIN: callback per matching row, delete-on-true;
     * returns the retained table (ts excluded: sub-microsecond precision
     * is not representable on the Spark side). */

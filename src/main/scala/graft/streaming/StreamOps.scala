@@ -59,6 +59,27 @@ object StreamOps {
       .groupBy(window(col(timeCol), duration) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Streaming exact dedup: keep the first arrival per key, suppress
+    * later duplicates — dedup-at-ingest for a training-data pipeline.
+    * State = one entry per distinct key, held across micro-batches.
+    *
+    * PROJECT TO THE KEY COLUMNS before calling when only the keys are
+    * needed (all surviving rows of a projected stream are identical, so
+    * the emitted set is deterministic; with payload columns the
+    * first-arrival winner depends on partition arrival order). At scale
+    * bound the state: pass `withinWatermark = Some(tsCol -> delay)` to
+    * evict keys once the watermark passes (duplicates in real event
+    * streams arrive close together — retries, at-least-once producers),
+    * giving dropDuplicatesWithinWatermark's bounded-state behavior
+    * instead of an ever-growing key set. */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+                  withinWatermark: Option[(String, String)] = None): DataFrame =
+    withinWatermark match {
+      case Some((tsCol, delay)) =>
+        stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+      case None => stream.dropDuplicates(keyCols)
+    }
+
   /** Run a streaming DataFrame to a memory sink until the source is
     * drained; returns the result table. Deterministic harness for the
     * correctness gate and tests (the production path is

@@ -67,6 +67,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicates across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    mem.addData(TestEvent(1, 10, "click", 1.0), TestEvent(2, 10, "click", 2.0),
+      TestEvent(3, 11, "view", 3.0))
+    val keys = mem.toDF().select(col("user_id").as("uid"), col("event_type").as("t"))
+    val deduped = StreamOps.dedupStream(keys, Seq("uid", "t"))
+    val name = s"dedup_test_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2) // (10,click), (11,view)
+      // cross-batch: a duplicate from batch 0 is suppressed by state,
+      // a genuinely new key passes
+      mem.addData(TestEvent(4, 10, "click", 4.0), TestEvent(5, 12, "click", 5.0))
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((10L, "click"), (11L, "view"), (12L, "click")))
+    } finally q.stop()
+  }
+
   test("streaming tumbling group-by revises per key (C3)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TestEvent]
