@@ -44,6 +44,7 @@ class GraftSession(val spark: SparkSession,
         throw new IllegalStateException("session is frozen (FREEZE); UNFREEZE to persist"))
     registerProvider(name, () => store.read)
     stores.put(name.toLowerCase, store)
+    txBaseline.put(name.toLowerCase, store.versions.lastOption.getOrElse(-1L))
     tt
   }
 
@@ -53,6 +54,7 @@ class GraftSession(val spark: SparkSession,
     * surface, remote/GraftDialect.scala). */
   def registerStore(name: String, store: TableStore): Unit = {
     stores.put(name.toLowerCase, store)
+    txBaseline.put(name.toLowerCase, store.versions.lastOption.getOrElse(-1L))
     registerProvider(name, () => store.read)
   }
 
@@ -109,20 +111,44 @@ class GraftSession(val spark: SparkSession,
     scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
 
-  /** Execute a system statement; returns a status line. Semantics vs
-    * the reference: COMMIT/ROLLBACK are snapshot no-ops (batch queries
-    * read committed parquet snapshots — there is no in-flight write
-    * transaction to end); ALTER SESSION SET forwards to the Spark conf;
-    * ALTER SYSTEM SHUTDOWN stops this session's active streaming
-    * queries (the long-running state a Spark "instance" holds); FREEZE
-    * blocks TableStore-style mutation via the returned flag on the
-    * session; CONNECT records the client identity (reference: local
-    * auth — remote clients are remote/RemoteGraftSession, S8). */
+  /** Execute a system statement; returns a status line.
+    *
+    * COMMIT/ROLLBACK are session transactions over the registered
+    * stores (reference: READ COMMITTED with undo chunks,
+    * persistent/Session.java:490-502, persistent/UndoChunk.java:46-70).
+    * The version-manifest store makes them metadata ops: each
+    * registered store's version is recorded as the transaction
+    * baseline; ROLLBACK reverts every store that moved back to its
+    * baseline snapshot (TableStore.revertTo — a new commit, no data
+    * I/O), COMMIT re-baselines. Scope matches the reference's
+    * single-mutator table lock: a rollback undoes ALL versions
+    * committed to the table since the baseline, which equals "this
+    * session's writes" exactly when this session is the table's only
+    * writer — concurrent-writer rollback is last-writer-wins, the
+    * documented divergence (no cross-table atomicity either; the
+    * reference's MVCC is per-table too).
+    *
+    * ALTER SESSION SET forwards to the Spark conf; ALTER SYSTEM
+    * SHUTDOWN stops this session's active streaming queries (the
+    * long-running state a Spark "instance" holds); FREEZE blocks
+    * TableStore-style mutation via the returned flag on the session;
+    * CONNECT records the client identity (reference: local auth —
+    * remote clients are remote/RemoteGraftSession, S8). */
   def executeSystem(sql: String): String = {
     import graft.sqlparse.SystemParser._
     graft.sqlparse.SystemParser.parse(sql) match {
-      case Some(Commit) | Some(Rollback) =>
-        "ok: reads are committed snapshots; nothing to end"
+      case Some(Commit) =>
+        rebaseline()
+        s"ok: committed; ${stores.size} table(s) re-baselined"
+      case Some(Rollback) =>
+        val reverted = stores.toSeq.count { case (name, st) =>
+          val base = txBaseline.getOrElse(name, -1L)
+          val moved = st.versions.lastOption.getOrElse(-1L) != base
+          if (moved) st.revertTo(base)
+          moved
+        }
+        rebaseline()
+        s"ok: rolled back $reverted table(s) to transaction start"
       case Some(Freeze) => frozen0 = true; "ok: session frozen (writes rejected)"
       case Some(Unfreeze) => frozen0 = false; "ok: session unfrozen"
       case Some(AlterSystem("SHUTDOWN")) =>
@@ -146,6 +172,12 @@ class GraftSession(val spark: SparkSession,
         throw new IllegalArgumentException(s"not a system statement: $sql")
     }
   }
+
+  /** Per-store version at transaction start (COMMIT/ROLLBACK scope). */
+  private val txBaseline = TrieMap.empty[String, Long]
+  private def rebaseline(): Unit =
+    stores.foreach { case (n, st) =>
+      txBaseline.put(n, st.versions.lastOption.getOrElse(-1L)); () }
 
   @volatile private var frozen0 = false
   @volatile private var connectedAs0: Option[String] = None

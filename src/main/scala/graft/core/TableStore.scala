@@ -428,6 +428,27 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       .agg(min(col(idCol))).head.get(0).asInstanceOf[Number].longValue())
   }
 
+  /** Transaction revert: make the table's content equal to `version`'s
+    * snapshot via a NEW commit — metadata-only (no data I/O), and
+    * history-preserving: the revert is itself a version, so time travel
+    * still sees the undone states. `version = -1` reverts to empty.
+    * The target version's files must still exist: rollback windows must
+    * stay inside vacuum's grace period (the same retention rule that
+    * protects in-flight writers). Session-scoped ROLLBACK
+    * (GraftSession) is built on this. */
+  def revertTo(version: Long): Unit = {
+    val target: Seq[FileEntry] =
+      if (version < 0L) Seq.empty
+      else {
+        val p = new Path(s"$versionsDir/v$version.manifest")
+        if (!fs.exists(p))
+          throw new IllegalArgumentException(
+            s"version $version not present at $path (available: ${versions.mkString(",")})")
+        readUtf8(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(FileEntry.parse)
+      }
+    commit(_ => target)
+  }
+
   /** Fast insert, no existence check (reference @NoCheck path): new
     * files + manifest commit, nothing rewritten. */
   def append(rows: DataFrame): Unit = {

@@ -143,9 +143,14 @@ final case class GraftSystemCommand(sql: String) extends LeafRunnableCommand {
     import SystemParser._
     val status = SystemParser.parse(sql) match {
       case Some(AlterSession(k, v)) => session.conf.set(k, v); s"ok: $k=$v"
-      // stateless acks — same responses attached or not
-      case Some(Commit) | Some(Rollback) =>
-        "ok: reads are committed snapshots; nothing to end"
+      // transaction over the attached session's registered stores
+      // (GraftSession.executeSystem COMMIT/ROLLBACK); without one there
+      // are no writable tables behind this endpoint, so a stateless ack
+      // is the truthful response
+      case Some(Commit) | Some(Rollback) => GraftDialect.attached match {
+        case Some(gs) => gs.executeSystem(sql)
+        case None => "ok: no writable tables attached; nothing to end"
+      }
       case Some(stmt) => GraftDialect.attached match {
         case Some(gs) => gs.executeSystem(sql)
         case None =>

@@ -113,6 +113,20 @@ class RemoteSpec extends AnyFunSuite {
       .toSeq.nonEmpty)
   }
 
+  test("remote transaction: COMMIT baselines, ROLLBACK undoes wire persists") {
+    val (gs, remote) = fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_tx").toString
+    import spark.implicits._
+    gs.registerEntity[RemoteDoc]("remote_tx", dir)
+    remote.persist("remote_tx", rows = Seq(Seq(1L, "keep", 1.0)))
+    assert(remote.commit().contains("committed"))
+    remote.persist("remote_tx", rows = Seq(Seq(2L, "discard", 2.0)))
+    assert(gs.table("remote_tx").count() == 2)
+    assert(remote.rollback().contains("rolled back"))
+    val kept = gs.table("remote_tx").collect()
+    assert(kept.length == 1 && kept.head.getString(1) == "keep")
+  }
+
   test("literal rendering survives quotes, small doubles, and timestamps") {
     val (gs, remote) = fixture
     val dir = java.nio.file.Files.createTempDirectory("graft_remote_lit").toString

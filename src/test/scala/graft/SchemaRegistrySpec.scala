@@ -87,6 +87,24 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](gs.executeSystem("GARBAGE STATEMENT"))
   }
 
+  test("session transaction: ROLLBACK reverts registered stores to the COMMIT baseline") {
+    val gs = new GraftSession(spark)
+    val tt = gs.registerEntity[Person]("person_tx", tmp())
+    tt.persist(Seq(Person(1, "a", "x")))
+    assert(gs.executeSystem("COMMIT").contains("committed"))
+    // uncommitted work: an insert and an update
+    tt.persist(Seq(Person(2, "b", "y"), Person(1, "a2", "x2")))
+    assert(tt.ds.count() == 2)
+    val st = gs.executeSystem("ROLLBACK")
+    assert(st.contains("rolled back 1 table"), st)
+    val rows = tt.ds.collect()
+    assert(rows.length == 1 && rows.head.name == "a", rows.toSeq)
+    // rollback is idempotent at the new baseline, and writes continue
+    assert(gs.executeSystem("ROLLBACK").contains("rolled back 0"))
+    tt.persist(Seq(Person(3, "c", "z")))
+    assert(tt.ds.count() == 2)
+  }
+
   test("persist id-base / @Threshold are metadata-only: correct even with data files gone") {
     // The manifest carries per-file (idMin, idMax, rowCount); id-base
     // allocation and threshold sizing must read ONLY that metadata.
