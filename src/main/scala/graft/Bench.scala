@@ -29,6 +29,7 @@ object Bench {
       .config("spark.sql.warehouse.dir", graft.core.TempDirs.create("graft_wh_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.remote.GraftServer.quietMetastoreLogs()
 
     // warm-up: JVM/codegen/parquet-reader initialization shouldn't be
     // billed to whichever query happens to sort first
@@ -42,31 +43,21 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] remote endpoint warm-up failed: ${e.getMessage}")
     }
-    // Steady-state measurement: run every gate query once, untimed,
-    // against the smallest available SF dir before the timed pass.
-    // A cold first execution bills Janino compilation of each query's
-    // generated code plus JVM JIT to whichever query runs first with a
-    // given plan shape — one-time-per-plan costs that are irrelevant at
-    // cluster scale (compilation happens once per query, not once per
-    // 100 TB of partitions). Warming at the SMALLEST SF keeps the
-    // warm-up pass cheap while producing the same codegen units; the
-    // timed pass then measures data-proportional throughput at the
-    // bench SF. (Profiled on this box: q_text_analyze is 26 s cold in a
-    // fresh JVM and 0.7 s steady-state — the difference is compilation,
-    // not the 5 000 documents.)
-    val warmDir = {
-      val parent = new java.io.File(sfDir).getParentFile
-      Option(parent)
-        .flatMap { p =>
-          Option(p.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName.startsWith("sf"))
-            .flatMap(f => f.getName.stripPrefix("sf").toDoubleOption.map(_ -> f))
-            .sortBy(_._1).headOption.map(_._2.getAbsolutePath)
-        }
-        .getOrElse(sfDir)
-    }
+    // Steady-state measurement: run every gate query once, untimed, at
+    // the bench SF itself before the timed pass. A cold first execution
+    // bills Janino compilation of each query's generated code plus JVM
+    // JIT to whichever query runs first with a given plan shape —
+    // one-time-per-plan costs that are irrelevant at cluster scale
+    // (compilation happens once per query, not once per 100 TB of
+    // partitions). Warming at the bench SF guarantees the warm-up
+    // produced exactly the codegen units the timed pass runs: with AQE
+    // on, the physical plan (broadcast vs sort-merge, coalescing) can
+    // differ by data size, so a smaller warm-up SF could leave some
+    // timed first runs paying compilation. (Profiled on this box:
+    // q_text_analyze is 26 s cold in a fresh JVM and 0.7 s
+    // steady-state — the difference is compilation, not the data.)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up of $name failed (ignored): ${e.getMessage}")
       }
@@ -117,8 +108,16 @@ object Bench {
       graft.core.TempDirs.deleteRecursively(dir)
       nRows / secs
     }
+    // Teardown BEFORE the result line: endpoint/session shutdown can
+    // log (Thrift session close lazily touches the Hive metastore —
+    // see GraftServer.quietMetastoreLogs), and anything printed after
+    // the JSON pushes it out of the output window the driver parses.
+    // The JSON line must be the last thing this process says.
+    try graft.queries.RemoteQueries.stopAll()
+    catch { case e: Throwable => System.err.println(s"[bench] endpoint stop: ${e.getMessage}") }
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark stop: ${e.getMessage}") }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"sf":"$sfDir"}""")
-    graft.queries.RemoteQueries.stopAll()
-    spark.stop()
+    System.out.flush()
   }
 }

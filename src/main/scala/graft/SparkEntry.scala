@@ -78,6 +78,8 @@ object SparkEntry {
     "q_sim_lsh"        -> (PipelineQueries.qSimLsh _),
     "q_sim_ivf"        -> (PipelineQueries.qSimIvf _),
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
+    "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
+    "q_split_hash"     -> (PipelineQueries.qSplitHash _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -458,5 +460,26 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
            WHERE a.vec_id < 200
          ) WHERE rn = 1 ORDER BY query_id""",
+    // per-source quota cap: longest docs win, doc_id tiebreak
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM documents
+         ) WHERE rn <= 50 ORDER BY doc_id""",
+    // deterministic hash split: md5 agrees byte-for-byte across
+    // engines; bucket = first 4 hex digits mod 100
+    "q_split_hash" ->
+      """WITH b AS (
+           SELECT n_chars,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100
+                    AS bucket
+           FROM documents
+         )
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                count(*) AS n_docs, sum(n_chars) AS n_chars_total
+         FROM b GROUP BY 1 ORDER BY split""",
   )
 }

@@ -20,6 +20,7 @@ object Verify {
       .config("spark.sql.warehouse.dir", graft.core.TempDirs.create("graft_wh_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.remote.GraftServer.quietMetastoreLogs()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

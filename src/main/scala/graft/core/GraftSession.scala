@@ -14,6 +14,13 @@ import graft.plan.Lowering
   * ResultSet to poll — sql/ResultSetImpl.java:74-99; a Dataset
   * iterator is the Spark-native equivalent).
   */
+object GraftSession {
+  /** Transaction-owner key for the in-process API. Remote connections
+    * pass their own key (remote/GraftDialect.scala) so each JDBC
+    * client owns an independent transaction. */
+  val LocalConn = "local"
+}
+
 class GraftSession(val spark: SparkSession,
                    val compat: Lowering.Compat = Lowering.Compat()) {
   private val tables = TrieMap.empty[String, () => DataFrame]
@@ -40,11 +47,13 @@ class GraftSession(val spark: SparkSession,
     val store = new TableStore(spark, path, meta.idCol)
     store.initialize(implicitly[org.apache.spark.sql.Encoder[T]].schema)
     val tt = new TypedTable[T](spark, store, meta,
-      beforeWrite = () => if (frozen)
-        throw new IllegalStateException("session is frozen (FREEZE); UNFREEZE to persist"))
+      beforeWrite = () => {
+        if (frozen)
+          throw new IllegalStateException("session is frozen (FREEZE); UNFREEZE to persist")
+        noteWrite(name) // write intent: ROLLBACK scope is what we wrote
+      })
     registerProvider(name, () => store.read)
     stores.put(name.toLowerCase, store)
-    txBaseline.put(name.toLowerCase, store.versions.lastOption.getOrElse(-1L))
     tt
   }
 
@@ -54,7 +63,6 @@ class GraftSession(val spark: SparkSession,
     * surface, remote/GraftDialect.scala). */
   def registerStore(name: String, store: TableStore): Unit = {
     stores.put(name.toLowerCase, store)
-    txBaseline.put(name.toLowerCase, store.versions.lastOption.getOrElse(-1L))
     registerProvider(name, () => store.read)
   }
 
@@ -113,20 +121,29 @@ class GraftSession(val spark: SparkSession,
 
   /** Execute a system statement; returns a status line.
     *
-    * COMMIT/ROLLBACK are session transactions over the registered
-    * stores (reference: READ COMMITTED with undo chunks,
+    * COMMIT/ROLLBACK are transactions over the registered stores
+    * (reference: READ COMMITTED with undo chunks,
     * persistent/Session.java:490-502, persistent/UndoChunk.java:46-70).
-    * The version-manifest store makes them metadata ops: each
-    * registered store's version is recorded as the transaction
-    * baseline; ROLLBACK reverts every store that moved back to its
-    * baseline snapshot (TableStore.revertTo — a new commit, no data
-    * I/O), COMMIT re-baselines. Scope matches the reference's
-    * single-mutator table lock: a rollback undoes ALL versions
-    * committed to the table since the baseline, which equals "this
-    * session's writes" exactly when this session is the table's only
-    * writer — concurrent-writer rollback is last-writer-wins, the
-    * documented divergence (no cross-table atomicity either; the
-    * reference's MVCC is per-table too).
+    * The version-manifest store makes them metadata ops, scoped by
+    * WRITE INTENT: the first write a connection makes to a store since
+    * its last COMMIT records that store's pre-write version as the
+    * transaction baseline ([[noteWrite]] — fired by TypedTable.persist
+    * and the remote INSERT path). ROLLBACK reverts exactly the stores
+    * THIS connection wrote, each to its baseline snapshot
+    * (TableStore.revertTo — a new commit, no data I/O); COMMIT drops
+    * the baselines. Stores moved only by other writers are never
+    * touched — matching the reference's per-session undo scope. `conn`
+    * identifies the transaction owner: the local API uses the default;
+    * each remote (Thrift) connection passes its own key
+    * (remote/GraftDialect.scala), so one JDBC client's ROLLBACK cannot
+    * revert another's committed work. Remaining divergence: a rollback
+    * undoes ALL versions committed to a written table since the
+    * baseline, which equals "this connection's writes" exactly when it
+    * is the table's only writer — concurrent same-table writers are
+    * last-writer-wins (no cross-table atomicity either; the
+    * reference's MVCC is per-table too). Writers that mutate a
+    * TableStore directly (not via TypedTable/INSERT) are outside
+    * transaction scope.
     *
     * ALTER SESSION SET forwards to the Spark conf; ALTER SYSTEM
     * SHUTDOWN stops this session's active streaming queries (the
@@ -134,21 +151,36 @@ class GraftSession(val spark: SparkSession,
     * TableStore-style mutation via the returned flag on the session;
     * CONNECT records the client identity (reference: local auth —
     * remote clients are remote/RemoteGraftSession, S8). */
-  def executeSystem(sql: String): String = {
+  def executeSystem(sql: String, conn: String = GraftSession.LocalConn): String = {
     import graft.sqlparse.SystemParser._
     graft.sqlparse.SystemParser.parse(sql) match {
       case Some(Commit) =>
-        rebaseline()
-        s"ok: committed; ${stores.size} table(s) re-baselined"
+        val mine = txBaseline.keys.filter(_._1 == conn).toSeq
+        mine.foreach(txBaseline.remove)
+        s"ok: committed; ${mine.size} table(s) re-baselined"
       case Some(Rollback) =>
-        val reverted = stores.toSeq.count { case (name, st) =>
-          val base = txBaseline.getOrElse(name, -1L)
-          val moved = st.versions.lastOption.getOrElse(-1L) != base
-          if (moved) st.revertTo(base)
-          moved
+        var reverted = 0
+        val failures = Seq.newBuilder[String]
+        txBaseline.keys.filter(_._1 == conn).toSeq.foreach { case key @ (_, name) =>
+          // a failed revert (e.g. baseline manifest vacuumed away) must
+          // not abort the statement mid-loop: the remaining tables
+          // still roll back, the failure is reported, and the failed
+          // table re-baselines at its current state so the transaction
+          // surface stays consistent
+          try {
+            val base = txBaseline(key)
+            stores.get(name).foreach { st =>
+              if (st.versions.lastOption.getOrElse(-1L) != base) {
+                st.revertTo(base); reverted += 1
+              }
+            }
+          } catch { case scala.util.control.NonFatal(e) =>
+            failures += s"$name: ${e.getMessage}"
+          } finally txBaseline.remove(key)
         }
-        rebaseline()
-        s"ok: rolled back $reverted table(s) to transaction start"
+        val failed = failures.result()
+        s"ok: rolled back $reverted table(s) to transaction start" +
+          (if (failed.isEmpty) "" else s"; FAILED ${failed.size}: ${failed.mkString("; ")}")
       case Some(Freeze) => frozen0 = true; "ok: session frozen (writes rejected)"
       case Some(Unfreeze) => frozen0 = false; "ok: session unfrozen"
       case Some(AlterSystem("SHUTDOWN")) =>
@@ -173,11 +205,21 @@ class GraftSession(val spark: SparkSession,
     }
   }
 
-  /** Per-store version at transaction start (COMMIT/ROLLBACK scope). */
-  private val txBaseline = TrieMap.empty[String, Long]
-  private def rebaseline(): Unit =
-    stores.foreach { case (n, st) =>
-      txBaseline.put(n, st.versions.lastOption.getOrElse(-1L)); () }
+  /** (connection, table) → store version at the connection's first
+    * write this transaction (the write-intent set COMMIT/ROLLBACK
+    * operate on). */
+  private val txBaseline = TrieMap.empty[(String, String), Long]
+
+  /** Record write intent: remember `table`'s CURRENT version as
+    * `conn`'s rollback baseline, if this is the connection's first
+    * write to it since its last COMMIT. Must be called before the
+    * write lands (TypedTable's beforeWrite hook, the remote INSERT
+    * command). */
+  private[graft] def noteWrite(table: String, conn: String = GraftSession.LocalConn): Unit =
+    stores.get(table.toLowerCase).foreach { st =>
+      txBaseline.putIfAbsent((conn, table.toLowerCase),
+        st.versions.lastOption.getOrElse(-1L)); ()
+    }
 
   @volatile private var frozen0 = false
   @volatile private var connectedAs0: Option[String] = None

@@ -187,13 +187,14 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   }
 
   /** Committed version numbers still present, oldest first — the
-    * time-travel index (`vacuum` trims all but the latest). */
+    * time-travel index (`vacuum` trims versions past its grace window). */
   def versions: Seq[Long] = listVersions(fs).map(_._1)
 
   /** Snapshot read AS OF a past version (time travel): the manifest is
     * immutable, so this is exactly the table as committed then. Data
     * files of superseded versions survive until `vacuum`; after vacuum
-    * only the latest version is readable. The reference's MVCC keeps
+    * only the latest version and versions inside the vacuum grace
+    * window remain readable. The reference's MVCC keeps
     * superseded frames for in-flight READ COMMITTED readers
     * (persistent/UndoChunk.java:46-70); version manifests are the
     * table-format rendering of the same idea with an explicit handle. */
@@ -499,12 +500,24 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
 
   /** DELETE WHERE: removes rows where the condition is TRUE only —
     * NULL-evaluating rows are retained (SQL three-valued semantics;
-    * a bare `!cond` would silently drop them). Arbitrary predicate →
-    * full rewrite; use deleteKeys for the pruned path. */
+    * a bare `!cond` would silently drop them). Two-phase, like Delta's
+    * DELETE: a find scan (predicate pushed to parquet, row-group stats
+    * prune) locates the files that actually contain matches, then only
+    * THOSE are rewritten — a delete touching 1% of a 100 TB table
+    * rewrites 1% of it, not all of it. Only file NAMES reach the
+    * driver (metadata-scale). Use deleteKeys for the stats-pruned
+    * keyed path that avoids the find scan entirely. */
   def delete(condition: Column): Unit = {
     val snapshot = currentEntries
-    val retained = readFiles(snapshot).filter(not(coalesce(condition, lit(false))))
-    commitRewrite(snapshot, snapshot, writeFiles(retained))
+    if (snapshot.isEmpty) return
+    val hit = coalesce(condition, lit(false))
+    val matchedFiles = readFiles(snapshot)
+      .filter(hit).select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = snapshot.filter(e => matchedFiles.exists(_.endsWith("/" + e.name)))
+    if (affected.isEmpty) return // nothing matches: no new version
+    val retained = readFiles(affected).filter(not(hit))
+    commitRewrite(snapshot, affected, writeFiles(retained))
   }
 
   /** Delete by key set: files outside the key range are untouched;
@@ -567,7 +580,17 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   def compact(targetFiles: Int = 8, clusterBy: Seq[String] = Seq.empty): Unit = {
     val snapshot = currentEntries
     val n = math.max(targetFiles, 1)
-    if (clusterBy.isEmpty && snapshot.size <= n) return
+    if (snapshot.isEmpty || (clusterBy.isEmpty && snapshot.size <= n)) return
+    // clustered maintenance is idempotent: when the file count is
+    // already at target and the id ranges don't overlap (what
+    // clusterBy-on-the-id-key produces), a rewrite would only churn a
+    // new version with the same layout — repeated maintenance runs
+    // must converge to a no-op
+    if (clusterBy == Seq(idCol) && snapshot.size <= n &&
+        snapshot.forall(e => e.idMin.isDefined && e.idMax.isDefined) && {
+          val ranges = snapshot.map(e => (e.idMin.get, e.idMax.get)).sorted
+          ranges.zip(ranges.drop(1)).forall { case ((_, hi), (lo, _)) => hi < lo }
+        }) return
     val base = readFiles(snapshot)
     val packed =
       if (clusterBy.isEmpty) base.repartition(n)
@@ -581,26 +604,42 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   private[graft] def fileIdRanges: Seq[(Option[Long], Option[Long])] =
     currentEntries.map(e => (e.idMin, e.idMax))
 
-  /** Drop data files unreferenced by the latest version and all older
-    * manifests (time-travel ends; current snapshot unaffected).
-    * Runs under the commit monitor, and only deletes unreferenced files
-    * older than `graceMs`: a concurrent writer may have renamed new
-    * files into files/ but not committed yet — age is what keeps their
-    * in-flight work safe (the same reason Delta's VACUUM has a
-    * retention window). */
+  /** Drop superseded manifests and unreferenced data files older than
+    * `graceMs` (current snapshot unaffected). The grace window governs
+    * BOTH kinds of state, for two distinct safety reasons:
+    *   - data files: a concurrent writer may have renamed new files
+    *     into files/ but not committed yet — age keeps their in-flight
+    *     work safe (the same reason Delta's VACUUM has retention);
+    *   - manifests: superseded versions committed within the window
+    *     stay readable, so `revertTo`/ROLLBACK baselines and time
+    *     travel survive any vacuum whose grace covers the transaction
+    *     window (the invariant revertTo documents). A manifest older
+    *     than the grace is past the time-travel horizon and dropped.
+    * `graceMs = 0` reclaims everything superseded immediately —
+    * time travel ends, only the latest version remains. */
   def vacuum(graceMs: Long = 10 * 60 * 1000L): Unit =
     TableStore.commitLock(path).synchronized {
       val f = fs
-      listVersions(f).dropRight(1).foreach { case (_, p) => f.delete(p, false) }
+      val cutoff = System.currentTimeMillis() - graceMs
+      val all = listVersions(f)
+      // latest always survives; older manifests survive inside grace
+      val (dropped, keptOld) = all.dropRight(1).partition { case (_, p) =>
+        f.getFileStatus(p).getModificationTime <= cutoff }
+      dropped.foreach { case (_, p) => f.delete(p, false) }
       // claim markers for superseded versions have done their job
-      val latest = listVersions(f).lastOption.map(_._1).getOrElse(-1L)
+      val latest = all.lastOption.map(_._1).getOrElse(-1L)
       if (f.exists(new Path(versionsDir)))
         f.listStatus(new Path(versionsDir)).toSeq.map(_.getPath)
           .filter(_.getName.matches("v\\d+\\.claim"))
           .filter(_.getName.stripPrefix("v").stripSuffix(".claim").toLong < latest)
           .foreach(p => f.delete(p, false))
-      val live = currentEntries.map(_.name).toSet
-      val cutoff = System.currentTimeMillis() - graceMs
+      // a data file is live if ANY retained manifest references it —
+      // deleting a file out from under a within-grace manifest would
+      // leave readable versions pointing at nothing
+      val live = (all.lastOption.toSeq ++ keptOld).flatMap { case (_, p) =>
+        readUtf8(f, p).split("\n").map(_.trim).filter(_.nonEmpty)
+          .map(FileEntry.parse(_).name)
+      }.toSet
       if (f.exists(new Path(filesDir)))
         f.listStatus(new Path(filesDir)).toSeq
           .filterNot(s => live.contains(s.getPath.getName))

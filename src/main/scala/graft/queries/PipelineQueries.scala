@@ -172,4 +172,45 @@ object PipelineQueries {
       col("resized_meta.width").as("rw"), col("resized_meta.height").as("rh"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source quota cap: keep at most `cap` documents per source,
+    * preferring longer documents (quality proxy), doc_id as the
+    * deterministic tiebreak — the per-domain cap every large corpus
+    * applies so one crawl source can't dominate the training mix.
+    * One hash shuffle on `source`, then a partition-local sort —
+    * row_number needs no global order. At 100 TB the partition count
+    * follows the source cardinality; a single heavy-hitter source
+    * serializes into one task, so for web-crawl-shaped skew pre-trim
+    * with a per-partition local cap (any partition holding > cap rows
+    * of a source can drop its local overflow before the shuffle). */
+  def qSourceCap(s: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test split by content-independent hash:
+    * bucket = first 4 hex digits of md5(doc_id) mod 100 → 80/10/10.
+    * The standard reproducible-split technique — membership depends
+    * only on the id, so it is stable across reruns, engines, and
+    * repartitioning (md5 agrees byte-for-byte with DuckDB, which makes
+    * it oracle-checkable; a pipeline would use xxhash64 for speed).
+    * Pure map-side: no shuffle until the tiny per-split rollup. */
+  def qSplitHash(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    docs(s, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("split"))
+  }
 }

@@ -57,6 +57,20 @@ object GraftDialect {
   def enabled(s: SparkSession): Boolean =
     s.conf.get(ConfKey, "off").equalsIgnoreCase("on")
 
+  /** Transaction-owner key for an executing session. Each Thrift
+    * connection owns a cloned SparkSession for its lifetime, so the
+    * session's identity IS the connection identity — COMMIT/ROLLBACK
+    * and write intents keyed on it are per-JDBC-connection, like the
+    * reference's per-session transactions (persistent/Session.java).
+    * The bound GraftSession's own SparkSession maps to the local key:
+    * statements a server-side caller runs through spark.sql belong to
+    * the same transaction as its GraftSession API calls. */
+  def connKey(s: SparkSession): String =
+    bound match {
+      case Some(gs) if gs.spark eq s => graft.core.GraftSession.LocalConn
+      case _ => "conn@" + java.lang.Integer.toHexString(System.identityHashCode(s))
+    }
+
   /** Table resolution: the bound GraftSession's registry first (live
     * TableStore-backed providers), then the executing session's own
     * catalog (temp views, catalog tables). Only "not registered" falls
@@ -143,12 +157,13 @@ final case class GraftSystemCommand(sql: String) extends LeafRunnableCommand {
     import SystemParser._
     val status = SystemParser.parse(sql) match {
       case Some(AlterSession(k, v)) => session.conf.set(k, v); s"ok: $k=$v"
-      // transaction over the attached session's registered stores
-      // (GraftSession.executeSystem COMMIT/ROLLBACK); without one there
-      // are no writable tables behind this endpoint, so a stateless ack
-      // is the truthful response
+      // transaction over the attached session's registered stores,
+      // keyed by THIS connection's identity so one client's ROLLBACK
+      // never reverts another's work; without an attached session
+      // there are no writable tables behind this endpoint, so a
+      // stateless ack is the truthful response
       case Some(Commit) | Some(Rollback) => GraftDialect.attached match {
-        case Some(gs) => gs.executeSystem(sql)
+        case Some(gs) => gs.executeSystem(sql, GraftDialect.connKey(session))
         case None => "ok: no writable tables attached; nothing to end"
       }
       case Some(stmt) => GraftDialect.attached match {
@@ -201,6 +216,9 @@ final case class GraftInsertCommand(table: String, columns: Seq[String],
     val df = session.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(aligned).asJava, strSchema)
       .select(schema.map(f => col(f.name).cast(f.dataType)): _*)
+    // write intent BEFORE the append: this connection's ROLLBACK
+    // baseline for the table is its pre-write version
+    gs.noteWrite(table, GraftDialect.connKey(session))
     store.append(df)
     Seq(Row(s"ok: inserted ${rows.size} rows into $table"))
   }

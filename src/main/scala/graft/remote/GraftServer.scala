@@ -25,6 +25,25 @@ import graft.core.GraftSession
   */
 object GraftServer {
 
+  /** Silence the endpoint's metastore plumbing. HiveServer2's session
+    * layer lazily initializes a Hive ObjectStore over an embedded-derby
+    * URL (`jdbc:derby:memory:…`, from Spark's execution-Hive temporary
+    * conf) that derby 10.16 mishandles; the init fails harmlessly — no
+    * graft query touches the Hive metastore (tables resolve through
+    * [[GraftDialect]] / the in-memory catalog) — but each attempt logs
+    * a full ERROR stack trace. Worse than noise: the traces fire at
+    * session close, AFTER Bench prints its one-line JSON result, and
+    * push it out of the output window the driver parses. These
+    * categories carry nothing a graft deployment acts on. */
+  def quietMetastoreLogs(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Seq("DataNucleus", "org.datanucleus", "org.apache.derby",
+        "org.apache.hadoop.hive", "org.apache.hive",
+        "org.apache.hadoop.metrics2", "org.apache.spark.sql.hive.thriftserver")
+      .foreach(n => Configurator.setLevel(n, Level.OFF))
+  }
+
   // the HiveThriftServer2 CLASS is private[hive]; its public Java
   // supertype carries the service lifecycle (stop)
   final class Handle private[GraftServer] (val port: Int,
@@ -47,6 +66,7 @@ object GraftServer {
     */
   def start(gs: GraftSession, port: Int = 0): Handle = {
     val p = if (port == 0) freePort() else port
+    quietMetastoreLogs()
     GraftDialect.attach(gs)
     // HiveServer2 reads its conf from HiveConf, which is built from
     // hadoop conf + system properties — the session conf is not

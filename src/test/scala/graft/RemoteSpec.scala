@@ -127,6 +127,31 @@ class RemoteSpec extends AnyFunSuite {
     assert(kept.length == 1 && kept.head.getString(1) == "keep")
   }
 
+  test("transactions are per connection: client B's ROLLBACK leaves client A's writes") {
+    val (gs, a) = fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_tx2").toString
+    import spark.implicits._
+    gs.registerEntity[RemoteDoc]("remote_tx2", dir)
+    val port = graft.queries.RemoteQueries.endpointPort.get
+    val b = new RemoteGraftSession("localhost", port)
+    try {
+      // A persists and stays uncommitted; B persists its own row and
+      // rolls back. The reference's transactions are per-session
+      // (persistent/Session.java) — B's rollback must undo ONLY B.
+      a.persist("remote_tx2", rows = Seq(Seq(1L, "from-a", 1.0)))
+      b.persist("remote_tx2", rows = Seq(Seq(2L, "from-b", 2.0)))
+      assert(gs.table("remote_tx2").count() == 2)
+      assert(b.rollback().contains("rolled back 1"))
+      val left = gs.table("remote_tx2").collect()
+      assert(left.length == 1 && left.head.getString(1) == "from-a", left.toSeq)
+      // B's rollback reverted the table to its pre-B-write version,
+      // which already contained A's row; A's own rollback now undoes
+      // A's write (its baseline is the empty table)
+      assert(a.rollback().contains("rolled back 1"))
+      assert(gs.table("remote_tx2").count() == 0)
+    } finally b.close()
+  }
+
   test("literal rendering survives quotes, small doubles, and timestamps") {
     val (gs, remote) = fixture
     val dir = java.nio.file.Files.createTempDirectory("graft_remote_lit").toString

@@ -387,6 +387,38 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.versions == Seq(vs.last))
   }
 
+  test("vacuum grace keeps within-window manifests readable (rollback baselines survive)") {
+    val st = tmpStore()
+    st.append(Seq((1L, "a")).toDF("id", "v"))
+    st.append(Seq((2L, "b")).toDF("id", "v"))
+    st.compact(targetFiles = 1) // supersedes both original files
+    val vs = st.versions
+    // a vacuum whose grace covers the transaction window must not eat
+    // the rollback baseline — neither its manifest nor its data files
+    st.vacuum(graceMs = 60 * 60 * 1000L)
+    assert(st.versions == vs, "within-grace manifests must survive vacuum")
+    assert(st.readVersion(vs(0)).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    st.revertTo(vs(0)) // ROLLBACK's primitive still works after vacuum
+    assert(st.read.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // grace 0: time travel ends, only the latest (reverted) version stays
+    st.vacuum(graceMs = 0L)
+    assert(st.versions == Seq(st.versions.last))
+    assert(st.read.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("maintenance converges: compact is a no-op on empty and already-clustered tables") {
+    val st = tmpStore()
+    st.initialize(Seq((1L, "a")).toDF("id", "v").schema)
+    val v0 = st.versions.size
+    st.compact(targetFiles = 4, clusterBy = Seq("id"))
+    assert(st.versions.size == v0, "compacting an empty table must not commit a version")
+    st.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    st.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").coalesce(1))
+    st.compact(targetFiles = 4, clusterBy = Seq("id")) // 2 files, already disjoint in id
+    assert(st.versions.size == v0 + 2,
+      "re-clustering <=target disjoint files must not churn a version")
+  }
+
   test("clustered compaction: files stop overlapping in the cluster key") {
     val st = tmpStore()
     // interleaved appends: every file's id range spans the whole key
