@@ -178,11 +178,11 @@ object PipelineQueries {
     * deterministic tiebreak — the per-domain cap every large corpus
     * applies so one crawl source can't dominate the training mix.
     * One hash shuffle on `source`, then a partition-local sort —
-    * row_number needs no global order. At 100 TB the partition count
-    * follows the source cardinality; a single heavy-hitter source
-    * serializes into one task, so for web-crawl-shaped skew pre-trim
-    * with a per-partition local cap (any partition holding > cap rows
-    * of a source can drop its local overflow before the shuffle). */
+    * row_number needs no global order. Catalyst's rank-limit pushdown
+    * plans a partial WindowGroupLimit BEFORE the exchange: each input
+    * partition pre-trims to `cap` rows per source, so even a
+    * heavy-hitter source ships at most cap rows per upstream
+    * partition across the shuffle (plan-audited in PlanAuditSpec). */
   def qSourceCap(s: SparkSession, dir: String, cap: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))

@@ -44,6 +44,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
   }
 
+  // the executed AQE plan prints "== Final Plan ==" then "== Initial
+  // Plan ==" — audits must read only what actually ran
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // AQE finalizes the physical plan only on execution
+    val s = df.queryExecution.executedPlan.toString
+    s.split("== Initial Plan ==").head
+  }
+
+  test("per-source cap shuffles once on source; hash split shuffles only the rollup") {
+    // q_source_cap: row_number needs exactly one hash exchange on
+    // `source` (plus the final orderBy's range exchange) — a global
+    // sort here would serialize 100 TB through one task chain. Spark
+    // additionally plans a PARTIAL WindowGroupLimit before the
+    // exchange: each input partition pre-trims to the cap per source,
+    // so a heavy-hitter source ships at most cap rows per upstream
+    // partition instead of its full row count (the skew guard).
+    val capPlan = finalPlan(queries.PipelineQueries.qSourceCap(spark, sf))
+    assert(capPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected 1 hash exchange (source):\n$capPlan")
+    assert(capPlan.contains("WindowGroupLimit") && capPlan.contains("Partial"),
+      s"expected partial window-group-limit pre-trim before the shuffle:\n$capPlan")
+    // q_split_hash: bucket assignment is map-side; the only shuffle is
+    // the 3-group rollup (partial/final HashAggregate around it)
+    val splitPlan = finalPlan(queries.PipelineQueries.qSplitHash(spark, sf))
+    assert(splitPlan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"split rollup must be two-phase:\n$splitPlan")
+    assert(splitPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"hash split must not shuffle rows before the rollup:\n$splitPlan")
+  }
+
   test("pipeline text scan stays inside whole-stage codegen end-to-end") {
     val df = queries.PipelineQueries.qTextQuality(spark, sf)
     df.collect() // AQE finalizes the physical plan only on execution
