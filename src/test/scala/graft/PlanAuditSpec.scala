@@ -74,6 +74,58 @@ class PlanAuditSpec extends AnyFunSuite {
       s"hash split must not shuffle rows before the rollup:\n$splitPlan")
   }
 
+  test("bucketed tables co-locate the join: no exchange, no sort in the final plan") {
+    // The scale path for a repeated fact-dim join: write both sides
+    // bucketed+sorted by the join key once, and every subsequent join
+    // reads co-located buckets — no shuffle, no sort, ever again.
+    // Catalyst proves it in the plan: a sort-merge join directly over
+    // the bucketed scans. (Conf changes live on an isolated clone so
+    // concurrently running suites never observe them.)
+    val iso = org.apache.spark.sql.graft.CatalystBridge.isolatedCopy(spark)
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the merge path
+    iso.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    // Spark 3+ stopped reporting bucket-sort order from the scan by
+    // default (deciding sortedness needs a file listing); opting back
+    // in is what completes the no-sort plan for one-file-per-bucket
+    // tables
+    iso.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val o = graft.core.Tables.load(iso, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val l = graft.core.Tables.load(iso, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    // repartition on the bucket key first → ONE file per bucket; sortBy
+    // is per-file, so single-file buckets are what lets the planner
+    // also elide the merge-join sort (multi-file buckets keep a
+    // partition-local sort — still shuffle-free, but not sort-free)
+    import org.apache.spark.sql.functions.col
+    o.repartition(4, col("o_orderkey"))
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_bkt")
+    l.repartition(4, col("l_orderkey"))
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_bkt")
+    try {
+      val j = iso.table("orders_bkt")
+        .join(iso.table("lineitem_bkt"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+      val plan = finalPlan(j)
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(!plan.linesIterator.exists(l => l.trim.startsWith("+- Sort") ||
+          l.trim.startsWith("Sort ") || l.contains("*(1) Sort") || l.contains(") Sort [")),
+        s"bucket-sorted scans must not re-sort:\n$plan")
+      // same rows as the unbucketed join
+      val expected = o.join(l, org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey")).count()
+      assert(j.count() == expected)
+    } finally {
+      iso.sql("DROP TABLE IF EXISTS orders_bkt")
+      iso.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("pipeline text scan stays inside whole-stage codegen end-to-end") {
     val df = queries.PipelineQueries.qTextQuality(spark, sf)
     df.collect() // AQE finalizes the physical plan only on execution
