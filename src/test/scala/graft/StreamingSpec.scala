@@ -89,6 +89,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup runs on the RocksDB state store (the 100 TB state path)") {
+    // The heap-backed default keeps every state key in executor memory;
+    // dedup state at corpus scale is billions of keys. RocksDB spills
+    // state to local disk with an LSM — same query, one conf. This
+    // locks the op end-to-end on that provider (an isolated session so
+    // other suites keep the default).
+    val iso = org.apache.spark.sql.graft.CatalystBridge.isolatedCopy(spark)
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sql = iso.sqlContext
+    val mem = MemoryStream[TestEvent]
+    mem.addData(TestEvent(1, 10, "click", 1.0), TestEvent(2, 10, "click", 2.0),
+      TestEvent(3, 11, "view", 3.0))
+    val keys = org.apache.spark.sql.graft.CatalystBridge.withSession(
+      mem.toDF().select(col("user_id").as("uid"), col("event_type").as("t")), iso)
+    val deduped = StreamOps.dedupStream(keys, Seq("uid", "t"))
+    val name = s"dedup_rocks_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(TestEvent(4, 10, "click", 4.0), TestEvent(5, 12, "click", 5.0))
+      q.processAllAvailable()
+      val got = iso.table(name).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((10L, "click"), (11L, "view"), (12L, "click")))
+    } finally q.stop()
+  }
+
   test("streaming tumbling group-by revises per key (C3)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TestEvent]
