@@ -152,6 +152,22 @@ class RemoteSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("remote ROLLBACK does not revert the local session's writes") {
+    val (gs, remote) = fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote_tx3").toString
+    import spark.implicits._
+    val tt = gs.registerEntity[RemoteDoc]("remote_tx3", dir)
+    // the LOCAL API writes (its own transaction key)...
+    tt.persist(Seq(RemoteDoc(1L, "local write", 1.0)))
+    // ...and a remote client that wrote NOTHING to this table rolls back
+    assert(remote.rollback().contains("ok"))
+    assert(gs.table("remote_tx3").count() == 1,
+      "a remote rollback must not touch tables it never wrote")
+    // the local transaction still owns its write
+    assert(gs.executeSystem("ROLLBACK").contains("rolled back 1"))
+    assert(gs.table("remote_tx3").count() == 0)
+  }
+
   test("literal rendering survives quotes, small doubles, and timestamps") {
     val (gs, remote) = fixture
     val dir = java.nio.file.Files.createTempDirectory("graft_remote_lit").toString

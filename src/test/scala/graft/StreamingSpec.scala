@@ -538,6 +538,38 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read.count() == 201)
   }
 
+  test("two-phase DELETE WHERE rewrites only files containing matches; NULLs retained") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del2_").toString
+    val st = new TableStore(spark, dir, "id")
+    // three disjoint files; only the middle one contains matches
+    st.append((1L to 50L).map(i => (i, "keep")).toDF("id", "v").coalesce(1))
+    st.append(((100L to 120L).map(i => (i, if (i % 2 == 0) "drop" else "keep"))
+      :+ (125L, null: String)).toDF("id", "v").coalesce(1))
+    st.append((1000L to 1050L).map(i => (i, "keep")).toDF("id", "v").coalesce(1))
+    def manifestNames: Set[String] = {
+      val vdir = new java.io.File(s"$dir/_versions")
+      val latest = vdir.listFiles().filter(_.getName.endsWith(".manifest"))
+        .maxBy(_.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
+      scala.io.Source.fromFile(latest).getLines().map(_.split("\t").head).toSet
+    }
+    val before = manifestNames
+    val vBefore = st.versions.size
+    st.delete(col("v") === "drop")
+    val after = manifestNames
+    // files 1 and 3 contain no matching row: they survive BY NAME
+    assert((before & after).size == 2,
+      s"expected 2 untouched files, before=$before after=$after")
+    // the NULL-v row evaluates the predicate to NULL → retained
+    assert(st.read.filter(col("v").isNull).count() == 1)
+    assert(st.read.filter(col("v") === "drop").count() == 0)
+    assert(st.read.count() == 50 + 10 + 1 + 51) // odd ids in 100-120 = 10, the null row, rest
+    // a delete matching nothing commits no version at all
+    val vAfter = st.versions.size
+    st.delete(col("v") === "no-such-value")
+    assert(st.versions.size == vAfter, "no-match delete must not commit")
+    assert(vAfter == vBefore + 1)
+  }
+
   test("snapshot isolation: a resolved reader survives concurrent commits; vacuum keeps only live files") {
     val st = tmpStore()
     st.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
