@@ -19,6 +19,14 @@ object GraftSession {
     * pass their own key (remote/GraftDialect.scala) so each JDBC
     * client owns an independent transaction. */
   val LocalConn = "local"
+
+  /** Idle-transaction timeout: a write-intent baseline untouched this
+    * long (connection wrote, then neither committed nor rolled back —
+    * typically a vanished remote client) is expired so a long-lived
+    * endpoint's transaction state stays bounded. Long on purpose: an
+    * expired baseline only disables rollback for that abandoned
+    * transaction, it never undoes data. */
+  val txIdleTimeoutMs: Long = 24L * 60 * 60 * 1000
 }
 
 class GraftSession(val spark: SparkSession,
@@ -155,10 +163,12 @@ class GraftSession(val spark: SparkSession,
     import graft.sqlparse.SystemParser._
     graft.sqlparse.SystemParser.parse(sql) match {
       case Some(Commit) =>
+        expireStaleBaselines()
         val mine = txBaseline.keys.filter(_._1 == conn).toSeq
         mine.foreach(txBaseline.remove)
-        s"ok: committed; ${mine.size} table(s) re-baselined"
+        s"ok: committed; ${mine.size} written table(s)"
       case Some(Rollback) =>
+        expireStaleBaselines()
         var reverted = 0
         val failures = Seq.newBuilder[String]
         txBaseline.keys.filter(_._1 == conn).toSeq.foreach { case key @ (_, name) =>
@@ -168,10 +178,11 @@ class GraftSession(val spark: SparkSession,
           // table re-baselines at its current state so the transaction
           // surface stays consistent
           try {
-            val base = txBaseline(key)
-            stores.get(name).foreach { st =>
-              if (st.versions.lastOption.getOrElse(-1L) != base) {
-                st.revertTo(base); reverted += 1
+            txBaseline.get(key).foreach { case (base, _) =>
+              stores.get(name).foreach { st =>
+                if (st.versions.lastOption.getOrElse(-1L) != base) {
+                  st.revertTo(base); reverted += 1
+                }
               }
             }
           } catch { case scala.util.control.NonFatal(e) =>
@@ -205,20 +216,31 @@ class GraftSession(val spark: SparkSession,
     }
   }
 
-  /** (connection, table) → store version at the connection's first
-    * write this transaction (the write-intent set COMMIT/ROLLBACK
-    * operate on). */
-  private val txBaseline = TrieMap.empty[(String, String), Long]
+  /** (connection, table) → (store version at the connection's first
+    * write this transaction, when it was recorded) — the write-intent
+    * set COMMIT/ROLLBACK operate on. The timestamp drives the
+    * idle-transaction timeout: a remote connection that writes and
+    * vanishes without COMMIT/ROLLBACK would otherwise leak its
+    * baselines forever on a long-lived endpoint; entries older than
+    * [[GraftSession.txIdleTimeoutMs]] are expired opportunistically on
+    * every transaction statement (the standard abandoned-transaction
+    * reaper, done without a background thread). */
+  private val txBaseline = TrieMap.empty[(String, String), (Long, Long)]
+
+  private def expireStaleBaselines(): Unit = {
+    val cutoff = System.currentTimeMillis() - GraftSession.txIdleTimeoutMs
+    txBaseline.foreach { case (k, (_, at)) => if (at < cutoff) txBaseline.remove(k) }
+  }
 
   /** Record write intent: remember `table`'s CURRENT version as
     * `conn`'s rollback baseline, if this is the connection's first
     * write to it since its last COMMIT. Must be called before the
     * write lands (TypedTable's beforeWrite hook, the remote INSERT
-    * command). */
+    * command, PROCESS STREAM's per-batch delete stream). */
   private[graft] def noteWrite(table: String, conn: String = GraftSession.LocalConn): Unit =
     stores.get(table.toLowerCase).foreach { st =>
       txBaseline.putIfAbsent((conn, table.toLowerCase),
-        st.versions.lastOption.getOrElse(-1L)); ()
+        (st.versions.lastOption.getOrElse(-1L), System.currentTimeMillis())); ()
     }
 
   @volatile private var frozen0 = false
@@ -343,6 +365,11 @@ class GraftSession(val spark: SparkSession,
       .map(w => Lowering.lowerCondOn(df, w, compat))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val streamId = idCol.map(c => tref.alias.getOrElse("") + c)
+    // the per-batch deletes this stream will make are session writes:
+    // record the intent now (pre-first-delete version) so ROLLBACK
+    // covers them like any other write through this session
+    store.foreach(st => stores.collectFirst { case (n, s) if s eq st => n }
+      .foreach(noteWrite(_)))
     val h = graft.streaming.StreamProcess.start(df, cond, processor, store, streamId,
       checkpoint, trigger)
     ownedQueries.put(h.queryId, ())

@@ -510,13 +510,26 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   def delete(condition: Column): Unit = {
     val snapshot = currentEntries
     if (snapshot.isEmpty) return
-    val hit = coalesce(condition, lit(false))
+    // two evaluations of the predicate (find + rewrite) are only sound
+    // when it is deterministic; a rand()/timestamp predicate would
+    // match different rows per phase. Delta rejects those outright —
+    // here the single-scan full rewrite is still available, so fall
+    // back to it (one evaluation per row) instead of failing.
+    if (!org.apache.spark.sql.graft.CatalystBridge.expression(condition).deterministic) {
+      val retained = readFiles(snapshot).filter(not(coalesce(condition, lit(false))))
+      commitRewrite(snapshot, snapshot, writeFiles(retained))
+      return
+    }
+    // find phase: bare `condition` (not coalesce(cond,false)) so the
+    // predicate reaches the parquet scan as a pushed filter and
+    // row-group stats prune — Filter already drops NULL evaluations,
+    // same row set, but Coalesce would not translate to a source filter
     val matchedFiles = readFiles(snapshot)
-      .filter(hit).select(input_file_name().as("f")).distinct()
+      .filter(condition).select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     val affected = snapshot.filter(e => matchedFiles.exists(_.endsWith("/" + e.name)))
     if (affected.isEmpty) return // nothing matches: no new version
-    val retained = readFiles(affected).filter(not(hit))
+    val retained = readFiles(affected).filter(not(coalesce(condition, lit(false))))
     commitRewrite(snapshot, affected, writeFiles(retained))
   }
 

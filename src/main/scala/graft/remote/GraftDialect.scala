@@ -62,13 +62,22 @@ object GraftDialect {
     * session's identity IS the connection identity — COMMIT/ROLLBACK
     * and write intents keyed on it are per-JDBC-connection, like the
     * reference's per-session transactions (persistent/Session.java).
-    * The bound GraftSession's own SparkSession maps to the local key:
-    * statements a server-side caller runs through spark.sql belong to
-    * the same transaction as its GraftSession API calls. */
+    * The key is a UUID minted into the session's OWN conf on first
+    * use (session conf is per-clone): unique for the JVM's lifetime —
+    * an identity hash would eventually collide and hand one client's
+    * rollback baseline to another. The bound GraftSession's own
+    * SparkSession maps to the local key: statements a server-side
+    * caller runs through spark.sql belong to the same transaction as
+    * its GraftSession API calls. */
+  private val ConnIdKey = "spark.graft.internal.connId"
   def connKey(s: SparkSession): String =
     bound match {
       case Some(gs) if gs.spark eq s => graft.core.GraftSession.LocalConn
-      case _ => "conn@" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      case _ => s.conf.getOption(ConnIdKey).getOrElse {
+        val id = "conn-" + java.util.UUID.randomUUID().toString
+        s.conf.set(ConnIdKey, id)
+        id
+      }
     }
 
   /** Table resolution: the bound GraftSession's registry first (live

@@ -38,10 +38,16 @@ object GraftServer {
   def quietMetastoreLogs(): Unit = {
     import org.apache.logging.log4j.Level
     import org.apache.logging.log4j.core.config.Configurator
+    // OFF only for the metastore plumbing no graft query uses — the
+    // layers whose failures are the known-harmless derby noise
     Seq("DataNucleus", "org.datanucleus", "org.apache.derby",
-        "org.apache.hadoop.hive", "org.apache.hive",
-        "org.apache.hadoop.metrics2", "org.apache.spark.sql.hive.thriftserver")
+        "org.apache.hadoop.hive.metastore", "org.apache.hadoop.metrics2")
       .foreach(n => Configurator.setLevel(n, Level.OFF))
+    // the server/operation layers stay at ERROR: a client statement
+    // dying server-side must remain diagnosable
+    Seq("org.apache.hadoop.hive", "org.apache.hive",
+        "org.apache.spark.sql.hive.thriftserver")
+      .foreach(n => Configurator.setLevel(n, Level.ERROR))
   }
 
   // the HiveThriftServer2 CLASS is private[hive]; its public Java

@@ -308,6 +308,31 @@ class CepSpec extends AnyFunSuite {
     } finally h.stop()
   }
 
+  test("PROCESS STREAM deletes on a registered store are covered by session ROLLBACK") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[TestEvent]
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps_tx_").toString
+    val store = new TableStore(spark, dir, "event_id")
+    store.append(Seq(
+      TestEvent(1, 1, "error", 1.0), TestEvent(2, 1, "click", 2.0)).toDF())
+    mem.addData(TestEvent(1, 1, "error", 1.0))
+    val gs = new GraftSession(spark)
+    gs.registerStream("events", mem.toDF())
+    gs.registerStore("events_store", store)
+    val h = gs.executeStreamProcess(
+      "process stream e.event_id from events e within 'test.Handler' where e.event_type = 'error'",
+      DropErrorsForTest, store = Some(store), idCol = Some("event_id"))
+    try {
+      h.processAllAvailable()
+      assert(store.read.count() == 1) // the error row was deleted
+    } finally h.stop()
+    // the stream's deletes were session writes (intent recorded at
+    // start): ROLLBACK restores the pre-stream snapshot
+    assert(gs.executeSystem("ROLLBACK").contains("rolled back 1"))
+    assert(store.read.count() == 2)
+  }
+
   test("streaming bodies never mutate the caller session's conf (isolated sessions)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
