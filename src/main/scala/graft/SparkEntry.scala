@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{BatchQueries, DialectQueries, PipelineQueries, RemoteQueries, StreamQueries}
+import graft.queries.{AnalyticsQueries, BatchQueries, DialectQueries, PipelineQueries, RemoteQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -80,6 +80,15 @@ object SparkEntry {
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
     "q_split_hash"     -> (PipelineQueries.qSplitHash _),
+    // analytics extensions: temporal joins, rollup, ranking windows,
+    // sketch aggregates (ops/TemporalJoins, ops/Sketches)
+    "q_asof_join"      -> (AnalyticsQueries.qAsofJoin _),
+    "q_range_join"     -> (AnalyticsQueries.qRangeJoin _),
+    "q_rollup"         -> (AnalyticsQueries.qRollup _),
+    "q_rank_analytics" -> (AnalyticsQueries.qRankAnalytics _),
+    "q_freq_topk"      -> (AnalyticsQueries.qFreqTopk _),
+    "q_sketch_distinct"  -> (AnalyticsQueries.qSketchDistinct _),
+    "q_sketch_quantiles" -> (AnalyticsQueries.qSketchQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -481,5 +490,42 @@ object SparkEntry {
                      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
                 count(*) AS n_docs, sum(n_chars) AS n_chars_total
          FROM b GROUP BY 1 ORDER BY split""",
+    // as-of join: most recent same-user click at or before each
+    // purchase; ties on click ts broken by largest event_id — the same
+    // (ts, id) max the Spark window's last() picks
+    "q_asof_join" ->
+      """SELECT id, uid, click_id, click_ts FROM (
+           SELECT p.event_id AS id, p.user_id AS uid,
+                  c.event_id AS click_id, c.ts AS click_ts,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.user_id AND c.ts <= p.ts
+         ) WHERE rn = 1 ORDER BY id""",
+    // range join: purchases inside [error_ts, error_ts + 1h) per error
+    "q_range_join" ->
+      """SELECT er.event_id AS err_id, count(*) AS n_purch,
+                round(sum(p.value), 2) AS sum_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') er
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON p.ts >= er.ts AND p.ts < er.ts + INTERVAL 1 HOUR
+         GROUP BY 1 ORDER BY 1""",
+    "q_rollup" ->
+      """SELECT l_returnflag AS f, l_linestatus AS st,
+                sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY f NULLS FIRST, st NULLS FIRST""",
+    "q_rank_analytics" ->
+      """SELECT o_custkey AS ck, o_orderkey AS ok,
+                row_number() OVER w AS rn,
+                round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS price_delta
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY ck, ok""",
+    "q_freq_topk" ->
+      """SELECT p_brand, p_type, count(*) AS freq
+         FROM part GROUP BY 1, 2
+         ORDER BY freq DESC, p_brand ASC, p_type ASC LIMIT 10""",
   )
 }
