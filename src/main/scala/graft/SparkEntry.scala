@@ -488,7 +488,8 @@ object SparkEntry {
          )
          SELECT CASE WHEN bucket < 80 THEN 'train'
                      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-                count(*) AS n_docs, sum(n_chars) AS n_chars_total
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars_total
          FROM b GROUP BY 1 ORDER BY split""",
     // as-of join: most recent same-user click at or before each
     // purchase; ties on click ts broken by largest event_id — the same

@@ -65,26 +65,96 @@ object Sketches {
     val keyed = df.select(keyCols.map(col).toIndexedSeq: _*)
     val outSchema = StructType(keyed.schema.fields :+ StructField("__cnt", LongType, nullable = false))
     val candidates = keyed.mapPartitions { it =>
-      val counters = new scala.collection.mutable.HashMap[Row, Long]
-      it.foreach { row =>
-        counters.get(row) match {
-          case Some(c) => counters.update(row, c + 1)
-          case None =>
-            if (counters.size < capacity) counters.update(row, 1L)
-            else {
-              // evict the minimum counter; the newcomer inherits its
-              // count + 1 (space-saving's overestimate invariant)
-              val (minK, minV) = counters.minBy(_._2)
-              counters.remove(minK)
-              counters.update(row, minV + 1)
-            }
-        }
-      }
-      counters.iterator.map { case (r, c) => Row.fromSeq(r.toSeq :+ c) }
+      val summary = new StreamSummary(capacity)
+      it.foreach(summary.offer)
+      summary.iterator.map { case (r, c) => Row.fromSeq(r.toSeq :+ c) }
     }(Encoders.row(outSchema))
     candidates.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(sum(col("__cnt")).as("freq"))
       .orderBy(col("freq").desc +: keyCols.map(col(_).asc): _*)
       .limit(k)
+  }
+
+  /** Metwally et al.'s stream-summary: a doubly-linked list of count
+    * buckets in ascending order, each holding the set of keys at that
+    * count, plus a key→bucket index. Increment moves a key one bucket
+    * to the right; eviction pops any key from the head (minimum)
+    * bucket and the newcomer inherits min+1 — every operation O(1),
+    * vs. the O(capacity) min-scan a flat HashMap needs per eviction
+    * (which on high-cardinality data — the exact workload this sketch
+    * exists for — made every arrival pay a 4096-entry scan). */
+  private final class StreamSummary(capacity: Int) extends Serializable {
+    private final class Bucket(val count: Long) {
+      val keys = new java.util.LinkedHashSet[Row]()
+      var prev: Bucket = _
+      var next: Bucket = _
+    }
+    private val index = new java.util.HashMap[Row, Bucket](capacity * 2)
+    private var head: Bucket = _ // minimum-count bucket
+
+    private def unlink(b: Bucket): Unit = {
+      if (b.prev ne null) b.prev.next = b.next else head = b.next
+      if (b.next ne null) b.next.prev = b.prev
+    }
+
+    /** Bucket with count `c` immediately after `after` (null = list
+      * head), reusing the neighbor when the count already exists. */
+    private def bucketAfter(after: Bucket, c: Long): Bucket = {
+      val nxt = if (after eq null) head else after.next
+      if ((nxt ne null) && nxt.count == c) nxt
+      else {
+        val nb = new Bucket(c)
+        nb.prev = after
+        nb.next = nxt
+        if (after ne null) after.next = nb else head = nb
+        if (nxt ne null) nxt.prev = nb
+        nb
+      }
+    }
+
+    private def moveRight(row: Row, from: Bucket): Unit = {
+      val tgt = bucketAfter(from, from.count + 1)
+      from.keys.remove(row)
+      tgt.keys.add(row)
+      index.put(row, tgt)
+      if (from.keys.isEmpty) unlink(from)
+    }
+
+    def offer(row: Row): Unit = {
+      val b = index.get(row)
+      if (b ne null) moveRight(row, b)
+      else if (index.size < capacity) {
+        val tgt = bucketAfter(null, 1L)
+        tgt.keys.add(row)
+        index.put(row, tgt)
+      } else {
+        // evict any key from the minimum bucket; the newcomer inherits
+        // its count + 1 (space-saving's overestimate invariant)
+        val victim = head.keys.iterator.next()
+        index.remove(victim)
+        val tgt = bucketAfter(head, head.count + 1)
+        head.keys.remove(victim)
+        tgt.keys.add(row)
+        index.put(row, tgt)
+        if (head.keys.isEmpty) unlink(head)
+      }
+    }
+
+    def iterator: Iterator[(Row, Long)] = new Iterator[(Row, Long)] {
+      private var bucket = head
+      private var keyIt: java.util.Iterator[Row] =
+        if (head ne null) head.keys.iterator else java.util.Collections.emptyIterator()
+      def hasNext: Boolean = {
+        while ((bucket ne null) && !keyIt.hasNext) {
+          bucket = bucket.next
+          if (bucket ne null) keyIt = bucket.keys.iterator
+        }
+        bucket ne null
+      }
+      def next(): (Row, Long) = {
+        if (!hasNext) throw new NoSuchElementException
+        (keyIt.next(), bucket.count)
+      }
+    }
   }
 }

@@ -63,7 +63,12 @@ object TemporalJoins {
       lit(null).cast(right.select(col(rightTieBreak)).schema.head.dataType).as("__tb"),
       leftStruct.as("__l"),
       lit(null).cast(right.select(rightStruct).schema.head.dataType).as("__r"))
-    val rSide = right.select(
+    // SQL equi-join semantics: NULL keys never match. Window.partitionBy
+    // groups NULLs together, so without this filter a NULL-key left row
+    // would pick up the payload of a NULL-key right row. Dropping
+    // NULL-key right rows keeps NULL-key left rows (left-outer) with a
+    // null payload, matching what `ON l.k = r.k` would produce.
+    val rSide = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("__k"), col(rightTime).as("__t"),
       lit(0).as("__side"), col(rightTieBreak).as("__tb"),
       lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),

@@ -55,6 +55,23 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("asofJoin NULL keys never match (SQL equi-join semantics)") {
+    val trades = Seq(
+      (1L, Option("A"), ts("2024-01-01 10:00:00")),
+      (2L, Option.empty[String], ts("2024-01-01 10:00:00"))) // NULL key
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, Option("A"), ts("2024-01-01 09:30:00"), 100.0),
+      (11L, Option.empty[String], ts("2024-01-01 09:30:00"), 999.0)) // NULL key
+      .toDF("quote_id", "q_sym", "q_t", "px")
+    val got = TemporalJoins.asofJoin(trades, quotes,
+        "sym", "q_sym", "t", "q_t", "quote_id", Seq("quote_id", "px"))
+      .select("trade_id", "quote_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) == Some(10L), "normal key still matches")
+    assert(got(2L) == None, "NULL-key left row must not match a NULL-key right row")
+  }
+
   test("rangeJoinBinned equals naive theta join across bin widths") {
     val ev = Tables.load(spark, sf, "events")
     val er = ev.filter($"event_type" === "error")
