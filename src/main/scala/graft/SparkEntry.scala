@@ -459,6 +459,24 @@ object SparkEntry {
                 'frame:' || CAST(frame_idx AS VARCHAR) AS frame_ref
          FROM f, unnest(generate_series(0, nf - 1, 4)) AS u(frame_idx)
          ORDER BY doc_id, frame_idx""",
+    // multimodal round-trip: Spark synthesizes real PNG/JPEG payloads
+    // whose dimensions are a pure function of doc_id, then ImageIO
+    // header-decodes, pixel-resizes (maxSide 32, floor scaling) and
+    // re-decodes; DuckDB recomputes the dimension formulas from doc_id
+    // independently — a wrong decode/resize/re-encode fails the hash
+    "q_multimodal_meta" ->
+      """SELECT doc_id, w, h, fmt,
+                CAST(CASE WHEN greatest(w, h) <= 32 THEN w
+                     ELSE greatest(1, floor(w * (32.0 / greatest(w, h)))) END AS INT) AS rw,
+                CAST(CASE WHEN greatest(w, h) <= 32 THEN h
+                     ELSE greatest(1, floor(h * (32.0 / greatest(w, h)))) END AS INT) AS rh
+         FROM (
+           SELECT doc_id,
+                  CAST(16 + (doc_id * 7) % 64 AS INT) AS w,
+                  CAST(16 + (doc_id * 13) % 64 AS INT) AS h,
+                  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+           FROM documents)
+         ORDER BY doc_id""",
     "q_sim_bruteforce" ->
       """SELECT query_id, item_id FROM (
            SELECT a.vec_id AS query_id, b.vec_id AS item_id,

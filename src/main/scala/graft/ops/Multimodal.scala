@@ -1,6 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,12 +13,12 @@ import org.apache.spark.sql.types._
   * feature-extraction / resize / frame-sampling run as batched
   * per-partition transforms.
   *
-  * The Spark-side plumbing here is real and tested — schemas, batch
-  * iteration, partitioning, output shapes. The codec calls themselves
-  * are STUBS (this container has no image/audio libraries): each stub
-  * is a deterministic fake derived from the payload bytes, isolated
-  * behind a single function so a real libjpeg/ffmpeg binding drops in
-  * without touching the distributed plumbing.
+  * Image decode/encode/resize are REAL (JDK `javax.imageio` —
+  * PNG/JPEG/GIF/BMP, headless-safe, zero extra dependencies, used
+  * header-only where possible). The remaining fakes are the two
+  * model-inference boundaries — feature embedding and video container
+  * demux — each isolated behind a single function so a real encoder /
+  * ffmpeg binding drops in without touching the distributed plumbing.
   */
 object Multimodal {
 
@@ -24,44 +28,129 @@ object Multimodal {
     StructField("format", StringType),
     StructField("n_bytes", LongType)))
 
-  // ---------------------------------------------------------------------
-  // STUB decoder boundary. Real implementation: image codec over the
-  // byte payload. The fake derives deterministic dimensions from a hash
-  // of the bytes so tests are stable and the pipeline is runnable.
-  // ---------------------------------------------------------------------
-  private[ops] def stubDecodeImage(bytes: Array[Byte]): (Int, Int, String) = {
-    // ??? — replace with: ImageIO.read(new ByteArrayInputStream(bytes))
-    val h = java.util.Arrays.hashCode(bytes)
-    val width = 64 + math.floorMod(h, 1024)
-    val height = 64 + math.floorMod(h >> 10, 1024)
-    val format = if (math.floorMod(h, 2) == 0) "jpeg" else "png"
-    (width, height, format)
+  /** Header-only image metadata decode: picks the registered ImageIO
+    * reader for the payload and asks it for dimensions WITHOUT decoding
+    * pixel data — the cheap path a 100 TB metadata scan wants. Returns
+    * None for payloads no reader recognizes (corrupt/unknown bytes must
+    * not kill a petabyte job; callers see a null meta struct). */
+  private[ops] def decodeImageHeader(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase match {
+            case "jpg" => "jpeg"
+            case f => f
+          }
+          Some((reader.getWidth(0), reader.getHeight(0), fmt))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Deterministic synthetic image: a `width`×`height` RGB gradient
+    * seeded by `seed`, encoded with the real ImageIO codec ("png" or
+    * "jpeg"). This is the executor-side FIXTURE GENERATOR for gates and
+    * specs — payload bytes are real compressed images whose dimensions
+    * are known from the arguments, so an independent oracle can verify
+    * the decode path end-to-end. */
+  private[graft] def renderImage(width: Int, height: Int, format: String,
+      seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (((seed * 31 + x * 7 + y * 13) & 0xFFFFFFL).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format $format")
+    bos.toByteArray
   }
 
   /** Decode image metadata for a binary column. Batched per-partition
     * transform (mapPartitions): one decoder instance per partition, the
     * iterator shape a native codec wants. Output schema = input cols +
-    * `meta` struct. */
+    * `meta` struct (null when the payload is null or undecodable). */
   def decodeImageMeta(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("meta", imageMetaType))
     implicit val enc = Encoders.row(outSchema)
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
-      // per-partition decoder setup would go here (native lib init)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val meta = if (bytes == null) null else {
-          val (w, h, fmt) = stubDecodeImage(bytes)
-          Row(w, h, fmt, bytes.length.toLong)
-        }
+        val meta =
+          if (bytes == null) null
+          else decodeImageHeader(bytes) match {
+            case Some((w, h, fmt)) => Row(w, h, fmt, bytes.length.toLong)
+            case None => null
+          }
         Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
+  /** REAL image resize: decode the payload, scale the longer side down
+    * to `maxSide` (never up), redraw with bilinear interpolation, and
+    * re-encode with the payload's own format. Target dimensions are
+    * floor(side × scale) with a 1-px floor — the same floor() an
+    * external oracle computes. Output = input cols + `resized` binary +
+    * `resized_meta` struct (null for undecodable payloads). Per-row CPU
+    * is bounded by maxSide², independent of corpus size. */
+  def resizeImagePayloads(df: DataFrame, binCol: String, maxSide: Int): DataFrame = {
+    require(maxSide > 0, "resizeImagePayloads: maxSide must be positive")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType) :+ StructField("resized_meta", imageMetaType))
+    implicit val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val out: (Array[Byte], Row) =
+          if (bytes == null) (null, null)
+          else {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            val fmt = decodeImageHeader(bytes).map(_._3)
+            if (img == null || fmt.isEmpty) (null, null)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+              if (scale >= 1.0) (bytes, Row(w, h, fmt.get, bytes.length.toLong))
+              else {
+                val tw = math.max(1, math.floor(w * scale).toInt)
+                val th = math.max(1, math.floor(h * scale).toInt)
+                val scaled = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+                val g = scaled.createGraphics()
+                try {
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, tw, th, null)
+                } finally g.dispose()
+                val bos = new ByteArrayOutputStream()
+                ImageIO.write(scaled, fmt.get, bos)
+                val b = bos.toByteArray
+                (b, Row(tw, th, fmt.get, b.length.toLong))
+              }
+            }
+          }
+        Row.fromSeq(r.toSeq :+ out._1 :+ out._2)
       }
     }
   }
 
   /** Feature extraction stub: fixed-size float vector per payload
     * (deterministic from content). Real impl: a vision encoder over the
-    * decoded image; the batched-iterator plumbing is identical. */
+    * decoded image; the batched-iterator plumbing is identical. This is
+    * one of the two model-inference boundaries that stay fake (no model
+    * weights ship in a query engine). */
   def extractFeatures(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType)))
@@ -83,7 +172,9 @@ object Multimodal {
   /** Frame sampling for video payloads: emit one row per sampled frame
     * index (explode — the output-shape pattern for frame-level rows).
     * Frame count is stub-derived from payload size; sampling every
-    * `stride`-th frame is the real logic. */
+    * `stride`-th frame is the real logic. Container demux is the other
+    * model/codec boundary that stays fake (no ffmpeg in a JVM-only
+    * engine). */
   def sampleFrames(df: DataFrame, binCol: String, stride: Int,
                    bytesPerFrame: Int = 1024): DataFrame = {
     val nFrames = greatest(lit(1),
@@ -94,15 +185,18 @@ object Multimodal {
         concat(lit("frame:"), col("frame_idx").cast("string")))
   }
 
-  /** Resize stub: new payload bytes would be produced by the codec;
-    * here metadata-only transform showing the column-update shape. */
+  /** Metadata-only resize projection: computes the post-resize
+    * dimensions from an existing meta struct without touching payload
+    * bytes — the planning/estimation shape (e.g. "how many pixels would
+    * this corpus be at 512px?") that must not pay decode cost. The
+    * byte-producing variant is [[resizeImagePayloads]]. */
   def resizeImages(df: DataFrame, metaCol: String, maxSide: Int): DataFrame = {
     val m = col(metaCol)
     val scale = least(lit(1.0),
       lit(maxSide).cast("double") / greatest(m.getField("width"), m.getField("height")))
     df.withColumn("resized_meta", struct(
-      (m.getField("width") * scale).cast("int").as("width"),
-      (m.getField("height") * scale).cast("int").as("height"),
+      greatest(lit(1), floor(m.getField("width") * scale).cast("int")).as("width"),
+      greatest(lit(1), floor(m.getField("height") * scale).cast("int")).as("height"),
       m.getField("format").as("format"),
       m.getField("n_bytes").as("n_bytes")))
   }

@@ -156,20 +156,44 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Multimodal plumbing: binary payload column → stub decode →
-    * metadata struct → resize transform → frame sampling. Payloads are
-    * the documents' utf-8 bytes (no image data in the container; the
-    * decode boundary is the documented stub). */
+  /** Multimodal round-trip, fully oracle-backed: executor-side
+    * synthesize a REAL PNG/JPEG payload per document whose dimensions
+    * are a pure function of doc_id (w = 16 + 7·id mod 64, h = 16 +
+    * 13·id mod 64, png for even ids), then run the real ImageIO
+    * pipeline — header decode → pixel resize (maxSide 32, bilinear,
+    * floor scaling) → header decode of the RESIZED payload. DuckDB
+    * computes the same dimension formulas independently from doc_id,
+    * so a wrong decode, a wrong resize, or a broken re-encode all fail
+    * the gate. No stub anywhere in this path. */
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
-    val withBin = docs(s, dir).select(col("doc_id"),
-      encode(col("text"), "utf-8").as("payload"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val ids = docs(s, dir).select(col("doc_id"))
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    val withBin = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (16 + math.floorMod(id * 7, 64)).toInt
+        val h = (16 + math.floorMod(id * 13, 64)).toInt
+        val fmt = if (id % 2 == 0) "png" else "jpeg"
+        Row(id, Multimodal.renderImage(w, h, fmt, seed = id))
+      }
+    }
     val decoded = Multimodal.decodeImageMeta(withBin, "payload")
-    val resized = Multimodal.resizeImages(decoded, "meta", maxSide = 256)
-    resized.select(
+    val resized = Multimodal.resizeImagePayloads(decoded, "payload", maxSide = 32)
+    // decode the RESIZED bytes again: rw/rh come from a second real
+    // header parse, not from the resize bookkeeping
+    val reDecoded = Multimodal.decodeImageMeta(
+      resized.select(col("doc_id"), col("meta").as("meta0"), col("resized").as("payload")),
+      "payload")
+    reDecoded.select(
       col("doc_id"),
-      col("meta.width").as("w"), col("meta.height").as("h"),
-      col("meta.format").as("fmt"), col("meta.n_bytes").as("nb"),
-      col("resized_meta.width").as("rw"), col("resized_meta.height").as("rh"))
+      col("meta0.width").as("w"), col("meta0.height").as("h"),
+      col("meta0.format").as("fmt"),
+      col("meta.width").as("rw"), col("meta.height").as("rh"))
       .orderBy(col("doc_id"))
   }
 

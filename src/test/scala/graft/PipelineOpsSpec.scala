@@ -166,21 +166,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
-  test("multimodal decode/resize/frame-sample plumbing") {
+  test("multimodal decode reads real PNG/JPEG headers; garbage decodes to null") {
+    val png = Multimodal.renderImage(120, 48, "png", seed = 7L)
+    val jpg = Multimodal.renderImage(33, 200, "jpeg", seed = 8L)
+    val df = Seq((1L, png), (2L, jpg), (3L, "not an image".getBytes("UTF-8")),
+        (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val decoded = Multimodal.decodeImageMeta(df, "payload")
+    assert(decoded.schema("meta").dataType == Multimodal.imageMetaType)
+    val metas = decoded.select(col("id"), col("meta")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(metas(1L).map(m => (m.getInt(0), m.getInt(1), m.getString(2))) ==
+      Some((120, 48, "png")))
+    assert(metas(2L).map(m => (m.getInt(0), m.getInt(1), m.getString(2))) ==
+      Some((33, 200, "jpeg")))
+    assert(metas(3L).isEmpty, "undecodable payload must yield null meta, not an error")
+    assert(metas(4L).isEmpty, "null payload must yield null meta")
+  }
+
+  test("multimodal resize re-encodes real pixels with floor-scaled dims") {
+    val df = Seq(
+      (1L, Multimodal.renderImage(100, 40, "png", seed = 1L)),  // scale 0.5 -> 50x20
+      (2L, Multimodal.renderImage(30, 50, "jpeg", seed = 2L)),  // scale 1.0 -> 30x50 (never upscaled)
+      (3L, Multimodal.renderImage(75, 33, "png", seed = 3L)))   // scale 50/75 -> 50x22
+      .toDF("id", "payload")
+    val resized = Multimodal.resizeImagePayloads(df, "payload", maxSide = 50)
+    // the resized payload must itself be a decodable image of the
+    // advertised dimensions — checked by a second real header decode
+    val roundTrip = Multimodal.decodeImageMeta(
+      resized.select(col("id"), col("resized").as("p2"),
+        col("resized_meta.width").as("rw"), col("resized_meta.height").as("rh")), "p2")
+    val rows = roundTrip.select("id", "rw", "rh", "meta.width", "meta.height", "meta.format")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toMap
+    assert(rows(1L) == (50, 20, 50, 20, "png"))
+    assert(rows(2L) == (30, 50, 30, 50, "jpeg"))
+    assert(rows(3L) == (50, 22, 50, 22, "png"), "floor(33 * 50/75) = 22")
+  }
+
+  test("multimodal frame-sample and feature plumbing") {
     val df = Seq((1L, "some payload bytes"), (2L, "another longer payload with more bytes"))
       .toDF("id", "text")
       .select(col("id"), encode(col("text"), "utf-8").as("payload"))
-    val decoded = Multimodal.decodeImageMeta(df, "payload")
-    assert(decoded.schema("meta").dataType == Multimodal.imageMetaType)
-    val metas = decoded.select("meta.width", "meta.height", "meta.n_bytes").collect()
-    assert(metas.forall(r => r.getInt(0) >= 64 && r.getInt(1) >= 64 && r.getLong(2) > 0))
-    val resized = Multimodal.resizeImages(decoded, "meta", maxSide = 100)
-    assert(resized.select("resized_meta.width", "resized_meta.height").collect()
-      .forall(r => r.getInt(0) <= 100 && r.getInt(1) <= 100))
     val frames = Multimodal.sampleFrames(df, "payload", stride = 1)
     assert(frames.count() >= df.count()) // ≥1 frame row per payload
     val feats = Multimodal.extractFeatures(df, "payload", dim = 8)
     assert(feats.select("features").collect().forall(_.getSeq[Float](0).length == 8))
+    val meta = Seq((1L, 400, 300, "png", 1000L)).toDF("id", "width", "height", "format", "n_bytes")
+      .select(col("id"), struct(col("width"), col("height"), col("format"), col("n_bytes")).as("meta"))
+    val est = Multimodal.resizeImages(meta, "meta", maxSide = 100)
+      .select("resized_meta.width", "resized_meta.height").collect().head
+    assert((est.getInt(0), est.getInt(1)) == (100, 75))
   }
 
   test("pipeline plans stay codegen'd (no UDF in text analysis scan)") {
