@@ -63,23 +63,59 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // failed queries report -1 so a fast crash can't masquerade as a
-      // fast query in the JSON the driver reads
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+    def timedPass(dir: String, skip: Set[String]): Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // failed queries report -1 so a fast crash can't masquerade as a
+        // fast query in the JSON the driver reads
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      }
+    def toJson(results: Seq[(String, Double, Boolean)]): (String, String, Double) = {
+      val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      (qs, errs, results.collect { case (_, v, true) => v }.sum)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+
+    val results = timedPass(sfDir, Set.empty)
+    val (qs, errs, total) = toJson(results)
+
+    // Scaling pass: the same queries against a 10× derived corpus
+    // (tools/ScaleUp — disjoint key shards, decorrelated content), so
+    // per-query time PAIRS expose super-linear growth that a single
+    // small SF hides behind fixed micro-batch/commit overhead. Opt-in
+    // via SPARK_GRAFT_SF2_DIR, or automatic at the driver's bench SF
+    // (sf0.1): generated once to the system tmpdir and reused across
+    // runs. q_remote is skipped (the Thrift endpoint is JVM-bound to
+    // the primary SF dir — see RemoteQueries.endpointSession).
+    val sf2Json: String = {
+      val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR").orElse {
+        if (sfDir.stripSuffix("/").endsWith("sf0.1"))
+          Some(new java.io.File(System.getProperty("java.io.tmpdir"), "graft_sf1_auto").toString)
+        else None
+      }
+      sf2Dir match {
+        case None => ""
+        case Some(dir) =>
+          try {
+            if (!graft.tools.ScaleUp.isComplete(dir))
+              graft.tools.ScaleUp.scaleUp(spark, sfDir, dir, factor = 10)
+            val r2 = timedPass(dir, skip = Set("q_remote"))
+            val (qs2, errs2, total2) = toJson(r2)
+            f""","value_sf2":$total2%.3f,"queries_sf2":$qs2,"errors_sf2":$errs2,"sf2":"$dir""""
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf2 scaling pass failed (ignored): ${e.getMessage}")
+            ""
+          }
+      }
+    }
 
     // Ingest throughput (reference's one published perf number: up to
     // 100k objects/s single-node insert — manual, Performance chapter;
@@ -112,12 +148,15 @@ object Bench {
     // log (Thrift session close lazily touches the Hive metastore —
     // see GraftServer.quietMetastoreLogs), and anything printed after
     // the JSON pushes it out of the output window the driver parses.
-    // The JSON line must be the last thing this process says.
+    // The JSON line must be the last thing this process says — drop to
+    // ERROR so teardown warnings ("Failed to cancel job group" from the
+    // Thrift endpoint) can't land in the tail the driver parses.
+    spark.sparkContext.setLogLevel("ERROR")
     try graft.queries.RemoteQueries.stopAll()
     catch { case e: Throwable => System.err.println(s"[bench] endpoint stop: ${e.getMessage}") }
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark stop: ${e.getMessage}") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"sf":"$sfDir"$sf2Json}""")
     System.out.flush()
   }
 }

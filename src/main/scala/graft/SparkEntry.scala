@@ -77,6 +77,7 @@ object SparkEntry {
     "q_sim_bruteforce" -> (PipelineQueries.qSimBruteforce _),
     "q_sim_lsh"        -> (PipelineQueries.qSimLsh _),
     "q_sim_ivf"        -> (PipelineQueries.qSimIvf _),
+    "q_sim_ivf_indexed" -> (PipelineQueries.qSimIvfIndexed _),
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
     "q_split_hash"     -> (PipelineQueries.qSplitHash _),

@@ -31,6 +31,10 @@ object GraftSession {
 
 class GraftSession(val spark: SparkSession,
                    val compat: Lowering.Compat = Lowering.Compat()) {
+  // observability from session birth, like the reference's
+  // instance-startup registerMetrics (core/Instance.java:405-424)
+  Metrics.install(spark)
+
   private val tables = TrieMap.empty[String, () => DataFrame]
   private val stores = TrieMap.empty[String, TableStore]
 
@@ -251,8 +255,10 @@ class GraftSession(val spark: SparkSession,
     * mutating (reference FREEZE halts persistence). */
   def frozen: Boolean = frozen0
 
-  /** Batch SELECT in the reference dialect → lazy DataFrame. */
-  def execute(sql: String): DataFrame = {
+  /** Batch SELECT in the reference dialect → lazy DataFrame. The
+    * `executeQuery` timer covers parse+lower (plan construction); the
+    * `localTask` timer (listener-fed) covers the actions that run it. */
+  def execute(sql: String): DataFrame = Metrics.timer("executeQuery").time {
     val stmt = Parser.parse(sql)
     require(!stmt.stream, "SELECT STREAM goes through executeStream")
     require(stmt.processWithin.isEmpty, "PROCESS goes through executeProcess")

@@ -3,7 +3,7 @@ package graft.core
 import scala.reflect.ClassTag
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.annotations.{DistributedId, Id, Threshold}
+import graft.annotations.{DistributedId, Id, NoCheck, Threshold}
 
 /** Entity metadata derived from a case class's annotations — the
   * schema-registry half of the reference's `registerTable`
@@ -13,7 +13,8 @@ import graft.annotations.{DistributedId, Id, Threshold}
   * machinery (proxy/POJOProxyFactory.java:97-130).
   */
 final case class EntityMeta(idCol: String, generatedId: Boolean,
-                            threshold: Option[Long])
+                            threshold: Option[Long],
+                            noCheck: Boolean = false)
 
 object EntityMeta {
   /** Read @Id / @DistributedId / @Threshold from the class's declared
@@ -28,7 +29,8 @@ object EntityMeta {
       fields.find(_.getName == "id").getOrElse(throw new IllegalArgumentException(
         s"${cls.getName}: no @Id/@DistributedId field and no field named 'id'")))
     val thr = Option(cls.getAnnotation(classOf[Threshold])).map(_.value())
-    EntityMeta(idField.getName, gen.isDefined, thr)
+    EntityMeta(idField.getName, gen.isDefined, thr,
+      noCheck = idField.isAnnotationPresent(classOf[NoCheck]))
   }
 }
 
@@ -51,7 +53,7 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
     * core/DistributedId.java:39). */
   def persist(objs: Seq[T]): Unit = persistDs(spark.createDataset(objs))
 
-  def persistDs(rows: Dataset[T]): Unit = {
+  def persistDs(rows: Dataset[T]): Unit = Metrics.timer("persistInsertChunk").time {
     beforeWrite() // session FREEZE guard (reference FREEZE halts persistence)
     val idc = meta.idCol
     val df = rows.toDF()
@@ -72,12 +74,19 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
             needGen.withColumn(idc, lit(base + 1) + monotonically_increasing_id()))
         }
       }
-    store.upsert(withIds)
+    // @NoCheck id field: skip the upsert existence anti-join and append
+    // directly — the reference's fast CEP-insert path (persistent/
+    // Table.java:577-584, :1209: no-check tables bypass getChunkByEntity
+    // and insert straight away). Caller owns id uniqueness.
+    if (meta.noCheck) store.append(withIds)
+    else store.upsert(withIds)
     meta.threshold.foreach(enforceThreshold)
   }
 
   /** Point lookup by id (reference Session.find). */
-  def find(id: Any): Option[T] = store.find(id).as[T].collect().headOption
+  def find(id: Any): Option[T] = Metrics.timer("persistGetChunk").time {
+    store.find(id).as[T].collect().headOption
+  }
 
   /** @Threshold retention: keep only the newest n rows by id order.
     * Total size and candidate files come from manifest row counts —

@@ -144,14 +144,25 @@ object Dedup {
     * Candidates via 4×16-bit band buckets (a pair within distance 3
     * must agree on ≥1 band), verified with bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .select(col("id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sh").as("sh1"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sh").as("sh2"))
+    // skew guard, same shape as minhashCandidates: a band bucket
+    // holding > maxBucket docs (boilerplate or exact-duplicate floods —
+    // identical token bags share a full signature, so a hot bucket
+    // would pair quadratically) is dropped before pairing. Measured:
+    // without this, a corpus where each doc has 9 near-copies paired at
+    // ~50× the 10×-data cost (SCALE.md "Scaling study").
+    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id1"), col("sh").as("sh1"))
+    val r = capped.select(col("band"), col("bucket"), col("id").as("id2"), col("sh").as("sh2"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
@@ -170,12 +181,21 @@ object Dedup {
     * hyperplane components derive from hash(table, plane, dim). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.9, planes: Int = 12,
-                            tables: Int = 4): DataFrame = {
+                            tables: Int = 4, maxBucket: Int = 2000): DataFrame = {
     val sigs = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         Similarity.hyperplaneSignature(col(vecCol), planes, seed = t).as("sig"))): _*)
-    val banded = df.select(col(idCol).as("id"), explode(sigs).as("b"))
+    val banded0 = df.select(col(idCol).as("id"), explode(sigs).as("b"))
       .select(col("id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    // skew guard (same aggregated-semi-join shape as the text dedups):
+    // a hyperplane bucket crowded past maxBucket — duplicate-flooded or
+    // degenerate (all-zero vectors hash together) — would pair
+    // quadratically; drop it rather than let one bucket own the stage
+    val smallBuckets = banded0.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("tbl"), col("sig"))
+    val banded = banded0.join(smallBuckets, Seq("tbl", "sig"), "left_semi")
     val pairs = banded.select(col("tbl"), col("sig"), col("id").as("id1"))
       .join(banded.select(col("tbl"), col("sig"), col("id").as("id2")), Seq("tbl", "sig"))
       .filter(col("id1") < col("id2"))

@@ -61,11 +61,17 @@ object Multimodal {
   private[graft] def renderImage(width: Int, height: Int, format: String,
       seed: Long): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    // fill through the backing int[] — setRGB pays a per-pixel color
+    // model conversion, ~10× slower for bulk synthesis
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < height) {
+      val rowBase = y * width
+      val rowSeed = seed * 31 + y * 13
       var x = 0
       while (x < width) {
-        img.setRGB(x, y, (((seed * 31 + x * 7 + y * 13) & 0xFFFFFFL).toInt))
+        px(rowBase + x) = ((rowSeed + x * 7) & 0xFFFFFFL).toInt
         x += 1
       }
       y += 1

@@ -75,21 +75,33 @@ object Similarity {
     * independent signature families, candidates = same (table, bucket)
     * on any table, deduped, then exact cosine rank. More tables →
     * higher recall, more planes → smaller buckets: the standard LSH
-    * dial pair. The only shuffle carries (bucket, id, vec); each query
-    * probes `tables` buckets instead of the whole corpus. */
+    * dial pair. The only shuffle carries (bucket, id, sig); each query
+    * probes `tables` buckets instead of the whole corpus.
+    *
+    * Pass `planes <= 0` to size the bucket count from the corpus
+    * (planes = log₂(n/128), min 4): expected bucket occupancy stays
+    * ~constant as the corpus grows, so per-query candidate work is
+    * O(tables · 128) at ANY corpus size — with FIXED planes, buckets
+    * grow linearly with the corpus and an all-corpus query sweep costs
+    * quadratic candidate pairs (measured 42× time at 10× data before
+    * auto-sizing; SCALE.md "Scaling study"). */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planes: Int = 8, tables: Int = 8): DataFrame = {
+    val nPlanes =
+      if (planes > 0) planes
+      else math.max(4, math.ceil(
+        math.log(math.max(1.0, corpus.count() / 128.0)) / math.log(2.0)).toInt)
     // Candidate generation carries IDS ONLY: the exploded signature
     // rows are (id, tbl, sig) — ~24 bytes — not the embedding payload,
     // so the bucket join and the pair-dedup never shuffle vectors (the
     // naive shape replicates each vector `tables`× through the join).
     // Vectors attach once per distinct candidate pair afterwards.
     val cSig = corpus.select(col(corpusId).as("item_id"),
-        explode(lshBuckets(col(corpusVec), planes, tables)).as("b"))
+        explode(lshBuckets(col(corpusVec), nPlanes, tables)).as("b"))
       .select(col("item_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
     val qSig = queries.select(col(queryId).as("query_id"),
-        explode(lshBuckets(col(queryVec), planes, tables)).as("b"))
+        explode(lshBuckets(col(queryVec), nPlanes, tables)).as("b"))
       .select(col("query_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
     val pairs = cSig.join(qSig, Seq("tbl", "sig"))
       .filter(col("item_id") =!= col("query_id"))

@@ -147,11 +147,39 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Approximate LSH top-k (single-probe; recall measured in spec). */
+  /** Persisted-IVF top-k — the 100 TB serving shape: corpus written
+    * once as a cell-partitioned parquet index, each query batch scans
+    * ONLY its probed cell directories (PartitionFilters pruning,
+    * asserted in PipelineOpsSpec). Rows-only gate, but self-checking:
+    * the gate FAILS (exception → missing result) unless the indexed
+    * ranking is row-identical to the in-memory `ivfTopK` on the same
+    * codebook — equality is the correctness property, asserted here on
+    * every driver run, not just in the spec. */
+  def qSimIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 3)
+    val queries = e.filter(col("vec_id") < 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_gate_").toString
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", idx, cents)
+    val indexed = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, cents, nprobe = 4)
+      .select(col("query_id"), col("item_id"), col("rank"))
+    val inMemory = Similarity.ivfTopK(e, "vec_id", "embedding", queries,
+        "vec_id", "embedding", k = 3, cents, nprobe = 4)
+      .select(col("query_id"), col("item_id"), col("rank"))
+    require(indexed.exceptAll(inMemory).isEmpty && inMemory.exceptAll(indexed).isEmpty,
+      "q_sim_ivf_indexed: persisted-index ranking diverged from in-memory ivfTopK")
+    indexed.orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Approximate LSH top-k (recall measured in spec). Corpus-sized
+    * planes (planes = 0 → log₂(n/128)): bucket occupancy stays
+    * constant as the corpus grows, keeping the all-corpus sweep linear
+    * (fixed planes measured 42× at 10× data — SCALE.md). */
   def qSimLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.lshTopK(e, "vec_id", "embedding", e, "vec_id", "embedding",
-        k = 3, planes = 6, tables = 8)
+        k = 3, planes = 0, tables = 8)
       .select(col("query_id"), col("item_id"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -31,8 +31,10 @@ final class RemoteGraftSession(host: String, port: Int,
     } finally st.close()
   }
 
-  /** Execute a dialect (or Spark SQL) statement; poll the result. */
-  def execute(sql: String): RemoteResultSet = {
+  /** Execute a dialect (or Spark SQL) statement; poll the result.
+    * Timed as `remoteTask` (reference Instance.java:409 — remote work
+    * units), measured to first result availability. */
+  def execute(sql: String): RemoteResultSet = graft.core.Metrics.timer("remoteTask").time {
     val st = conn.createStatement()
     st.setFetchSize(1000)
     try new RemoteResultSet(st.executeQuery(sql), st)

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import scala.annotation.meta.field
-import graft.annotations.{DistributedId, Id, Threshold}
+import graft.annotations.{DistributedId, Id, NoCheck, Threshold}
 import graft.core.{EntityMeta, GraftSession}
 
 /** Entities for the registry: annotations land on the backing field via
@@ -14,6 +14,8 @@ case class Person(@(Id @field) person_id: Long, name: String, dept: String)
 case class LogLine(@(DistributedId @field) id: Long, msg: String)
 
 case class EventRow(@(DistributedId @field) id: Long, v: String)
+
+case class FastEvent(@(DistributedId @field)@(NoCheck @field) id: Long, v: String)
 
 class SchemaRegistrySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -56,6 +58,47 @@ class SchemaRegistrySpec extends AnyFunSuite {
     tt.persist(Seq(LogLine(0, "w")))
     val all = tt.ds.collect()
     assert(all.map(_.id).distinct.length == 4)
+  }
+
+  test("@NoCheck persist appends without the existence anti-join") {
+    assert(EntityMeta.of[FastEvent].noCheck)
+    assert(!EntityMeta.of[EventRow].noCheck)
+    val gs = new GraftSession(spark)
+    val tt = gs.registerEntity[FastEvent]("fast_evt", tmp())
+    tt.persist(Seq(FastEvent(1, "a"), FastEvent(2, "b")))
+    // plan audit: the append path must execute no join at all — watch
+    // every job the persist runs through a QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      tt.persist(Seq(FastEvent(3, "c")))
+      // listener events are async: wait until the plan stream is quiet
+      val deadline = System.nanoTime() + 5000000000L
+      var last = -1
+      while (System.nanoTime() < deadline && (plans.size() != last || last == 0)) {
+        last = plans.size(); Thread.sleep(200)
+      }
+      val joined = scala.jdk.CollectionConverters.IteratorHasAsScala(plans.iterator).asScala
+        .filter(p => p.contains("Join") || p.contains("join"))
+      assert(joined.isEmpty, s"@NoCheck persist must plan no join:\n${joined.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+    // no-check semantics: a duplicate id is NOT merged — it appends
+    // (the caller owns uniqueness; reference Table.java:1209 inserts
+    // without the existence lookup)
+    tt.persist(Seq(FastEvent(3, "c2")))
+    assert(tt.ds.filter(_.id == 3L).count() == 2)
+    assert(tt.ds.count() == 4)
+    // generated ids still work on the fast path
+    tt.persist(Seq(FastEvent(0, "gen")))
+    val ids = tt.ds.collect().map(_.id)
+    assert(ids.length == 5 && ids.count(_ == 0L) == 0)
   }
 
   test("entity scan API streams all rows through a local iterator (S3)") {
