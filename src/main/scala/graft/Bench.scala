@@ -18,6 +18,11 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single-file tables (the driver's layout) must not become
+      // single-split scans as data grows: 8 MB splits keep a 113 MB
+      // sf1 file on ~14 cores; AQE re-coalesces small ones. On a real
+      // cluster the input is many files and this matters less.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

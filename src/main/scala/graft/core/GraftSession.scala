@@ -57,6 +57,7 @@ class GraftSession(val spark: SparkSession,
       name: String, path: String): TypedTable[T] = {
     val meta = EntityMeta.of[T]
     val store = new TableStore(spark, path, meta.idCol)
+    store.recoverPendingRevert() // finish any crashed multi-table rollback
     store.initialize(implicitly[org.apache.spark.sql.Encoder[T]].schema)
     val tt = new TypedTable[T](spark, store, meta,
       beforeWrite = () => {
@@ -74,6 +75,7 @@ class GraftSession(val spark: SparkSession,
     * the table a remote-persist target (`INSERT INTO` over the S8
     * surface, remote/GraftDialect.scala). */
   def registerStore(name: String, store: TableStore): Unit = {
+    store.recoverPendingRevert() // finish any crashed multi-table rollback
     stores.put(name.toLowerCase, store)
     registerProvider(name, () => store.read)
   }
@@ -175,22 +177,39 @@ class GraftSession(val spark: SparkSession,
         expireStaleBaselines()
         var reverted = 0
         val failures = Seq.newBuilder[String]
-        txBaseline.keys.filter(_._1 == conn).toSeq.foreach { case key @ (_, name) =>
-          // a failed revert (e.g. baseline manifest vacuumed away) must
-          // not abort the statement mid-loop: the remaining tables
-          // still roll back, the failure is reported, and the failed
-          // table re-baselines at its current state so the transaction
-          // surface stays consistent
-          try {
-            txBaseline.get(key).foreach { case (base, _) =>
-              stores.get(name).foreach { st =>
-                if (st.versions.lastOption.getOrElse(-1L) != base) {
-                  st.revertTo(base); reverted += 1
-                }
+        val scope = txBaseline.keys.filter(_._1 == conn).toSeq
+        // Phase 1 — journal every table's revert target BEFORE flipping
+        // any manifest (TableStore.markPendingRevert): a crash mid-loop
+        // no longer strands a cross-table mix — the next open of each
+        // still-pending store completes its revert (recoverPendingRevert
+        // runs at registration). Journaling failures exclude the table
+        // from phase 2 so we never revert un-journaled state.
+        val journaled = scope.flatMap { case key @ (_, name) =>
+          txBaseline.get(key).flatMap { case (base, _) =>
+            stores.get(name).flatMap { st =>
+              if (st.versions.lastOption.getOrElse(-1L) == base) {
+                txBaseline.remove(key); None // untouched since baseline
+              } else try { st.markPendingRevert(base); Some((key, name, base, st)) }
+              catch { case scala.util.control.NonFatal(e) =>
+                failures += s"$name: journal failed: ${e.getMessage}"
+                txBaseline.remove(key)
+                None
               }
             }
-          } catch { case scala.util.control.NonFatal(e) =>
+          }
+        }
+        // Phase 2 — flip manifests, clearing each journal entry after
+        // its table lands. A failed revert (e.g. baseline vacuumed)
+        // must not abort the loop: remaining tables still roll back,
+        // the failure is reported, and the table re-baselines at its
+        // current state (journal cleared — the intent is void, not
+        // pending).
+        journaled.foreach { case (key, name, base, st) =>
+          try { st.revertTo(base); st.clearPendingRevert(); reverted += 1 }
+          catch { case scala.util.control.NonFatal(e) =>
             failures += s"$name: ${e.getMessage}"
+            try st.clearPendingRevert()
+            catch { case scala.util.control.NonFatal(_) => }
           } finally txBaseline.remove(key)
         }
         val failed = failures.result()

@@ -429,6 +429,46 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       .agg(min(col(idCol))).head.get(0).asInstanceOf[Number].longValue())
   }
 
+  // ---- durable rollback intent ----------------------------------------
+  // A multi-table ROLLBACK that dies mid-loop would leave some tables
+  // reverted and some not. The session writes each table's revert
+  // target HERE before flipping any manifest; the next open of the
+  // store completes the revert. revertTo is content-idempotent (a
+  // re-run commits the same snapshot again), so recovery is safe even
+  // when the crash happened after the flip but before the marker
+  // cleanup. (The reference's per-table MVCC has the same cross-table
+  // window; this journal closes it on our side.)
+  private val pendingRevertPath = new Path(s"$path/_pending_revert")
+
+  /** Durably record "this table must be at `version`'s content" before
+    * a multi-table rollback starts flipping manifests. */
+  def markPendingRevert(version: Long): Unit = {
+    val tmp = new Path(s"$path/.pending-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(pendingRevertPath)) fs.delete(pendingRevertPath, false)
+    if (!fs.rename(tmp, pendingRevertPath))
+      throw new IllegalStateException(s"cannot journal revert intent at $path")
+  }
+
+  def clearPendingRevert(): Unit =
+    if (fs.exists(pendingRevertPath)) fs.delete(pendingRevertPath, false)
+
+  /** Complete an interrupted multi-table rollback: if a revert intent
+    * is journaled, re-apply it and clear the journal. Returns true if
+    * a revert was applied. Fails loudly (journal kept) when the target
+    * version was vacuumed away — that is operator territory, silently
+    * dropping the intent would un-atomically commit half a rollback. */
+  def recoverPendingRevert(): Boolean = {
+    if (!fs.exists(pendingRevertPath)) false
+    else {
+      val v = readUtf8(fs, pendingRevertPath).trim.toLong
+      revertTo(v)
+      clearPendingRevert()
+      true
+    }
+  }
+
   /** Transaction revert: make the table's content equal to `version`'s
     * snapshot via a NEW commit — metadata-only (no data I/O), and
     * history-preserving: the revert is itself a version, so time travel

@@ -196,7 +196,12 @@ object PipelineQueries {
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
+    // the codec chain is CPU-bound per row; a single-file documents
+    // table is one input split, which would serialize 3 decodes + 2
+    // encodes per doc onto one task — spread it across the session's
+    // parallelism first (cheap: ids only)
     val ids = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
     val paySchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType)))

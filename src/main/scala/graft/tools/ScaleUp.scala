@@ -144,7 +144,12 @@ object ScaleUp {
     * streaming sources nothing). */
   private def writeSingleFile(df: DataFrame, dstDir: File, table: String): Unit = {
     val tmp = new File(dstDir, s".${table}_tmp")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // small row groups: a single-file table is only scan-parallel up
+    // to its row-group count (maxPartitionBytes splits are assigned by
+    // row-group midpoint), and this corpus exists to measure scaling
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .parquet(tmp.toString)
     val part = tmp.listFiles().find(f => f.getName.startsWith("part-") &&
       f.getName.endsWith(".parquet")).getOrElse(
       throw new IllegalStateException(s"no part file written for $table"))

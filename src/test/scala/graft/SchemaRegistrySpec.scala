@@ -148,6 +148,30 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(tt.ds.count() == 2)
   }
 
+  test("crashed multi-table ROLLBACK completes on next open (pending-revert journal)") {
+    import spark.implicits._
+    val gs = new GraftSession(spark)
+    val dir = tmp()
+    val tt = gs.registerEntity[Person]("person_crash", dir)
+    tt.persist(Seq(Person(1, "committed", "x")))
+    val baseline = gs.store("person_crash").get.versions.last
+    tt.persist(Seq(Person(2, "uncommitted", "y")))
+    // simulate the crash window: the rollback journaled its intent
+    // (phase 1) but died before flipping this table's manifest
+    gs.store("person_crash").get.markPendingRevert(baseline)
+    // a fresh session re-opening the store completes the revert
+    val gs2 = new GraftSession(spark)
+    val tt2 = gs2.registerEntity[Person]("person_crash", dir)
+    val rows = tt2.ds.collect()
+    assert(rows.toSeq == Seq(Person(1, "committed", "x")),
+      s"recovery must finish the journaled revert, got ${rows.toSeq}")
+    // journal is cleared: a third open does not revert again
+    val vAfter = gs2.store("person_crash").get.versions.last
+    val gs3 = new GraftSession(spark)
+    gs3.registerEntity[Person]("person_crash", dir)
+    assert(gs3.store("person_crash").get.versions.last == vAfter)
+  }
+
   test("persist id-base / @Threshold are metadata-only: correct even with data files gone") {
     // The manifest carries per-file (idMin, idMax, rowCount); id-base
     // allocation and threshold sizing must read ONLY that metadata.
