@@ -101,10 +101,15 @@ object Bench {
     // runs. q_remote is skipped (the Thrift endpoint is JVM-bound to
     // the primary SF dir — see RemoteQueries.endpointSession).
     val sf2Json: String = {
-      val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR").orElse {
-        if (sfDir.stripSuffix("/").endsWith("sf0.1"))
+      // SPARK_GRAFT_SF2_DIR: a directory → use it; "off"/"none"/"skip"/
+      // empty → disable the pass; unset → automatic at the driver's
+      // bench SF only
+      val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR") match {
+        case Some(v) if Set("", "off", "none", "skip")(v.trim.toLowerCase) => None
+        case Some(v) => Some(v)
+        case None if sfDir.stripSuffix("/").endsWith("sf0.1") =>
           Some(new java.io.File(System.getProperty("java.io.tmpdir"), "graft_sf1_auto").toString)
-        else None
+        case None => None
       }
       sf2Dir match {
         case None => ""

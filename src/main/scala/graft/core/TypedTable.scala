@@ -3,7 +3,7 @@ package graft.core
 import scala.reflect.ClassTag
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.annotations.{DistributedId, Id, NoCheck, Threshold}
+import graft.annotations.{DistributedId, Id, NoCheck, NoDistribute, Threshold}
 
 /** Entity metadata derived from a case class's annotations — the
   * schema-registry half of the reference's `registerTable`
@@ -14,7 +14,8 @@ import graft.annotations.{DistributedId, Id, NoCheck, Threshold}
   */
 final case class EntityMeta(idCol: String, generatedId: Boolean,
                             threshold: Option[Long],
-                            noCheck: Boolean = false)
+                            noCheck: Boolean = false,
+                            noDistribute: Boolean = false)
 
 object EntityMeta {
   /** Read @Id / @DistributedId / @Threshold from the class's declared
@@ -30,7 +31,8 @@ object EntityMeta {
         s"${cls.getName}: no @Id/@DistributedId field and no field named 'id'")))
     val thr = Option(cls.getAnnotation(classOf[Threshold])).map(_.value())
     EntityMeta(idField.getName, gen.isDefined, thr,
-      noCheck = idField.isAnnotationPresent(classOf[NoCheck]))
+      noCheck = idField.isAnnotationPresent(classOf[NoCheck]),
+      noDistribute = cls.isAnnotationPresent(classOf[NoDistribute]))
   }
 }
 
@@ -74,12 +76,17 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
             needGen.withColumn(idc, lit(base + 1) + monotonically_increasing_id()))
         }
       }
+    // @NoDistribute class: one output file per commit — the layout a
+    // small dim table wants (broadcast-friendly single file, no
+    // small-file sprawl; reference keeps such tables node-local,
+    // persistent/Table.java:259-271)
+    val shaped = if (meta.noDistribute) withIds.coalesce(1) else withIds
     // @NoCheck id field: skip the upsert existence anti-join and append
     // directly — the reference's fast CEP-insert path (persistent/
     // Table.java:577-584, :1209: no-check tables bypass getChunkByEntity
     // and insert straight away). Caller owns id uniqueness.
-    if (meta.noCheck) store.append(withIds)
-    else store.upsert(withIds)
+    if (meta.noCheck) store.append(shaped)
+    else store.upsert(shaped)
     meta.threshold.foreach(enforceThreshold)
   }
 

@@ -84,7 +84,15 @@ object Similarity {
     * O(tables · 128) at ANY corpus size — with FIXED planes, buckets
     * grow linearly with the corpus and an all-corpus query sweep costs
     * quadratic candidate pairs (measured 42× time at 10× data before
-    * auto-sizing; SCALE.md "Scaling study"). */
+    * auto-sizing; SCALE.md "Scaling study").
+    *
+    * Recall under auto-sizing depends on how close neighbors are:
+    * per-table collision is (1-θ/π)^planes, so growing planes with the
+    * corpus suits high-similarity targets (θ small — near-dup search:
+    * cos 0.9 → ~0.86/plane, 7 planes ≈ 0.34/table, 8 tables ≈ 0.96)
+    * but penalizes far neighbors (uniform-random fixtures sit at
+    * cos≈0.4). For far-neighbor workloads fix `planes` explicitly and
+    * pay bucket growth, or raise `tables`. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planes: Int = 8, tables: Int = 8): DataFrame = {

@@ -126,6 +126,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup/ANN candidate stages: skew cap is a semi-join, pairing stays equi") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    for ((name, df) <- Seq(
+        "simhashPairs" -> graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6),
+        "embeddingNearDupPairs" ->
+          graft.ops.Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding"),
+        "lshTopK(auto planes)" -> graft.ops.Similarity.lshTopK(
+          embs, "vec_id", "embedding", embs.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 2, planes = 0))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$name must pair through equi bucket joins, not a product:\n$plan")
+    }
+    // the cap itself: bucket counting must be two-phase (partial then
+    // merge) and applied as a semi join, never a per-bucket sort/window
+    val capped = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .queryExecution.executedPlan.toString
+    assert(capped.contains("partial_count") || capped.contains("partial count"),
+      s"bucket-size count must map-side combine:\n$capped")
+    assert(capped.contains("LeftSemi"), s"skew cap must be a semi join:\n$capped")
+  }
+
   test("pipeline text scan stays inside whole-stage codegen end-to-end") {
     val df = queries.PipelineQueries.qTextQuality(spark, sf)
     df.collect() // AQE finalizes the physical plan only on execution

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import scala.annotation.meta.field
-import graft.annotations.{DistributedId, Id, NoCheck, Threshold}
+import graft.annotations.{DistributedId, Id, NoCheck, NoDistribute, Threshold}
 import graft.core.{EntityMeta, GraftSession}
 
 /** Entities for the registry: annotations land on the backing field via
@@ -16,6 +16,9 @@ case class LogLine(@(DistributedId @field) id: Long, msg: String)
 case class EventRow(@(DistributedId @field) id: Long, v: String)
 
 case class FastEvent(@(DistributedId @field)@(NoCheck @field) id: Long, v: String)
+
+@NoDistribute
+case class DimRow(@(Id @field) id: Long, name: String)
 
 class SchemaRegistrySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -99,6 +102,20 @@ class SchemaRegistrySpec extends AnyFunSuite {
     tt.persist(Seq(FastEvent(0, "gen")))
     val ids = tt.ds.collect().map(_.id)
     assert(ids.length == 5 && ids.count(_ == 0L) == 0)
+  }
+
+  test("@NoDistribute persists one file per commit (broadcast-friendly dim layout)") {
+    import spark.implicits._
+    assert(EntityMeta.of[DimRow].noDistribute)
+    assert(!EntityMeta.of[Person].noDistribute)
+    val gs = new GraftSession(spark)
+    val tt = gs.registerEntity[DimRow]("dim_nd", tmp())
+    // a deliberately multi-partition batch still lands as ONE file
+    val batch = spark.createDataset((1L to 64L).map(i => DimRow(i, s"n$i"))).repartition(8)
+    tt.persistDs(batch)
+    val files = gs.store("dim_nd").get.read.inputFiles
+    assert(files.length == 1, s"expected a single data file, got ${files.length}")
+    assert(tt.ds.count() == 64)
   }
 
   test("entity scan API streams all rows through a local iterator (S3)") {
