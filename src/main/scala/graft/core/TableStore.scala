@@ -675,9 +675,18 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       val f = fs
       val cutoff = System.currentTimeMillis() - graceMs
       val all = listVersions(f)
+      // a journaled rollback target must survive vacuum regardless of
+      // age: dropping it would turn an interrupted multi-table ROLLBACK
+      // permanently unrecoverable (recoverPendingRevert fails loudly
+      // rather than committing half a rollback)
+      val pinned: Option[Long] =
+        if (f.exists(pendingRevertPath))
+          try Some(readUtf8(f, pendingRevertPath).trim.toLong)
+          catch { case _: Exception => None }
+        else None
       // latest always survives; older manifests survive inside grace
-      val (dropped, keptOld) = all.dropRight(1).partition { case (_, p) =>
-        f.getFileStatus(p).getModificationTime <= cutoff }
+      val (dropped, keptOld) = all.dropRight(1).partition { case (v, p) =>
+        !pinned.contains(v) && f.getFileStatus(p).getModificationTime <= cutoff }
       dropped.foreach { case (_, p) => f.delete(p, false) }
       // claim markers for superseded versions have done their job
       val latest = all.lastOption.map(_._1).getOrElse(-1L)

@@ -167,7 +167,15 @@ object PipelineQueries {
     val inMemory = Similarity.ivfTopK(e, "vec_id", "embedding", queries,
         "vec_id", "embedding", k = 3, cents, nprobe = 4)
       .select(col("query_id"), col("item_id"), col("rank"))
-    require(indexed.exceptAll(inMemory).isEmpty && inMemory.exceptAll(indexed).isEmpty,
+    // symmetric difference in ONE job: every (row) must appear exactly
+    // once per side — a multiset mismatch on either side surfaces as a
+    // group whose per-side counts differ
+    val mismatches = indexed.withColumn("side", lit(1))
+      .unionByName(inMemory.withColumn("side", lit(-1)))
+      .groupBy(col("query_id"), col("item_id"), col("rank"))
+      .agg(sum(col("side")).as("d"))
+      .filter(col("d") =!= 0)
+    require(mismatches.isEmpty,
       "q_sim_ivf_indexed: persisted-index ranking diverged from in-memory ivfTopK")
     indexed.orderBy(col("query_id"), col("rank"))
   }

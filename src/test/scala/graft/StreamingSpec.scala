@@ -459,6 +459,24 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("vacuum pins a journaled rollback target; recovery completes after vacuum") {
+    val st = tmpStore()
+    st.append(Seq((1L, "a")).toDF("id", "v"))
+    val target = st.versions.last
+    st.append(Seq((2L, "b")).toDF("id", "v"))
+    st.append(Seq((3L, "c")).toDF("id", "v"))
+    st.markPendingRevert(target)
+    // an aggressive vacuum must not eat the journaled target — dropping
+    // it would make the interrupted rollback permanently unrecoverable
+    st.vacuum(graceMs = 0L)
+    assert(st.versions.contains(target), "journal-pinned manifest must survive vacuum")
+    assert(st.recoverPendingRevert(), "recovery must apply the journaled revert")
+    assert(st.read.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // journal cleared: the pin is gone, vacuum can now trim history
+    st.vacuum(graceMs = 0L)
+    assert(st.versions.size == 1)
+  }
+
   test("maintenance converges: compact is a no-op on empty and already-clustered tables") {
     val st = tmpStore()
     st.initialize(Seq((1L, "a")).toDF("id", "v").schema)
