@@ -90,18 +90,44 @@ object AnalyticsQueries {
   def qFreqTopk(s: SparkSession, dir: String): DataFrame =
     Sketches.topKFrequent(t(s, dir, "part"), Seq("p_brand", "p_type"), 10)
 
-  /** HLL++ distinct users per event type (rows-only gate; accuracy
-    * asserted against exact counts in SketchesSpec). */
-  def qSketchDistinct(s: SparkSession, dir: String): DataFrame =
-    Sketches.approxDistinct(t(s, dir, "events"), Seq("event_type"), "user_id")
-      .orderBy(col("event_type"))
+  /** HLL++ distinct users per event type. Rows-only gate made
+    * SELF-CHECKING: every run joins the sketch against the exact
+    * distinct count and fails unless all groups are within the 2×rsd
+    * error bound — the accuracy property rides the gate, not just the
+    * spec (same pattern as q_sim_ivf_indexed). */
+  def qSketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val approx = Sketches.approxDistinct(ev, Seq("event_type"), "user_id")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_d"))
+    val offBound = approx.join(exact, Seq("event_type"))
+      .filter(abs(col("approx_distinct") - col("exact_d")) >
+        col("exact_d") * 0.04) // rsd 0.02, 2σ bound
+    require(offBound.isEmpty,
+      "q_sketch_distinct: HLL estimate outside the 2*rsd bound of exact")
+    approx.orderBy(col("event_type"))
+  }
 
-  /** Greenwald-Khanna p50/p95/p99 of event value per type (rows-only
-    * gate; tolerance vs exact percentiles in SketchesSpec). */
-  def qSketchQuantiles(s: SparkSession, dir: String): DataFrame =
-    Sketches.approxQuantiles(t(s, dir, "events"), Seq("event_type"), "value",
+  /** Greenwald-Khanna p50/p95/p99 of event value per type. Rows-only
+    * gate made SELF-CHECKING: each reported quantile's exact rank must
+    * sit within 2% of its target probability. */
+  def qSketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val q = Sketches.approxQuantiles(ev, Seq("event_type"), "value",
         Seq(0.5, 0.95, 0.99))
       .select(col("event_type"), col("quantiles")(0).as("p50"),
         col("quantiles")(1).as("p95"), col("quantiles")(2).as("p99"))
-      .orderBy(col("event_type"))
+    val ranks = ev.join(q, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        (sum(when(col("value") <= col("p50"), 1).otherwise(0)) / count(lit(1))).as("r50"),
+        (sum(when(col("value") <= col("p95"), 1).otherwise(0)) / count(lit(1))).as("r95"),
+        (sum(when(col("value") <= col("p99"), 1).otherwise(0)) / count(lit(1))).as("r99"))
+    val offBound = ranks.filter(
+      abs(col("r50") - 0.5) > 0.02 || abs(col("r95") - 0.95) > 0.02 ||
+        abs(col("r99") - 0.99) > 0.02)
+    require(offBound.isEmpty,
+      "q_sketch_quantiles: GK quantile rank outside the 2% tolerance")
+    q.orderBy(col("event_type"))
+  }
 }
