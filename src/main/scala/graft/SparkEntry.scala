@@ -68,6 +68,7 @@ object SparkEntry {
     "q_dedup_minhash"  -> (PipelineQueries.qDedupMinhash _),
     "q_dedup_simhash"  -> (PipelineQueries.qDedupSimhash _),
     "q_dedup_ngram"    -> (PipelineQueries.qDedupNgram _),
+    "q_dedup_incremental" -> (PipelineQueries.qDedupIncremental _),
     "q_dedup_embed"    -> (PipelineQueries.qDedupEmbed _),
     "q_text_stats"     -> (PipelineQueries.qTextStats _),
     "q_text_quality"   -> (PipelineQueries.qTextQuality _),

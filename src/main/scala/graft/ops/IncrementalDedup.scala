@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.TableStore
+
+/** Incremental near-dup dedup against a persistent corpus index — the
+  * "dedup today's crawl against everything kept so far" shape a
+  * training-data pipeline runs per ingest batch, without ever
+  * re-scanning the kept corpus.
+  *
+  * The index is two TableStore tables (atomic commits, snapshot reads):
+  *  - `buckets`: one (band, bucket, id) row per LSH band of each KEPT
+  *    document — 20 bytes/row, the only thing batch candidates join
+  *    against;
+  *  - `sigs`: one (id, sig) row per kept document (64 longs) — fetched
+  *    only for documents that actually collide with the batch.
+  *
+  * Per batch: within-batch near-dups drop by the same greedy min-id
+  * rule as [[Dedup.minhashDedup]]; survivors of that stage are checked
+  * against the index (band-bucket equi-join → signature verify) and
+  * drop on any hit; the remainder is appended to the index and
+  * returned. Cost per batch is O(batch × bands) + the collided-bucket
+  * joins — independent of corpus size except through bucket occupancy,
+  * which `maxBucket` caps.
+  *
+  * Semantics vs one-shot batch dedup: a batch doc is dropped only for
+  * a KEPT near-dup (the index holds survivors). One-shot greedy
+  * min-id-wins can also drop a doc whose only smaller near-dups were
+  * themselves dropped, so incremental survivors are a SUPERSET of the
+  * one-shot survivors — and arguably the better contract: every drop
+  * names a kept near-dup (locked by spec).
+  *
+  * The reference has no corpus-dedup surface; this composes the
+  * repo's MinHash kernels with the version-manifest store (Scaladoc
+  * provenance: reference has only per-table unique-id existence
+  * checks, persistent/Table.java:1788-1878).
+  */
+final class IncrementalDedup private (
+    val buckets: TableStore, val sigs: TableStore,
+    threshold: Double, k: Int, numHashes: Int, bands: Int, maxBucket: Int) {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  private val rows = numHashes / bands
+
+  private def signed(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    batch.select(col(idCol).as("id"),
+      Dedup.minhashSignature(col(textCol), k, numHashes).as("sig"))
+
+  private def banded(sig: DataFrame): DataFrame =
+    sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(b)))))
+      .select(col("pos").as("band"), col("col").as("bucket"), col("id"))
+
+  /** Dedup one ingest batch against the index (and itself); append the
+    * survivors' bands+signatures to the index; return the surviving
+    * rows of `batch` with all original columns. */
+  def dedupBatch(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // stage 1 — within-batch greedy min-id near-dup drop
+    val withinKept = Dedup.minhashDedup(batch, idCol, textCol,
+      threshold, k, numHashes, bands)
+    val sig = signed(withinKept, idCol, textCol).cache()
+    try {
+      val batchBands = banded(sig)
+
+      // stage 2 — collisions vs the KEPT corpus: equi-join on the
+      // 20-byte bucket rows, cap crowded buckets (same skew guard as
+      // the batch operators), then verify only collided pairs by
+      // signature agreement
+      val dropped: DataFrame =
+        if (!buckets.exists || buckets.read.isEmpty) sig.limit(0).select(col("id"))
+        else {
+          val idx = buckets.read
+          val smallBuckets = idx.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") <= maxBucket)
+            .select(col("band"), col("bucket"))
+          val candidates = batchBands
+            .join(idx.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+              .select(col("band"), col("bucket"), col("id").as("kept_id")),
+              Seq("band", "bucket"))
+            .select(col("id"), col("kept_id")).distinct()
+          candidates
+            .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
+              Seq("kept_id"))
+            .join(sig.select(col("id"), col("sig")), Seq("id"))
+            .withColumn("est",
+              size(filter(zip_with(col("sig"), col("kept_sig"), (a, b) => a === b),
+                x => x)).cast("double") / numHashes)
+            .filter(col("est") >= threshold)
+            .select(col("id")).distinct()
+        }
+
+      val survivors = withinKept.join(dropped.withColumnRenamed("id", idCol),
+        Seq(idCol), "left_anti")
+
+      // stage 3 — commit the survivors to the index (bands first, sigs
+      // second: a crash between the two can only leave bucket rows
+      // whose signatures are missing, which the verify join ignores)
+      val survivorSig = sig.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      buckets.append(banded(survivorSig))
+      sigs.append(survivorSig)
+      survivors
+    } finally sig.unpersist()
+  }
+}
+
+object IncrementalDedup {
+  private val bucketSchema = StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+  private def sigSchema(numHashes: Int) = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false))))
+
+  /** Open (or create) a corpus-dedup index rooted at `dir`. */
+  def open(spark: SparkSession, dir: String,
+           threshold: Double = 0.7, k: Int = 5, numHashes: Int = 64,
+           bands: Int = 16, maxBucket: Int = 1000): IncrementalDedup = {
+    val buckets = new TableStore(spark, s"$dir/buckets", "id")
+    val sigs = new TableStore(spark, s"$dir/sigs", "id")
+    buckets.initialize(bucketSchema)
+    sigs.initialize(sigSchema(numHashes))
+    new IncrementalDedup(buckets, sigs, threshold, k, numHashes, bands, maxBucket)
+  }
+}

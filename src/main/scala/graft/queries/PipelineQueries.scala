@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators driven through the correctness
   * gate on the `documents` and `embeddings` tables. Oracle-backed where
@@ -33,6 +33,29 @@ object PipelineQueries {
         threshold = 0.6, k = 5, numHashes = 64, bands = 16)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
+
+  /** Incremental corpus dedup (ops/IncrementalDedup): the corpus
+    * arrives as two ingest batches, each deduped against the
+    * persistent bucket/signature index of everything kept so far —
+    * the daily-crawl shape. Rows-only gate made SELF-CHECKING: the
+    * one-shot greedy survivors must be a subset of the incremental
+    * survivors (the incremental contract — every drop names a KEPT
+    * near-dup; full property locked in IncrementalDedupSpec). */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_incidx_gate_").toString
+    val idx = IncrementalDedup.open(s, idxDir, threshold = 0.6, k = 5,
+      numHashes = 64, bands = 16)
+    val mid = d.agg(percentile_approx(col("doc_id"), lit(0.5), lit(1000))).head().getLong(0)
+    val s1 = idx.dedupBatch(d.filter(col("doc_id") < mid), "doc_id", "text")
+    val s2 = idx.dedupBatch(d.filter(col("doc_id") >= mid), "doc_id", "text")
+    val incremental = s1.unionByName(s2).select(col("doc_id"), col("source"))
+    val oneShot = Dedup.minhashDedup(d, "doc_id", "text",
+      threshold = 0.6, k = 5, numHashes = 64, bands = 16).select(col("doc_id"))
+    require(oneShot.join(incremental, Seq("doc_id"), "left_anti").isEmpty,
+      "q_dedup_incremental: a one-shot survivor was dropped incrementally")
+    incremental.orderBy(col("doc_id"))
+  }
 
   /** SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =

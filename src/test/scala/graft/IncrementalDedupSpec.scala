@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, IncrementalDedup}
+
+/** Incremental corpus dedup: batches arrive over time, each deduped
+  * against everything KEPT so far through the persistent bucket/sig
+  * index — never by re-scanning the corpus. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_incdedup_").toString
+
+  test("two-batch ingest: exact duplicates across batches are dropped, index persists") {
+    val idx = IncrementalDedup.open(spark, tmp(), threshold = 0.9)
+    val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+                 (2L, "an entirely different document about spark execution plans"))
+      .toDF("doc_id", "text")
+    val s1 = idx.dedupBatch(b1, "doc_id", "text")
+    assert(s1.count() == 2, "first batch has no duplicates")
+    // batch 2 repeats doc 1's text verbatim (new id) + one new doc
+    val b2 = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"),
+                 (11L, "yet another unrelated document mentioning catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val s2 = idx.dedupBatch(b2, "doc_id", "text")
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L),
+      "the cross-batch duplicate must be dropped against the index")
+    // the index holds exactly the three kept docs
+    assert(idx.sigs.read.count() == 3)
+  }
+
+  test("incremental survivors ⊇ one-shot survivors; every drop names a kept near-dup") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val oneShot = Dedup.minhashDedup(docs, "doc_id", "text",
+        threshold = 0.6, k = 5, numHashes = 64, bands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val idx = IncrementalDedup.open(spark, tmp(), threshold = 0.6)
+    val median = 250L
+    val s1 = idx.dedupBatch(docs.filter(col("doc_id") < median), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = idx.dedupBatch(docs.filter(col("doc_id") >= median), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val incremental = s1 ++ s2
+
+    assert(oneShot.subsetOf(incremental),
+      s"one-shot greedy survivors must survive incrementally too; missing ${oneShot -- incremental}")
+
+    // the incremental contract: every dropped doc has a KEPT near-dup
+    // (est_jaccard >= threshold) — verify against the full pair set
+    val dropped = docs.select("doc_id").collect().map(_.getLong(0)).toSet -- incremental
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.6, k = 5, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val violations = dropped.filter { d =>
+      !pairs.exists { case (a, b) =>
+        (a == d && incremental(b)) || (b == d && incremental(a)) }
+    }
+    assert(violations.isEmpty,
+      s"dropped docs without a kept near-dup: $violations")
+  }
+
+  test("streaming composition: foreachBatch dedups each micro-batch against the index") {
+    val dir = tmp()
+    val idx = IncrementalDedup.open(spark, dir, threshold = 0.9)
+    val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = source.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        idx.dedupBatch(batch, "doc_id", "text")
+          .select("doc_id").collect().foreach(r => kept.add(r.getLong(0)))
+      }
+      .start()
+    try {
+      source.addData((1L, "streaming documents deduplicate across micro batches too"))
+      q.processAllAvailable()
+      source.addData(
+        (2L, "streaming documents deduplicate across micro batches too"), // dup of 1
+        (3L, "a fresh unique document arriving in the second micro batch"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(scala.jdk.CollectionConverters.IteratorHasAsScala(kept.iterator).asScala.toSet
+      == Set(1L, 3L))
+  }
+}
