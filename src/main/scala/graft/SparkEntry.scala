@@ -82,6 +82,7 @@ object SparkEntry {
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
     "q_split_hash"     -> (PipelineQueries.qSplitHash _),
+    "q_pipeline_curate" -> (PipelineQueries.qPipelineCurate _),
     // analytics extensions: temporal joins, rollup, ranking windows,
     // sketch aggregates (ops/TemporalJoins, ops/Sketches)
     "q_asof_join"      -> (AnalyticsQueries.qAsofJoin _),
@@ -511,6 +512,54 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS n_chars_total
          FROM b GROUP BY 1 ORDER BY split""",
+    // the full curation DAG replayed in SQL: quality filter → md5
+    // min-id dedup → per-source cap 50 → hash split → rollup. Quality
+    // formula and CAST/floor conventions match q_text_analyze /
+    // q_split_hash (BIGINT casts keep HUGEINT away from the pandas
+    // bridge)
+    "q_pipeline_curate" ->
+      """WITH f AS (
+           SELECT doc_id, source, n_chars, text,
+                  length(text) AS tlen,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+                  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+           FROM documents
+         ), q AS (
+           SELECT doc_id, source, n_chars, text,
+                  round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+                    * (CASE WHEN (CASE WHEN tlen > 0
+                         THEN CAST(n_punct AS DOUBLE) / tlen ELSE 0.0 END) < 0.2
+                       THEN 1.0 ELSE 0.5 END)
+                    * (CASE WHEN (CASE WHEN n_tokens > 0
+                         THEN CAST(len(list_intersect(
+                                regexp_split_to_array(trim(lower(text)), '\s+'),
+                                ['the','a','and','of','to','in','is'])) AS DOUBLE) / n_tokens
+                         ELSE 0.0 END) > 0.01
+                       THEN 1.0 ELSE 0.7 END), 4) AS quality
+           FROM f
+         ), qual AS (
+           SELECT * FROM q WHERE quality >= 0.5
+         ), dedup AS (
+           SELECT * FROM qual
+           WHERE doc_id IN (SELECT min(doc_id) FROM qual GROUP BY md5(text))
+         ), capped AS (
+           SELECT doc_id, source, n_chars FROM (
+             SELECT doc_id, source, n_chars,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+             FROM dedup) WHERE rn <= 50
+         )
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         FROM (SELECT *,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100
+                   AS bucket
+               FROM capped)
+         GROUP BY 1, 2 ORDER BY split, source""",
     // as-of join: most recent same-user click at or before each
     // purchase; ties on click ts broken by largest event_id — the same
     // (ts, id) max the Spark window's last() picks

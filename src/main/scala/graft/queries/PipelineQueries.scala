@@ -301,4 +301,34 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
       .orderBy(col("split"))
   }
+
+  /** The full curation DAG in one oracle-backed gate: quality filter →
+    * exact dedup (md5 min-id) → per-source cap → deterministic hash
+    * split → per-(split, source) rollup. Every stage is a deterministic
+    * relational op, so DuckDB replays the ENTIRE pipeline byte-for-byte
+    * — the composition is checked, not just each stage in isolation.
+    * Plan shape: one scan, the dedup semi-join, ONE shuffle on source
+    * for the cap (partial WindowGroupLimit pre-trims), then the rollup;
+    * split assignment is map-side arithmetic. */
+  def qPipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qual = docs(s, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    val keep = qual.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = qual.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val capped = deduped.withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    capped
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("split"), col("source"))
+  }
 }
