@@ -80,6 +80,7 @@ object SparkEntry {
     "q_sim_ivf"        -> (PipelineQueries.qSimIvf _),
     "q_sim_ivf_indexed" -> (PipelineQueries.qSimIvfIndexed _),
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
+    "q_multimodal_audio" -> (PipelineQueries.qMultimodalAudio _),
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
     "q_split_hash"     -> (PipelineQueries.qSplitHash _),
     "q_pipeline_curate" -> (PipelineQueries.qPipelineCurate _),
@@ -480,6 +481,17 @@ object SparkEntry {
                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
            FROM documents)
          ORDER BY doc_id""",
+    // audio round-trip: real WAVs whose frame count / sample rate are
+    // pure functions of doc_id; JDK decode reports them back, DuckDB
+    // recomputes independently (floor + BIGINT casts per convention)
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INT) AS rate,
+                CAST(1 AS INT) AS ch,
+                CAST(800 + (doc_id * 11) % 1600 AS BIGINT) AS frames,
+                CAST(floor((800 + (doc_id * 11) % 1600) * 1000.0
+                  / (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)) AS BIGINT) AS dur_ms
+         FROM documents ORDER BY doc_id""",
     "q_sim_bruteforce" ->
       """SELECT query_id, item_id FROM (
            SELECT a.vec_id AS query_id, b.vec_id AS item_id,

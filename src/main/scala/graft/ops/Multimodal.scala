@@ -159,6 +159,74 @@ object Multimodal {
     }
   }
 
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("encoding", StringType),
+    StructField("n_bytes", LongType)))
+
+  /** Header-only audio metadata decode via the JDK's
+    * `javax.sound.sampled` (WAV/AIFF/AU — no external codecs). Returns
+    * None for unrecognized payloads, same contract as the image
+    * decoder: corrupt bytes must not kill a corpus-scale job. */
+  private[ops] def decodeAudioHeader(bytes: Array[Byte])
+      : Option[(Int, Int, Long, String)] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new ByteArrayInputStream(bytes))
+      val af = fmt.getFormat
+      Some((af.getSampleRate.toInt, af.getChannels, fmt.getFrameLength.toLong,
+        af.getEncoding.toString.toLowerCase))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Deterministic synthetic WAV: `nFrames` of 16-bit mono PCM (a
+    * seeded waveform), encoded with the real JDK WAV writer — the
+    * audio counterpart of [[renderImage]] for oracle-backed gates. */
+  private[graft] def renderWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var s = seed
+    var i = 0
+    while (i < nFrames) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      val sample = (s % 32768).toShort
+      pcm(2 * i) = (sample & 0xFF).toByte
+      pcm(2 * i + 1) = ((sample >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val af = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), af, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode audio metadata for a binary column (batched per-partition,
+    * like [[decodeImageMeta]]); null meta for null/undecodable rows. */
+  def decodeAudioMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("ameta", audioMetaType))
+    implicit val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val meta =
+          if (bytes == null) null
+          else decodeAudioHeader(bytes) match {
+            case Some((rate, ch, frames, enc0)) =>
+              Row(rate, ch, frames, enc0, bytes.length.toLong)
+            case None => null
+          }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
   /** Feature extraction stub: fixed-size float vector per payload
     * (deterministic from content). Real impl: a vision encoder over the
     * decoded image; the batched-iterator plumbing is identical. This is

@@ -261,6 +261,38 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio counterpart of [[qMultimodalMeta]]: synthesize a REAL WAV
+    * per document whose frame count and sample rate are pure functions
+    * of doc_id, decode it with the JDK audio reader, and report
+    * duration; DuckDB recomputes the formulas — a wrong encode or
+    * decode fails the hash. */
+  def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val ids = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    val withBin = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = (800 + math.floorMod(id * 11, 1600)).toInt
+        val rate = if (id % 2 == 0) 8000 else 16000
+        Row(id, Multimodal.renderWav(frames, rate, seed = id))
+      }
+    }
+    Multimodal.decodeAudioMeta(withBin, "payload")
+      .select(
+        col("doc_id"),
+        col("ameta.sample_rate").as("rate"),
+        col("ameta.channels").as("ch"),
+        col("ameta.n_frames").as("frames"),
+        floor(col("ameta.n_frames") * 1000 / col("ameta.sample_rate")).as("dur_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quota cap: keep at most `cap` documents per source,
     * preferring longer documents (quality proxy), doc_id as the
     * deterministic tiebreak — the per-domain cap every large corpus

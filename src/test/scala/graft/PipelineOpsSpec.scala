@@ -204,6 +204,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(3L) == (50, 22, 50, 22, "png"), "floor(33 * 50/75) = 22")
   }
 
+  test("multimodal audio decode reads real WAV headers; garbage decodes to null") {
+    val wav = Multimodal.renderWav(nFrames = 1234, sampleRate = 16000, seed = 9L)
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val decoded = Multimodal.decodeAudioMeta(df, "payload")
+    val metas = decoded.select(col("id"), col("ameta")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val m = metas(1L).get
+    assert((m.getInt(0), m.getInt(1), m.getLong(2)) == (16000, 1, 1234L),
+      s"WAV header must round-trip rate/channels/frames, got $m")
+    assert(m.getString(3).contains("pcm"))
+    assert(metas(2L).isEmpty, "undecodable audio must yield null meta")
+  }
+
   test("multimodal frame-sample and feature plumbing") {
     val df = Seq((1L, "some payload bytes"), (2L, "another longer payload with more bytes"))
       .toDF("id", "text")
