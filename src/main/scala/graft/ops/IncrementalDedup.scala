@@ -54,22 +54,49 @@ final class IncrementalDedup private (
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(b)))))
       .select(col("pos").as("band"), col("col").as("bucket"), col("id"))
 
+  private def estMatch(a: String, b: String) =
+    size(filter(zip_with(col(a), col(b), (x, y) => x === y), x => x))
+      .cast("double") / numHashes
+
   /** Dedup one ingest batch against the index (and itself); append the
     * survivors' bands+signatures to the index; return the surviving
-    * rows of `batch` with all original columns. */
+    * rows of `batch` with all original columns, MATERIALIZED
+    * (localCheckpoint): the index appends already executed the
+    * lineage, so handing the caller a lazy recompute of the signature
+    * pass would double every cost — and worse, re-read index snapshots
+    * that have since moved. Signatures are computed exactly once per
+    * batch (one cached (id, sig) pass feeds the within-batch pairing,
+    * the index verify, and the index append). */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // stage 1 — within-batch greedy min-id near-dup drop
-    val withinKept = Dedup.minhashDedup(batch, idCol, textCol,
-      threshold, k, numHashes, bands)
-    val sig = signed(withinKept, idCol, textCol).cache()
+    val sig = signed(batch, idCol, textCol).cache()
     try {
       val batchBands = banded(sig)
+
+      // stage 1 — within-batch greedy min-id drop (same rule as
+      // Dedup.minhashDedup, but reusing this batch's cached signatures
+      // instead of recomputing them): capped band buckets → candidate
+      // pairs → signature-agreement estimate → id2 of any passing pair
+      // drops
+      val smallBatchBuckets = batchBands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket)
+        .select(col("band"), col("bucket"))
+      val cappedBands = batchBands.join(smallBatchBuckets, Seq("band", "bucket"), "left_semi")
+      val withinDropped = cappedBands.select(col("band"), col("bucket"), col("id").as("id1"))
+        .join(cappedBands.select(col("band"), col("bucket"), col("id").as("id2")),
+          Seq("band", "bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+        .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+        .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+        .filter(estMatch("sig1", "sig2") >= threshold)
+        .select(col("id2").as("id")).distinct()
 
       // stage 2 — collisions vs the KEPT corpus: equi-join on the
       // 20-byte bucket rows, cap crowded buckets (same skew guard as
       // the batch operators), then verify only collided pairs by
       // signature agreement
-      val dropped: DataFrame =
+      val indexDropped: DataFrame =
         if (!buckets.exists || buckets.read.isEmpty) sig.limit(0).select(col("id"))
         else {
           val idx = buckets.read
@@ -77,24 +104,23 @@ final class IncrementalDedup private (
             .agg(count(lit(1)).as("bsz"))
             .filter(col("bsz") <= maxBucket)
             .select(col("band"), col("bucket"))
-          val candidates = batchBands
+          batchBands
             .join(idx.join(smallBuckets, Seq("band", "bucket"), "left_semi")
               .select(col("band"), col("bucket"), col("id").as("kept_id")),
               Seq("band", "bucket"))
             .select(col("id"), col("kept_id")).distinct()
-          candidates
             .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
               Seq("kept_id"))
             .join(sig.select(col("id"), col("sig")), Seq("id"))
-            .withColumn("est",
-              size(filter(zip_with(col("sig"), col("kept_sig"), (a, b) => a === b),
-                x => x)).cast("double") / numHashes)
-            .filter(col("est") >= threshold)
+            .filter(estMatch("sig", "kept_sig") >= threshold)
             .select(col("id")).distinct()
         }
 
-      val survivors = withinKept.join(dropped.withColumnRenamed("id", idCol),
-        Seq(idCol), "left_anti")
+      val survivors = batch.join(
+          withinDropped.unionByName(indexDropped).distinct()
+            .withColumnRenamed("id", idCol),
+          Seq(idCol), "left_anti")
+        .localCheckpoint(true) // pin: the caller must not re-run the pass
 
       // stage 3 — commit the survivors to the index (bands first, sigs
       // second: a crash between the two can only leave bucket rows
