@@ -115,7 +115,9 @@ object Bench {
         case None => ""
         case Some(dir) =>
           try {
-            if (!graft.tools.ScaleUp.isComplete(dir))
+            // fingerprint check: a dir generated from a different
+            // source/factor is regenerated, never silently reused
+            if (!graft.tools.ScaleUp.isComplete(dir, sfDir, factor = 10))
               graft.tools.ScaleUp.scaleUp(spark, sfDir, dir, factor = 10)
             val r2 = timedPass(dir, skip = Set("q_remote"))
             val (qs2, errs2, total2) = toJson(r2)

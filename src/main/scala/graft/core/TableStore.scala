@@ -512,9 +512,12 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
 
   /** `session.persist(o)` = insert-or-update by id
     * (persistent/Session.java:436-457). Rewrites only files whose id
-    * range intersects the incoming keys; pure inserts touch nothing. */
-  def upsert(rows: DataFrame): Unit = {
-    if (!exists) { append(rows); return }
+    * range intersects the incoming keys; pure inserts touch nothing.
+    * `singleFile` shapes the rewrite output to one file (the
+    * @NoDistribute dim-table layout) — coalescing only the incoming
+    * batch would leave the MERGE rewrite multi-file. */
+  def upsert(rows: DataFrame, singleFile: Boolean = false): Unit = {
+    if (!exists) { append(if (singleFile) rows.coalesce(1) else rows); return }
     val snapshot = currentEntries
     val (affected, _) = pruneByKeys(snapshot, rows.select(col(idCol)))
     val merged =
@@ -522,7 +525,8 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       else readFiles(affected)
         .join(rows.select(col(idCol)), Seq(idCol), "left_anti")
         .unionByName(rows)
-    commitRewrite(snapshot, affected, writeFiles(merged))
+    commitRewrite(snapshot, affected,
+      writeFiles(if (singleFile) merged.coalesce(1) else merged))
   }
 
   /** `session.find(cls, id)` (persistent/Session.java:326-342): the

@@ -76,17 +76,18 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
             needGen.withColumn(idc, lit(base + 1) + monotonically_increasing_id()))
         }
       }
-    // @NoDistribute class: one output file per commit — the layout a
-    // small dim table wants (broadcast-friendly single file, no
-    // small-file sprawl; reference keeps such tables node-local,
-    // persistent/Table.java:259-271)
-    val shaped = if (meta.noDistribute) withIds.coalesce(1) else withIds
     // @NoCheck id field: skip the upsert existence anti-join and append
     // directly — the reference's fast CEP-insert path (persistent/
     // Table.java:577-584, :1209: no-check tables bypass getChunkByEntity
     // and insert straight away). Caller owns id uniqueness.
-    if (meta.noCheck) store.append(shaped)
-    else store.upsert(shaped)
+    // @NoDistribute class: one output file per commit — the layout a
+    // small dim table wants (broadcast-friendly single file, no
+    // small-file sprawl; reference keeps such tables node-local,
+    // persistent/Table.java:259-271). upsert applies it to the MERGE
+    // rewrite too, not just the incoming batch.
+    if (meta.noCheck)
+      store.append(if (meta.noDistribute) withIds.coalesce(1) else withIds)
+    else store.upsert(withIds, singleFile = meta.noDistribute)
     meta.threshold.foreach(enforceThreshold)
   }
 

@@ -85,8 +85,9 @@ object Dedup {
     * (fraction of equal signature positions) clears the threshold. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, k: Int = 5,
-                   numHashes: Int = 64, bands: Int = 16): DataFrame =
-    minhashCandidates(df, idCol, textCol, k, numHashes, bands)
+                   numHashes: Int = 64, bands: Int = 16,
+                   maxBucket: Int = 1000): DataFrame =
+    minhashCandidates(df, idCol, textCol, k, numHashes, bands, maxBucket)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("est_jaccard"))
 
@@ -95,8 +96,9 @@ object Dedup {
     * exists — one anti-join, no iterative connected components). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, k: Int = 5,
-                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val dropped = minhashPairs(df, idCol, textCol, threshold, k, numHashes, bands)
+                   numHashes: Int = 64, bands: Int = 16,
+                   maxBucket: Int = 1000): DataFrame = {
+    val dropped = minhashPairs(df, idCol, textCol, threshold, k, numHashes, bands, maxBucket)
       .select(col("id2").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }

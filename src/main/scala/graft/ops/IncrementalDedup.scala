@@ -26,12 +26,18 @@ import graft.core.TableStore
   * joins — independent of corpus size except through bucket occupancy,
   * which `maxBucket` caps.
   *
-  * Semantics vs one-shot batch dedup: a batch doc is dropped only for
-  * a KEPT near-dup (the index holds survivors). One-shot greedy
-  * min-id-wins can also drop a doc whose only smaller near-dups were
-  * themselves dropped, so incremental survivors are a SUPERSET of the
-  * one-shot survivors — and arguably the better contract: every drop
-  * names a kept near-dup (locked by spec).
+  * Semantics vs one-shot batch dedup: WITHIN a batch the rule is the
+  * same greedy min-id-wins as [[Dedup.minhashDedup]] (a doc can drop
+  * for a near-dup that was itself dropped — similarity chains are not
+  * transitively re-checked); ACROSS batches a doc drops only for a
+  * near-dup that was KEPT (the index holds survivors). Consequences,
+  * both spec-locked: every dropped doc has at least one near-dup pair
+  * in the corpus, and — when batches arrive in nondecreasing id order
+  * (the natural ingest order) — incremental survivors are a SUPERSET
+  * of the one-shot greedy survivors, because every incremental drop
+  * (smaller within-batch id, or smaller-id kept index entry) is also
+  * a one-shot drop. Out-of-order ingest weakens the superset claim:
+  * an earlier-kept LARGER id can drop a later smaller one.
   *
   * The reference has no corpus-dedup surface; this composes the
   * repo's MinHash kernels with the version-manifest store (Scaladoc
@@ -138,18 +144,34 @@ object IncrementalDedup {
     StructField("band", IntegerType, nullable = false),
     StructField("bucket", LongType, nullable = false),
     StructField("id", LongType, nullable = false)))
-  private def sigSchema(numHashes: Int) = StructType(Seq(
+  private val sigSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("sig", ArrayType(LongType, containsNull = false))))
 
-  /** Open (or create) a corpus-dedup index rooted at `dir`. */
+  /** Open (or create) a corpus-dedup index rooted at `dir`. The
+    * signature family (k, numHashes, bands) is pinned in a params file
+    * at creation: reopening with a different family would compare
+    * incompatible signatures and silently let duplicates through, so
+    * it throws instead. `threshold`/`maxBucket` are per-open dials. */
   def open(spark: SparkSession, dir: String,
            threshold: Double = 0.7, k: Int = 5, numHashes: Int = 64,
            bands: Int = 16, maxBucket: Int = 1000): IncrementalDedup = {
+    val paramsFile = new java.io.File(dir, "_dedup_params")
+    val want = s"k=$k,numHashes=$numHashes,bands=$bands"
+    if (paramsFile.exists()) {
+      val have = new String(
+        java.nio.file.Files.readAllBytes(paramsFile.toPath), "UTF-8").trim
+      require(have == want,
+        s"index at $dir was built with [$have]; reopening with [$want] would " +
+          "compare incompatible MinHash signatures")
+    } else {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(paramsFile.toPath, want.getBytes("UTF-8"))
+    }
     val buckets = new TableStore(spark, s"$dir/buckets", "id")
     val sigs = new TableStore(spark, s"$dir/sigs", "id")
     buckets.initialize(bucketSchema)
-    sigs.initialize(sigSchema(numHashes))
+    sigs.initialize(sigSchema)
     new IncrementalDedup(buckets, sigs, threshold, k, numHashes, bands, maxBucket)
   }
 }

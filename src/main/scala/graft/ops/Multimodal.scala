@@ -40,24 +40,31 @@ object Multimodal {
     * pixel data — the cheap path a 100 TB metadata scan wants. Returns
     * None for payloads no reader recognizes (corrupt/unknown bytes must
     * not kill a petabyte job; callers see a null meta struct). */
-  private[ops] def decodeImageHeader(bytes: Array[Byte]): Option[(Int, Int, String)] = {
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+  private[ops] def decodeImageHeader(bytes: Array[Byte]): Option[(Int, Int, String)] =
     try {
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val fmt = reader.getFormatName.toLowerCase match {
-            case "jpg" => "jpeg"
-            case f => f
-          }
-          Some((reader.getWidth(0), reader.getHeight(0), fmt))
-        } finally reader.dispose()
-      }
-    } finally iis.close()
-  }
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase match {
+              case "jpg" => "jpeg"
+              case f => f
+            }
+            Some((reader.getWidth(0), reader.getHeight(0), fmt))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch {
+      // a payload whose magic bytes select a reader can still have a
+      // corrupt header — getWidth/getHeight throw IIOException. Same
+      // contract as unrecognized bytes: null meta, never a dead job.
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
 
   /** Deterministic synthetic image: a `width`×`height` RGB gradient
     * seeded by `seed`, encoded with the real ImageIO codec ("png" or
@@ -127,32 +134,36 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
+        // one cheap header parse decides everything; full pixel decode
+        // only happens for images that actually shrink (the common
+        // already-small case costs a header read, nothing more)
         val out: (Array[Byte], Row) =
           if (bytes == null) (null, null)
-          else {
-            val img = ImageIO.read(new ByteArrayInputStream(bytes))
-            val fmt = decodeImageHeader(bytes).map(_._3)
-            if (img == null || fmt.isEmpty) (null, null)
-            else {
-              val (w, h) = (img.getWidth, img.getHeight)
+          else decodeImageHeader(bytes) match {
+            case None => (null, null)
+            case Some((w, h, fmt)) =>
               val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-              if (scale >= 1.0) (bytes, Row(w, h, fmt.get, bytes.length.toLong))
+              if (scale >= 1.0) (bytes, Row(w, h, fmt, bytes.length.toLong))
               else {
-                val tw = math.max(1, math.floor(w * scale).toInt)
-                val th = math.max(1, math.floor(h * scale).toInt)
-                val scaled = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
-                val g = scaled.createGraphics()
-                try {
-                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                  g.drawImage(img, 0, 0, tw, th, null)
-                } finally g.dispose()
-                val bos = new ByteArrayOutputStream()
-                ImageIO.write(scaled, fmt.get, bos)
-                val b = bos.toByteArray
-                (b, Row(tw, th, fmt.get, b.length.toLong))
+                val img = try ImageIO.read(new ByteArrayInputStream(bytes))
+                          catch { case _: java.io.IOException => null }
+                if (img == null) (null, null) // header ok, body corrupt
+                else {
+                  val tw = math.max(1, math.floor(w * scale).toInt)
+                  val th = math.max(1, math.floor(h * scale).toInt)
+                  val scaled = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+                  val g = scaled.createGraphics()
+                  try {
+                    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    g.drawImage(img, 0, 0, tw, th, null)
+                  } finally g.dispose()
+                  val bos = new ByteArrayOutputStream()
+                  ImageIO.write(scaled, fmt, bos)
+                  val b = bos.toByteArray
+                  (b, Row(tw, th, fmt, b.length.toLong))
+                }
               }
-            }
           }
         Row.fromSeq(r.toSeq :+ out._1 :+ out._2)
       }
@@ -184,26 +195,34 @@ object Multimodal {
     }
 
   /** Deterministic synthetic WAV: `nFrames` of 16-bit mono PCM (a
-    * seeded waveform), encoded with the real JDK WAV writer — the
-    * audio counterpart of [[renderImage]] for oracle-backed gates. */
+    * seeded waveform) under a standard 44-byte RIFF/WAVE header — the
+    * audio counterpart of [[renderImage]] for oracle-backed gates.
+    * The header is written directly (the canonical fixed layout;
+    * AudioSystem.write produces the identical container but pays
+    * stream-copy overhead per call — measured 3 s/5 000 docs, pure
+    * fixture cost). DECODING still goes through the real JDK reader. */
   private[graft] def renderWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
-    val pcm = new Array[Byte](nFrames * 2)
+    val dataLen = nFrames * 2 // 16-bit mono
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var s = seed
     var i = 0
     while (i < nFrames) {
       s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-      val sample = (s % 32768).toShort
-      pcm(2 * i) = (sample & 0xFF).toByte
-      pcm(2 * i + 1) = ((sample >> 8) & 0xFF).toByte
+      buf.putShort((s % 32768).toShort)
       i += 1
     }
-    val af = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(pcm), af, nFrames.toLong)
-    val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    buf.array()
   }
 
   /** Decode audio metadata for a binary column (batched per-partition,

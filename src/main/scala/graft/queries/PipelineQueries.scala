@@ -44,17 +44,30 @@ object PipelineQueries {
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
     val idxDir = java.nio.file.Files.createTempDirectory("graft_incidx_gate_").toString
+    // the superset check needs IDENTICAL skew-cap decisions on both
+    // sides: the one-shot pass counts buckets corpus-wide while the
+    // incremental passes count per batch/index, so a bucket straddling
+    // the cap would be dropped on one side only and fail the require
+    // spuriously. An effectively-unbounded cap removes the asymmetry
+    // (gate corpora have no million-doc buckets).
+    val cap = Int.MaxValue
     val idx = IncrementalDedup.open(s, idxDir, threshold = 0.6, k = 5,
-      numHashes = 64, bands = 16)
+      numHashes = 64, bands = 16, maxBucket = cap)
     val mid = d.agg(percentile_approx(col("doc_id"), lit(0.5), lit(1000))).head().getLong(0)
     val s1 = idx.dedupBatch(d.filter(col("doc_id") < mid), "doc_id", "text")
     val s2 = idx.dedupBatch(d.filter(col("doc_id") >= mid), "doc_id", "text")
     val incremental = s1.unionByName(s2).select(col("doc_id"), col("source"))
     val oneShot = Dedup.minhashDedup(d, "doc_id", "text",
-      threshold = 0.6, k = 5, numHashes = 64, bands = 16).select(col("doc_id"))
+      threshold = 0.6, k = 5, numHashes = 64, bands = 16, maxBucket = cap)
+      .select(col("doc_id"))
     require(oneShot.join(incremental, Seq("doc_id"), "left_anti").isEmpty,
       "q_dedup_incremental: a one-shot survivor was dropped incrementally")
-    incremental.orderBy(col("doc_id"))
+    // survivors are localCheckpoint-pinned by dedupBatch, so the index
+    // dirs are no longer referenced — reclaim them (gates run on every
+    // driver/bench pass; leaking a corpus-sized index per run fills /tmp)
+    val out = incremental.orderBy(col("doc_id"))
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idxDir))
+    out
   }
 
   /** SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures). */
@@ -200,7 +213,12 @@ object PipelineQueries {
       .filter(col("d") =!= 0)
     require(mismatches.isEmpty,
       "q_sim_ivf_indexed: persisted-index ranking diverged from in-memory ivfTopK")
-    indexed.orderBy(col("query_id"), col("rank"))
+    // pin the result so the corpus-sized on-disk index can be reclaimed
+    // now (this gate runs on every driver/bench pass — leaking an index
+    // per run fills /tmp)
+    val out = indexed.orderBy(col("query_id"), col("rank")).localCheckpoint(true)
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx))
+    out
   }
 
   /** Approximate LSH top-k (recall measured in spec). Corpus-sized

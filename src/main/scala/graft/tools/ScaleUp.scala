@@ -162,10 +162,21 @@ object ScaleUp {
   }
 
   /** Marker written after ALL tables land, so a consumer never reads a
-    * half-generated directory (e.g. a bench run killed mid-generate). */
+    * half-generated directory (e.g. a bench run killed mid-generate).
+    * Carries the source dir + factor fingerprint: a leftover dir
+    * generated from a DIFFERENT source or factor must not be silently
+    * reused (it would skew the scaling numbers). */
   def completeMarker(dstDir: String): File = new File(dstDir, "_GRAFT_SCALE_COMPLETE")
 
-  def isComplete(dstDir: String): Boolean = completeMarker(dstDir).exists()
+  private def fingerprint(srcDir: String, factor: Int) = s"src=$srcDir|factor=$factor"
+
+  def isComplete(dstDir: String, srcDir: String, factor: Int): Boolean = {
+    val m = completeMarker(dstDir)
+    m.exists() && {
+      val have = new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim
+      have == fingerprint(srcDir, factor)
+    }
+  }
 
   def scaleUp(spark: SparkSession, srcDir: String, dstDir: String, factor: Int): Unit = {
     require(factor >= 1, "factor must be >= 1")
@@ -179,7 +190,8 @@ object ScaleUp {
         else src // shared dims: region, nation
       writeSingleFile(out, dst, table)
     }
-    completeMarker(dstDir).createNewFile()
+    java.nio.file.Files.write(completeMarker(dstDir).toPath,
+      fingerprint(srcDir, factor).getBytes("UTF-8"))
   }
 
   /** CLI: ScaleUp <srcDir> <dstDir> [factor=10] */

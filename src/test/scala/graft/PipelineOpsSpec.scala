@@ -169,8 +169,11 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("multimodal decode reads real PNG/JPEG headers; garbage decodes to null") {
     val png = Multimodal.renderImage(120, 48, "png", seed = 7L)
     val jpg = Multimodal.renderImage(33, 200, "jpeg", seed = 8L)
+    // valid PNG magic, truncated header: a reader IS selected but its
+    // getWidth throws — must yield null meta, not a dead job
+    val truncated = png.take(12)
     val df = Seq((1L, png), (2L, jpg), (3L, "not an image".getBytes("UTF-8")),
-        (4L, null.asInstanceOf[Array[Byte]]))
+        (4L, null.asInstanceOf[Array[Byte]]), (5L, truncated))
       .toDF("id", "payload")
     val decoded = Multimodal.decodeImageMeta(df, "payload")
     assert(decoded.schema("meta").dataType == Multimodal.imageMetaType)
@@ -182,6 +185,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       Some((33, 200, "jpeg")))
     assert(metas(3L).isEmpty, "undecodable payload must yield null meta, not an error")
     assert(metas(4L).isEmpty, "null payload must yield null meta")
+    assert(metas(5L).isEmpty, "recognized-but-corrupt payload must yield null meta")
+    // the resize path hits the same corrupt payloads without dying
+    val resized = Multimodal.resizeImagePayloads(df, "payload", maxSide = 16)
+      .select(col("id"), col("resized_meta")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(resized(1L).nonEmpty && resized(5L).isEmpty && resized(3L).isEmpty)
   }
 
   test("multimodal resize re-encodes real pixels with floor-scaled dims") {

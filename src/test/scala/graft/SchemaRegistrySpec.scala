@@ -116,6 +116,15 @@ class SchemaRegistrySpec extends AnyFunSuite {
     val files = gs.store("dim_nd").get.read.inputFiles
     assert(files.length == 1, s"expected a single data file, got ${files.length}")
     assert(tt.ds.count() == 64)
+    // the UPDATE path must hold the layout too: the upsert merge
+    // rewrite (not just the incoming batch) is coalesced
+    val update = spark.createDataset(
+      (1L to 32L).map(i => DimRow(i, s"updated$i")) ++ Seq(DimRow(100L, "new"))).repartition(8)
+    tt.persistDs(update)
+    val files2 = gs.store("dim_nd").get.read.inputFiles
+    assert(files2.length == 1, s"upsert must keep the single-file layout, got ${files2.length}")
+    assert(tt.ds.count() == 65)
+    assert(tt.find(1L).contains(DimRow(1L, "updated1")))
   }
 
   test("entity scan API streams all rows through a local iterator (S3)") {
