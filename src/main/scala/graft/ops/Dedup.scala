@@ -37,6 +37,30 @@ object Dedup {
   def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 64): Column =
     graft.functions.TextHashFunctions.minhashSignature(text, k, numHashes)
 
+  /** One 64-bit bucket key per LSH band: hash of the band's slice of
+    * the signature, salted by the band index. Shared by the one-shot
+    * and incremental dedup paths. */
+  private[ops] def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), lit(b)))
+
+  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  private[ops] def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), x => x)).cast("double") / numHashes
+
+  /** Skew guard shared by every candidate generator: drop bucket keys
+    * holding more than `maxBucket` rows. An aggregated semi-join, not
+    * a count-over-Window: the count aggregates with map-side partial
+    * combine (tiny shuffle) and the join needs no per-bucket sort; AQE
+    * broadcasts the bucket list when small. */
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val small = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(keys.map(col): _*)
+    df.join(small, keys, "left_semi")
+  }
+
   /** LSH candidate pairs from banded MinHash signatures.
     * bands × rowsPerBand must equal numHashes. Two docs are candidates
     * if any band of their signatures collides. The band-bucket join is
@@ -51,20 +75,10 @@ object Dedup {
 
     // explode into (band, bucketHash, id); bucket = hash of the band slice
     val banded = sig.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(b)))))
+        posexplode(bandHashes(col("sig"), bands, rows)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
 
-    // skew guard: drop buckets holding more than maxBucket docs. An
-    // aggregated semi-join, not a count-over-Window: the count
-    // aggregates with map-side partial combine (tiny shuffle) and the
-    // join needs no per-bucket sort; AQE broadcasts the bucket list
-    // when small.
-    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val counted = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    val counted = capBuckets(banded, Seq("band", "bucket"), maxBucket)
 
     // The bucket join must carry signatures once (pair scoring needs
     // them), but the estimate is computed AT pair formation so the
@@ -74,9 +88,7 @@ object Dedup {
     val r = counted.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
-          x => x)).cast("double") / numHashes)
+      .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2"), numHashes))
       .select(col("id1"), col("id2"), col("est_jaccard"))
       .dropDuplicates("id1", "id2")
   }
@@ -113,12 +125,7 @@ object Dedup {
       array_distinct(graft.functions.TextHashFunctions.shingleHashes(col(textCol), k)).as("sh"))
 
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-    // postings cap via aggregated semi-join (see minhashCandidates note)
-    val smallShingles = exploded.groupBy(col("s"))
-      .agg(count(lit(1)).as("psz"))
-      .filter(col("psz") <= maxPostings)
-      .select(col("s"))
-    val postings = exploded.join(smallShingles, Seq("s"), "left_semi")
+    val postings = capBuckets(exploded, Seq("s"), maxPostings) // postings cap
 
     val cand = postings.select(col("s"), col("id").as("id1"))
       .join(postings.select(col("s"), col("id").as("id2")), Seq("s"))
@@ -152,17 +159,13 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .select(col("id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
-    // skew guard, same shape as minhashCandidates: a band bucket
-    // holding > maxBucket docs (boilerplate or exact-duplicate floods —
-    // identical token bags share a full signature, so a hot bucket
-    // would pair quadratically) is dropped before pairing. Measured:
-    // without this, a corpus where each doc has 9 near-copies paired at
-    // ~50× the 10×-data cost (SCALE.md "Scaling study").
-    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    // skew guard: a band bucket holding > maxBucket docs (boilerplate
+    // or exact-duplicate floods — identical token bags share a full
+    // signature, so a hot bucket would pair quadratically) is dropped
+    // before pairing. Measured: without this, a corpus where each doc
+    // has 9 near-copies paired at ~50× the 10×-data cost (SCALE.md
+    // "Scaling study").
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
     val l = capped.select(col("band"), col("bucket"), col("id").as("id1"), col("sh").as("sh1"))
     val r = capped.select(col("band"), col("bucket"), col("id").as("id2"), col("sh").as("sh2"))
     l.join(r, Seq("band", "bucket"))
@@ -189,15 +192,11 @@ object Dedup {
         Similarity.hyperplaneSignature(col(vecCol), planes, seed = t).as("sig"))): _*)
     val banded0 = df.select(col(idCol).as("id"), explode(sigs).as("b"))
       .select(col("id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
-    // skew guard (same aggregated-semi-join shape as the text dedups):
-    // a hyperplane bucket crowded past maxBucket — duplicate-flooded or
-    // degenerate (all-zero vectors hash together) — would pair
-    // quadratically; drop it rather than let one bucket own the stage
-    val smallBuckets = banded0.groupBy(col("tbl"), col("sig"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("tbl"), col("sig"))
-    val banded = banded0.join(smallBuckets, Seq("tbl", "sig"), "left_semi")
+    // skew guard: a hyperplane bucket crowded past maxBucket —
+    // duplicate-flooded or degenerate (all-zero vectors hash together)
+    // — would pair quadratically; drop it rather than let one bucket
+    // own the stage
+    val banded = capBuckets(banded0, Seq("tbl", "sig"), maxBucket)
     val pairs = banded.select(col("tbl"), col("sig"), col("id").as("id1"))
       .join(banded.select(col("tbl"), col("sig"), col("id").as("id2")), Seq("tbl", "sig"))
       .filter(col("id1") < col("id2"))

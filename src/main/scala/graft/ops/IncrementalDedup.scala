@@ -55,14 +55,8 @@ final class IncrementalDedup private (
       Dedup.minhashSignature(col(textCol), k, numHashes).as("sig"))
 
   private def banded(sig: DataFrame): DataFrame =
-    sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(b)))))
+    sig.select(col("id"), posexplode(Dedup.bandHashes(col("sig"), bands, rows)))
       .select(col("pos").as("band"), col("col").as("bucket"), col("id"))
-
-  private def estMatch(a: String, b: String) =
-    size(filter(zip_with(col(a), col(b), (x, y) => x === y), x => x))
-      .cast("double") / numHashes
 
   /** Dedup one ingest batch against the index (and itself); append the
     * survivors' bands+signatures to the index; return the surviving
@@ -83,11 +77,7 @@ final class IncrementalDedup private (
       // instead of recomputing them): capped band buckets → candidate
       // pairs → signature-agreement estimate → id2 of any passing pair
       // drops
-      val smallBatchBuckets = batchBands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBucket)
-        .select(col("band"), col("bucket"))
-      val cappedBands = batchBands.join(smallBatchBuckets, Seq("band", "bucket"), "left_semi")
+      val cappedBands = Dedup.capBuckets(batchBands, Seq("band", "bucket"), maxBucket)
       val withinDropped = cappedBands.select(col("band"), col("bucket"), col("id").as("id1"))
         .join(cappedBands.select(col("band"), col("bucket"), col("id").as("id2")),
           Seq("band", "bucket"))
@@ -95,30 +85,26 @@ final class IncrementalDedup private (
         .select(col("id1"), col("id2")).distinct()
         .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
         .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
-        .filter(estMatch("sig1", "sig2") >= threshold)
+        .filter(Dedup.estJaccard(col("sig1"), col("sig2"), numHashes) >= threshold)
         .select(col("id2").as("id")).distinct()
 
       // stage 2 — collisions vs the KEPT corpus: equi-join on the
       // 20-byte bucket rows, cap crowded buckets (same skew guard as
       // the batch operators), then verify only collided pairs by
-      // signature agreement
+      // signature agreement. One snapshot resolution serves both the
+      // emptiness probe and the join.
       val indexDropped: DataFrame =
-        if (!buckets.exists || buckets.read.isEmpty) sig.limit(0).select(col("id"))
-        else {
-          val idx = buckets.read
-          val smallBuckets = idx.groupBy(col("band"), col("bucket"))
-            .agg(count(lit(1)).as("bsz"))
-            .filter(col("bsz") <= maxBucket)
-            .select(col("band"), col("bucket"))
-          batchBands
-            .join(idx.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+        (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty) match {
+          case None => sig.limit(0).select(col("id"))
+          case Some(idx) => batchBands
+            .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
               .select(col("band"), col("bucket"), col("id").as("kept_id")),
               Seq("band", "bucket"))
             .select(col("id"), col("kept_id")).distinct()
             .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
               Seq("kept_id"))
             .join(sig.select(col("id"), col("sig")), Seq("id"))
-            .filter(estMatch("sig", "kept_sig") >= threshold)
+            .filter(Dedup.estJaccard(col("sig"), col("kept_sig"), numHashes) >= threshold)
             .select(col("id")).distinct()
         }
 

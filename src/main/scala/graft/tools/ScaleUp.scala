@@ -22,9 +22,10 @@ import graft.core.Tables
   * across replicas so content-similarity operators don't see every
   * document duplicated `factor` times (which would quadratically blow
   * up true near-dup pair counts BY CONSTRUCTION): document words are
-  * deterministically shuffled per (doc, replica) — same length, token
-  * and char statistics, disjoint 5-gram shingles — and embeddings get
-  * a small deterministic per-replica perturbation.
+  * deterministically rewritten+shuffled per (doc, replica) — same
+  * length/token/char statistics, disjoint shingles AND token bags —
+  * and embedding elements are deterministically shuffled (same norm,
+  * decorrelated direction).
   *
   * Replica 0 is byte-identical to the source, so sf2 results embed the
   * sf1 results exactly.
@@ -51,6 +52,15 @@ object ScaleUp {
       }.withColumn("__replica", lit(r))
     }.reduce(_ unionByName _)
 
+  /** Deterministic xorshift64 PRNG — one definition for every
+    * per-row decorrelation loop. */
+  private final class XorShift(private var s: Long) {
+    def nextInt(bound: Int): Int = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      math.floorMod(s, bound.toLong).toInt
+    }
+  }
+
   /** Deterministic per-replica text rewrite, seeded by (doc_id,
     * replica): ~1 word in 4 is replaced with a replica-salted token of
     * the SAME length (so char/length statistics survive), then the
@@ -61,9 +71,8 @@ object ScaleUp {
     * untouched. */
   private def rewriteWords(text: String, seed: Long): String = {
     val words = text.split(" ")
-    var s = seed
-    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
-    def nextInt(bound: Int): Int = math.floorMod(next(), bound.toLong).toInt
+    val rng = new XorShift(seed)
+    import rng.nextInt
     var i = 0
     while (i < words.length) {
       if (nextInt(4) == 0 && words(i).nonEmpty) {
@@ -117,15 +126,11 @@ object ScaleUp {
             // each other (a small additive perturbation left replica
             // cosines ≈ 0.999 — every replica group was a genuine
             // near-dup clique and pair counts grew quadratically)
-            var s = row.getLong(idIdx) * 2654435761L + r
-            def nextInt(bound: Int): Int = {
-              s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-              math.floorMod(s, bound.toLong).toInt
-            }
+            val rng = new XorShift(row.getLong(idIdx) * 2654435761L + r)
             val vec = row.getSeq[Float](vecIdx).toArray
             var i = vec.length - 1
             while (i > 0) {
-              val j = nextInt(i + 1)
+              val j = rng.nextInt(i + 1)
               val t = vec(i); vec(i) = vec(j); vec(j) = t
               i -= 1
             }
