@@ -199,17 +199,25 @@ class GraftSession(val spark: SparkSession,
           }
         }
         // Phase 2 — flip manifests, clearing each journal entry after
-        // its table lands. A failed revert (e.g. baseline vacuumed)
-        // must not abort the loop: remaining tables still roll back,
-        // the failure is reported, and the table re-baselines at its
-        // current state (journal cleared — the intent is void, not
-        // pending).
+        // its table lands. A failed revert must not abort the loop:
+        // remaining tables still roll back and the failure is reported.
+        // The journal is cleared ONLY for permanent failures (baseline
+        // manifest genuinely absent — IllegalArgumentException from
+        // revertTo: the intent is unsatisfiable, the table re-baselines
+        // at its current state). A TRANSIENT error (I/O hiccup) keeps
+        // the journal, so recoverPendingRevert retries the revert at the
+        // table's next open — clearing it would discard the durable
+        // intent the journal was written to preserve and leave the
+        // table permanently un-reverted with no recovery path.
         journaled.foreach { case (key, name, base, st) =>
           try { st.revertTo(base); st.clearPendingRevert(); reverted += 1 }
-          catch { case scala.util.control.NonFatal(e) =>
-            failures += s"$name: ${e.getMessage}"
-            try st.clearPendingRevert()
-            catch { case scala.util.control.NonFatal(_) => }
+          catch {
+            case e: IllegalArgumentException =>
+              failures += s"$name: ${e.getMessage}"
+              try st.clearPendingRevert()
+              catch { case scala.util.control.NonFatal(_) => }
+            case scala.util.control.NonFatal(e) =>
+              failures += s"$name: ${e.getMessage} (revert intent kept; retried at next open)"
           } finally txBaseline.remove(key)
         }
         val failed = failures.result()

@@ -67,11 +67,20 @@ object Dedup {
     * the only shuffle; `maxBucket` caps degenerate buckets. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame =
+    minhashCandidatesSigned(
+      df.select(col(idCol).as("id"), minhashSignature(col(textCol), k, numHashes).as("sig")),
+      numHashes, bands, maxBucket)
+
+  /** Candidate pairs from a PRECOMPUTED (id, sig) frame — the seam that
+    * lets one cached signature pass feed several dedup consumers (the
+    * incremental-dedup gate runs both the batch path and the one-shot
+    * path over the same corpus; recomputing signatures was half its
+    * cost). Callers should cache `sig` — the plan consumes it twice. */
+  private[graft] def minhashCandidatesSigned(sig: DataFrame, numHashes: Int,
+                                             bands: Int, maxBucket: Int): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
 
     // explode into (band, bucketHash, id); bucket = hash of the band slice
     val banded = sig.select(col("id"), col("sig"),
@@ -111,6 +120,17 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16,
                    maxBucket: Int = 1000): DataFrame = {
     val dropped = minhashPairs(df, idCol, textCol, threshold, k, numHashes, bands, maxBucket)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[minhashDedup]] over a precomputed (cached) (id, sig) frame whose
+    * ids are `df`'s `idCol` values — same greedy min-id-wins rule. */
+  private[graft] def minhashDedupSigned(df: DataFrame, idCol: String, sig: DataFrame,
+                                        threshold: Double, numHashes: Int, bands: Int,
+                                        maxBucket: Int): DataFrame = {
+    val dropped = minhashCandidatesSigned(sig, numHashes, bands, maxBucket)
+      .filter(col("est_jaccard") >= threshold)
       .select(col("id2").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }

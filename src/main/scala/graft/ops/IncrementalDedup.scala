@@ -69,7 +69,18 @@ final class IncrementalDedup private (
     * the index verify, and the index append). */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sig = signed(batch, idCol, textCol).cache()
-    try {
+    try dedupBatchSigned(batch, idCol, sig)
+    finally { sig.unpersist(); () }
+  }
+
+  /** [[dedupBatch]] over a PRECOMPUTED (id, sig) frame covering exactly
+    * the batch's ids — the seam that lets a caller who already holds
+    * cached signatures (e.g. the gate's one-shot superset check over
+    * the same corpus) avoid a second signature pass. The caller owns
+    * `sig`'s persistence: cache it — the plan consumes it in the
+    * within-batch pairing, the index verify, and the index append. */
+  def dedupBatchSigned(batch: DataFrame, idCol: String, sig: DataFrame): DataFrame = {
+    {
       val batchBands = banded(sig)
 
       // stage 1 — within-batch greedy min-id drop (same rule as
@@ -116,12 +127,17 @@ final class IncrementalDedup private (
 
       // stage 3 — commit the survivors to the index (bands first, sigs
       // second: a crash between the two can only leave bucket rows
-      // whose signatures are missing, which the verify join ignores)
+      // whose signatures are missing, which the verify join ignores).
+      // The survivor join is cached across the two appends so the
+      // semi-join executes once, not once per table.
       val survivorSig = sig.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      buckets.append(banded(survivorSig))
-      sigs.append(survivorSig)
+        .cache()
+      try {
+        buckets.append(banded(survivorSig))
+        sigs.append(survivorSig)
+      } finally { survivorSig.unpersist(); () }
       survivors
-    } finally sig.unpersist()
+    }
   }
 }
 
@@ -142,17 +158,37 @@ object IncrementalDedup {
   def open(spark: SparkSession, dir: String,
            threshold: Double = 0.7, k: Int = 5, numHashes: Int = 64,
            bands: Int = 16, maxBucket: Int = 1000): IncrementalDedup = {
-    val paramsFile = new java.io.File(dir, "_dedup_params")
+    // the params pin goes through the SAME Hadoop FileSystem the
+    // TableStores use (not java.io.File): on a non-local index dir
+    // (hdfs://, s3a://) a local-file pin would land at a bogus path and
+    // the incompatible-signature guard would silently never fire —
+    // exactly the duplicate leak it exists to prevent. Written
+    // tmp+rename like TableStore's own markers, so a crash mid-write
+    // can never leave a corrupt half-pin that bricks reopen.
+    import org.apache.hadoop.fs.Path
+    val hdir = new Path(dir)
+    val fs = hdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paramsPath = new Path(hdir, "_dedup_params")
     val want = s"k=$k,numHashes=$numHashes,bands=$bands"
-    if (paramsFile.exists()) {
-      val have = new String(
-        java.nio.file.Files.readAllBytes(paramsFile.toPath), "UTF-8").trim
-      require(have == want,
-        s"index at $dir was built with [$have]; reopening with [$want] would " +
-          "compare incompatible MinHash signatures")
-    } else {
-      new java.io.File(dir).mkdirs()
-      java.nio.file.Files.write(paramsFile.toPath, want.getBytes("UTF-8"))
+    def readPin(): String = {
+      val in = fs.open(paramsPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    def requirePin(have: String): Unit = require(have == want,
+      s"index at $dir was built with [$have]; reopening with [$want] would " +
+        "compare incompatible MinHash signatures")
+    if (fs.exists(paramsPath)) requirePin(readPin())
+    else {
+      fs.mkdirs(hdir)
+      val tmp = new Path(hdir, s".params-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, paramsPath)) {
+        // lost a concurrent-create race: the winner's pin decides
+        fs.delete(tmp, false)
+        requirePin(readPin())
+      }
     }
     val buckets = new TableStore(spark, s"$dir/buckets", "id")
     val sigs = new TableStore(spark, s"$dir/sigs", "id")

@@ -95,11 +95,20 @@ object Similarity {
     * pay bucket growth, or raise `tables`. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, planes: Int = 8, tables: Int = 8): DataFrame = {
+              k: Int, planes: Int = 8, tables: Int = 8,
+              corpusCount: Long = -1L): DataFrame = {
+    // planes <= 0 needs the corpus size, which is an EAGER count() at
+    // plan-construction — surprising in an otherwise lazy API, and it
+    // re-executes the corpus's full upstream lineage when that is an
+    // expensive derived frame. Callers holding the size (or willing to
+    // count a cached frame once) pass `corpusCount` to keep the call
+    // lazy; otherwise cache the corpus before auto-sizing.
     val nPlanes =
       if (planes > 0) planes
       else math.max(4, math.ceil(
-        math.log(math.max(1.0, corpus.count() / 128.0)) / math.log(2.0)).toInt)
+        math.log(math.max(1.0,
+          (if (corpusCount >= 0L) corpusCount else corpus.count()) / 128.0))
+          / math.log(2.0)).toInt)
     // Candidate generation carries IDS ONLY: the exploded signature
     // rows are (id, tbl, sig) — ~24 bytes — not the embedding payload,
     // so the bucket join and the pair-dedup never shuffle vectors (the

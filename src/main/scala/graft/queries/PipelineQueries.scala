@@ -17,6 +17,19 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Self-checking gates build corpus-sized temp indexes; their results
+    * must be pinned (localCheckpoint) before the body returns so the dir
+    * can be reclaimed IMMEDIATELY — including when the gate's `require`
+    * throws. Gates run on every driver/bench pass; leaking an index per
+    * failed run would fill /tmp exactly when the gate starts failing
+    * repeatedly. (Leak-freedom on the failure path is locked by
+    * PipelineOpsSpec.) */
+  private[graft] def withTempIndexDir[A](prefix: String)(body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(dir)
+    finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   /** Exact dedup groups, md5-keyed (md5 agrees byte-for-byte with
     * DuckDB's; the library default is xxhash64 which is faster but not
     * oracle-expressible). */
@@ -43,31 +56,40 @@ object PipelineQueries {
     * near-dup; full property locked in IncrementalDedupSpec). */
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_incidx_gate_").toString
-    // the superset check needs IDENTICAL skew-cap decisions on both
-    // sides: the one-shot pass counts buckets corpus-wide while the
-    // incremental passes count per batch/index, so a bucket straddling
-    // the cap would be dropped on one side only and fail the require
-    // spuriously. An effectively-unbounded cap removes the asymmetry
-    // (gate corpora have no million-doc buckets).
-    val cap = Int.MaxValue
-    val idx = IncrementalDedup.open(s, idxDir, threshold = 0.6, k = 5,
-      numHashes = 64, bands = 16, maxBucket = cap)
-    val mid = d.agg(percentile_approx(col("doc_id"), lit(0.5), lit(1000))).head().getLong(0)
-    val s1 = idx.dedupBatch(d.filter(col("doc_id") < mid), "doc_id", "text")
-    val s2 = idx.dedupBatch(d.filter(col("doc_id") >= mid), "doc_id", "text")
-    val incremental = s1.unionByName(s2).select(col("doc_id"), col("source"))
-    val oneShot = Dedup.minhashDedup(d, "doc_id", "text",
-      threshold = 0.6, k = 5, numHashes = 64, bands = 16, maxBucket = cap)
-      .select(col("doc_id"))
-    require(oneShot.join(incremental, Seq("doc_id"), "left_anti").isEmpty,
-      "q_dedup_incremental: a one-shot survivor was dropped incrementally")
-    // survivors are localCheckpoint-pinned by dedupBatch, so the index
-    // dirs are no longer referenced — reclaim them (gates run on every
-    // driver/bench pass; leaking a corpus-sized index per run fills /tmp)
-    val out = incremental.orderBy(col("doc_id"))
-    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idxDir))
-    out
+    withTempIndexDir("graft_incidx_gate_") { idxDir =>
+      // the superset check needs IDENTICAL skew-cap decisions on both
+      // sides: the one-shot pass counts buckets corpus-wide while the
+      // incremental passes count per batch/index, so a bucket straddling
+      // the cap would be dropped on one side only and fail the require
+      // spuriously. An effectively-unbounded cap removes the asymmetry
+      // (gate corpora have no million-doc buckets).
+      val cap = Int.MaxValue
+      val idx = IncrementalDedup.open(s, idxDir, threshold = 0.6, k = 5,
+        numHashes = 64, bands = 16, maxBucket = cap)
+      val mid = d.agg(percentile_approx(col("doc_id"), lit(0.5), lit(1000))).head().getLong(0)
+      // ONE cached signature pass over the corpus feeds all three
+      // consumers — both incremental batches AND the one-shot superset
+      // check (which previously recomputed every signature the
+      // incremental pass had already paid for: ~half the gate's cost)
+      val sig = d.select(col("doc_id").as("id"),
+        Dedup.minhashSignature(col("text"), k = 5, numHashes = 64).as("sig")).cache()
+      try {
+        val s1 = idx.dedupBatchSigned(d.filter(col("doc_id") < mid), "doc_id",
+          sig.filter(col("id") < mid))
+        val s2 = idx.dedupBatchSigned(d.filter(col("doc_id") >= mid), "doc_id",
+          sig.filter(col("id") >= mid))
+        val incremental = s1.unionByName(s2).select(col("doc_id"), col("source"))
+        val oneShot = Dedup.minhashDedupSigned(d, "doc_id", sig,
+          threshold = 0.6, numHashes = 64, bands = 16, maxBucket = cap)
+          .select(col("doc_id"))
+        require(oneShot.join(incremental, Seq("doc_id"), "left_anti").isEmpty,
+          "q_dedup_incremental: a one-shot survivor was dropped incrementally")
+        // survivors are localCheckpoint-pinned by dedupBatchSigned, so
+        // neither the index dirs nor the cached signatures are still
+        // referenced once the require has executed
+        incremental.orderBy(col("doc_id"))
+      } finally { sig.unpersist(); () }
+    }
   }
 
   /** SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures). */
@@ -195,30 +217,27 @@ object PipelineQueries {
     val e = embs(s, dir)
     val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 3)
     val queries = e.filter(col("vec_id") < 200)
-    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_gate_").toString
-    Similarity.buildIvfIndex(e, "vec_id", "embedding", idx, cents)
-    val indexed = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 3, cents, nprobe = 4)
-      .select(col("query_id"), col("item_id"), col("rank"))
-    val inMemory = Similarity.ivfTopK(e, "vec_id", "embedding", queries,
-        "vec_id", "embedding", k = 3, cents, nprobe = 4)
-      .select(col("query_id"), col("item_id"), col("rank"))
-    // symmetric difference in ONE job: every (row) must appear exactly
-    // once per side — a multiset mismatch on either side surfaces as a
-    // group whose per-side counts differ
-    val mismatches = indexed.withColumn("side", lit(1))
-      .unionByName(inMemory.withColumn("side", lit(-1)))
-      .groupBy(col("query_id"), col("item_id"), col("rank"))
-      .agg(sum(col("side")).as("d"))
-      .filter(col("d") =!= 0)
-    require(mismatches.isEmpty,
-      "q_sim_ivf_indexed: persisted-index ranking diverged from in-memory ivfTopK")
-    // pin the result so the corpus-sized on-disk index can be reclaimed
-    // now (this gate runs on every driver/bench pass — leaking an index
-    // per run fills /tmp)
-    val out = indexed.orderBy(col("query_id"), col("rank")).localCheckpoint(true)
-    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx))
-    out
+    withTempIndexDir("graft_ivf_gate_") { idx =>
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", idx, cents)
+      val indexed = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 3, cents, nprobe = 4)
+        .select(col("query_id"), col("item_id"), col("rank"))
+      val inMemory = Similarity.ivfTopK(e, "vec_id", "embedding", queries,
+          "vec_id", "embedding", k = 3, cents, nprobe = 4)
+        .select(col("query_id"), col("item_id"), col("rank"))
+      // symmetric difference in ONE job: every (row) must appear exactly
+      // once per side — a multiset mismatch on either side surfaces as a
+      // group whose per-side counts differ
+      val mismatches = indexed.withColumn("side", lit(1))
+        .unionByName(inMemory.withColumn("side", lit(-1)))
+        .groupBy(col("query_id"), col("item_id"), col("rank"))
+        .agg(sum(col("side")).as("d"))
+        .filter(col("d") =!= 0)
+      require(mismatches.isEmpty,
+        "q_sim_ivf_indexed: persisted-index ranking diverged from in-memory ivfTopK")
+      // pin the result BEFORE the finally reclaims the on-disk index
+      indexed.orderBy(col("query_id"), col("rank")).localCheckpoint(true)
+    }
   }
 
   /** Approximate LSH top-k (recall measured in spec). Corpus-sized

@@ -248,4 +248,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
       s"text analysis must be pure native expressions:\n$plan")
   }
+
+  test("self-check gate temp index dir is reclaimed on the FAILURE path") {
+    // the incremental-dedup / persisted-IVF gates build corpus-sized
+    // temp indexes and self-check with require(); a failing check must
+    // not leak the dir (gates re-run on every driver/bench pass)
+    var seen: String = null
+    val boom = intercept[IllegalStateException] {
+      graft.queries.PipelineQueries.withTempIndexDir("graft_leaktest_") { dir =>
+        seen = dir
+        assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+        // simulate a gate body that built index state, then failed its check
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, "index.bin"),
+          Array[Byte](1, 2, 3))
+        throw new IllegalStateException("deliberate gate failure")
+      }
+    }
+    assert(boom.getMessage == "deliberate gate failure")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(seen)),
+      s"temp index dir $seen leaked on the failure path")
+  }
 }
