@@ -75,6 +75,7 @@ object SparkEntry {
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_text_tokens"    -> (PipelineQueries.qTextTokens _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
+    "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
     "q_sim_bruteforce" -> (PipelineQueries.qSimBruteforce _),
     "q_sim_lsh"        -> (PipelineQueries.qSimLsh _),
     "q_sim_ivf"        -> (PipelineQueries.qSimIvf _),
@@ -450,19 +451,53 @@ object SparkEntry {
                          w -> greatest(0, CAST(floor((length(w) - 1) / 6.0) AS BIGINT))))
                      + n_punct AS BIGINT) AS n_subwords
          FROM f ORDER BY doc_id""",
-    // frame sampling: stub frame count = payload bytes / 64 (min 1),
-    // every 4th frame sampled; generate_series is inclusive like
-    // Spark's sequence()
+    // video demux round-trip: Spark synthesizes real MJPEG-in-AVI
+    // containers (frame count / frame dims pure functions of doc_id),
+    // demuxes the real movi chunk list, samples every 2nd frame, and
+    // ImageIO-decodes each sampled frame's own JPEG bytes; DuckDB
+    // recomputes the formulas — a wrong container write, chunk walk,
+    // stride, or frame extraction all fail the hash
     "q_multimodal_frames" ->
       """WITH f AS (
            SELECT doc_id,
-                  greatest(1, CAST(floor(octet_length(encode(text)) / 64.0) AS INT)) AS nf
+                  CAST(2 + (doc_id * 5) % 9 AS INT) AS nf,
+                  CAST(16 + (doc_id * 3) % 32 AS INT) AS fw,
+                  CAST(16 + (doc_id * 13) % 32 AS INT) AS fh
            FROM documents
          )
-         SELECT doc_id, frame_idx,
-                'frame:' || CAST(frame_idx AS VARCHAR) AS frame_ref
-         FROM f, unnest(generate_series(0, nf - 1, 4)) AS u(frame_idx)
+         SELECT doc_id, nf, CAST(frame_idx AS INT) AS frame_idx, fw, fh
+         FROM f, unnest(generate_series(0, nf - 1, 2)) AS u(frame_idx)
          ORDER BY doc_id, frame_idx""",
+    // pixel-derived features: PNG is lossless, so decoded pixels equal
+    // the render gradient exactly; DuckDB replays the mean-pooled 4×4
+    // RGB grid over the formula — pixel v(x,y) = (doc_id·31 + y·13 +
+    // x·7) mod 2²⁴, cell = ((y·4)//h, (x·4)//w), feature = one double
+    // division of exact integer sums rounded once to float (REAL) —
+    // the identical IEEE arithmetic the Scala kernel performs. All 48
+    // dimensions of every vector are hash-checked
+    "q_multimodal_features" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(16 + (doc_id * 7) % 64 AS INT) AS w,
+                  CAST(16 + (doc_id * 13) % 64 AS INT) AS h
+           FROM documents
+         ), px AS (
+           SELECT doc_id, w, h, y.y AS y, x.x AS x,
+                  (doc_id * 31 + y.y * 13 + x.x * 7) % 16777216 AS v
+           FROM dims,
+                unnest(generate_series(0, h - 1)) AS y(y),
+                unnest(generate_series(0, w - 1)) AS x(x)
+         ), ch AS (
+           SELECT doc_id,
+                  (((y * 4) // h) * 4 + ((x * 4) // w)) * 3 + c.c AS idx,
+                  CASE c.c WHEN 0 THEN v // 65536
+                           WHEN 1 THEN (v // 256) % 256
+                           ELSE v % 256 END AS cval
+           FROM px, unnest([0, 1, 2]) AS c(c)
+         )
+         SELECT doc_id, CAST(idx AS INT) AS idx,
+                CAST(CAST(CAST(sum(cval) AS DOUBLE) / count(*) AS REAL) AS DOUBLE) AS val
+         FROM ch GROUP BY doc_id, idx ORDER BY doc_id, idx""",
     // multimodal round-trip: Spark synthesizes real PNG/JPEG payloads
     // whose dimensions are a pure function of doc_id, then ImageIO
     // header-decodes, pixel-resizes (maxSide 32, floor scaling) and

@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * feature-extraction / resize / frame-sampling run as batched
   * per-partition transforms.
   *
-  * Image decode/encode/resize are REAL (JDK `javax.imageio` —
-  * PNG/JPEG/GIF/BMP, headless-safe, zero extra dependencies, used
-  * header-only where possible). The remaining fakes are the two
-  * model-inference boundaries — feature embedding and video container
-  * demux — each isolated behind a single function so a real encoder /
-  * ffmpeg binding drops in without touching the distributed plumbing.
+  * Every path here is REAL: image decode/encode/resize via the JDK's
+  * `javax.imageio` (PNG/JPEG/GIF/BMP, headless-safe, zero extra
+  * dependencies, header-only where possible), audio via
+  * `javax.sound.sampled` (WAV/AIFF/AU), video via a hand-rolled
+  * RIFF/AVI demux whose MJPEG frames feed the same ImageIO pipeline,
+  * and features as a deterministic mean-pooled RGB descriptor over
+  * DECODED pixels. A learned encoder or an ffmpeg binding would swap
+  * the per-payload function only — schema, batching and partitioning
+  * are already the distributed shape such a codec needs.
   */
 object Multimodal {
 
@@ -246,12 +249,24 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction stub: fixed-size float vector per payload
-    * (deterministic from content). Real impl: a vision encoder over the
-    * decoded image; the batched-iterator plumbing is identical. This is
-    * one of the two model-inference boundaries that stay fake (no model
-    * weights ship in a query engine). */
-  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
+  /** REAL pixel-derived feature vector: decode the payload with
+    * ImageIO and mean-pool R/G/B over a `grid`×`grid` cell partition of
+    * the image — a deterministic, model-free visual descriptor (the
+    * classic color-layout baseline; grid=4 → 48 dims), the kind of
+    * cheap embedding a 100 TB curation pass runs before any learned
+    * encoder. Swapping in a model changes ONLY the per-image function;
+    * the batched-iterator plumbing, schema, and partitioning stay.
+    *
+    * Determinism contract (what lets an external oracle replay it):
+    * pixel (x, y) belongs to cell (y·grid/h, x·grid/w) — integer floor
+    * division, the per-pixel rule — channel sums are exact longs, each
+    * feature is ONE IEEE double division rounded once to float:
+    * `idx = (cy·grid + cx)·3 + channel`, channel ∈ {R=0, G=1, B=2}.
+    * Cells a tiny image leaves empty (h < grid or w < grid) pool to 0.
+    * Null/undecodable payloads → null vector (corpus-scale jobs must
+    * not die on corrupt bytes). */
+  def extractFeatures(df: DataFrame, binCol: String, grid: Int = 4): DataFrame = {
+    require(grid > 0, "extractFeatures: grid must be positive")
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType)))
     implicit val enc = Encoders.row(outSchema)
@@ -259,30 +274,210 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val vec = if (bytes == null) null else {
-          // ??? — replace with model inference; deterministic fake:
-          val seed = java.util.Arrays.hashCode(bytes)
-          Array.tabulate(dim)(i => ((seed * (i + 1)).toFloat / Int.MaxValue))
-        }
+        val vec: Array[Float] =
+          if (bytes == null) null
+          else {
+            val img = try ImageIO.read(new ByteArrayInputStream(bytes))
+                      catch { case _: java.io.IOException => null }
+            if (img == null) null
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              // one bulk ARGB fetch: getRGB row-at-once avoids the
+              // per-pixel color-model dispatch of pixel-wise getRGB
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val sums = new Array[Long](grid * grid * 3)
+              val counts = new Array[Long](grid * grid)
+              var y = 0
+              while (y < h) {
+                val cyBase = (y * grid / h) * grid
+                val rowBase = y * w
+                var x = 0
+                while (x < w) {
+                  val cell = cyBase + x * grid / w
+                  val v = px(rowBase + x)
+                  sums(cell * 3) += (v >>> 16) & 0xFF
+                  sums(cell * 3 + 1) += (v >>> 8) & 0xFF
+                  sums(cell * 3 + 2) += v & 0xFF
+                  counts(cell) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              Array.tabulate(grid * grid * 3) { i =>
+                val n = counts(i / 3)
+                if (n == 0L) 0f else (sums(i).toDouble / n).toFloat
+              }
+            }
+          }
         Row.fromSeq(r.toSeq :+ vec)
       }
     }
   }
 
-  /** Frame sampling for video payloads: emit one row per sampled frame
-    * index (explode — the output-shape pattern for frame-level rows).
-    * Frame count is stub-derived from payload size; sampling every
-    * `stride`-th frame is the real logic. Container demux is the other
-    * model/codec boundary that stays fake (no ffmpeg in a JVM-only
-    * engine). */
-  def sampleFrames(df: DataFrame, binCol: String, stride: Int,
-                   bytesPerFrame: Int = 1024): DataFrame = {
-    val nFrames = greatest(lit(1),
-      (length(col(binCol)) / bytesPerFrame).cast("int")) // ??? real: container demux
-    df.withColumn("frame_idx",
-        explode(sequence(lit(0), nFrames - 1, lit(stride))))
-      .withColumn("frame_ref",
-        concat(lit("frame:"), col("frame_idx").cast("string")))
+  // ---- video: MJPEG-in-AVI container (REAL RIFF demux) ----------------
+
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("us_per_frame", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Parsed AVI: header fields + the REAL frame index — (offset, length)
+    * of every video chunk ('##dc'/'##db') in the movi list. */
+  private[ops] final case class AviInfo(width: Int, height: Int,
+      usPerFrame: Int, frames: IndexedSeq[(Int, Int)])
+
+  /** Minimal RIFF/AVI parser (the video counterpart of the WAV header
+    * walk in [[renderWav]]'s decode path): validates RIFF/'AVI ', reads
+    * the 'avih' main header for dimensions and frame timing, and walks
+    * the 'movi' list for the actual frame chunks — the frame count
+    * comes from the container's real chunk index, never from a size
+    * heuristic. Returns None for null/truncated/non-AVI payloads
+    * (corrupt bytes must not kill a corpus-scale job). */
+  private[ops] def parseAvi(b: Array[Byte]): Option[AviInfo] = {
+    if (b == null || b.length < 24) return None
+    def u32(off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    def tag(off: Int): String = new String(b, off, 4, "US-ASCII")
+    try {
+      if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      var width = 0; var height = 0; var usPerFrame = 0
+      val frames = IndexedSeq.newBuilder[(Int, Int)]
+      // recursive chunk walk; LIST payloads begin with a 4-byte type
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = tag(p)
+          val sz = u32(p + 4)
+          if (sz < 0 || p + 8 + sz > end) return // truncated: keep what parsed
+          if (id == "LIST" && sz >= 4) {
+            val listType = tag(p + 8)
+            if (listType == "hdrl" || listType == "movi" || listType == "strl")
+              walk(p + 12, p + 8 + sz)
+          } else if (id == "avih" && sz >= 40) {
+            usPerFrame = u32(p + 8)
+            width = u32(p + 8 + 32)
+            height = u32(p + 8 + 36)
+          } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += ((p + 8, sz)) // a real video frame chunk
+          }
+          p += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(b.length, 8 + u32(4)))
+      Some(AviInfo(width, height, usPerFrame, frames.result()))
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Deterministic synthetic MJPEG-in-AVI: `nFrames` real JPEG frames
+    * (each a [[renderImage]] gradient seeded per frame) inside a
+    * standard RIFF AVI container — 'hdrl' (avih + strl/strh/strf),
+    * 'movi' with one '00dc' chunk per frame, and an 'idx1' index. The
+    * video counterpart of [[renderWav]] for oracle-backed gates: frame
+    * count, dimensions and timing are known from the arguments while
+    * the payload is a REAL container holding REAL codec output. */
+  private[graft] def renderAvi(nFrames: Int, width: Int, height: Int,
+      usPerFrame: Int, seed: Long): Array[Byte] = {
+    require(nFrames > 0, "renderAvi: need at least one frame")
+    val jpegs = (0 until nFrames).map(i =>
+      renderImage(width, height, "jpeg", seed * 1000003L + i))
+    val maxFrame = jpegs.map(_.length).max
+    def padded(n: Int) = n + (n & 1)
+    val moviSize = 4 + jpegs.map(j => 8 + padded(j.length)).sum
+    val idx1Size = 16 * nFrames
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)) // avih + LIST strl(strh+strf)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(usPerFrame).putInt(0).putInt(0).putInt(0x10 /* HASINDEX */)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    buf.putInt(0).putInt(0).putInt(0)
+      .putInt(usPerFrame) /* dwScale */ .putInt(1000000) /* dwRate */
+      .putInt(0).putInt(nFrames).putInt(maxFrame).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    fourcc("MJPG")
+    buf.putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    val offsets = new Array[Int](nFrames)
+    var moviPos = 4 // idx1 offsets are relative to the 'movi' fourcc
+    jpegs.zipWithIndex.foreach { case (j, i) =>
+      offsets(i) = moviPos
+      fourcc("00dc"); buf.putInt(j.length); buf.put(j)
+      if ((j.length & 1) == 1) buf.put(0.toByte)
+      moviPos += 8 + padded(j.length)
+    }
+    fourcc("idx1"); buf.putInt(idx1Size)
+    jpegs.zipWithIndex.foreach { case (j, i) =>
+      fourcc("00dc"); buf.putInt(0x10); buf.putInt(offsets(i)); buf.putInt(j.length)
+    }
+    buf.array()
+  }
+
+  /** Decode video-container metadata for a binary column (batched
+    * per-partition, like [[decodeImageMeta]]): REAL RIFF/AVI header
+    * parse — dimensions and timing from 'avih', frame count from the
+    * actual 'movi' chunk walk. Null vmeta for null/non-AVI payloads. */
+  def decodeVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("vmeta", videoMetaType))
+    implicit val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val meta = parseAvi(bytes) match {
+          case Some(info) =>
+            Row(info.width, info.height, info.frames.length, info.usPerFrame,
+              bytes.length.toLong)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: REAL container demux — parse
+    * the AVI, walk the movi list's actual frame chunks, and emit one
+    * row per `stride`-th frame carrying the frame's OWN codec bytes
+    * (for MJPEG, a standalone JPEG the image pipeline decodes as-is:
+    * feed `frame` to [[decodeImageMeta]] / [[extractFeatures]]).
+    * Output = input cols + `frame_idx` int + `frame` binary.
+    * Null/non-AVI payloads contribute zero rows — the same skip-crud
+    * contract as the other decoders. Per-row cost is bounded by the
+    * payload's own frame count; nothing global. */
+  def sampleFrames(df: DataFrame, binCol: String, stride: Int): DataFrame = {
+    require(stride > 0, "sampleFrames: stride must be positive")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("frame_idx", IntegerType, nullable = false) :+
+      StructField("frame", BinaryType))
+    implicit val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        parseAvi(bytes) match {
+          case Some(info) =>
+            (0 until info.frames.length by stride).iterator.map { i =>
+              val (off, len) = info.frames(i)
+              Row.fromSeq(r.toSeq :+ i :+
+                java.util.Arrays.copyOfRange(bytes, off, off + len))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
   }
 
   /** Metadata-only resize projection: computes the post-resize

@@ -154,16 +154,77 @@ object PipelineQueries {
       TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("n_subwords"))
       .orderBy(col("doc_id"))
 
-  /** Frame sampling over a binary payload column: one row per sampled
-    * frame index. The frame count comes from the documented stub
-    * (payload bytes / 1024); the explode/stride plumbing — the real
-    * operator shape — is what the oracle locks. */
+  /** Video demux round-trip, fully oracle-backed: synthesize a REAL
+    * MJPEG-in-AVI container per document — frame count, frame
+    * dimensions and timing pure functions of doc_id — then run the
+    * real pipeline: RIFF demux ('avih' header + the actual 'movi'
+    * chunk walk) → every 2nd frame sampled → each sampled frame's JPEG
+    * bytes decoded by ImageIO. DuckDB recomputes the formulas
+    * independently, so a wrong container write, a wrong chunk walk, a
+    * wrong stride, or a broken frame extraction all fail the gate. */
   def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
-    val withBin = docs(s, dir).select(col("doc_id"),
-      encode(col("text"), "utf-8").as("payload"))
-    Multimodal.sampleFrames(withBin, "payload", stride = 4, bytesPerFrame = 64)
-      .select(col("doc_id"), col("frame_idx"), col("frame_ref"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val ids = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    val withBin = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nf = (2 + math.floorMod(id * 5, 9)).toInt
+        val fw = (16 + math.floorMod(id * 3, 32)).toInt
+        val fh = (16 + math.floorMod(id * 13, 32)).toInt
+        Row(id, Multimodal.renderAvi(nf, fw, fh, usPerFrame = 40000, seed = id))
+      }
+    }
+    val withMeta = Multimodal.decodeVideoMeta(withBin, "payload")
+    val sampled = Multimodal.sampleFrames(withMeta, "payload", stride = 2)
+    // decode the sampled frames' OWN bytes: fw/fh come from a real
+    // JPEG header parse of the demuxed chunk, not container bookkeeping
+    val dec = Multimodal.decodeImageMeta(
+      sampled.select(col("doc_id"), col("vmeta"), col("frame_idx"),
+        col("frame").as("payload")),
+      "payload")
+    dec.select(
+      col("doc_id"),
+      col("vmeta.n_frames").as("nf"),
+      col("frame_idx"),
+      col("meta.width").as("fw"),
+      col("meta.height").as("fh"))
       .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Pixel-derived feature extraction, fully oracle-backed over the
+    * ENTIRE vector: real PNG payloads (lossless — decoded pixels equal
+    * the gradient formula exactly), mean-pooled 4×4 RGB grid, exploded
+    * to (doc_id, idx, val) rows so every one of the 48 dimensions is
+    * hash-checked. Determinism: exact integer channel sums, one IEEE
+    * double division, one float rounding — DuckDB replays the identical
+    * arithmetic. */
+  def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val ids = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    val withBin = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (16 + math.floorMod(id * 7, 64)).toInt
+        val h = (16 + math.floorMod(id * 13, 64)).toInt
+        Row(id, Multimodal.renderImage(w, h, "png", seed = id))
+      }
+    }
+    Multimodal.extractFeatures(withBin, "payload", grid = 4)
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("idx", "val")))
+      .select(col("doc_id"), col("idx"), col("val").cast("double").as("val"))
+      .orderBy(col("doc_id"), col("idx"))
   }
 
   /** Language ID + quality score — fully oracle-backed (the heuristics

@@ -227,14 +227,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(metas(2L).isEmpty, "undecodable audio must yield null meta")
   }
 
-  test("multimodal frame-sample and feature plumbing") {
-    val df = Seq((1L, "some payload bytes"), (2L, "another longer payload with more bytes"))
-      .toDF("id", "text")
-      .select(col("id"), encode(col("text"), "utf-8").as("payload"))
-    val frames = Multimodal.sampleFrames(df, "payload", stride = 1)
-    assert(frames.count() >= df.count()) // ≥1 frame row per payload
-    val feats = Multimodal.extractFeatures(df, "payload", dim = 8)
-    assert(feats.select("features").collect().forall(_.getSeq[Float](0).length == 8))
+  test("AVI demux: real container, real frame chunks, JPEG frames decode") {
+    // 5-frame MJPEG AVI; null and garbage payloads must contribute 0 rows
+    val avi = Multimodal.renderAvi(5, 20, 12, usPerFrame = 40000, seed = 7L)
+    val df = Seq(
+      (1L, avi),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.fill[Byte](64)(42))).toDF("id", "payload")
+    val vm = Multimodal.decodeVideoMeta(df, "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("vmeta")).toMap
+    assert(vm(1L).getInt(0) == 20 && vm(1L).getInt(1) == 12 &&
+      vm(1L).getInt(2) == 5 && vm(1L).getInt(3) == 40000)
+    assert(vm(2L) == null && vm(3L) == null)
+    val frames = Multimodal.sampleFrames(df, "payload", stride = 2)
+    val decoded = Multimodal.decodeImageMeta(frames.withColumnRenamed("frame", "fb"), "fb")
+    val got = decoded.select(col("id"), col("frame_idx"),
+        col("meta.width"), col("meta.height"), col("meta.format")).collect()
+    assert(got.map(_.getInt(1)).sorted.toSeq == Seq(0, 2, 4), "stride-2 over 5 real chunks")
+    got.foreach { r =>
+      assert(r.getLong(0) == 1L)
+      assert((r.getInt(2), r.getInt(3), r.getString(4)) == (20, 12, "jpeg"),
+        "each demuxed chunk must be a standalone decodable JPEG of the container's dims")
+    }
+  }
+
+  test("pixel features replay the render formula exactly") {
+    // PNG round-trip is lossless: mean-pooled RGB over decoded pixels
+    // must equal the gradient formula bit-for-bit (the determinism
+    // contract the q_multimodal_features oracle relies on)
+    val (w, h, seed) = (23, 17, 11L)
+    val df = Seq((1L, Multimodal.renderImage(w, h, "png", seed))).toDF("id", "payload")
+    val got = Multimodal.extractFeatures(df, "payload", grid = 4)
+      .select("features").head.getSeq[Float](0)
+    val sums = new Array[Long](48); val counts = new Array[Long](16)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((seed * 31 + y * 13 + x * 7) & 0xFFFFFFL).toInt
+      val cell = (y * 4 / h) * 4 + (x * 4 / w)
+      sums(cell * 3) += (v >>> 16) & 0xFF
+      sums(cell * 3 + 1) += (v >>> 8) & 0xFF
+      sums(cell * 3 + 2) += v & 0xFF
+      counts(cell) += 1
+    }
+    val want = Array.tabulate(48)(i => (sums(i).toDouble / counts(i / 3)).toFloat)
+    assert(got.length == 48)
+    got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"feature $i: decoded-pixel mean $g != formula $e")
+    }
+    // undecodable payloads yield a null vector, not a dead job
+    val bad = Seq((1L, Array.fill[Byte](16)(3))).toDF("id", "payload")
+    assert(Multimodal.extractFeatures(bad, "payload").select("features").head.isNullAt(0))
+  }
+
+  test("metadata-only resize projection") {
     val meta = Seq((1L, 400, 300, "png", 1000L)).toDF("id", "width", "height", "format", "n_bytes")
       .select(col("id"), struct(col("width"), col("height"), col("format"), col("n_bytes")).as("meta"))
     val est = Multimodal.resizeImages(meta, "meta", maxSide = 100)
