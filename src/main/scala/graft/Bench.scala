@@ -3,12 +3,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry: runs the headline queries against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line
-  * {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}.
+  * SPARK_GRAFT_SF_DIR, prints one JSON line
+  * {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…} and writes
+  * the SAME json to `BENCH.json` in the working directory — the
+  * durable copy: the stdout line rides an output window that can
+  * truncate its tail, and a bench whose evidence can be truncated
+  * can't support round-over-round comparison (SCALE.md's ratio table
+  * is regenerated from this file by scripts/scale_md.py, so the two
+  * can never disagree).
   *
   * Each query is forced end-to-end with a noop-format write so every
   * output column is computed (a bare count() would let Catalyst prune
   * the aggregates away).
+  *
+  * Every timed pass runs TWICE and reports the per-query MIN: a single
+  * pass bills run-order noise (GC pauses, page-cache misses, JIT
+  * recompiles of shared codegen units) to whichever query it lands on
+  * — measured up to 3× inflation on sub-second queries — and a bench
+  * that noisy can't detect a real 2× regression. The first pass also
+  * serves as the same-SF warm-up (compilation is once-per-plan-shape;
+  * see SCALE.md "Measurement methodology"), so min-of-2 measures
+  * steady state at BOTH scale factors.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,45 +63,37 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] remote endpoint warm-up failed: ${e.getMessage}")
     }
-    // Steady-state measurement: run every gate query once, untimed, at
-    // the bench SF itself before the timed pass. A cold first execution
-    // bills Janino compilation of each query's generated code plus JVM
-    // JIT to whichever query runs first with a given plan shape —
-    // one-time-per-plan costs that are irrelevant at cluster scale
-    // (compilation happens once per query, not once per 100 TB of
-    // partitions). Warming at the bench SF guarantees the warm-up
-    // produced exactly the codegen units the timed pass runs: with AQE
-    // on, the physical plan (broadcast vs sort-merge, coalescing) can
-    // differ by data size, so a smaller warm-up SF could leave some
-    // timed first runs paying compilation. (Profiled on this box:
-    // q_text_analyze is 26 s cold in a fresh JVM and 0.7 s
-    // steady-state — the difference is compilation, not the data.)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] warm-up of $name failed (ignored): ${e.getMessage}")
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // failed queries report -1 so a fast crash can't masquerade as
+        // a fast query in the JSON the driver reads
+        -1.0
       }
     }
-
-    def timedPass(dir: String, skip: Set[String]): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        // failed queries report -1 so a fast crash can't masquerade as a
-        // fast query in the JSON the driver reads
-        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+    // two full passes, per-query min; a query must fail BOTH passes to
+    // report as failed (a one-off hiccup shouldn't redden the bench,
+    // but its time must not come from a half-crashed run either)
+    def timedPass(dir: String, skip: Set[String]): Seq[(String, Double)] = {
+      val qs = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))
+      val p1 = qs.map { case (n, fn) => n -> runOnce(n, fn, dir) }.toMap
+      val p2 = qs.map { case (n, fn) => n -> runOnce(n, fn, dir) }.toMap
+      qs.map { case (n, _) =>
+        val (a, b) = (p1(n), p2(n))
+        (n, if (a < 0) b else if (b < 0) a else math.min(a, b))
       }
-    def toJson(results: Seq[(String, Double, Boolean)]): (String, String, Double) = {
-      val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
+    }
+    def toJson(results: Seq[(String, Double)]): (String, String, Double) = {
+      val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
-      val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
-      (qs, errs, results.collect { case (_, v, true) => v }.sum)
+      (qs, errs, results.collect { case (_, v) if v >= 0 => v }.sum)
     }
 
     val results = timedPass(sfDir, Set.empty)
@@ -97,9 +104,14 @@ object Bench {
     // per-query time PAIRS expose super-linear growth that a single
     // small SF hides behind fixed micro-batch/commit overhead. Opt-in
     // via SPARK_GRAFT_SF2_DIR, or automatic at the driver's bench SF
-    // (sf0.1): generated once to the system tmpdir and reused across
-    // runs. q_remote is skipped (the Thrift endpoint is JVM-bound to
-    // the primary SF dir — see RemoteQueries.endpointSession).
+    // (sf0.1). The automatic dir is keyed by user AND a content
+    // fingerprint of the source tables — concurrent benches or a stale
+    // dir from different source content can never be silently reused —
+    // and generation holds an exclusive file lock so two processes
+    // can't interleave writes into one dir. q_remote runs here too:
+    // the endpoint's registrations are re-pointed at the derived
+    // corpus (RemoteQueries.rebind), keeping the full Thrift/JDBC wire
+    // path in the scaling measurement.
     val sf2Json: String = {
       // SPARK_GRAFT_SF2_DIR: a directory → use it; "off"/"none"/"skip"/
       // empty → disable the pass; unset → automatic at the driver's
@@ -108,18 +120,33 @@ object Bench {
         case Some(v) if Set("", "off", "none", "skip")(v.trim.toLowerCase) => None
         case Some(v) => Some(v)
         case None if sfDir.stripSuffix("/").endsWith("sf0.1") =>
-          Some(new java.io.File(System.getProperty("java.io.tmpdir"), "graft_sf1_auto").toString)
+          val user = sys.props.getOrElse("user.name", "u").replaceAll("[^A-Za-z0-9_-]", "_")
+          val fp = graft.tools.ScaleUp.fingerprintHash(sfDir, factor = 10)
+          Some(new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft_sf1_${user}_$fp").toString)
         case None => None
       }
       sf2Dir match {
         case None => ""
         case Some(dir) =>
           try {
-            // fingerprint check: a dir generated from a different
-            // source/factor is regenerated, never silently reused
-            if (!graft.tools.ScaleUp.isComplete(dir, sfDir, factor = 10))
-              graft.tools.ScaleUp.scaleUp(spark, sfDir, dir, factor = 10)
-            val r2 = timedPass(dir, skip = Set("q_remote"))
+            if (!graft.tools.ScaleUp.isComplete(dir, sfDir, factor = 10)) {
+              System.err.println(
+                s"[bench] generating 10x derived scaling corpus at $dir (one-time, reused while source content is unchanged)")
+              val lockPath = java.nio.file.Paths.get(dir + ".lock")
+              val ch = java.nio.channels.FileChannel.open(lockPath,
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.WRITE)
+              try {
+                val lk = ch.lock() // blocks until any concurrent generator finishes
+                try {
+                  if (!graft.tools.ScaleUp.isComplete(dir, sfDir, factor = 10))
+                    graft.tools.ScaleUp.scaleUp(spark, sfDir, dir, factor = 10)
+                } finally lk.release()
+              } finally ch.close()
+            }
+            graft.queries.RemoteQueries.rebind(dir)
+            val r2 = timedPass(dir, skip = Set.empty)
             val (qs2, errs2, total2) = toJson(r2)
             f""","value_sf2":$total2%.3f,"queries_sf2":$qs2,"errors_sf2":$errs2,"sf2":"$dir""""
           } catch { case e: Throwable =>
@@ -156,6 +183,19 @@ object Bench {
       graft.core.TempDirs.deleteRecursively(dir)
       nRows / secs
     }
+    // Operational metrics over the whole bench run — the JMX surface
+    // (core/Metrics) exercised at scale, mirroring the reference's
+    // instance-startup timer registry (core/Instance.java:405-424):
+    // executeQuery ticks per dialect statement, persistInsertChunk per
+    // TableStore chunk write (gate round-trips + the ingest bench),
+    // streamBatches/streamRows per micro-batch, localTask per action.
+    val metricsJson = {
+      val snap = graft.core.Metrics.snapshot
+      Seq("timer.executeQuery", "timer.persistInsertChunk", "timer.remoteTask",
+          "counter.streamBatches", "counter.streamRows", "timer.localTask")
+        .map(k => "\"" + k + "\":" + snap.get(k).map(_.count).getOrElse(0L))
+        .mkString("{", ",", "}")
+    }
     // Teardown BEFORE the result line: endpoint/session shutdown can
     // log (Thrift session close lazily touches the Hive metastore —
     // see GraftServer.quietMetastoreLogs), and anything printed after
@@ -168,7 +208,16 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] endpoint stop: ${e.getMessage}") }
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark stop: ${e.getMessage}") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"sf":"$sfDir"$sf2Json}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"metrics":$metricsJson,"sf":"$sfDir"$sf2Json}"""
+    // durable copy FIRST (stdout can be tail-truncated by the caller's
+    // output window; the file cannot)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
+    }
+    println(line)
     System.out.flush()
   }
 }

@@ -45,6 +45,7 @@ object SparkEntry {
     "q_sql_like"       -> (DialectQueries.qSqlLike _),
     "q_sql_window"     -> (DialectQueries.qSqlWindow _),
     "q_sql_window_keyed" -> (DialectQueries.qSqlWindowKeyed _),
+    "q_sql_window_string" -> (DialectQueries.qSqlWindowString _),
     "q_sql_custom_agg" -> (DialectQueries.qSqlCustomAgg _),
     "q_sql_in_subquery" -> (DialectQueries.qSqlInSubquery _),
     "q_sql_not_in_subquery" -> (DialectQueries.qSqlNotInSubquery _),
@@ -300,6 +301,21 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          ) WHERE rn >= 10 ORDER BY uid, id""",
+    // global count window over a STRING order column (unique md5 keys
+    // → deterministic frames); DuckDB orders the same lowercase-hex
+    // ASCII identically, so the bucketed byte-prefix-proxy lowering is
+    // checked against a true single-partition window
+    "q_sql_window_string" ->
+      """SELECT skey AS k, c, mn, mx, sq FROM (
+           SELECT skey,
+                  count(*) OVER win AS c,
+                  min(n_chars) OVER win AS mn,
+                  max(n_chars) OVER win AS mx,
+                  CAST(sum(n_chars) OVER win AS BIGINT) AS sq,
+                  row_number() OVER (ORDER BY skey) AS rn
+           FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS skey, n_chars FROM documents)
+           WINDOW win AS (ORDER BY skey ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+         ) WHERE rn >= 50 ORDER BY k""",
     "q_stream_filter" ->
       """SELECT event_id AS id, user_id AS uid, value AS v FROM events
          WHERE event_type = 'purchase' AND value > 100.0 ORDER BY id""",

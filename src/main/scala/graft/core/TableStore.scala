@@ -492,7 +492,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
 
   /** Fast insert, no existence check (reference @NoCheck path): new
     * files + manifest commit, nothing rewritten. */
-  def append(rows: DataFrame): Unit = {
+  def append(rows: DataFrame): Unit = Metrics.timer("persistInsertChunk").time {
     val added = writeFiles(rows)
     commit(prev => prev ++ added)
   }
@@ -517,7 +517,13 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * @NoDistribute dim-table layout) — coalescing only the incoming
     * batch would leave the MERGE rewrite multi-file. */
   def upsert(rows: DataFrame, singleFile: Boolean = false): Unit = {
+    // fresh-store delegation ticks the timer inside append — not here,
+    // so one logical chunk insert never counts twice
     if (!exists) { append(if (singleFile) rows.coalesce(1) else rows); return }
+    Metrics.timer("persistInsertChunk").time { upsertExisting(rows, singleFile) }
+  }
+
+  private def upsertExisting(rows: DataFrame, singleFile: Boolean): Unit = {
     val snapshot = currentEntries
     val (affected, _) = pruneByKeys(snapshot, rows.select(col(idCol)))
     val merged =

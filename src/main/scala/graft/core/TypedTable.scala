@@ -55,7 +55,10 @@ final class TypedTable[T: Encoder](val spark: SparkSession, val store: TableStor
     * core/DistributedId.java:39). */
   def persist(objs: Seq[T]): Unit = persistDs(spark.createDataset(objs))
 
-  def persistDs(rows: Dataset[T]): Unit = Metrics.timer("persistInsertChunk").time {
+  // persistInsertChunk is timed at the TableStore layer (append/upsert),
+  // so raw-store ingest (bench, registerStore clients) counts too —
+  // mirroring the reference, whose timer wraps the chunk write itself
+  def persistDs(rows: Dataset[T]): Unit = {
     beforeWrite() // session FREEZE guard (reference FREEZE halts persistence)
     val idc = meta.idCol
     val df = rows.toDF()

@@ -23,11 +23,53 @@ import org.apache.spark.sql.functions._
   * Total cost: one column-pruned quantile scan + one hash shuffle on
   * the bucket id + (n-1)×buckets duplicated carry rows — vs. the whole
   * table through a single sort task. Assumes the order column is
-  * numeric and reasonably dense (the reference's monotonic
-  * @GeneratedValue ids are), so range buckets are non-empty and the
-  * one-bucket carry suffices.
+  * reasonably dense (the reference's monotonic @GeneratedValue ids
+  * are), so range buckets are non-empty and the one-bucket carry
+  * suffices.
+  *
+  * Non-numeric order columns bucket through a MONOTONE NUMERIC PROXY
+  * (strings: first 8 UTF-8 bytes as an unsigned integer — byte order
+  * IS code-point order; timestamps/dates: epoch seconds). The proxy
+  * only has to be order-preserving, never exact: proxy(a) < proxy(b)
+  * ⇒ a < b, so bucket boundaries can't interleave true order, and
+  * rows whose proxies collide (same 8-byte prefix) merely share a
+  * bucket, where the true column orders them. Double rounding and
+  * prefix truncation are monotone coarsenings — they move cut points,
+  * not correctness.
   */
 object CountWindow {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.Column
+
+  /** Order-column types the bucketed global window can range-partition
+    * (via [[orderProxy]]). Lowering falls back to the reference's
+    * single-partition shape for anything else. */
+  def canBucket(dt: DataType): Boolean = dt match {
+    case _: NumericType | _: TimestampType | _: DateType | _: StringType => true
+    case _ => false
+  }
+
+  /** Monotone numeric proxy of the order column, used ONLY for bucket
+    * cut-points and bucket assignment (within-bucket ordering uses the
+    * true column). */
+  private def orderProxy(dt: DataType, c: Column): Column = dt match {
+    case _: NumericType => c.cast("double")
+    case _: TimestampType => c.cast("double")
+    case _: DateType => c.cast("timestamp").cast("double")
+    case _: StringType =>
+      // first 8 UTF-8 bytes as an unsigned big-endian integer,
+      // arithmetically zero-padded (v·256^(8−len)): shorter strings
+      // compare as if padded with 0x00 — exactly byte-wise string
+      // order. conv() yields the unsigned value as a decimal string;
+      // the double cast may round but rounding is monotone.
+      val bin = substring(encode(c, "UTF-8"), 1, 8)
+      coalesce(
+        conv(hex(bin), 16, 10).cast("double") *
+          pow(lit(256.0), lit(8) - least(octet_length(bin), lit(8))),
+        lit(0.0)) // empty string → 0, the minimum proxy
+    case other => throw new IllegalArgumentException(
+      s"CountWindow: cannot bucket order column of type $other")
+  }
 
   /** @param aggs given the full-frame WindowSpec, produce the final
     *   named output columns (aggregates over the spec + plain cols). */
@@ -48,10 +90,10 @@ object CountWindow {
       .flatMap(_.toIntOption).getOrElse(32))
     val fracs = (1 until maxPar).map(_.toDouble / maxPar)
     val accuracy = math.max(10000, 16 * maxPar)
+    val proxy = orderProxy(df.schema(orderCol).dataType, col(orderCol))
     val probe = df.select(
       count(col(orderCol)).as("n"),
-      percentile_approx(col(orderCol).cast("double"),
-        typedLit(fracs), lit(accuracy)).as("qs")).head
+      percentile_approx(proxy, typedLit(fracs), lit(accuracy)).as("qs")).head
     val rows = probe.getLong(0)
     val fineCuts: Seq[Double] =
       if (probe.isNullAt(1)) Seq.empty else probe.getSeq[Double](1)
@@ -61,12 +103,12 @@ object CountWindow {
       else (1 until buckets)
         .map(b => fineCuts(math.min(b * maxPar / buckets, fineCuts.length) - 1))
         .distinct.toArray
-    // bucket id = number of cut points strictly below this row's order
+    // bucket id = number of cut points strictly below this row's PROXY
     // value — a pure projection, consistent across re-evaluations
     // (unlike spark_partition_id after repartitionByRange, whose
     // sampling could re-draw differently per evaluation)
     val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col(orderCol) > lit(c), 1).otherwise(0)
+      acc + when(proxy > lit(c), 1).otherwise(0)
     }
     val base = df.withColumn("__pid", pid).withColumn("__carry", lit(false))
     // each bucket's last n-1 rows, replayed into the following bucket

@@ -236,20 +236,24 @@ object Lowering {
             } else scalarExpr(sc)
           }
         val order = resolveRef(wcol)
-        val numericOrder = colType(inName(wcol)).exists(_.isInstanceOf[NumericType])
-        if (stmt.windowPartition.isEmpty && numericOrder) {
+        val bucketable = colType(inName(wcol)).exists(CountWindow.canBucket)
+        if (stmt.windowPartition.isEmpty && bucketable) {
           // reference-compatible global window, lowered scalably
-          // (range buckets + carry-over instead of a one-task sort)
+          // (range buckets + carry-over instead of a one-task sort).
+          // Numeric, timestamp, date AND string order columns all
+          // bucket (strings through the monotone byte-prefix proxy).
           CountWindow.global(filtered, inName(wcol), n, outCols)
         } else {
           // keyed count window: per-key frames, sort parallelizes by
-          // key. Empty keys = compat fallback for non-numeric order
-          // cols (single-partition — the reference's own shape); warn
-          // loudly so the shape can't silently surprise at scale.
+          // key. Empty keys = compat fallback for order-column types
+          // the range-bucketing can't proxy (binary/array/struct —
+          // exotic for an ordered window; single-partition is the
+          // reference's own shape); warn loudly so the shape can't
+          // silently surprise at scale.
           val keys = stmt.windowPartition.map(resolveRef)
           if (keys.isEmpty) {
-            val msg = s"WINDOW BY ${inName(wcol)}: non-numeric order column with no " +
-              "PARTITION BY lowers to a SINGLE-partition window (reference-compatible " +
+            val msg = s"WINDOW BY ${inName(wcol)}: un-bucketable order column type with " +
+              "no PARTITION BY lowers to a SINGLE-partition window (reference-compatible " +
               "shape, not the scale path) — add PARTITION BY <key> to distribute state"
             lastWindowFallbackWarning.set(msg)
             log.warn(msg)

@@ -70,6 +70,22 @@ object DialectQueries {
          from events e window by e.event_id interval = 10 partition by e.user_id
          order by e.user_id, e.event_id""")
 
+  /** Global count window over a STRING order column — round 7 closes
+    * the last single-partition fallback: strings now range-bucket via
+    * CountWindow's monotone byte-prefix proxy, same carry-over scheme
+    * as the numeric path. Unique md5 keys make every frame
+    * deterministic, so DuckDB replays the window byte-for-byte. */
+  def qSqlWindowString(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val g = session(s, dir)
+    g.register("dockeys", graft.core.Tables.load(s, dir, "documents")
+      .select(md5(col("doc_id").cast("string")).as("skey"), col("n_chars")))
+    g.execute(
+      """select d.skey k, count(d.skey) c, min(d.n_chars) mn, max(d.n_chars) mx,
+         sum(d.n_chars) sq from dockeys d window by d.skey interval = 50
+         order by d.skey""")
+  }
+
   /** IN [SELECT …] subquery → left-semi join (the reference detects
     * this form but never evaluates it — sql/ValueCondition.java:92-96;
     * real here, exceeds reference). */

@@ -31,10 +31,11 @@ object RemoteQueries {
         case Some((d, _, _, _)) =>
           // HiveServer2 cannot be restarted in-process (stop leaves
           // JVM-global service state behind; an attempted restart
-          // hangs), so a different sf dir is a caller error, not a
-          // re-key. Verify/Bench/test JVMs each use exactly one dir.
+          // hangs), so a different sf dir is a caller error here —
+          // callers that genuinely need to move the endpoint re-point
+          // its registrations with [[rebind]] instead.
           throw new IllegalStateException(
-            s"remote endpoint already bound to $d in this JVM; cannot rebind to $dir")
+            s"remote endpoint already bound to $d in this JVM; use rebind($dir)")
         case None =>
           val gs = new GraftSession(s)
           gs.registerDir(dir)
@@ -47,6 +48,22 @@ object RemoteQueries {
 
   def endpoint(s: SparkSession, dir: String): RemoteGraftSession =
     endpointSession(s, dir)._2
+
+  /** Re-point the live endpoint's table registrations at a different
+    * sf dir. No server restart is needed (HiveServer2 couldn't restart
+    * in-process anyway): registrations are per-query providers, so the
+    * NEXT statement already scans the new dir. This is how the bench's
+    * scaling pass runs q_remote against the derived corpus — the full
+    * S8 wire path (Thrift, JDBC, batched fetch) stays exercised, only
+    * the tables behind it move. No-op when no endpoint is up. */
+  def rebind(dir: String): Unit = synchronized {
+    current match {
+      case Some((d, gs, srv, remote)) if d != dir =>
+        gs.registerDir(dir)
+        current = Some((dir, gs, srv, remote))
+      case _ => ()
+    }
+  }
 
   /** Listening port of the active endpoint, if one is up (tests open
     * extra raw connections against it). */

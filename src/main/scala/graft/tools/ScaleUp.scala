@@ -168,12 +168,26 @@ object ScaleUp {
 
   /** Marker written after ALL tables land, so a consumer never reads a
     * half-generated directory (e.g. a bench run killed mid-generate).
-    * Carries the source dir + factor fingerprint: a leftover dir
-    * generated from a DIFFERENT source or factor must not be silently
-    * reused (it would skew the scaling numbers). */
+    * Carries the source dir + factor + per-table CONTENT fingerprint
+    * (size + mtime of every source parquet): a leftover dir generated
+    * from a DIFFERENT source, factor, or source content must not be
+    * silently reused (it would skew the scaling numbers) — the
+    * path-only check a stale or tampered dir could satisfy. */
   def completeMarker(dstDir: String): File = new File(dstDir, "_GRAFT_SCALE_COMPLETE")
 
-  private def fingerprint(srcDir: String, factor: Int) = s"src=$srcDir|factor=$factor"
+  def fingerprint(srcDir: String, factor: Int): String = {
+    val sig = Tables.names.map { t =>
+      val f = new File(srcDir, s"$t.parquet")
+      s"$t:${f.length()}:${f.lastModified()}"
+    }.mkString(",")
+    s"src=$srcDir|factor=$factor|tables=$sig"
+  }
+
+  /** Short stable digest of [[fingerprint]] — used to key the derived
+    * dir's NAME, so two benches over different source content can never
+    * race into the same directory. */
+  def fingerprintHash(srcDir: String, factor: Int): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(fingerprint(srcDir, factor)) & 0xFFFFFFFFL}%08x"
 
   def isComplete(dstDir: String, srcDir: String, factor: Int): Boolean = {
     val m = completeMarker(dstDir)

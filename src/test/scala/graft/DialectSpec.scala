@@ -242,15 +242,37 @@ class LoweringSpec extends AnyFunSuite {
     assert(lt.count() == ltExpect && ltExpect > 0)
   }
 
-  test("non-numeric global WINDOW BY warns about the single-task fallback") {
+  test("global WINDOW BY buckets string order columns; warns only for un-bucketable types") {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val g = new GraftSession(spark)
-    g.register("wt", Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("s", "v"))
+    // unique string keys, deliberately NOT in insertion order: the
+    // bucketed byte-prefix-proxy path must agree with a
+    // single-partition reference computation row-for-row
+    val data = (1 to 500).map(i => (f"k${(i * 7919) % 997}%04d-$i", (i * 3).toLong))
+    g.register("wt", data.toDF("s", "v"))
     Lowering.lastWindowFallbackWarning.set(null)
-    g.execute("select count(t.v) c from wt t window by t.s interval = 2")
+    val got = g.execute(
+      "select t.s k, count(t.v) c, sum(t.v) sv from wt t window by t.s interval = 20")
+    assert(Lowering.lastWindowFallbackWarning.get() == null,
+      "string order column must take the bucketed path, not the fallback")
+    val w = Window.orderBy(col("s")).rowsBetween(-19, Window.currentRow)
+    val want = data.toDF("s", "v")
+      .select(col("s").as("k"), count(col("v")).over(w).as("c"),
+        sum(col("v")).over(w).as("sv"),
+        row_number().over(Window.orderBy(col("s"))).as("rn"))
+      .filter(col("rn") >= 20).drop("rn")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "bucketed string window diverged from the single-partition reference result")
+    // un-bucketable order type (array) still falls back — and warns
+    g.register("wa", Seq((Seq(1), 1.0), (Seq(2), 2.0), (Seq(3), 3.0)).toDF("s", "v"))
+    Lowering.lastWindowFallbackWarning.set(null)
+    g.execute("select count(t.v) c from wa t window by t.s interval = 2")
     assert(Option(Lowering.lastWindowFallbackWarning.get())
-      .exists(_.contains("SINGLE-partition")), "fallback must warn")
-    // numeric order column takes the bucketed scale path — no warning
+      .exists(_.contains("SINGLE-partition")), "un-bucketable fallback must warn")
+    // numeric order column: bucketed scale path, no warning
     Lowering.lastWindowFallbackWarning.set(null)
     gs.execute("select count(e.value) c from events e window by e.event_id interval = 10")
     assert(Lowering.lastWindowFallbackWarning.get() == null)
