@@ -75,6 +75,8 @@ object SparkEntry {
     "q_text_quality"   -> (PipelineQueries.qTextQuality _),
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_text_tokens"    -> (PipelineQueries.qTextTokens _),
+    "q_text_repetition" -> (PipelineQueries.qTextRepetition _),
+    "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
     "q_sim_bruteforce" -> (PipelineQueries.qSimBruteforce _),
@@ -467,6 +469,52 @@ object SparkEntry {
                          w -> greatest(0, CAST(floor((length(w) - 1) / 6.0) AS BIGINT))))
                      + n_punct AS BIGINT) AS n_subwords
          FROM f ORDER BY doc_id""",
+    // repetition-rule quality stats: duplicated bigram/trigram
+    // INSTANCES (count − distinct) and top-token share; same
+    // tokenization convention as q_text_stats, exact integer counts,
+    // one double division
+    "q_text_repetition" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), g AS (
+           SELECT doc_id, toks, len(toks) AS nt,
+                  CASE WHEN len(toks) >= 2
+                       THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+                       ELSE CAST([] AS VARCHAR[]) END AS g2,
+                  CASE WHEN len(toks) >= 3
+                       THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+                       ELSE CAST([] AS VARCHAR[]) END AS g3
+           FROM f
+         )
+         SELECT doc_id,
+                CAST(nt AS BIGINT) AS n_tokens,
+                CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS n_dup2,
+                CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS n_dup3,
+                CASE WHEN nt > 0
+                     THEN CAST(list_max(list_transform(list_distinct(toks),
+                          d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE) / nt
+                     ELSE 0.0 END AS top_tok_ratio
+         FROM g ORDER BY doc_id""",
+    // decontamination: any shared 8-token shingle with the benchmark
+    // subset (doc_id % 37 = 0) flags the document; DuckDB intersects
+    // shingle strings (Spark joins their hashes — collision odds 2^-64)
+    "q_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+7], ' ') for i in generate_series(1, len(t)-7)] END) AS s
+           FROM toks
+         ), bench AS (
+           SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id % 37 = 0
+         )
+         SELECT doc_id, len(list_intersect(s, bs)) > 0 AS contaminated
+         FROM sh, bench ORDER BY doc_id""",
     // video demux round-trip: Spark synthesizes real MJPEG-in-AVI
     // containers (frame count / frame dims pure functions of doc_id),
     // demuxes the real movi chunk list, samples every 2nd frame, and

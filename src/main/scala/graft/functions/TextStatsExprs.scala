@@ -163,10 +163,82 @@ case class LangIdExpr(child: Expression, langs: Seq[String],
     copy(child = newChild)
 }
 
+/** One-pass repetition statistics — the doc-internal duplication
+  * signals large-corpus quality filters cut on (the "repetition" rule
+  * family: a document that keeps repeating the same n-grams or one
+  * token is boilerplate/spam, not prose):
+  *   n_tokens  = token count (same tokenization as TextStatsKernel)
+  *   n_dup2    = duplicated bigram INSTANCES: (#bigrams − #distinct)
+  *   n_dup3    = duplicated trigram instances
+  *   max_tok   = occurrences of the most frequent token (0 if none)
+  * Counts are exact integers; ratio thresholds divide them downstream
+  * (one IEEE double division — oracle-replayable bit-for-bit).
+  */
+object RepetitionKernel {
+  def stats(u: UTF8String): InternalRow = {
+    // btrim-empty → zero tokens, mirroring TextStatsKernel
+    val s = u.toString
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (e == b) return new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L))
+    val toks = TextHash.tokenize(u)
+    val n = toks.length
+    val freq = new java.util.HashMap[String, Int](n * 2)
+    var maxTok = 0
+    var i = 0
+    while (i < n) {
+      val c = freq.merge(toks(i), 1, (a, bx) => a + bx)
+      if (c > maxTok) maxTok = c
+      i += 1
+    }
+    def dupGrams(k: Int): Long = {
+      if (n < k) return 0L
+      val set = new java.util.HashSet[String]((n - k + 1) * 2)
+      var dups = 0L
+      var j = 0
+      while (j + k <= n) {
+        val sb = new java.lang.StringBuilder(toks(j))
+        var m = 1
+        while (m < k) { sb.append(' ').append(toks(j + m)); m += 1 }
+        if (!set.add(sb.toString)) dups += 1
+        j += 1
+      }
+      dups
+    }
+    new GenericInternalRow(Array[Any](n.toLong, dupGrams(2), dupGrams(3), maxTok.toLong))
+  }
+}
+
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+  override def prettyName: String = "graft_repetition_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionKernel.stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionKernel.stats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_dup2", LongType, nullable = false),
+    StructField("n_dup3", LongType, nullable = false),
+    StructField("max_tok", LongType, nullable = false)))
+}
+
 /** Column-level entry points. */
 object TextStatsFunctions {
   def textStats(text: Column, stopwords: Seq[String]): Column =
     CatalystBridge.column(TextStatsExpr(CatalystBridge.expression(text), stopwords))
   def langId(text: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
     CatalystBridge.column(LangIdExpr(CatalystBridge.expression(text), langs, markers))
+  def repetitionStats(text: Column): Column =
+    CatalystBridge.column(RepetitionStatsExpr(CatalystBridge.expression(text)))
 }

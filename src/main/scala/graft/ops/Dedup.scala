@@ -162,6 +162,41 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Benchmark decontamination screen: flag every document sharing at
+    * least one k-token shingle with a benchmark/eval set — the
+    * decontamination pass a training corpus runs so evaluation data
+    * can't leak into training. Distinct from near-dup dedup: ONE
+    * shared shingle flags (contamination is an exact-overlap question,
+    * not a similarity threshold), and the benchmark side is typically
+    * tiny (eval suites are MBs), so the shingle join broadcasts.
+    *
+    * Shape at 100 TB: both sides reduce to 8-byte shingle hashes —
+    * the corpus scan shuffles nothing (broadcast semi-join against the
+    * benchmark's distinct shingle hashes); document text never moves.
+    * k defaults to 8: long shingles make boilerplate collisions
+    * unlikely (the standard 8–13-gram decontamination window).
+    * Hash-collision false positives are ~2⁻⁶⁴ per pair — the standard
+    * trade for never shipping text. */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         k: Int = 8): DataFrame = {
+    val docSh = docs.select(col(idCol), explode(array_distinct(
+      graft.functions.TextHashFunctions.shingleHashes(col(textCol), k))).as("s"))
+    val benchSh = bench.select(explode(array_distinct(
+      graft.functions.TextHashFunctions.shingleHashes(col(benchTextCol), k))).as("s"))
+      .distinct()
+    val hit = docSh.join(broadcast(benchSh), Seq("s"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(hit.withColumn("contaminated", lit(true)), Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
+  /** Drop contaminated documents (the pass itself). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String, k: Int = 8): DataFrame =
+    contaminationFlags(docs, idCol, textCol, bench, benchTextCol, k)
+      .filter(!col("contaminated")).drop("contaminated")
+
   /** SimHash: 64-bit locality-sensitive hash — per-bit majority vote
     * over token hashes, as a native Catalyst expression
     * (graft.functions.SimHash64: one compiled kernel call in codegen).

@@ -63,6 +63,16 @@ object TextAnalysis {
       meanTokLen.as("mean_token_len"))
   }
 
+  /** Repetition statistics in ONE compiled pass (native
+    * graft.functions.RepetitionStatsExpr): token count, duplicated
+    * bigram/trigram instances, and the most-frequent-token count —
+    * the doc-internal duplication signals repetition-rule quality
+    * filters threshold on (a document that keeps repeating the same
+    * n-grams or one token is boilerplate/spam). Exact integer counts;
+    * divide downstream for ratio thresholds. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextStatsFunctions.repetitionStats(text)
+
   /** Scalar quality score in [0,1]: length sweet-spot × punctuation
     * sanity × stopword presence (heuristics in the C4/Gopher style). */
   def qualityScore(text: Column): Column = {

@@ -154,6 +154,38 @@ object PipelineQueries {
       TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("n_subwords"))
       .orderBy(col("doc_id"))
 
+  /** Repetition-rule quality stats, fully oracle-backed: duplicated
+    * bigram/trigram instances and top-token share per document — the
+    * doc-internal duplication signals repetition filters threshold on.
+    * One compiled kernel pass (RepetitionStatsExpr); exact integer
+    * counts, one IEEE double division for the ratio. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val r = TextAnalysis.repetitionStats(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      r.getField("n_tokens").as("n_tokens"),
+      r.getField("n_dup2").as("n_dup2"),
+      r.getField("n_dup3").as("n_dup3"),
+      when(r.getField("n_tokens") > 0,
+        r.getField("max_tok").cast("double") / r.getField("n_tokens"))
+        .otherwise(lit(0.0)).as("top_tok_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination, oracle-backed: documents sharing ANY
+    * 8-token shingle with the benchmark set (here: every 37th doc's
+    * text, a deterministic stand-in for an eval suite) are flagged.
+    * Spark joins 8-byte shingle hashes (broadcast semi-join — document
+    * text never shuffles); DuckDB intersects the shingle STRINGS
+    * themselves, so a hash-side bug cannot hide. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 37 === 0).select(col("text"))
+    Dedup.contaminationFlags(d, "doc_id", "text", bench, "text", k = 8)
+      .select(col("doc_id"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Video demux round-trip, fully oracle-backed: synthesize a REAL
     * MJPEG-in-AVI container per document — frame count, frame
     * dimensions and timing pure functions of doc_id — then run the

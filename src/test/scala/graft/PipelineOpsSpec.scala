@@ -293,6 +293,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"text analysis must be pure native expressions:\n$plan")
   }
 
+  test("repetition stats count duplicated n-grams and top-token share") {
+    val df = Seq(
+      (1L, "a b a b a"),        // bigrams: ab,ba,ab,ba → 2 dup; trigrams: aba,bab,aba → 1 dup; 'a'×3/5
+      (2L, "x y z"),            // no duplication
+      (3L, "w w w w")).toDF("id", "text") // all same token
+    val r = TextAnalysis.repetitionStats(col("text"))
+    val got = df.select(col("id"), r.getField("n_tokens"), r.getField("n_dup2"),
+        r.getField("n_dup3"), r.getField("max_tok")).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(got(1L) == ((5L, 2L, 1L, 3L)))
+    assert(got(2L) == ((3L, 0L, 0L, 1L)))
+    assert(got(3L) == ((4L, 2L, 1L, 4L)))
+    // stays native: no UDF in the plan
+    val plan = df.select(r).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), s"repetition kernel must be native:\n$plan")
+  }
+
+  test("decontamination flags exactly the docs sharing a benchmark shingle") {
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val base = (1 to 8).map(i => s"tok$i")
+    val docsDf = Seq(
+      (1L, mk(base)),                                  // = benchmark text → contaminated
+      (2L, mk(base.map(_ + "x"))),                     // disjoint tokens → clean
+      (3L, mk(Seq("pre") ++ base ++ Seq("post"))),     // contains the benchmark 8-gram → contaminated
+      (4L, mk(base.take(7) ++ Seq("different")))       // shares only a 7-prefix → clean at k=8
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(mk(base))).toDF("text")
+    val got = Dedup.contaminationFlags(docsDf, "doc_id", "text", bench, "text", k = 8)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    val clean = Dedup.decontaminate(docsDf, "doc_id", "text", bench, "text", k = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(clean.toSeq == Seq(2L, 4L))
+  }
+
   test("self-check gate temp index dir is reclaimed on the FAILURE path") {
     // the incremental-dedup / persisted-IVF gates build corpus-sized
     // temp indexes and self-check with require(); a failing check must
