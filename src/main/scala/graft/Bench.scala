@@ -168,20 +168,27 @@ object Bench {
         (rand(42) * 1000.0).as("value"),
         concat(lit("user_"), (col("id") % 1000)).as("tag"),
         (col("id") % 32).as("part"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_ingest_")
-      val store = new graft.core.TableStore(spark, dir.toString, "id")
       // warm the write path (parquet encoder JIT, committer init) with a
-      // throwaway store so the timed append measures steady-state ingest
+      // throwaway store so the timed appends measure steady-state ingest
       val warmDirI = java.nio.file.Files.createTempDirectory("graft_ingest_warm_")
       new graft.core.TableStore(spark, warmDirI.toString, "id").append(df.limit(10000))
       graft.core.TempDirs.deleteRecursively(warmDirI)
-      val t0 = System.nanoTime()
-      store.append(df)
-      val secs = (System.nanoTime() - t0) / 1e9
-      // the 1M-row copy is only needed for the measurement — reclaim it
-      // eagerly rather than letting bench runs accumulate in /tmp
-      graft.core.TempDirs.deleteRecursively(dir)
-      nRows / secs
+      // best-of-2, like the timed query passes: a single measurement at
+      // the end of a long JVM session inherits whatever old-gen/page-
+      // cache pressure the preceding passes left (observed 1.8–2.9 M
+      // rows/s run-to-run on identical code)
+      val rates = (1 to 2).map { _ =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_ingest_")
+        val store = new graft.core.TableStore(spark, dir.toString, "id")
+        val t0 = System.nanoTime()
+        store.append(df)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // the 1M-row copy is only needed for the measurement — reclaim
+        // it eagerly rather than letting bench runs accumulate in /tmp
+        graft.core.TempDirs.deleteRecursively(dir)
+        nRows / secs
+      }
+      rates.max
     }
     // Operational metrics over the whole bench run — the JMX surface
     // (core/Metrics) exercised at scale, mirroring the reference's
