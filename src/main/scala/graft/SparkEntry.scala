@@ -76,6 +76,8 @@ object SparkEntry {
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_text_tokens"    -> (PipelineQueries.qTextTokens _),
     "q_text_repetition" -> (PipelineQueries.qTextRepetition _),
+    "q_text_chunks"    -> (PipelineQueries.qTextChunks _),
+    "q_sequence_pack"  -> (PipelineQueries.qSequencePack _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -498,6 +500,52 @@ object SparkEntry {
                           d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE) / nt
                      ELSE 0.0 END AS top_tok_ratio
          FROM g ORDER BY doc_id""",
+    // token-window chunking: budget 40, overlap 8 → stride 32; chunk i
+    // covers tokens [i·32, i·32+40), count = max(1, ceil((n-8)/32));
+    // DuckDB replays the slice arithmetic (1-based inclusive slices =
+    // Spark's slice(toks, s+1, budget))
+    "q_text_chunks" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), c AS (
+           SELECT doc_id, toks, len(toks) AS n,
+                  CASE WHEN len(toks) = 0 THEN 0
+                       ELSE greatest(1, CAST(ceil((len(toks) - 8) / 32.0) AS INT)) END AS nc
+           FROM f
+         )
+         SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                array_to_string(toks[ci*32+1 : ci*32+40], ' ') AS chunk,
+                CAST(len(toks[ci*32+1 : ci*32+40]) AS INT) AS chunk_tokens
+         FROM c, unnest(generate_series(0, nc - 1)) AS u(ci)
+         ORDER BY doc_id, chunk_idx""",
+    // next-fit sequence packing: the sequential per-source fold (bin
+    // breaks when fill + next > 200) replayed with a recursive CTE —
+    // rn joins each step to its predecessor within the source
+    "q_sequence_pack" ->
+      """WITH RECURSIVE t AS (
+           SELECT source, doc_id,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS BIGINT)
+                    AS n_tokens,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents
+         ), r AS (
+           SELECT source, rn, doc_id, n_tokens,
+                  CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+                  CASE WHEN r.fill + t.n_tokens > 200
+                       THEN r.bin_idx + 1 ELSE r.bin_idx END,
+                  CASE WHEN r.fill + t.n_tokens > 200
+                       THEN t.n_tokens ELSE r.fill + t.n_tokens END
+           FROM t JOIN r ON t.source = r.source AND t.rn = r.rn + 1
+         )
+         SELECT source, doc_id, n_tokens, bin_idx
+         FROM r ORDER BY source, doc_id""",
     // decontamination: any shared 8-token shingle with the benchmark
     // subset (doc_id % 37 = 0) flags the document; DuckDB intersects
     // shingle strings (Spark joins their hashes — collision odds 2^-64)

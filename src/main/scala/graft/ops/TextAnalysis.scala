@@ -63,6 +63,72 @@ object TextAnalysis {
       meanTokLen.as("mean_token_len"))
   }
 
+  /** Split each document into fixed token-budget chunks with overlap —
+    * the windowing pass a training/RAG pipeline runs so long documents
+    * become model-sized sequences. Chunk i covers tokens
+    * [i·stride, i·stride + budget), stride = budget − overlap; chunk
+    * count = max(1, ⌈(n − overlap)/stride⌉), so every token lands in
+    * some chunk and consecutive chunks share `overlap` tokens. A pure
+    * per-row explode of codegen'd builtins (split/slice/sequence) —
+    * map-side at any corpus size, nothing shuffles. Output = input
+    * cols + chunk_idx + chunk (text) + chunk_tokens. Empty documents
+    * contribute zero chunks. */
+  def chunkDocuments(df: DataFrame, textCol: String,
+                     budget: Int, overlap: Int = 0): DataFrame = {
+    require(budget > 0, "chunkDocuments: budget must be positive")
+    require(overlap >= 0 && overlap < budget,
+      "chunkDocuments: overlap must be in [0, budget)")
+    val stride = budget - overlap
+    val toks = tokens(col(textCol))
+    val n = tokenCount(col(textCol))
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
+    val idxs = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nChunks - 1))
+    val win = slice(toks, col("chunk_idx") * stride + 1, lit(budget))
+    df.withColumn("chunk_idx", explode(idxs))
+      .withColumn("chunk", array_join(win, " "))
+      .withColumn("chunk_tokens", size(win))
+  }
+
+  /** Next-fit sequence packing: within each `keyCol` group, walk rows
+    * in ascending `orderCol` order and assign consecutive rows to the
+    * same bin until adding the next row's `weightCol` would exceed
+    * `budget`, then open a new bin (a row heavier than the whole
+    * budget gets its own bin). The batch-construction pass that turns
+    * a token-counted corpus into ≤budget training sequences.
+    *
+    * Packing is inherently sequential IN ORDER, so the parallel unit
+    * is the key group: one hash shuffle on `keyCol`, then each group
+    * streams sorted through `flatMapSortedGroups` — Spark sorts
+    * within partitions, state per group is two longs. At 100 TB the
+    * key (source/domain/shard) is what bounds group size; a single
+    * giant group is the same inherent bottleneck the reference's
+    * global count window has. Output: (key, id, weight, bin_idx). */
+  def sequencePack(df: DataFrame, keyCol: String, orderCol: String,
+                   weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "sequencePack: budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__pk"),
+        col(orderCol).cast("long").as("__po"),
+        col(weightCol).cast("long").as("__pw"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"__po") { (key, rows) =>
+        var bin = 0L
+        var fill = 0L
+        var first = true
+        rows.map { case (_, id, w) =>
+          if (first) { fill = w; first = false }
+          else if (fill + w > budget) { bin += 1; fill = w }
+          else fill += w
+          (key, id, w, bin)
+        }
+      }
+      .toDF(keyCol, orderCol, weightCol, "bin_idx")
+  }
+
   /** Repetition statistics in ONE compiled pass (native
     * graft.functions.RepetitionStatsExpr): token count, duplicated
     * bigram/trigram instances, and the most-frequent-token count —

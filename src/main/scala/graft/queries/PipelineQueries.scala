@@ -172,6 +172,30 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-window chunking, fully oracle-backed: every chunk's index,
+    * text and token count replayed by DuckDB from the same
+    * slice-arithmetic (budget 40, overlap 8 → stride 32). Pure
+    * map-side explode. */
+  def qTextChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        "text", budget = 40, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Next-fit sequence packing, fully oracle-backed: per-source bins
+    * of ≤200 tokens in doc_id order — DuckDB replays the sequential
+    * fold with a recursive CTE, so the bin assignment (the part plain
+    * SQL windows cannot express) is what the hash locks. */
+  def qSequencePack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    TextAnalysis.sequencePack(d, "source", "doc_id", "n_tokens", budget = 200)
+      .select(col("source"), col("doc_id"),
+        col("n_tokens"), col("bin_idx"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Benchmark decontamination, oracle-backed: documents sharing ANY
     * 8-token shingle with the benchmark set (here: every 37th doc's
     * text, a deterministic stand-in for an eval suite) are flagged.

@@ -329,6 +329,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(clean.toSeq == Seq(2L, 4L))
   }
 
+  test("token-window chunking covers every token with the declared overlap") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "only three tokens"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "text", budget = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "chunk", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // n=10, stride=3 → ceil(9/3)=3 chunks: [0,4) [3,7) [6,10)
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t4 t5 t6 t7", 4), (1L, 2, "t7 t8 t9 t10", 4)))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, "only three tokens", 3)))
+    assert(!got.exists(_._1 == 3L), "empty docs contribute zero chunks")
+  }
+
+  test("next-fit packing respects the budget and splits per key") {
+    val rows = Seq(
+      ("a", 1L, 80L), ("a", 2L, 90L), ("a", 3L, 50L), ("a", 4L, 300L), ("a", 5L, 10L),
+      ("b", 6L, 200L), ("b", 7L, 1L))
+    val got = TextAnalysis.sequencePack(rows.toDF("k", "id", "w"), "k", "id", "w", budget = 200)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sortBy(_._2)
+    // a: 80+90=170 fits; +50 would be 220 → bin1: 50; +300 oversized → own bin2; +10 → 300+10>200 → bin3
+    assert(got.toSeq == Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 2L),
+      ("a", 5L, 3L), ("b", 6L, 0L), ("b", 7L, 1L)))
+  }
+
   test("self-check gate temp index dir is reclaimed on the FAILURE path") {
     // the incremental-dedup / persisted-IVF gates build corpus-sized
     // temp indexes and self-check with require(); a failing check must
