@@ -218,12 +218,17 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"metrics":$metricsJson,"sf":"$sfDir"$sf2Json}"""
     // durable copy FIRST (stdout can be tail-truncated by the caller's
-    // output window; the file cannot)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
-    }
+    // output window; the file cannot) — but only for a full two-scale
+    // run: a quick sf0.01 smoke bench must not clobber the headline
+    // artifact that scripts/scale_md.py regenerates SCALE.md from
+    if (sf2Json.nonEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
+      }
+    } else System.err.println(
+      "[bench] single-scale run: BENCH.json not rewritten (stdout only)")
     println(line)
     System.out.flush()
   }

@@ -90,6 +90,9 @@ object SparkEntry {
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
     "q_split_hash"     -> (PipelineQueries.qSplitHash _),
     "q_pipeline_curate" -> (PipelineQueries.qPipelineCurate _),
+    "q_pii_redact"     -> (PipelineQueries.qPiiRedact _),
+    "q_boilerplate"    -> (PipelineQueries.qBoilerplate _),
+    "q_sample_stratified" -> (PipelineQueries.qSampleStratified _),
     // analytics extensions: temporal joins, rollup, ranking windows,
     // sketch aggregates (ops/TemporalJoins, ops/Sketches)
     "q_asof_join"      -> (AnalyticsQueries.qAsofJoin _),
@@ -719,6 +722,74 @@ object SparkEntry {
                    AS bucket
                FROM capped)
          GROUP BY 1, 2 ORDER BY split, source""",
+    // PII redaction: the oracle rebuilds the redacted text and the
+    // counts FROM THE FIXTURE FORMULA (no regex on the DuckDB side) —
+    // the Spark kernel must find exactly the injected spans with its
+    // generic email/phone/IPv4 patterns and nothing else
+    "q_pii_redact" ->
+      """SELECT doc_id,
+                text
+                  || repeat(' mail <EMAIL>', CAST(doc_id % 3 AS INT))
+                  || repeat(' call <PHONE>', CAST(doc_id % 2 AS INT))
+                  || repeat(' host <IP>', CAST(1 + doc_id % 2 AS INT)) AS redacted,
+                CAST(doc_id % 3 AS BIGINT) AS n_emails,
+                CAST(doc_id % 2 AS BIGINT) AS n_phones,
+                CAST(1 + doc_id % 2 AS BIGINT) AS n_ips
+         FROM documents ORDER BY doc_id""",
+    // boilerplate-line removal: 6-token-window lines, any line in
+    // >= 3 distinct docs dropped everywhere, doc reassembled from
+    // survivors in order; DuckDB counts/joins the line STRINGS where
+    // Spark joins their xxhash64s
+    "q_boilerplate" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+           FROM documents
+         ), ln AS (
+           SELECT doc_id, i AS pos, array_to_string(t[i*6+1 : i*6+6], ' ') AS line
+           FROM f, unnest(generate_series(0,
+                  CAST(ceil(len(t) / 6.0) AS INT) - 1)) AS u(i)
+         ), freq AS (
+           SELECT line FROM (
+             SELECT line, count(DISTINCT doc_id) AS nd FROM ln GROUP BY 1)
+           WHERE nd >= 3
+         ), kept AS (
+           SELECT doc_id, pos, line FROM ln
+           WHERE line NOT IN (SELECT line FROM freq)
+         ), agg AS (
+           SELECT doc_id,
+                  array_to_string(list(line ORDER BY pos), ' ') AS cleaned,
+                  count(*) AS n_kept
+           FROM kept GROUP BY 1
+         ), tot AS (
+           SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1
+         )
+         SELECT f.doc_id,
+                coalesce(agg.cleaned, '') AS cleaned,
+                CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+                CAST(coalesce(tot.n_lines, 0) - coalesce(agg.n_kept, 0) AS BIGINT)
+                  AS n_dropped
+         FROM f LEFT JOIN agg USING (doc_id) LEFT JOIN tot USING (doc_id)
+         ORDER BY doc_id""",
+    // stratified sampling: DuckDB reproduces the exact md5-bucketed
+    // sample (salted key, per-source basis-point thresholds), then
+    // aggregates the survivors per source
+    "q_sample_stratified" ->
+      """WITH b AS (
+           SELECT source, n_chars,
+                  CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INT) % 10000 AS bucket
+           FROM documents
+         )
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         FROM b
+         WHERE bucket < CASE source WHEN 'src0' THEN 10000 WHEN 'src5' THEN 5000
+                                    WHEN 'src10' THEN 2500 WHEN 'src15' THEN 500
+                                    ELSE 6000 END
+         GROUP BY 1 ORDER BY source""",
     // as-of join: most recent same-user click at or before each
     // purchase; ties on click ts broken by largest event_id — the same
     // (ts, id) max the Spark window's last() picks

@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, IncrementalDedup, Multimodal, Scrub, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators driven through the correctness
   * gate on the `documents` and `embeddings` tables. Oracle-backed where
@@ -516,5 +516,70 @@ object PipelineQueries {
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
       .orderBy(col("split"), col("source"))
+  }
+
+  /** PII redaction (ops/Scrub): the fixture injects a doc_id-derived
+    * number of emails/phones/IPs into each document (base corpus is
+    * verified PII-free — no digits, '@', or '+'), the kernel finds
+    * and redacts them with generic regexes, and the ORACLE recomputes
+    * the redacted text and counts FROM THE GENERATIVE FORMULA — no
+    * regex on the DuckDB side, so a wrong pattern, wrong replacement
+    * order, or an over/under-match all fail the hash. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val email = concat(lit(" mail user"), id.cast("string"),
+      lit("@ex"), (id % 7).cast("string"), lit(".net"))
+    val phone = concat(lit(" call +1-555-"),
+      lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((id * 7) % 10000).cast("string"), 4, "0"))
+    val ip = concat(lit(" host 10."), (id % 256).cast("string"),
+      lit("."), ((id * 3) % 256).cast("string"),
+      lit("."), ((id * 7) % 256).cast("string"))
+    val rep = (piece: Column, n: Column) =>
+      when(n === 0, lit("")).otherwise(
+        array_join(transform(sequence(lit(1), greatest(n, lit(1)).cast("int")),
+          _ => piece), ""))
+    val enriched = docs(s, dir)
+      .withColumn("pii_text", concat(col("text"),
+        rep(email, (id % 3).cast("int")),
+        rep(phone, (id % 2).cast("int")),
+        rep(ip, lit(1) + (id % 2).cast("int"))))
+    enriched
+      .withColumn("c", Scrub.piiCounts(col("pii_text")))
+      .select(col("doc_id"),
+        Scrub.redactPii(col("pii_text")).as("redacted"),
+        col("c.n_emails").as("n_emails"),
+        col("c.n_phones").as("n_phones"),
+        col("c.n_ips").as("n_ips"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Boilerplate-line removal (ops/Scrub): lines are 6-token windows
+    * (the corpus has no newlines; the op is line-split-agnostic), any
+    * line present in >= 3 distinct documents is dropped everywhere,
+    * and the document is reassembled from the survivors in order.
+    * DuckDB replays the whole rule on the line STRINGS (Spark joins
+    * their xxhash64s — the decontamination collision argument). */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val lined = docs(s, dir)
+      .select(col("doc_id"), Scrub.tokenWindowLines(col("text"), 6).as("lines"))
+    Scrub.removeBoilerplateLines(lined, "doc_id", "lines", minDocs = 3L)
+      .select(col("doc_id"),
+        array_join(col("clean_lines"), " ").as("cleaned"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified sampling (ops/Scrub): four pinned per-source rates +
+    * a default, md5-bucketed on doc_id so DuckDB reproduces the exact
+    * sample; gate aggregates the survivors per source. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val sampled = Scrub.stratifiedSample(docs(s, dir), "source", "doc_id",
+      thresholdsBp = Map("src0" -> 10000, "src5" -> 5000,
+                         "src10" -> 2500, "src15" -> 500),
+      defaultBp = 6000)
+    sampled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("source"))
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Scrub
+
+/** ops/Scrub: PII redaction kernels, boilerplate-line removal, and
+  * stratified sampling — hand-built cases for the properties the
+  * formula-replay gates (q_pii_redact, q_boilerplate,
+  * q_sample_stratified) can't isolate: pattern edges, false-positive
+  * resistance, the drop-everywhere rule, and sample monotonicity. */
+class ScrubSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def redactOne(s: String): (String, Long, Long, Long) = {
+    val r = Seq(s).toDF("t")
+      .select(Scrub.redactPii(col("t")).as("red"), Scrub.piiCounts(col("t")).as("c"))
+      .select(col("red"), col("c.n_emails"), col("c.n_phones"), col("c.n_ips"))
+      .head()
+    (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("PII redaction finds and replaces emails, phones, IPs") {
+    assert(redactOne("write to a.b+tag@sub.example.co.uk today") ==
+      ("write to <EMAIL> today", 1L, 0L, 0L))
+    assert(redactOne("call +1-555-012-3456 or (555) 012-3456 or 555-012-3456") ==
+      ("call <PHONE> or <PHONE> or <PHONE>", 0L, 3L, 0L))
+    assert(redactOne("servers 10.0.0.1 and 255.255.255.255 are up") ==
+      ("servers <IP> and <IP> are up", 0L, 0L, 2L))
+  }
+
+  test("PII patterns do not cross-match or over-match") {
+    // 300-octet quad is not an IP; 2-group digits are not a phone
+    assert(redactOne("version 300.1.2.999 build 12-3456") ==
+      ("version 300.1.2.999 build 12-3456", 0L, 0L, 0L))
+    // an IP is not eaten by the phone pattern, a phone not by the IP one
+    assert(redactOne("ip 192.168.123.456 no") == ("ip 192.168.123.456 no", 0L, 0L, 0L))
+    assert(redactOne("mixed user@ex.net 10.1.2.3 +1-555-111-2222") ==
+      ("mixed <EMAIL> <IP> <PHONE>", 1L, 1L, 1L))
+  }
+
+  test("boilerplate lines drop everywhere, unique lines survive in order") {
+    val df = Seq(
+      (1L, Seq("cookie banner", "real content one", "footer")),
+      (2L, Seq("cookie banner", "real content two", "footer")),
+      (3L, Seq("cookie banner", "real content three")),
+      (4L, Seq("footer", "cookie banner")), // boilerplate-only doc
+      (5L, Seq.empty[String])               // empty doc survives as empty
+    ).toDF("id", "lines")
+    val out = Scrub.removeBoilerplateLines(df, "id", "lines", minDocs = 3L)
+      .orderBy("id")
+      .select(col("id"), col("clean_lines"), col("n_kept"), col("n_dropped"))
+      .collect()
+    assert(out.map(_.getSeq[String](1).toList).toList == List(
+      List("real content one"), List("real content two"),
+      List("real content three"), Nil, Nil))
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toList ==
+      List((1L, 2L), (1L, 2L), (1L, 1L), (0L, 2L), (0L, 0L)))
+  }
+
+  test("boilerplate threshold counts DISTINCT docs, not occurrences") {
+    // "x" appears 3 times but only in 2 docs -> kept at minDocs=3
+    val df = Seq((1L, Seq("x", "x", "a")), (2L, Seq("x", "b")))
+      .toDF("id", "lines")
+    val out = Scrub.removeBoilerplateLines(df, "id", "lines", minDocs = 3L)
+    assert(out.agg(sum("n_dropped")).head().getLong(0) == 0L)
+  }
+
+  test("stratified sample is deterministic, rate-ordered, and key-monotone") {
+    val df = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("k", "s")
+    def sample(bp: Int) =
+      Scrub.stratifiedSample(df, "s", "k", Map("src0" -> bp), defaultBp = 0)
+        .select("k").as[Long].collect().toSet
+    val s25 = sample(2500); val s50 = sample(5000); val s50b = sample(5000)
+    assert(s50 == s50b, "same thresholds must reproduce the same sample")
+    assert(s25.subsetOf(s50), "raising the rate must keep every sampled key")
+    // 500 src0 keys at 25% / 50%: binomial mean 125 / 250, allow 4 sigma
+    assert(math.abs(s25.size - 125) < 40 && math.abs(s50.size - 250) < 45,
+      s"sizes ${s25.size}/${s50.size} far from 125/250")
+    // thresholds only touch their stratum
+    val other = Scrub.stratifiedSample(df, "s", "k",
+      Map("src0" -> 0), defaultBp = 10000)
+    assert(other.filter(col("s") === "src0").count() == 0L)
+    assert(other.count() == 1500L)
+  }
+}
