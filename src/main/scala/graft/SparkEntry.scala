@@ -90,6 +90,7 @@ object SparkEntry {
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
     "q_split_hash"     -> (PipelineQueries.qSplitHash _),
     "q_pipeline_curate" -> (PipelineQueries.qPipelineCurate _),
+    "q_dedup_cc"       -> (PipelineQueries.qDedupCc _),
     "q_pii_redact"     -> (PipelineQueries.qPiiRedact _),
     "q_boilerplate"    -> (PipelineQueries.qBoilerplate _),
     "q_sample_stratified" -> (PipelineQueries.qSampleStratified _),
@@ -722,6 +723,44 @@ object SparkEntry {
                    AS bucket
                FROM capped)
          GROUP BY 1, 2 ORDER BY split, source""",
+    // near-dup cluster resolution: DuckDB replays the n-gram pair
+    // graph (true Jaccard, same params as q_dedup_ngram) and computes
+    // components as min reachable id via recursive transitive closure
+    // — the declarative spec the alternating-star rounds must equal
+    "q_dedup_cc" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+4], ' ')
+                        for i in generate_series(1, len(t)-4)] END) AS s
+           FROM toks
+         ), p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)) >= 0.5
+         ), e AS (
+           SELECT id1 AS u, id2 AS v FROM p
+           UNION SELECT id2, id1 FROM p
+         ), reach AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+         ), lbl AS (
+           SELECT u AS doc_id, least(u, min(v)) AS component
+           FROM reach GROUP BY u
+         ), full_lbl AS (
+           SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN lbl l USING (doc_id)
+         )
+         SELECT f.doc_id, f.component, CAST(c.n AS BIGINT) AS n_members
+         FROM full_lbl f
+         JOIN (SELECT component, count(*) AS n FROM full_lbl GROUP BY 1) c
+           USING (component)
+         ORDER BY f.doc_id""",
     // PII redaction: the oracle rebuilds the redacted text and the
     // counts FROM THE FIXTURE FORMULA (no regex on the DuckDB side) —
     // the Spark kernel must find exactly the injected spans with its

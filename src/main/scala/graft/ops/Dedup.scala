@@ -265,4 +265,81 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** Connected components over a near-dup pair graph — the cluster
+    * resolution step a production dedup runs after candidate pairing
+    * (A~B, B~C must land in ONE group even when A~C was never
+    * generated; per-bucket min-id-wins can split such chains).
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", 2014): each round reroutes
+    * edges toward the per-neighborhood minimum, converging to one star
+    * per component in O(log n) rounds — NOT O(diameter) like naive
+    * min-label flooding, which needs a round per hop on a duplicate
+    * chain. Everything is joins/aggregations on (long, long) edges:
+    * no neighbor lists are ever collected (a high-degree node skews a
+    * groupBy partition, not a task's heap), and each round's result is
+    * localCheckpoint-pinned so the loop's lineage stays one round deep
+    * (Spark re-executes unpinned lazy lineage from the source each
+    * iteration — the cost grows quadratically by round).
+    *
+    * Returns (`id`, `component`) for every vertex present in `pairs`,
+    * component = min id of the component. Vertices with no pairs are
+    * their own components; callers re-attach them with a left join
+    * (see queries.PipelineQueries.qDedupCc).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.union(df.select(col("v").as("u"), col("u").as("v")))
+    // (count, order-independent content checksum) — one action per
+    // round; decimal(38,0) sum cannot overflow under ANSI mode
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint()
+    var sig = signature(edges)
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      // large-star: for each u, attach every LARGER neighbor to
+      // m(u) = min(Γ(u) ∪ {u})
+      val s = sym(edges)
+      val mins = s.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = canon(
+        s.join(mins, Seq("u")).filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+      // small-star: for each u, attach every SMALLER-or-self neighbor
+      // to m⁻(u) = min(Γ<(u) ∪ {u})
+      val s2 = sym(large)
+      val smaller = s2.filter(col("v") < col("u"))
+      val mins2 = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = canon(
+        smaller.join(mins2, Seq("u")).select(col("v").as("u"), col("m").as("v"))
+          .union(mins2.select(col("u"), col("m").as("v"))))
+      val next = small.localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // converged edge set is a star forest: every vertex's component is
+    // min(self, min neighbor)
+    sym(edges).groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("component"))
+  }
 }

@@ -518,6 +518,28 @@ object PipelineQueries {
       .orderBy(col("split"), col("source"))
   }
 
+  /** Near-dup cluster resolution (ops/Dedup.connectedComponents):
+    * n-gram Jaccard pairs → alternating-star connected components →
+    * every document labeled with its component (singletons label
+    * themselves) plus the component size. DuckDB replays the pair
+    * generation (true Jaccard on shingle strings) and the component
+    * semantics (recursive-CTE transitive closure + min reachable id)
+    * — so a CC that splits a chain or merges two components fails the
+    * hash, not just a property test. */
+  def qDedupCc(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+    val labeled = d.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val sizes = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    labeled.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII redaction (ops/Scrub): the fixture injects a doc_id-derived
     * number of emails/phones/IPs into each document (base corpus is
     * verified PII-free — no digits, '@', or '+'), the kernel finds

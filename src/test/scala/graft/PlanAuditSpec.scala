@@ -160,4 +160,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
       "UDF leaked into the text-quality scan")
   }
+
+  test("stratified sample is a pure map-side filter: zero exchanges, no UDF") {
+    val df = graft.ops.Scrub.stratifiedSample(
+      core.Tables.load(spark, sf, "documents"), "source", "doc_id",
+      Map("src0" -> 5000), defaultBp = 2500)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"sampling must not shuffle — it's a filter:\n$plan")
+    assert(plan.contains("*(1)") && !plan.toLowerCase.contains("scalaudf"),
+      s"md5-bucket filter must stay inside codegen:\n$plan")
+  }
+
+  test("boilerplate removal: document text rides at most one exchange") {
+    // The frequency-count and dropped-position stages operate on
+    // (xxhash64, pos, id) ints; the string line arrays may cross ONLY
+    // the final id-join's exchange (zero when AQE broadcasts the
+    // dropped-position side). At 100 TB shuffling document text
+    // through the count stages would dwarf every other cost.
+    val lined = core.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.ops.Scrub.tokenWindowLines(
+          org.apache.spark.sql.functions.col("text"), 6).as("lines"))
+    val df = graft.ops.Scrub.removeBoilerplateLines(lined, "doc_id", "lines", 3L)
+    val plan = finalPlan(df)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toList
+    val textBearing = exchanges.count(l => l.contains("lines") || l.contains("text"))
+    assert(exchanges.nonEmpty, s"expected the count-stage shuffles:\n$plan")
+    assert(textBearing <= 1,
+      s"line text crossed $textBearing exchanges (max 1 — the id-join):\n$plan")
+  }
 }
