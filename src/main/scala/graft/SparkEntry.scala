@@ -96,6 +96,8 @@ object SparkEntry {
     "q_sample_stratified" -> (PipelineQueries.qSampleStratified _),
     // analytics extensions: temporal joins, rollup, ranking windows,
     // sketch aggregates (ops/TemporalJoins, ops/Sketches)
+    "q_sessionize"     -> (AnalyticsQueries.qSessionize _),
+    "q_stream_session" -> (StreamQueries.qStreamSession _),
     "q_asof_join"      -> (AnalyticsQueries.qAsofJoin _),
     "q_range_join"     -> (AnalyticsQueries.qRangeJoin _),
     "q_rollup"         -> (AnalyticsQueries.qRollup _),
@@ -723,6 +725,55 @@ object SparkEntry {
                    AS bucket
                FROM capped)
          GROUP BY 1, 2 ORDER BY split, source""",
+    // gap-based sessionization: the island rule (a >= 4h silence
+    // starts a new session) replayed with lag + running sum; Spark's
+    // native session_window must produce the identical partition
+    "q_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 4 HOUR
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+         ), sess AS (
+           SELECT user_id, ts, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x
+         )
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(value), 2) AS sum_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    // streaming sessionization: same islands, restricted to sessions
+    // the final watermark finalized (end + gap <= max ts - delay) —
+    // the exactly-once Append contract
+    "q_stream_session" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 4 HOUR
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+         ), sess AS (
+           SELECT user_id, ts, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x
+         ), agg AS (
+           SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  round(sum(value), 2) AS sum_value
+           FROM sess GROUP BY user_id, sid
+         )
+         SELECT user_id, session_start, session_end, n_events, sum_value
+         FROM agg
+         WHERE session_end + INTERVAL 4 HOUR
+               <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+         ORDER BY user_id, session_start""",
     // near-dup cluster resolution: DuckDB replays the n-gram pair
     // graph (true Jaccard, same params as q_dedup_ngram) and computes
     // components as min reachable id via recursive transitive closure

@@ -84,6 +84,21 @@ object AnalyticsQueries {
       .orderBy(col("ck"), col("ok"))
   }
 
+  /** Gap-based sessionization (ops/Sessions): per-user sessions with
+    * a 4-hour silence cutoff, aggregated per session via Spark's
+    * NATIVE session_window operator — one key exchange, per-key
+    * linear merge, no self-join. Oracle replays the island rule
+    * (lag >= gap starts a session) with window functions. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.sessionAgg(t(s, dir, "events"), "user_id", "ts", "4 hours",
+      Seq(count(lit(1)).as("n_events"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 2).as("sum_value")))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Exact distributed heavy hitters: top-10 (brand, type) pairs by
     * frequency — map-side combine then a one-row-per-key shuffle and
     * global top-k (ops/Sketches.topKFrequent). */

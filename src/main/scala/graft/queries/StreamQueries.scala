@@ -74,6 +74,26 @@ object StreamQueries {
       .orderBy(col("hour"), col("t"))
   }
 
+  /** Streaming sessionization (ops/Sessions.sessionAggStream): native
+    * session_window + watermark — open-session state only, a session
+    * emitted exactly once when the watermark passes last_event + gap.
+    * The oracle replays batch sessionization and keeps only sessions
+    * the final watermark (max ts - delay) finalized, mirroring
+    * q_stream_time_window's finalization predicate. */
+  def qStreamSession(s: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.loadStream(s, dir, "events")
+    val w = graft.ops.Sessions.sessionAggStream(stream, "user_id", "ts",
+      gap = "4 hours", watermarkDelay = "10 minutes",
+      Seq(count(lit(1)).as("n_events"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 2).as("sum_value")))
+    StreamOps.runToMemory(s, w, uniq("stream_session"), OutputMode.Append())
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** C6 — PROCESS STREAM (online CEP): the callback runs continuously
     * over arriving rows via foreachBatch; consumed rows are deleted
     * from the backing TableStore per micro-batch. The gate drains the
