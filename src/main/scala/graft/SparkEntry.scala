@@ -98,6 +98,9 @@ object SparkEntry {
     // sketch aggregates (ops/TemporalJoins, ops/Sketches)
     "q_sessionize"     -> (AnalyticsQueries.qSessionize _),
     "q_stream_session" -> (StreamQueries.qStreamSession _),
+    "q_stream_enrich"  -> (StreamQueries.qStreamEnrich _),
+    "q_percentiles"    -> (AnalyticsQueries.qPercentiles _),
+    "q_sample_topk"    -> (AnalyticsQueries.qSampleTopk _),
     "q_asof_join"      -> (AnalyticsQueries.qAsofJoin _),
     "q_range_join"     -> (AnalyticsQueries.qRangeJoin _),
     "q_rollup"         -> (AnalyticsQueries.qRollup _),
@@ -725,6 +728,28 @@ object SparkEntry {
                    AS bucket
                FROM capped)
          GROUP BY 1, 2 ORDER BY split, source""",
+    // stream-static enrichment: the oracle is the identical batch
+    // left join — streaming adds no semantics, only per-batch re-plan
+    "q_stream_enrich" ->
+      """SELECT event_id, user_id, c_mktsegment, value
+         FROM events LEFT JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
+    // exact percentiles: Spark's native `percentile` aggregate and
+    // DuckDB's quantile_cont share the continuous-interpolation rule
+    "q_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 2) AS p50,
+                round(quantile_cont(value, 0.9), 2) AS p90,
+                round(quantile_cont(value, 0.99), 2) AS p99
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // deterministic uniform k-sample: DuckDB reproduces the salted
+    // md5 order and takes the same 100 rows
+    "q_sample_topk" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars
+           FROM documents
+           ORDER BY md5('uks:' || CAST(doc_id AS VARCHAR)) LIMIT 100)
+         ORDER BY doc_id""",
     // gap-based sessionization: the island rule (a >= 4h silence
     // starts a new session) replayed with lag + running sum; Spark's
     // native session_window must produce the identical partition

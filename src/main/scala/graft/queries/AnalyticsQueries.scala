@@ -67,6 +67,32 @@ object AnalyticsQueries {
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("f").asc_nulls_first, col("st").asc_nulls_first)
 
+  /** EXACT distributed percentiles per group — Spark's native
+    * `percentile` aggregate (sort-based exact, two-phase: per-partition
+    * collection then merge at the reducer; for the approximate path at
+    * extreme cardinality see ops/Sketches GK quantiles). Interpolation
+    * is the same continuous rule DuckDB's quantile_cont applies. */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 2).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 2).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** Deterministic uniform k-sample: order by a salted md5 of the key,
+    * take k — the "give me a reproducible random eval subset" op.
+    * Lowered as TakeOrderedAndProject: per-partition top-k heaps then
+    * one k-row merge at the driver side of the exchange — no global
+    * sort, no full shuffle, any corpus size. DuckDB reproduces the
+    * exact subset (same hash, same k). */
+  def qSampleTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .orderBy(md5(concat(lit("uks:"), col("doc_id").cast("string"))))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Ranking + offset window functions over per-customer order
     * history: row_number and lag-based price delta (reference's window
     * surface is the count-buffer only — SURVEY §2.4 A7). One

@@ -74,6 +74,21 @@ object StreamQueries {
       .orderBy(col("hour"), col("t"))
   }
 
+  /** Stream-static enrichment (StreamOps.enrichStream): the events
+    * stream left-joined per micro-batch to the static customer dim —
+    * no streaming state, dim broadcast each batch. Oracle is the plain
+    * batch left join. */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.loadStream(s, dir, "events")
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = StreamOps.enrichStream(stream, dim,
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+    StreamOps.runToMemory(s, joined, uniq("stream_enrich"), OutputMode.Append())
+      .orderBy(col("event_id"))
+  }
+
   /** Streaming sessionization (ops/Sessions.sessionAggStream): native
     * session_window + watermark — open-session state only, a session
     * emitted exactly once when the watermark passes last_event + gap.

@@ -59,6 +59,17 @@ object StreamOps {
       .groupBy(window(col(timeCol), duration) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream (the lookup-table pattern — user profiles onto an event
+    * stream). The static side joins fresh against EACH micro-batch
+    * (Spark re-plans per batch, so a small dim broadcasts and an
+    * updated dim snapshot is picked up); no streaming state at all —
+    * unlike stream-stream joins there is nothing to watermark. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   joinExprs: org.apache.spark.sql.Column,
+                   joinType: String = "left"): DataFrame =
+    stream.join(dim, joinExprs, joinType)
+
   /** Streaming exact dedup: keep the first arrival per key, suppress
     * later duplicates — dedup-at-ingest for a training-data pipeline.
     * State = one entry per distinct key, held across micro-batches.
