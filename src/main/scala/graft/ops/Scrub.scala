@@ -108,14 +108,23 @@ object Scrub {
 
   /** Fixed-width token-window lines (the line split used by the gate
     * fixture): line i = tokens [i*width, (i+1)*width), last line may
-    * be short. Empty/blank text -> zero lines. */
+    * be short. Empty/blank text -> zero lines.
+    *
+    * The token array is LAMBDA-BOUND through a one-element transform
+    * before the per-line loop: an expression captured inside a lambda
+    * body is re-evaluated per element (no cross-lambda subexpression
+    * elimination), so slicing `split(text)` directly would re-split
+    * the document once PER LINE — measured 3.3x slower at sf0.1. */
   def tokenWindowLines(text: Column, width: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val n = when(length(btrim(text)) === 0, lit(0)).otherwise(size(toks))
-    val nLines = ceil(n / lit(width.toDouble)).cast("int")
-    when(nLines === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(toks, i * width + 1, lit(width)), " ")))
+    val toksOnce = when(length(btrim(text)) === 0, array().cast("array<string>"))
+      .otherwise(TextAnalysis.tokens(text))
+    val mkLines = (tk: Column) => {
+      val nLines = ceil(size(tk) / lit(width.toDouble)).cast("int")
+      when(nLines <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(tk, i * width + 1, lit(width)), " ")))
+    }
+    get(transform(array(toksOnce), mkLines), lit(0))
   }
 
   // ---------------------------------------------------------------

@@ -79,16 +79,22 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < budget,
       "chunkDocuments: overlap must be in [0, budget)")
     val stride = budget - overlap
-    val toks = tokens(col(textCol))
-    val n = tokenCount(col(textCol))
+    // tokenize ONCE before the explode: computing the window from
+    // tokens(text) after it would re-split the document on every
+    // chunk row (O(chunks x doc length) per doc)
+    val toksOnce = when(length(btrim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(tokens(col(textCol)))
     val nChunks = greatest(lit(1),
-      ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
-    val idxs = when(n === 0, array().cast("array<int>"))
+      ceil((size(col("_toks")) - lit(overlap)).cast("double") / stride).cast("int"))
+    val idxs = when(size(col("_toks")) === 0, array().cast("array<int>"))
       .otherwise(sequence(lit(0), nChunks - 1))
-    val win = slice(toks, col("chunk_idx") * stride + 1, lit(budget))
-    df.withColumn("chunk_idx", explode(idxs))
+    val win = slice(col("_toks"), col("chunk_idx") * stride + 1, lit(budget))
+    df.withColumn("_toks", toksOnce)
+      .withColumn("chunk_idx", explode(idxs))
       .withColumn("chunk", array_join(win, " "))
       .withColumn("chunk_tokens", size(win))
+      .drop("_toks")
   }
 
   /** Next-fit sequence packing: within each `keyCol` group, walk rows
