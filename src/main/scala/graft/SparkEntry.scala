@@ -93,6 +93,7 @@ object SparkEntry {
     "q_dedup_cc"       -> (PipelineQueries.qDedupCc _),
     "q_pii_redact"     -> (PipelineQueries.qPiiRedact _),
     "q_boilerplate"    -> (PipelineQueries.qBoilerplate _),
+    "q_url_filter"     -> (PipelineQueries.qUrlFilter _),
     "q_sample_stratified" -> (PipelineQueries.qSampleStratified _),
     // analytics extensions: temporal joins, rollup, ranking windows,
     // sketch aggregates (ops/TemporalJoins, ops/Sketches)
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_rank_analytics" -> (AnalyticsQueries.qRankAnalytics _),
     "q_freq_topk"      -> (AnalyticsQueries.qFreqTopk _),
     "q_sketch_distinct"  -> (AnalyticsQueries.qSketchDistinct _),
+    "q_sketch_cms"       -> (AnalyticsQueries.qSketchCms _),
     "q_sketch_quantiles" -> (AnalyticsQueries.qSketchQuantiles _),
   )
 
@@ -851,6 +853,27 @@ object SparkEntry {
                 CAST(doc_id % 2 AS BIGINT) AS n_phones,
                 CAST(1 + doc_id % 2 AS BIGINT) AS n_ips
          FROM documents ORDER BY doc_id""",
+    // URL extraction + domain blocklist: hosts and the blocked flag
+    // recomputed from the fixture formula — no URL parsing on the
+    // oracle side
+    "q_url_filter" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  'site' || CAST(doc_id % 10 AS VARCHAR) || '.ex'
+                    || CAST(doc_id % 3 AS VARCHAR) || '.org' AS h1,
+                  CASE WHEN doc_id % 2 = 1
+                       THEN 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.ex'
+                            || CAST(doc_id % 7 AS VARCHAR) || '.net' END AS h2
+           FROM documents
+         )
+         SELECT doc_id,
+                CAST(CASE WHEN h2 IS NULL THEN 1 ELSE 2 END AS BIGINT) AS n_urls,
+                CASE WHEN h2 IS NULL THEN h1
+                     ELSE array_to_string(list_sort([h1, h2]), ',') END AS hosts,
+                (h1 IN ('site0.ex0.org', 'site3.ex0.org', 'cdn1.ex2.net')
+                 OR coalesce(h2 IN ('site0.ex0.org', 'site3.ex0.org',
+                                    'cdn1.ex2.net'), false)) AS blocked
+         FROM f ORDER BY doc_id""",
     // boilerplate-line removal: 6-token-window lines, any line in
     // >= 3 distinct docs dropped everywhere, doc reassembled from
     // survivors in order; DuckDB counts/joins the line STRINGS where

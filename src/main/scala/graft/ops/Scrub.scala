@@ -57,6 +57,32 @@ object Scrub {
       ipv4Re, "<IP>")
 
   // ---------------------------------------------------------------
+  // URL / domain filtering
+  // ---------------------------------------------------------------
+
+  /** In-text URLs (scheme-anchored, up to whitespace). */
+  val urlRe = "https?://\\S+"
+
+  /** All URLs appearing in a document. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlRe), lit(0))
+
+  /** Hosts of all in-text URLs, via Spark's native parse_url (applied
+    * to the already-extracted short tokens — the lambda variable, so
+    * nothing heavy is captured per element). */
+  def urlHosts(text: Column): Column =
+    transform(extractUrls(text), u => parse_url(u, lit("HOST")))
+
+  /** True when any in-text URL's host is on the blocklist — the
+    * domain-blocklist filter every crawl pipeline runs. Map-side only:
+    * regex + parse_url + array overlap inside codegen, no shuffle, no
+    * UDF; the blocklist ships as a literal array (for
+    * 100k+-domain lists, broadcast-join the exploded hosts instead). */
+  def domainBlocked(text: Column, blocklist: Seq[String]): Column =
+    arrays_overlap(urlHosts(text),
+      array(blocklist.map(lit).toIndexedSeq: _*))
+
+  // ---------------------------------------------------------------
   // Boilerplate-line removal
   // ---------------------------------------------------------------
 

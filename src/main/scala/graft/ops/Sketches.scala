@@ -45,6 +45,46 @@ object Sketches {
       .orderBy(col("freq").desc +: keyCols.map(col(_).asc): _*)
       .limit(k)
 
+  /** Count-min sketch over a key column, built relationally: each row
+    * contributes `depth` (row, bucket) increments — bucket r =
+    * xxhash64(key, salt r) mod width — and the sketch is the d×w
+    * count grid (a DataFrame of depth×width rows, KBs at any corpus
+    * size; the groupBy shuffles one partial per occupied cell per
+    * partition, map-side combined). Use over e.g. URL/user frequency
+    * when even one row per DISTINCT key (topKFrequent's shuffle) is
+    * too much — the sketch is fixed-size and mergeable (union =
+    * cell-wise sum) across corpus shards.
+    *
+    * Estimates (`cmsEstimate`) overestimate only: for any key,
+    * true <= est, and est <= true + 2N/width with prob ≥ 1-(1/2)^depth
+    * (the classic Markov bound per row, independent rows). */
+  def countMinSketch(df: DataFrame, keyCol: String,
+                     depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth > 0 && width > 0, "countMinSketch: depth/width must be positive")
+    val rows = array((0 until depth).map(r =>
+      struct(lit(r).as("r"),
+        pmod(xxhash64(col(keyCol).cast("string"), lit(r)), lit(width)).as("b"))): _*)
+    df.select(explode(rows).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a count-min sketch for the keys in
+    * `keys(keyCol)`: est = min over rows of the key's cell count.
+    * Joins keys to their depth cells against the tiny sketch (AQE
+    * broadcasts it), then one min per key. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    val cells = keys.select(col(keyCol), explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"),
+        pmod(xxhash64(col(keyCol).cast("string"), lit(r)), lit(width)).as("b"))): _*)).as("rb"))
+      .select(col(keyCol), col("rb.r").as("r"), col("rb.b").as("b"))
+    cells.join(sketch, Seq("r", "b"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("est"))
+  }
+
   /** Approximate heavy hitters via per-partition space-saving: each
     * partition keeps at most `capacity` counters (evicting the minimum
     * and inheriting its count — the classic overestimate bound), then

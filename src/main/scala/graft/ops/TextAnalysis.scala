@@ -184,12 +184,16 @@ object TextAnalysis {
     * the shingle set for MinHash / Jaccard dedup. Native
     * sequence/transform/slice, no UDF. */
   def shingleFingerprints(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(toks) - k),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+    // lambda-bind the token array (one-element transform) so the text
+    // is split once per row, not once per shingle — same hazard as
+    // Scrub.tokenWindowLines
+    val mk = (toks: Column) =>
+      when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
+        .otherwise(
+          transform(
+            sequence(lit(0), size(toks) - k),
+            i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+    get(transform(array(tokens(text)), mk), lit(0))
   }
 
   /** Full per-document analysis record. */

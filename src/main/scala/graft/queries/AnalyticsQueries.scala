@@ -149,6 +149,31 @@ object AnalyticsQueries {
     approx.orderBy(col("event_type"))
   }
 
+  /** Count-min sketch frequency estimates for every distinct user —
+    * rows-only gate made SELF-CHECKING like the other sketches: the
+    * fundamental one-sided guarantee (est >= exact, always) is a hard
+    * require, and the overestimate must stay within 4·N/width per key
+    * (Markov bound per sketch row; depth 4 independent rows make a
+    * larger excess vanishingly unlikely, and the fixed hashes make
+    * the check deterministic per dataset). */
+  def qSketchCms(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val depth = 4; val width = 256
+    val sketch = Sketches.countMinSketch(ev, "user_id", depth, width)
+    val users = ev.select(col("user_id")).distinct()
+    val est = Sketches.cmsEstimate(sketch, users, "user_id", depth, width)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val n = ev.count()
+    val joined = est.join(exact, Seq("user_id"))
+    val under = joined.filter(col("est") < col("exact_n"))
+    require(under.isEmpty,
+      "q_sketch_cms: count-min UNDER-estimated a key (impossible for a correct sketch)")
+    val over = joined.filter(col("est") - col("exact_n") > lit(4.0 * n / width))
+    require(over.isEmpty,
+      s"q_sketch_cms: overestimate beyond 4N/width (N=$n, width=$width)")
+    est.orderBy(col("user_id"))
+  }
+
   /** Greenwald-Khanna p50/p95/p99 of event value per type. Rows-only
     * gate made SELF-CHECKING: each reported quantile's exact rank must
     * sit within 2% of its target probability. */

@@ -576,6 +576,28 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** URL extraction + domain blocklist (ops/Scrub): the fixture
+    * injects doc_id-derived URLs (base corpus has no ':'/'/'), the
+    * kernel extracts them with the generic regex + native parse_url,
+    * and the oracle recomputes hosts and the blocked flag FROM THE
+    * FORMULA — a wrong regex span or host parse fails the hash. */
+  def qUrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url1 = concat(lit(" see https://site"), (id % 10).cast("string"),
+      lit(".ex"), (id % 3).cast("string"), lit(".org/p/"), id.cast("string"))
+    val url2 = when(id % 2 === 1,
+      concat(lit(" and http://cdn"), (id % 5).cast("string"),
+        lit(".ex"), (id % 7).cast("string"), lit(".net/x"))).otherwise(lit(""))
+    val blocklist = Seq("site0.ex0.org", "site3.ex0.org", "cdn1.ex2.net")
+    docs(s, dir)
+      .withColumn("t2", concat(col("text"), url1, url2))
+      .select(col("doc_id"),
+        size(Scrub.extractUrls(col("t2"))).cast("long").as("n_urls"),
+        array_join(array_sort(Scrub.urlHosts(col("t2"))), ",").as("hosts"),
+        Scrub.domainBlocked(col("t2"), blocklist).as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Boilerplate-line removal (ops/Scrub): lines are 6-token windows
     * (the corpus has no newlines; the op is line-split-agnostic), any
     * line present in >= 3 distinct documents is dropped everywhere,

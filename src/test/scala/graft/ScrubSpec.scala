@@ -40,6 +40,22 @@ class ScrubSpec extends AnyFunSuite {
       ("mixed <EMAIL> <IP> <PHONE>", 1L, 1L, 1L))
   }
 
+  test("URL extraction, host parsing, and blocklist matching") {
+    val r = Seq(
+      "no urls here at all",
+      "one https://a.example.org/x and http://b.example.net two",
+      "blocked http://evil.example.com/payload end")
+      .toDF("t")
+      .select(size(Scrub.extractUrls(col("t"))).as("n"),
+        array_join(Scrub.urlHosts(col("t")), ",").as("hosts"),
+        Scrub.domainBlocked(col("t"), Seq("evil.example.com")).as("blocked"))
+      .collect()
+    assert(r(0).getInt(0) == 0 && r(0).getString(1) == "" && !r(0).getBoolean(2))
+    assert(r(1).getInt(0) == 2 &&
+      r(1).getString(1) == "a.example.org,b.example.net" && !r(1).getBoolean(2))
+    assert(r(2).getInt(0) == 1 && r(2).getBoolean(2))
+  }
+
   test("boilerplate lines drop everywhere, unique lines survive in order") {
     val df = Seq(
       (1L, Seq("cookie banner", "real content one", "footer")),

@@ -174,4 +174,33 @@ class SketchesSpec extends AnyFunSuite {
     val got = Sketches.spaceSavingTopK(df, Seq("k"), 10, capacity = 64).collect()
     assert(got.length == 10)
   }
+
+  test("count-min sketch never underestimates; width tightens the excess") {
+    // 2000 rows over 400 keys, zipf-ish, width 32 forces collisions
+    val rows = (1 to 400).flatMap(i => Seq.fill(1 + 2000 / (i * 5))(s"k_$i"))
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("k")
+    val exact = df.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    def excess(width: Int): (Long, Double) = {
+      val sk = Sketches.countMinSketch(df, "k", depth = 4, width = width)
+      val est = Sketches.cmsEstimate(sk, df.select("k").distinct(), "k",
+        depth = 4, width = width)
+      val j = est.join(exact, Seq("k"))
+      val under = j.filter(col("est") < col("exact_n")).count()
+      val maxOver = j.agg(max(col("est") - col("exact_n"))).head().getLong(0)
+      (under, maxOver.toDouble)
+    }
+    val (u32, o32) = excess(32)
+    val (u512, o512) = excess(512)
+    assert(u32 == 0L && u512 == 0L, "CMS underestimated")
+    assert(o512 <= o32, s"wider sketch must not overestimate more ($o512 > $o32)")
+    assert(o512 <= 4.0 * rows.length / 512 + 1,
+      s"width-512 excess $o512 beyond 4N/width")
+  }
+
+  test("count-min sketch gate bound holds at sf0.1") {
+    // the q_sketch_cms require runs at sf0.1/sf2 in the bench — prove
+    // the 4N/width margin is not a small-SF accident
+    val got = graft.queries.AnalyticsQueries.qSketchCms(spark, "/root/testdata/sf0.1")
+    assert(got.count() >= 150) // sf0.1: 1500 distinct users; requires inside held
+  }
 }
