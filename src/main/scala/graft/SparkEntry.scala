@@ -36,6 +36,7 @@ object SparkEntry {
     "q_set_ops"        -> (BatchQueries.qSetOps _),
     "q_scalar_funcs"   -> (BatchQueries.qScalarFuncs _),
     "q_persist_find"   -> (BatchQueries.qPersistFind _),
+    "q_time_travel"    -> (BatchQueries.qTimeTravel _),
     "q_window_sliding" -> (BatchQueries.qWindowSliding _),
     "q_window_tumbling"-> (BatchQueries.qWindowTumbling _),
     // dialect-routed (GraftSession.execute end-to-end)
@@ -730,6 +731,22 @@ object SparkEntry {
                    AS bucket
                FROM capped)
          GROUP BY 1, 2 ORDER BY split, source""",
+    // time travel: each committed snapshot recomputed from the base
+    // table — manifests must be immutable history
+    "q_time_travel" ->
+      """SELECT 'v1_clicks' AS snapshot, CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS sum_value
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT 'v2_plus_purchases', CAST(count(*) AS BIGINT),
+                round(sum(value), 2)
+         FROM events WHERE event_type IN ('click', 'purchase')
+         UNION ALL
+         SELECT 'v3_after_delete', CAST(count(*) AS BIGINT),
+                round(sum(value), 2)
+         FROM events WHERE event_type IN ('click', 'purchase')
+           AND NOT (value < 10.0)
+         ORDER BY snapshot""",
     // stream-static enrichment: the oracle is the identical batch
     // left join — streaming adds no semantics, only per-batch re-plan
     "q_stream_enrich" ->

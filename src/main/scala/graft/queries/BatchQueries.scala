@@ -255,6 +255,30 @@ object BatchQueries {
     * table, upsert modified + brand-new rows, delete by predicate, then
     * return the store's state. Doubling a price is exact in IEEE
     * arithmetic, so the oracle's CASE expression matches bit-for-bit. */
+  /** Time travel (§2.10 / TableStore.readVersion): three committed
+    * versions — clicks, +purchases, then a delete — each snapshot
+    * read back AS OF its version in one result. DuckDB recomputes
+    * every snapshot from the base table, so a manifest that leaks
+    * rows across versions (or a delete that rewrites history) fails
+    * the hash. */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = graft.core.TempDirs.create("graft_tt_")
+    val store = new graft.core.TableStore(s, tmp, "event_id")
+    store.append(ev.filter(col("event_type") === "click"))
+    store.append(ev.filter(col("event_type") === "purchase"))
+    store.delete(col("value") < 10.0)
+    val Seq(v1, v2, v3) = store.versions.sorted.takeRight(3)
+    def snap(tag: String, v: Long) =
+      store.readVersion(v).groupBy(lit(tag).as("snapshot"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    snap("v1_clicks", v1)
+      .unionAll(snap("v2_plus_purchases", v2))
+      .unionAll(snap("v3_after_delete", v3))
+      .orderBy(col("snapshot"))
+  }
+
   def qPersistFind(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),

@@ -172,6 +172,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"md5-bucket filter must stay inside codegen:\n$plan")
   }
 
+  test("fact-side scans are eligible for runtime bloom-filter pruning") {
+    // At 100 TB a selective dim filter should cut the fact scan via
+    // Spark's injected runtime bloom filter (one creation-side agg,
+    // might_contain on the fact side before the shuffle). The feature
+    // is size-gated for real clusters; lowering the thresholds here
+    // proves our join shapes QUALIFY (equi-join + selective creation
+    // side) — if a future lowering change breaks eligibility (e.g.
+    // wrapping the join key in a cast), this audit catches it.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "true")
+      conf.set(keys(1), "512MB")
+      conf.set(keys(2), "0")
+      conf.set(keys(3), "-1") // force a shuffle join so the filter pays
+      val fact = core.Tables.load(spark, sf, "lineitem")
+      val dim = core.Tables.load(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected — join shape ineligible:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(s) => conf.set(k, s); case None => conf.unset(k) }
+    }
+  }
+
   test("boilerplate removal: document text rides at most one exchange") {
     // The frequency-count and dropped-position stages operate on
     // (xxhash64, pos, id) ints; the string line arrays may cross ONLY
