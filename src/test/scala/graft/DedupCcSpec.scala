@@ -52,6 +52,15 @@ class DedupCcSpec extends AnyFunSuite {
     }
   }
 
+  test("CC is idempotent: components of a star forest are the stars") {
+    val edges = Seq((1L, 5L), (5L, 9L), (2L, 7L)) // comps {1,5,9},{2,7}
+    val first = ccOf(edges)
+    // feed the (id, component) labeling back in as edges: components
+    // must be unchanged for every labeled vertex
+    val second = ccOf(first.toSeq.filter(kv => kv._1 != kv._2))
+    assert(second.forall { case (id, c) => first(id) == c }, s"$second vs $first")
+  }
+
   test("adversarial descending chain converges (multi-hop min propagation)") {
     // a descending path 99-98-…-0: naive min-flooding needs ~99
     // rounds; alternating-star must finish inside the iteration cap

@@ -83,6 +83,26 @@ class ScrubSpec extends AnyFunSuite {
     assert(out.agg(sum("n_dropped")).head().getLong(0) == 0L)
   }
 
+  test("redaction is idempotent (placeholders contain no PII shapes)") {
+    val texts = Seq(
+      "mail a.b@c.org call +1-555-111-2222 ip 10.1.2.3",
+      "<EMAIL> already redacted 255.0.0.1 and (555) 123-4567")
+    val df = texts.toDF("t")
+    val once = df.select(Scrub.redactPii(col("t")).as("r"))
+    val twice = once.select(Scrub.redactPii(col("r")).as("r"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
+  test("boilerplate output is invariant to document order") {
+    val docs = Seq(
+      (1L, Seq("dup", "a")), (2L, Seq("dup", "b")), (3L, Seq("dup", "c")))
+    def run(rows: Seq[(Long, Seq[String])]) =
+      Scrub.removeBoilerplateLines(rows.toDF("id", "lines"), "id", "lines", 3L)
+        .select("id", "clean_lines").orderBy("id")
+        .as[(Long, Seq[String])].collect().toSeq
+    assert(run(docs) == run(docs.reverse))
+  }
+
   test("stratified sample is deterministic, rate-ordered, and key-monotone") {
     val df = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("k", "s")
     def sample(bp: Int) =
