@@ -96,6 +96,7 @@ object SparkEntry {
     "q_boilerplate"    -> (PipelineQueries.qBoilerplate _),
     "q_url_filter"     -> (PipelineQueries.qUrlFilter _),
     "q_sample_stratified" -> (PipelineQueries.qSampleStratified _),
+    "q_sample_weighted" -> (PipelineQueries.qSampleWeighted _),
     // analytics extensions: temporal joins, rollup, ranking windows,
     // sketch aggregates (ops/TemporalJoins, ops/Sketches)
     "q_sessionize"     -> (AnalyticsQueries.qSessionize _),
@@ -926,6 +927,18 @@ object SparkEntry {
                 CAST(coalesce(tot.n_lines, 0) - coalesce(agg.n_kept, 0) AS BIGINT)
                   AS n_dropped
          FROM f LEFT JOIN agg USING (doc_id) LEFT JOIN tot USING (doc_id)
+         ORDER BY doc_id""",
+    // weighted sampling without replacement: DuckDB replays the A-ES
+    // priorities (ln(md5-uniform)/weight, top-k)
+    "q_sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars
+           FROM documents
+           WHERE n_chars > 0
+           ORDER BY ln((CAST(('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                             AS INT) % 10000 + 1) / 10001.0)
+                    / n_chars DESC
+           LIMIT 100)
          ORDER BY doc_id""",
     // stratified sampling: DuckDB reproduces the exact md5-bucketed
     // sample (salted key, per-source basis-point thresholds), then

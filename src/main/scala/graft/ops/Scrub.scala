@@ -157,6 +157,30 @@ object Scrub {
   // Stratified sampling
   // ---------------------------------------------------------------
 
+  /** Deterministic weighted sampling WITHOUT replacement (top-k by
+    * A-ES priority, Efraimidis-Spirakis): each row gets a uniform
+    * u from its salted md5 bucket and priority ln(u)/w — the top-k
+    * priorities are a weighted-without-replacement sample (rows with
+    * twice the weight are twice as likely per slot). The "sample 10k
+    * docs proportional to quality score" source-mixing op.
+    *
+    * Deterministic in the key (same corpus -> same sample; DuckDB can
+    * replay it exactly), and lowered as TakeOrderedAndProject —
+    * per-partition k-heaps, no global sort, no shuffle beyond the
+    * k-row merge. Rows with non-positive weight are excluded (they
+    * have zero sampling mass). */
+  def weightedSampleTopK(df: DataFrame, keyCol: String, weightCol: String,
+                         k: Int, salt: String = "wsmp"): DataFrame = {
+    require(k > 0, "weightedSampleTopK: k must be positive")
+    val bucket =
+      conv(substring(md5(concat(lit(salt + ":"),
+        col(keyCol).cast("string"))), 1, 4), 16, 10).cast("int") % 10000
+    val u = (bucket + 1).cast("double") / 10001.0 // (0, 1], never ln(0)
+    df.filter(col(weightCol) > 0)
+      .orderBy((log(u) / col(weightCol)).desc)
+      .limit(k)
+  }
+
   /** Deterministic per-stratum sampling: a row survives iff its md5
     * bucket (0..9999, salted on `keyCol`) is below its stratum's
     * threshold in basis points (10000 = keep all, 2500 = 25%).

@@ -614,6 +614,15 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling without replacement (ops/Scrub): 100 docs
+    * drawn proportional to n_chars via A-ES priorities on salted md5
+    * uniforms; DuckDB replays the exact priorities (priority margins
+    * are ~1e-4 relative — far beyond any libm ulp divergence). */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Scrub.weightedSampleTopK(docs(s, dir), "doc_id", "n_chars", k = 100)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Stratified sampling (ops/Scrub): four pinned per-source rates +
     * a default, md5-bucketed on doc_id so DuckDB reproduces the exact
     * sample; gate aggregates the survivors per source. */

@@ -103,6 +103,26 @@ class ScrubSpec extends AnyFunSuite {
     assert(run(docs) == run(docs.reverse))
   }
 
+  test("weighted sample favors heavy rows, deterministic, weight-monotone") {
+    val df = (0L until 1000L).map(i => (i, if (i < 100) 50.0 else 1.0))
+      .toDF("k", "w")
+    def ids(frame: org.apache.spark.sql.DataFrame) =
+      Scrub.weightedSampleTopK(frame, "k", "w", 200)
+        .select("k").as[Long].collect().toSet
+    val s1 = ids(df)
+    assert(s1 == ids(df), "same input must reproduce the same sample")
+    // 100 keys carry 50x weight: ~83% of total mass; nearly all should
+    // make a 200-slot sample (expected ~100, allow >= 85)
+    assert(s1.count(_ < 100L) >= 85, s"heavy keys drawn: ${s1.count(_ < 100L)}")
+    // raising one key's weight can only keep or add it
+    val bumped = df.withColumn("w",
+      when(col("k") === 999L, lit(1000.0)).otherwise(col("w")))
+    assert(ids(bumped).contains(999L) || !s1.contains(999L))
+    // zero/negative weights are excluded
+    val z = df.withColumn("w", when(col("k") < 500, lit(0.0)).otherwise(col("w")))
+    assert(ids(z).forall(_ >= 500L))
+  }
+
   test("stratified sample is deterministic, rate-ordered, and key-monotone") {
     val df = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("k", "s")
     def sample(bp: Int) =
