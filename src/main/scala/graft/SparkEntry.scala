@@ -37,6 +37,7 @@ object SparkEntry {
     "q_scalar_funcs"   -> (BatchQueries.qScalarFuncs _),
     "q_persist_find"   -> (BatchQueries.qPersistFind _),
     "q_time_travel"    -> (BatchQueries.qTimeTravel _),
+    "q_join_salted"    -> (BatchQueries.qJoinSalted _),
     "q_window_sliding" -> (BatchQueries.qWindowSliding _),
     "q_window_tumbling"-> (BatchQueries.qWindowTumbling _),
     // dialect-routed (GraftSession.execute end-to-end)
@@ -732,6 +733,14 @@ object SparkEntry {
                    AS bucket
                FROM capped)
          GROUP BY 1, 2 ORDER BY split, source""",
+    // salted skew join: must equal the plain join's rollup exactly
+    "q_join_salted" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                sum(l_quantity) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority""",
     // time travel: each committed snapshot recomputed from the base
     // table — manifests must be immutable history
     "q_time_travel" ->

@@ -255,6 +255,24 @@ object BatchQueries {
     * table, upsert modified + brand-new rows, delete by predicate, then
     * return the store's state. Doubling a price is exact in IEEE
     * arithmetic, so the oracle's CASE expression matches bit-for-bit. */
+  /** Salted equi-join (ops/SkewJoins): the explicit skew fallback for
+    * shapes AQE can't split — result must be row-identical to the
+    * plain join, which DuckDB computes directly. Output aggregated
+    * per order priority so the gate hashes a stable rollup of the
+    * full join result. */
+  def qJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.SkewJoins.saltedEquiJoin(li, ord, "l_orderkey", saltFactor = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Time travel (§2.10 / TableStore.readVersion): three committed
     * versions — clicks, +purchases, then a delete — each snapshot
     * read back AS OF its version in one result. DuckDB recomputes
