@@ -103,6 +103,7 @@ object SparkEntry {
     "q_sessionize"     -> (AnalyticsQueries.qSessionize _),
     "q_stream_session" -> (StreamQueries.qStreamSession _),
     "q_stream_enrich"  -> (StreamQueries.qStreamEnrich _),
+    "q_stream_join"    -> (StreamQueries.qStreamJoin _),
     "q_percentiles"    -> (AnalyticsQueries.qPercentiles _),
     "q_sample_topk"    -> (AnalyticsQueries.qSampleTopk _),
     "q_asof_join"      -> (AnalyticsQueries.qAsofJoin _),
@@ -757,6 +758,16 @@ object SparkEntry {
          FROM events WHERE event_type IN ('click', 'purchase')
            AND NOT (value < 10.0)
          ORDER BY snapshot""",
+    // stream-stream interval join: inner matches emit on arrival, so
+    // the drained result is the batch interval join
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+                p.user_id AS user_id, p.value AS p_value
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         ORDER BY p_id, c_id""",
     // stream-static enrichment: the oracle is the identical batch
     // left join — streaming adds no semantics, only per-batch re-plan
     "q_stream_enrich" ->

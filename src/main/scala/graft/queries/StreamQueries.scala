@@ -74,6 +74,32 @@ object StreamQueries {
       .orderBy(col("hour"), col("t"))
   }
 
+  /** Stream-stream interval join (StreamOps.intervalJoinStream):
+    * purchases matched to the same user's clicks within the prior 6
+    * hours, both streams watermarked — the attribution join. Inner
+    * join: the drained result equals the batch interval join, which
+    * is the oracle. */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.loadStream(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = Tables.loadStream(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = StreamOps.intervalJoinStream(purchases, clicks,
+      col("p_uid") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"),
+        col("p_value"))
+    StreamOps.runToMemory(s, joined, uniq("stream_join"), OutputMode.Append())
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
   /** Stream-static enrichment (StreamOps.enrichStream): the events
     * stream left-joined per micro-batch to the static customer dim —
     * no streaming state, dim broadcast each batch. Oracle is the plain

@@ -70,6 +70,19 @@ object StreamOps {
                    joinType: String = "left"): DataFrame =
     stream.join(dim, joinExprs, joinType)
 
+  /** Stream-stream interval join: two live streams joined on a key
+    * plus an event-time band (clicks within N hours before a purchase
+    * — the attribution shape). Both sides carry watermarks and the
+    * band bounds both event times, so Spark evicts join state once
+    * the watermark passes a row's last possible match — state is
+    * O(rows inside the band), independent of stream length. Inner
+    * join: matches emit on arrival, so the drained result equals the
+    * batch join exactly (watermarks bound STATE, not the emitted set,
+    * when no data arrives later than the allowed lateness). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         joinExprs: org.apache.spark.sql.Column): DataFrame =
+    left.join(right, joinExprs, "inner")
+
   /** Streaming exact dedup: keep the first arrival per key, suppress
     * later duplicates — dedup-at-ingest for a training-data pipeline.
     * State = one entry per distinct key, held across micro-batches.
