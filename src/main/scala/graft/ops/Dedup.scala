@@ -328,9 +328,13 @@ object Dedup {
       val small = canon(
         smaller.join(mins2, Seq("u")).select(col("v").as("u"), col("m").as("v"))
           .union(mins2.select(col("u"), col("m").as("v"))))
-      val next = small.localCheckpoint()
+      val next = small.localCheckpoint() // eager: materialized here
       val nextSig = signature(next)
       converged = nextSig == sig
+      // previous round's checkpoint blocks are dead once `next` is
+      // materialized — free them instead of holding every round's
+      // edge set in block storage until session end
+      edges.rdd.unpersist(blocking = false)
       edges = next
       sig = nextSig
       it += 1
