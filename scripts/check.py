@@ -27,6 +27,8 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+            continue  # subset run (Verify's optional 3rd arg) — skip unrun queries
         try:
             got = norm(pd.concat([pd.read_parquet(p) for p in
                        sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))],

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sim_lsh"        -> (PipelineQueries.qSimLsh _),
     "q_sim_ivf"        -> (PipelineQueries.qSimIvf _),
     "q_sim_ivf_indexed" -> (PipelineQueries.qSimIvfIndexed _),
+    "q_sim_pq"         -> (PipelineQueries.qSimPq _),
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
     "q_multimodal_audio" -> (PipelineQueries.qMultimodalAudio _),
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
@@ -97,6 +98,10 @@ object SparkEntry {
     "q_boilerplate"    -> (PipelineQueries.qBoilerplate _),
     "q_url_filter"     -> (PipelineQueries.qUrlFilter _),
     "q_sample_stratified" -> (PipelineQueries.qSampleStratified _),
+    "q_fuzzy_join"     -> (PipelineQueries.qFuzzyJoin _),
+    "q_bm25"           -> (PipelineQueries.qBm25 _),
+    "q_dedup_semantic" -> (PipelineQueries.qDedupSemantic _),
+    "q_lm_score"       -> (PipelineQueries.qLmScore _),
     "q_sample_weighted" -> (PipelineQueries.qSampleWeighted _),
     // analytics extensions: temporal joins, rollup, ranking windows,
     // sketch aggregates (ops/TemporalJoins, ops/Sketches)
@@ -109,6 +114,9 @@ object SparkEntry {
     "q_asof_join"      -> (AnalyticsQueries.qAsofJoin _),
     "q_range_join"     -> (AnalyticsQueries.qRangeJoin _),
     "q_rollup"         -> (AnalyticsQueries.qRollup _),
+    "q_cube"           -> (AnalyticsQueries.qCube _),
+    "q_pivot"          -> (AnalyticsQueries.qPivot _),
+    "q_explode"        -> (AnalyticsQueries.qExplode _),
     "q_rank_analytics" -> (AnalyticsQueries.qRankAnalytics _),
     "q_freq_topk"      -> (AnalyticsQueries.qFreqTopk _),
     "q_sketch_distinct"  -> (AnalyticsQueries.qSketchDistinct _),
@@ -978,6 +986,126 @@ object SparkEntry {
                                     WHEN 'src10' THEN 2500 WHEN 'src15' THEN 500
                                     ELSE 6000 END
          GROUP BY 1 ORDER BY source""",
+    // fuzzy join: DuckDB rebuilds the fixture strings from the same
+    // md5 formula and brute-forces ALL pairs with its own levenshtein
+    // — the symmetric-delete blocking must be lossless and the
+    // distance exact or the hash fails
+    "q_fuzzy_join" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  substr(md5('fz:' || CAST(doc_id // 5 AS VARCHAR)), 1,
+                         12 - CAST(doc_id % 5 AS INT))
+                  || substr(md5('m:' || CAST(doc_id AS VARCHAR)), 1,
+                            CAST(doc_id % 5 AS INT)) AS s
+           FROM documents
+         )
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.s, b.s) <= 2
+         ORDER BY id1, id2""",
+    // BM25: identical formula, term order, and left-to-right term sum
+    // (round(...,4) compares the doubles); corpus stats via one CTE
+    "q_bm25" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+           FROM documents
+         ), g AS (
+           SELECT doc_id, len(t) AS dl,
+                  len(list_filter(t, w -> w = 'table')) AS tf0,
+                  len(list_filter(t, w -> w = 'scan'))  AS tf1,
+                  len(list_filter(t, w -> w = 'fast'))  AS tf2,
+                  len(list_filter(t, w -> w = 'key'))   AS tf3,
+                  len(list_filter(t, w -> w = 'slow'))  AS tf4
+           FROM f
+         ), st AS (
+           SELECT count(*) AS n, sum(dl) AS sumdl,
+                  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+                  sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
+           FROM g
+         ), scored AS (
+           SELECT doc_id, round(
+               ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*2.2) / (tf0 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*2.2) / (tf1 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2*2.2) / (tf2 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             + ln(1 + (n - df3 + 0.5)/(df3 + 0.5)) * (tf3*2.2) / (tf3 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             + ln(1 + (n - df4 + 0.5)/(df4 + 0.5)) * (tf4*2.2) / (tf4 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             , 4) AS score
+           FROM g, st
+         )
+         SELECT doc_id, score, rank FROM (
+           SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored
+         ) WHERE rank <= 50 ORDER BY doc_id""",
+    // semantic dedup, exact variant: DuckDB recomputes every pairwise
+    // cosine over the bounded id range and the transitive closure
+    // (same recursive-CTE component spec as q_dedup_cc)
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 2000
+         ), p AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         ), ed AS (
+           SELECT id1 AS u, id2 AS v FROM p
+           UNION SELECT id2, id1 FROM p
+         ), reach AS (
+           SELECT u, v FROM ed
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u
+         ), lbl AS (
+           SELECT u AS vec_id, least(u, min(v)) AS component
+           FROM reach GROUP BY u
+         ), full_lbl AS (
+           SELECT d.vec_id, coalesce(l.component, d.vec_id) AS component
+           FROM (SELECT vec_id FROM embeddings WHERE vec_id < 2000) d
+           LEFT JOIN lbl l USING (vec_id)
+         )
+         SELECT f.vec_id, f.component, CAST(c.n AS BIGINT) AS n_members
+         FROM full_lbl f
+         JOIN (SELECT component, count(*) AS n FROM full_lbl GROUP BY 1) c
+           USING (component)
+         ORDER BY f.vec_id""",
+    // bigram LM: same add-alpha statistics (bigram-start contexts,
+    // distinct-token vocabulary) and the same ln arithmetic; docs
+    // with < 2 tokens score (0, 0.0)
+    "q_lm_score" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+           FROM documents
+         ), inst AS (
+           SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM f, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2
+         ), cb AS (
+           SELECT w1, w2, count(*) AS cb FROM inst GROUP BY 1, 2
+         ), cs AS (
+           SELECT w1, count(*) AS cs FROM inst GROUP BY 1
+         ), voc AS (
+           SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM f)
+         ), scored AS (
+           SELECT i.doc_id, ln((cb.cb + 0.1) / (cs.cs + 0.1 * voc.v)) AS lp
+           FROM inst i JOIN cb USING (w1, w2) JOIN cs USING (w1), voc
+         ), agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  -avg(lp) AS nll
+           FROM scored GROUP BY 1
+         )
+         SELECT d.doc_id,
+                coalesce(a.n_bigrams, 0) AS n_bigrams,
+                round(coalesce(a.nll, 0.0), 4) AS nll
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
     // as-of join: most recent same-user click at or before each
     // purchase; ties on click ts broken by largest event_id — the same
     // (ts, id) max the Spark window's last() picks
@@ -1004,6 +1132,31 @@ object SparkEntry {
                 sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY f NULLS FIRST, st NULLS FIRST""",
+    // CUBE: same bitmask convention (first grouping col = high bit)
+    "q_cube" ->
+      """SELECT l_returnflag AS f, l_linestatus AS st,
+                sum(l_quantity) AS sum_qty, count(*) AS n,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, f NULLS FIRST, st NULLS FIRST""",
+    // pivot with an explicit value list = one conditional-sum pass
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS "F",
+                round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS "O",
+                round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // posexplode: DuckDB replays positions via generate_series (same
+    // whitespace tokenization convention as the text gates)
+    "q_explode" ->
+      """WITH f AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents
+           WHERE doc_id % 25 = 0 AND length(trim(text)) > 0
+         )
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+         FROM f, unnest(generate_series(1, len(t))) AS u(i)
+         ORDER BY doc_id, pos""",
     "q_rank_analytics" ->
       """SELECT o_custkey AS ck, o_orderkey AS ok,
                 row_number() OVER w AS rn,

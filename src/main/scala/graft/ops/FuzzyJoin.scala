@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string self-join: all pairs within Levenshtein edit distance
+  * `k`, exactly.
+  *
+  * Candidate generation is the symmetric-delete neighborhood (the
+  * SymSpell blocking rule): every string emits itself plus every
+  * variant obtainable by deleting up to `k` characters. If
+  * dist(a, b) <= k, deleting the characters the optimal alignment
+  * touches produces a COMMON variant, so the two neighborhoods
+  * intersect — the filter is lossless (never misses a true pair) and
+  * only over-generates, which the exact `levenshtein` verify then
+  * prunes. The reference has no fuzzy matching; this is the
+  * training-data-curation "merge near-identical records" shape.
+  *
+  * Scale: the inverted-index join shuffles (key, id) pairs only —
+  * never the strings; strings attach per distinct CANDIDATE pair,
+  * and candidates are bounded by bucket occupancy (`maxBucket` caps
+  * degenerate shared-substring keys, the same skew guard every dedup
+  * path uses). Neighborhood size is 1 + L + L·(L-1)/2 keys for k=2 on
+  * length-L strings — keep L modest (ids, titles, names), which is
+  * what edit-distance joins are for.
+  */
+object FuzzyJoin {
+
+  /** Deletion-neighborhood keys (distinct), k in 1..2. Native HOF
+    * expressions only — sequence/transform/flatten stay inside
+    * codegen'd projection; the CASE guards keep `sequence` ascending
+    * on short strings. */
+  private def deletionKeys(s: String, k: Int): Column = {
+    val d0 = s"array($s)"
+    val d1 =
+      s"""CASE WHEN length($s) >= 1 THEN
+            transform(sequence(1, length($s)),
+              i -> concat(substr($s, 1, i - 1), substr($s, i + 1, length($s))))
+          ELSE array() END"""
+    val d2 =
+      s"""CASE WHEN length($s) >= 2 THEN
+            flatten(transform(sequence(1, length($s) - 1),
+              i -> transform(sequence(i + 1, length($s)),
+                j -> concat(substr($s, 1, i - 1),
+                            substr($s, i + 1, j - i - 1),
+                            substr($s, j + 1, length($s))))))
+          ELSE array() END"""
+    val parts = Seq(d0) ++ (if (k >= 1) Seq(d1) else Nil) ++ (if (k >= 2) Seq(d2) else Nil)
+    expr(s"array_distinct(concat(${parts.mkString(", ")}))")
+  }
+
+  /** All id pairs (id1 < id2) whose strings are within edit distance
+    * `k`, with the exact distance. Exact by construction: lossless
+    * neighborhood blocking + native `levenshtein` verification
+    * (`maxBucket` only drops keys shared by more strings than any
+    * non-degenerate corpus produces; pass Int.MaxValue for a strict
+    * guarantee). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        k: Int, maxBucket: Int = 10000): DataFrame = {
+    require(k >= 1 && k <= 2, s"editDistancePairs supports k in 1..2, got $k")
+    val base = df.select(col(idCol).as("fz_id"), col(strCol).as("fz_s"))
+    val keyed = base
+      .select(col("fz_id"), explode(deletionKeys("fz_s", k)).as("key"))
+    val counted = Dedup.capBuckets(keyed, Seq("key"), maxBucket)
+    // ids-only pair formation; strings join in afterwards, once per
+    // distinct candidate pair
+    val pairs = counted.select(col("key"), col("fz_id").as("id1"))
+      .join(counted.select(col("key"), col("fz_id").as("id2")), Seq("key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .dropDuplicates("id1", "id2")
+    pairs
+      .join(base.select(col("fz_id").as("id1"), col("fz_s").as("s1")), Seq("id1"))
+      .join(base.select(col("fz_id").as("id2"), col("fz_s").as("s2")), Seq("id2"))
+      .filter(abs(length(col("s1")) - length(col("s2"))) <= k)
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+}

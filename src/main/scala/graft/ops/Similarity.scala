@@ -274,4 +274,140 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("item_id"), col("cosine"), col("rank"))
   }
+
+  // ---------------------------------------------------------------- PQ
+
+  /** L2-normalized copy of a float-vector column, still array<float>
+    * (zero vectors pass through). The norm lambda-binds through a
+    * one-element transform so it computes ONCE per row — an expression
+    * referenced from a per-element lambda body re-evaluates per
+    * element (the tokenize-once lesson). */
+  private def l2normalizedF(vec: Column): Column =
+    element_at(transform(array(norm(vec)), nv =>
+      transform(vec, x =>
+        when(nv === 0.0, x)
+          .otherwise((x.cast("double") / nv).cast("float")))), 1)
+
+  /** Product-quantization codebooks: one per-subspace k-means codebook
+    * over the L2-NORMALIZED corpus (m subspaces of dim/m dims each,
+    * `ksub` centroids per subspace — classic PQ(m×ksub)). Memory is
+    * the 100 TB point: a 64-dim float vector (256 B) compresses to m
+    * one-byte codes (8 B at m=8) — the whole corpus's codes fit where
+    * 3% of its raw vectors would, so the ADC scan touches 30× less
+    * data than a brute-force scan. Training cost is m independent
+    * sampled k-means, O(sample·ksub·dim) total, driver traffic
+    * m·ksub·subDim doubles. */
+  def pqTrain(vectors: DataFrame, id: String, vec: String,
+              m: Int = 8, ksub: Int = 16, iters: Int = 5,
+              dim: Int = -1): Array[Array[Array[Double]]] = {
+    val d = if (dim > 0) dim
+            else vectors.select(size(col(vec)).as("d")).head().getInt(0)
+    require(m >= 1 && d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val subDim = d / m
+    val normed = vectors
+      .select(col(id).as("__pid"), l2normalizedF(col(vec)).as("__pv"))
+      .persist() // m k-means passes share one normalized frame
+    try {
+      (0 until m).map { j =>
+        kmeansCentroids(
+          normed.select(col("__pid"),
+            slice(col("__pv"), j * subDim + 1, subDim).as("__ps")),
+          "__pid", "__ps", ksub, iters)
+      }.toArray
+    } finally { normed.unpersist(); () }
+  }
+
+  /** Encode every vector as its m sub-centroid codes (array<int>,
+    * values < ksub). Map-only projection — the codebooks ride as
+    * expression reference objects; the normalized vector lambda-binds
+    * once and each subspace reads its slice. At scale this is the
+    * frame you PERSIST: 100 TB of vectors become ~3 TB of codes. */
+  def pqEncode(vectors: DataFrame, id: String, vec: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val codes = element_at(transform(array(l2normalizedF(col(vec))), v =>
+      array((0 until m).map(j =>
+        element_at(graft.functions.VectorFunctions.nearestCells(
+          slice(v, j * subDim + 1, subDim), codebooks(j), 1), 1)): _*)), 1)
+    vectors.select(col(id).as("item_id"), codes.as("codes"))
+  }
+
+  /** PQ approximate top-k with asymmetric distance computation (ADC)
+    * and exact re-rank.
+    *
+    * Per query the driver precomputes the m×ksub lookup table
+    * lut[j][c] = <q̂_j, centroid_{j,c}> (a few KB — queries are a
+    * bounded batch, the same contract as the other top-k entry
+    * points), so scoring a corpus vector is m ARRAY LOOKUPS over its
+    * codes — no float math against raw vectors. The ADC scan keeps
+    * only `pool`·k candidates per query (window top-k), and ONLY
+    * those rows fetch their raw vectors for the exact cosine re-rank:
+    * at scale the full-vector column is read for pool·k·|queries|
+    * rows total, not the corpus. */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int, codebooks: Array[Array[Array[Double]]],
+             pool: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    val codes = pqEncode(corpus, corpusId, corpusVec, codebooks)
+    // driver-side LUTs: one flat m·ksub array per query
+    val qRows = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .collect()
+    val lutRows = qRows.map { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val nrm = math.sqrt(qv.map(x => x * x).sum)
+      val qn = if (nrm > 0) qv.map(_ / nrm) else qv
+      val lut = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          val cent = codebooks(j)(c)
+          var acc = 0.0
+          var i = 0
+          while (i < subDim && j * subDim + i < qn.length) {
+            acc += qn(j * subDim + i) * cent(i); i += 1
+          }
+          lut(j * ksub + c) = acc
+          c += 1
+        }
+        j += 1
+      }
+      org.apache.spark.sql.Row(r.get(0), lut.toSeq)
+    }
+    val idType = queries.select(col(queryId)).schema.head.dataType
+    val lutDf = spark.createDataFrame(
+      java.util.Arrays.asList(lutRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", idType),
+        org.apache.spark.sql.types.StructField("lut",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val adc = codes.crossJoin(broadcast(lutDf))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double), " +
+        s"(acc, j) -> acc + lut[j * $ksub + codes[j]])"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("item_id").asc)
+    val cand = adc.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= pool * k)
+      .select(col("query_id"), col("item_id"))
+    // exact cosine re-rank on the candidate pool only
+    val scored = cand
+      .join(corpus.select(col(corpusId).as("item_id"),
+        col(corpusVec).as("item_vec")), Seq("item_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("query_vec"))), Seq("query_id"))
+      .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cosine"), col("rank"))
+  }
 }

@@ -67,6 +67,43 @@ object AnalyticsQueries {
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("f").asc_nulls_first, col("st").asc_nulls_first)
 
+  /** CUBE aggregation (all 2ⁿ grouping-set combinations in ONE hash
+    * aggregate — Spark expands the sets with an Expand node feeding a
+    * single two-phase aggregate, not n² scans). `grouping_id` labels
+    * each subtotal level; both engines produce the same bitmask
+    * (left-to-right bit order). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("f").asc_nulls_first, col("st").asc_nulls_first)
+
+  /** PIVOT: order-status columns per priority with an EXPLICIT value
+    * list — with the values declared, Spark pivots in one pass (no
+    * distinct-values pre-query) as a single hash aggregate with one
+    * conditional-sum column per value, exactly the FILTER aggregate
+    * the oracle spells. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_orderpriority"))
+
+  /** Lateral explode with ordinality (posexplode): token rows with
+    * their positions for a document subset — the flatten step every
+    * nested-column pipeline needs. Narrow (no shuffle until the
+    * ORDER BY); the filter runs BEFORE the explode so only selected
+    * docs fan out. */
+  def qExplode(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 25 === 0 && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** EXACT distributed percentiles per group — Spark's native
     * `percentile` aggregate (sort-based exact, two-phase: per-partition
     * collection then merge at the reducer; for the approximate path at

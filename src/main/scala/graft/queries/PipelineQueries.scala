@@ -623,6 +623,112 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Product-quantization ANN (ops/Similarity.pqTopK): 64-dim floats
+    * → 8 one-byte codes (classic PQ 8×256), ADC-scored candidate
+    * pool, exact cosine re-rank. Rows-only gate made SELF-CHECKING
+    * like the other approximate ops: recall@3 against the exact
+    * brute-force top-3 over the same query batch must clear the floor
+    * on every run (one semi-join + two counts), or the gate throws.
+    * Measured (deterministic — hash-seeded k-means, fixed fixtures):
+    * 0.997 @ sf0.01, 0.933 @ sf0.1, 0.69 @ the 10× bench corpus
+    * (fixed 48-candidate pool vs a growing corpus — the expected
+    * fixed-budget decay; floor 0.55 leaves margin at every gated
+    * scale). */
+  def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < 200)
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 256, iters = 3)
+    val pq = Similarity.pqTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, cbs, pool = 16)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+    val exactPairs = exact.select(col("query_id"), col("item_id"))
+    val hit = exactPairs
+      .join(pq.select(col("query_id"), col("item_id")), Seq("query_id", "item_id"),
+        "left_semi").count()
+    val total = exactPairs.count()
+    require(total > 0 && hit.toDouble / total >= 0.55,
+      s"q_sim_pq: recall@3 ${hit.toDouble / total} below 0.55 floor ($hit/$total)")
+    pq.select(col("query_id"), col("item_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Semantic dedup, EXACT variant: the full cosine-threshold pair
+    * graph over a bounded id range (vec_id < 2000 — the quadratic
+    * exact graph is the spec, not the scale path; q_dedup_embed's
+    * LSH pipeline is what approximates THIS at corpus size), resolved
+    * to clusters with the same alternating-star connected components
+    * as q_dedup_cc. Fully oracle-backed: DuckDB recomputes every
+    * pairwise cosine and the transitive closure. */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("v2")),
+        col("id1") < col("id2"))
+      .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.4)
+      .select(col("id1"), col("id2"))
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+    val labeled = e.select(col("vec_id"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+    labeled.join(
+        labeled.groupBy(col("component")).agg(count(lit(1)).as("n_members")),
+        Seq("component"))
+      .select(col("vec_id"), col("component"), col("n_members"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Bigram language-model scoring (ops/LanguageModel): the corpus
+    * trains add-α bigram statistics, every document gets its mean
+    * negative log-likelihood — the CCNet-style "how unlike the corpus
+    * is this text" quality signal. Fully oracle-backed: DuckDB
+    * rebuilds the same counts and replays the same ln arithmetic. */
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LanguageModel.bigramNll(docs(s, dir), "doc_id", "text", alpha = 0.1)
+      .select(col("doc_id"), col("n_bigrams"), round(col("nll"), 4).as("nll"))
+      .orderBy(col("doc_id"))
+
+  /** Fuzzy string self-join (ops/FuzzyJoin): every pair of fixture
+    * strings within Levenshtein distance 2, found via symmetric-delete
+    * neighborhood blocking + exact `levenshtein` verify. FULLY
+    * oracle-backed: the 12-char strings derive from doc_id (groups of
+    * 5 share an md5 base; member r replaces its last r chars with
+    * doc-salted md5 hex), so DuckDB rebuilds the same strings and
+    * brute-forces all pairs with its own levenshtein — the blocking
+    * must be lossless and the distance exact or the hash fails. */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val strs = docs(s, dir).select(col("doc_id"),
+      expr("""concat(
+        substr(md5(concat('fz:', cast(doc_id div 5 as string))), 1,
+               12 - cast(doc_id % 5 as int)),
+        substr(md5(concat('m:', cast(doc_id as string))), 1,
+               cast(doc_id % 5 as int)))""").as("s"))
+    graft.ops.FuzzyJoin.editDistancePairs(strs, "doc_id", "s", k = 2)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** BM25 relevance search (ops/TextSearch): every document scored
+    * against a 5-term query with the classic k1=1.2 / b=0.75 BM25
+    * formula, top-50 by rounded score (doc_id tiebreak). Corpus stats
+    * (N, avgdl, per-term df) come from ONE global aggregate broadcast
+    * back — no explode, no per-token shuffle. DuckDB replays the
+    * identical formula, term order, and rounding. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.TextSearch.bm25(docs(s, dir), "doc_id", "text",
+      Seq("table", "scan", "fast", "key", "slow"))
+    // distributed top-50 first (TakeOrderedAndProject — per-partition
+    // heaps, no global sort), THEN rank inside the 50-row result; a
+    // row_number window over the whole corpus would single-partition it
+    val top = scored.withColumn("score", round(col("bm25"), 4))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stratified sampling (ops/Scrub): four pinned per-source rates +
     * a default, md5-bucketed on doc_id so DuckDB reproduces the exact
     * sample; gate aggregates the survivors per source. */
