@@ -64,6 +64,7 @@ object SparkEntry {
     "q_process_stream" -> (StreamQueries.qProcessStream _),
     "q_subscription"   -> (StreamQueries.qSubscription _),
     "q_stream_dedup"   -> (StreamQueries.qStreamDedup _),
+    "q_stream_neardup" -> (StreamQueries.qStreamNeardup _),
     // remote client (S8): dialect over the Thrift/JDBC endpoint
     "q_remote"         -> (RemoteQueries.qRemote _),
     // training-data pipeline ops (documents / embeddings tables)

@@ -201,6 +201,71 @@ object StreamQueries {
       .orderBy(col("uid"), col("t"))
   }
 
+  /** Streaming NEAR-dup dedup at ingest: the corpus arrives as two
+    * deterministic micro-batches (split parquet files, one file per
+    * trigger) and each batch runs foreachBatch →
+    * IncrementalDedup.dedupBatch against the persistent bucket/
+    * signature index — the production "dedup the crawl as it lands"
+    * composition (StreamOps.dedupStream is the EXACT-dup sibling).
+    * Rows-only gate made SELF-CHECKING: the drained streaming
+    * survivors must be row-identical to the direct two-batch
+    * incremental run over the same halves (one symmetric-difference
+    * job, the q_sim_ivf_indexed pattern). Bounded to a quarter of the
+    * corpus: the batch operator's own cost/contract already rides
+    * q_dedup_incremental. */
+  def qStreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalDedup
+    val quarter = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val half1 = quarter.filter(col("doc_id") % 8 === 0)
+    val half2 = quarter.filter(col("doc_id") % 8 =!= 0)
+    PipelineQueries.withTempIndexDir("graft_strm_neardup_") { base =>
+      // lay the two halves out as one file each; mtimes order the
+      // stream's file queue so batch 1 = half 1 deterministically
+      val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+      def writeHalf(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(base, s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime); ()
+      }
+      val t0 = 1600000000000L // fixed epoch — only relative order matters
+      writeHalf(half1, "batch0", t0)
+      writeHalf(half2, "batch1", t0 + 60000L)
+      val outDir = new java.io.File(base, "out").toString
+      val streamed = IncrementalDedup.open(s, s"$base/idx_stream", threshold = 0.9)
+      val schema = quarter.schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          streamed.dedupBatch(batch, "doc_id", "text")
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val fromStream = s.read.parquet(outDir)
+        .select(col("doc_id"), col("source"))
+      // direct two-batch incremental run over the same halves
+      val direct = IncrementalDedup.open(s, s"$base/idx_direct", threshold = 0.9)
+      val d1 = direct.dedupBatch(half1, "doc_id", "text").select(col("doc_id"), col("source"))
+      val d2 = direct.dedupBatch(half2, "doc_id", "text").select(col("doc_id"), col("source"))
+      val fromBatch = d1.union(d2)
+      val mismatch = fromStream.union(fromBatch)
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
+      require(mismatch == 0,
+        s"q_stream_neardup: streamed survivors diverge from the direct incremental run ($mismatch rows)")
+      // pin before the finally reclaims the on-disk index/output
+      fromStream.orderBy(col("doc_id")).localCheckpoint(true)
+    }
+  }
+
   /** C5 — PROCESS … WITHIN: callback per matching row, delete-on-true;
     * returns the retained table (ts excluded: sub-microsecond precision
     * is not representable on the Spark side). */

@@ -224,4 +224,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(textBearing <= 1,
       s"line text crossed $textBearing exchanges (max 1 — the id-join):\n$plan")
   }
+
+  test("bm25: corpus stats broadcast back, no sort-merge join, text scans once per use") {
+    // the stats row must attach by BROADCAST (a 1-row side); a
+    // sort-merge or shuffled join here would repartition the whole
+    // corpus to join one row at 100 TB
+    val df = graft.ops.TextSearch.bm25(
+      core.Tables.load(spark, sf, "documents"), "doc_id", "text",
+      Seq("table", "scan"))
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"stats row not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$plan")
+  }
+
+  test("pq encode is a map-only projection: zero exchanges") {
+    val e = core.Tables.load(spark, sf, "embeddings")
+    val cbs = graft.ops.Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 1)
+    val df = graft.ops.Similarity.pqEncode(e, "vec_id", "embedding", cbs)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"pqEncode must not shuffle (assignment is map-side):\n$plan")
+  }
+
+  test("fuzzy join: no cartesian product; candidate pairing is an equi-join on keys") {
+    val df = graft.queries.PipelineQueries.qFuzzyJoin(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must pair via the deletion-key equi-join, not a cross join:\n$plan")
+  }
 }
