@@ -103,6 +103,7 @@ object SparkEntry {
     "q_bm25"           -> (PipelineQueries.qBm25 _),
     "q_dedup_semantic" -> (PipelineQueries.qDedupSemantic _),
     "q_lm_score"       -> (PipelineQueries.qLmScore _),
+    "q_grep_index"     -> (PipelineQueries.qGrepIndex _),
     "q_sample_weighted" -> (PipelineQueries.qSampleWeighted _),
     // analytics extensions: temporal joins, rollup, ranking windows,
     // sketch aggregates (ops/TemporalJoins, ops/Sketches)
@@ -118,6 +119,13 @@ object SparkEntry {
     "q_cube"           -> (AnalyticsQueries.qCube _),
     "q_pivot"          -> (AnalyticsQueries.qPivot _),
     "q_explode"        -> (AnalyticsQueries.qExplode _),
+    "q_window_time_range" -> (AnalyticsQueries.qWindowTimeRange _),
+    "q_ntile"          -> (AnalyticsQueries.qNtile _),
+    "q_collect_list"   -> (AnalyticsQueries.qCollectList _),
+    "q_stats_numeric"  -> (AnalyticsQueries.qStatsNumeric _),
+    "q_quantile_clamp" -> (AnalyticsQueries.qQuantileClamp _),
+    "q_string_funcs"   -> (BatchQueries.qStringFuncs _),
+    "q_datetime_funcs" -> (BatchQueries.qDatetimeFuncs _),
     "q_rank_analytics" -> (AnalyticsQueries.qRankAnalytics _),
     "q_freq_topk"      -> (AnalyticsQueries.qFreqTopk _),
     "q_sketch_distinct"  -> (AnalyticsQueries.qSketchDistinct _),
@@ -1044,6 +1052,11 @@ object SparkEntry {
                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
            FROM scored
          ) WHERE rank <= 50 ORDER BY doc_id""",
+    // indexed grep: the oracle is a raw-text scan — index + probe +
+    // verify must reproduce it exactly
+    "q_grep_index" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE contains(text, 'scan the') ORDER BY doc_id""",
     // semantic dedup, exact variant: DuckDB recomputes every pairwise
     // cosine over the bounded id range and the transitive closure
     // (same recursive-CTE component spec as q_dedup_cc)
@@ -1158,6 +1171,79 @@ object SparkEntry {
          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
          FROM f, unnest(generate_series(1, len(t))) AS u(i)
          ORDER BY doc_id, pos""",
+    // time-range window: both engines floor sub-second epoch parts,
+    // so the RANGE frames contain the same peer sets
+    "q_window_time_range" ->
+      """SELECT user_id, event_id, n_1h, sum_1h FROM (
+           SELECT user_id, event_id,
+                  count(*) OVER w AS n_1h,
+                  round(sum(value) OVER w, 2) AS sum_1h
+           FROM (SELECT user_id, event_id, value,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS e
+                 FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY e
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ) ORDER BY user_id, event_id""",
+    // ntile remainder rule and percent_rank's exact (rank-1)/(n-1)
+    // are SQL-standard in both engines
+    "q_ntile" ->
+      """SELECT doc_id, source, n_chars,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pr
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+         ORDER BY doc_id""",
+    // deterministic grouped collect: sorted id list as one string
+    "q_collect_list" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                array_to_string(list(doc_id ORDER BY doc_id), ',') AS ids
+         FROM documents GROUP BY source ORDER BY source""",
+    // moment statistics: shared co-moment formulas, round(4) absorbs
+    // accumulation-order ulps
+    "q_stats_numeric" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                round(stddev_samp(value), 4) AS sd,
+                round(var_samp(value), 4) AS vr,
+                round(corr(value, CAST(floor(epoch(ts)) AS BIGINT)), 4) AS cr
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // winsorized aggregates: quantile_cont shares Spark percentile's
+    // continuous-interpolation rule (established by q_percentiles)
+    "q_quantile_clamp" ->
+      """WITH b AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS p05,
+                  quantile_cont(value, 0.95) AS p95
+           FROM events GROUP BY event_type
+         )
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                round(sum(greatest(b.p05, least(b.p95, e.value))), 2) AS sum_clamped,
+                round(avg(greatest(b.p05, least(b.p95, e.value))), 2) AS avg_clamped
+         FROM events e JOIN b USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    // string-function parity, value-for-value
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+                upper(p_name) AS up,
+                CAST(length(p_name) AS BIGINT) AS len,
+                regexp_replace(p_type, ' ', '_', 'g') AS undered,
+                lpad(CAST(p_size AS VARCHAR), 5, '0') AS padded,
+                reverse(p_brand) AS rev,
+                translate(p_type, 'AEIOU', 'aeiou') AS xlat,
+                regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word
+         FROM part ORDER BY p_partkey""",
+    // datetime parity: calendar algebra, no floats
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+                CAST(year(d) AS BIGINT) AS y,
+                CAST(month(d) AS BIGINT) AS m,
+                CAST(day(d) AS BIGINT) AS dom,
+                strftime(d + 30, '%Y-%m-%d') AS plus30,
+                strftime(last_day(d), '%Y-%m-%d') AS eom,
+                strftime(CAST(date_trunc('month', d) AS DATE), '%Y-%m-%d') AS som,
+                CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS dd,
+                CAST(isodow(d) AS BIGINT) AS isodow
+         FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+         ORDER BY o_orderkey""",
     "q_rank_analytics" ->
       """SELECT o_custkey AS ck, o_orderkey AS ok,
                 row_number() OVER w AS rn,

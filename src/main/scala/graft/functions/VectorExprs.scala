@@ -95,6 +95,20 @@ object VectorSim {
       if (n > 0) c.map(_ / n) else c.clone()
     }
 
+  /** ADC score: Σ_j lut[j·ksub + codes[j]] (see AdcScoreExpr). */
+  def adcScore(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    val n = lut.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * ksub + codes.getInt(j)
+      if (idx >= 0 && idx < n) acc += lut.getDouble(idx)
+      j += 1
+    }
+    acc
+  }
+
   /** Sign-bit signature over `planes` fixed hyperplanes → one long
     * bucket key; `seed` selects the hyperplane family (one per LSH
     * table). */
@@ -132,6 +146,30 @@ case class CosineSim(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorSim.cosine($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+/** PQ asymmetric-distance score: Σ_j lut[j·ksub + codes[j]] — the ADC
+  * inner loop as a compiled kernel. The interpreted `aggregate` HOF
+  * spelling costs a per-element lambda dispatch on every corpus×query
+  * row of the ADC scan — the one place PQ spends its time. Codes out
+  * of lut range (impossible for a matching encode) contribute 0. */
+case class AdcScoreExpr(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int> codes, array<double> lut)")
+    }
+  override def prettyName: String = "graft_adc_score"
+  override protected def nullSafeEval(c: Any, l: Any): Any =
+    VectorSim.adcScore(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.VectorSim.adcScore($c, $l, $ksub)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcScoreExpr = copy(left = newLeft, right = newRight)
 }
 
 case class HyperplaneSigExpr(child: Expression, planes: Int, seed: Int)
@@ -186,4 +224,7 @@ object VectorFunctions {
     CatalystBridge.column(HyperplaneSigExpr(CatalystBridge.expression(vec), planes, seed))
   def nearestCells(vec: Column, codebook: Array[Array[Double]], n: Int): Column =
     CatalystBridge.column(NearestCellsExpr(CatalystBridge.expression(vec), codebook, n))
+  def adcScore(codes: Column, lut: Column, ksub: Int): Column =
+    CatalystBridge.column(AdcScoreExpr(
+      CatalystBridge.expression(codes), CatalystBridge.expression(lut), ksub))
 }

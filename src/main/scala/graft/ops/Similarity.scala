@@ -389,9 +389,10 @@ object Similarity {
             org.apache.spark.sql.types.DoubleType)))))
     val adc = codes.crossJoin(broadcast(lutDf))
       .filter(col("item_id") =!= col("query_id"))
-      .withColumn("adc", expr(
-        s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double), " +
-        s"(acc, j) -> acc + lut[j * $ksub + codes[j]])"))
+      // native codegen'd kernel — the interpreted `aggregate` HOF costs
+      // a lambda dispatch per (row, subspace) on the corpus×query scan
+      .withColumn("adc", graft.functions.VectorFunctions.adcScore(
+        col("codes"), col("lut"), ksub))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("item_id").asc)
     val cand = adc.withColumn("arank", row_number().over(wAdc))

@@ -63,4 +63,46 @@ object TextSearch {
     }.reduce(_ + _)
     scoredInput.select(col("doc_id"), score.as("bm25"))
   }
+
+  /** Build a persisted trigram inverted index: one (gram, doc_id) row
+    * per DISTINCT trigram per document, range-partitioned and sorted
+    * by gram so a probe's `gram IN (…)` predicate prunes whole files
+    * and row groups on parquet min/max stats. Build is one pass over
+    * the text + one range shuffle of (3-char, id) rows; at 100 TB this
+    * is the index you build once so substring queries never scan the
+    * text column again. */
+  def buildTrigramIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(expr(
+          s"CASE WHEN length($textCol) >= 3 THEN " +
+          s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)) " +
+          s"ELSE cast(array() as array<string>) END"))).as("gram"))
+    grams.repartitionByRange(col("gram"))
+      .sortWithinPartitions(col("gram"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Exact substring search over the trigram index: candidates are
+    * documents whose postings contain EVERY trigram of the needle
+    * (an intersection — groupBy doc_id HAVING count = |grams|; sound:
+    * text containing the needle contains all its trigrams), then the
+    * exact `contains` verify runs only on candidate documents. The
+    * text column is read for candidates alone — the probe itself
+    * touches ~|needle| postings lists, not the corpus. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                  docs: DataFrame, idCol: String, textCol: String,
+                  needle: String): DataFrame = {
+    require(needle.length >= 3, "needle must be at least 3 chars (trigram index)")
+    val grams = needle.sliding(3).toSeq.distinct
+    val candidates = spark.read.parquet(indexPath)
+      .filter(col("gram").isin(grams: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("ng"))
+      .filter(col("ng") === grams.length)
+      .select(col("doc_id"))
+    docs.join(candidates.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
+      .filter(col(textCol).contains(needle))
+  }
 }

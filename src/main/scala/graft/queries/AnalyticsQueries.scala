@@ -104,6 +104,82 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** TIME-RANGE sliding window: per user, count/sum over the trailing
+    * hour BY EVENT TIME (RANGE frame on floored epoch seconds — both
+    * engines floor sub-second parts identically so the frames match).
+    * One key-partitioned exchange; the frame is evaluated with a
+    * sliding two-pointer pass per key, not a self-join. */
+  def qWindowTimeRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"))
+      .rangeBetween(-3600L, 0L)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").cast("long").as("epoch"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("n_1h"), col("sum_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** NTILE + PERCENT_RANK per source over (n_chars, doc_id): the
+    * quantile-bucketing every curation pipeline uses for "keep the top
+    * quartile by length/quality". percent_rank's (rank−1)/(n−1) is an
+    * exact integer ratio — bit-identical across engines, no rounding
+    * needed. */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Grouped collect with deterministic order: per source, the sorted
+    * id list as one string (collect_list order is partition-dependent;
+    * sort_array pins it — the same list(... ORDER BY) DuckDB spells).
+    * The rollup every "materialize group membership" step needs. */
+  def qCollectList(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("ids"))
+      .orderBy(col("source"))
+
+  /** Numeric moment statistics per group: sample stddev/variance,
+    * covariance and correlation of value against event time. All
+    * engines share the two-pass-free co-moment formulas; round(4)
+    * absorbs accumulation-order noise. */
+  def qStatsNumeric(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"), col("ts").cast("long").as("epoch"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 4).as("vr"),
+        round(corr(col("value"), col("epoch")), 4).as("cr"))
+      .orderBy(col("event_type"))
+
+  /** Winsorization: clamp values into the per-group [p05, p95] band
+    * (exact percentiles — q_percentiles' interpolation rule) before
+    * aggregating — the outlier-robust feature scaling step. The
+    * percentile frame is group-cardinality-sized and broadcasts back;
+    * clamping is map-side. */
+  def qQuantileClamp(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.05)).as("p05"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("clamped", greatest(col("p05"), least(col("p95"), col("value"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("clamped")), 2).as("sum_clamped"),
+        round(avg(col("clamped")), 2).as("avg_clamped"))
+      .orderBy(col("event_type"))
+  }
+
   /** EXACT distributed percentiles per group — Spark's native
     * `percentile` aggregate (sort-based exact, two-phase: per-partition
     * collection then merge at the reducer; for the approximate path at

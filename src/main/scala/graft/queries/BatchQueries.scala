@@ -225,6 +225,45 @@ object BatchQueries {
         date_format(to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd"), "yyyy-MM-dd").as("to_date_rt"))
       .orderBy(col("o_orderkey"))
 
+  /** String-function surface parity: case mapping, padding, reversal,
+    * translation, replacement, and regex extraction — all row-wise,
+    * all codegen'd, every value hash-compared against DuckDB's
+    * equivalents. */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        length(col("p_name")).cast("long").as("len"),
+        regexp_replace(col("p_type"), " ", "_").as("undered"),
+        lpad(col("p_size").cast("string"), 5, "0").as("padded"),
+        reverse(col("p_brand")).as("rev"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("xlat"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"))
+      .orderBy(col("p_partkey"))
+
+  /** Datetime-function surface parity: part extraction, date
+    * arithmetic, month truncation/last-day, day difference against an
+    * epoch date, and ISO weekday — the calendar algebra both engines
+    * must agree on exactly (no floats involved). */
+  def qDatetimeFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .select(
+        col("o_orderkey"),
+        year(col("d")).cast("long").as("y"),
+        month(col("d")).cast("long").as("m"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        // dates travel as yyyy-MM-dd strings: parquet date32 surfaces
+        // as python date OBJECTS on the compare bridge while DuckDB
+        // returns timestamps — same convention as q_scalar_funcs
+        date_format(date_add(col("d"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("d")), "yyyy-MM-dd").as("eom"),
+        date_format(trunc(col("d"), "MM"), "yyyy-MM-dd").as("som"),
+        datediff(col("d"), lit("1995-01-01").cast("date")).cast("long").as("dd"),
+        (weekday(col("d")) + 1).cast("long").as("isodow"))
+      .orderBy(col("o_orderkey"))
+
   /** A7 batch form — count-based sliding window (reference
     * `WINDOW BY col INTERVAL = n`: sql/SQLGroupContainer.java:120-158):
     * last-n-rows aggregate per arriving row. Spark window frame

@@ -729,6 +729,23 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Indexed substring search (ops/TextSearch.buildTrigramIndex /
+    * searchIndex): the corpus's trigram inverted index is built to a
+    * temp dir, the needle's grams probe it (posting intersection →
+    * candidates), and `contains` verifies candidates only. FULLY
+    * oracle-backed: DuckDB greps the raw text — a missed posting, a
+    * wrong intersection, or a false candidate surviving verify all
+    * change the row set. */
+  def qGrepIndex(s: SparkSession, dir: String): DataFrame =
+    withTempIndexDir("graft_trigram_gate_") { idx =>
+      val d = docs(s, dir)
+      graft.ops.TextSearch.buildTrigramIndex(d, "doc_id", "text", idx)
+      graft.ops.TextSearch.searchIndex(s, idx, d, "doc_id", "text", "scan the")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // pin before the finally reclaims the index
+    }
+
   /** Stratified sampling (ops/Scrub): four pinned per-source rates +
     * a default, md5-bucketed on doc_id so DuckDB reproduces the exact
     * sample; gate aggregates the survivors per source. */

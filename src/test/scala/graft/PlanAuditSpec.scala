@@ -248,6 +248,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pqEncode must not shuffle (assignment is map-side):\n$plan")
   }
 
+  test("trigram index probe pushes the gram IN-list to the postings scan") {
+    // the probe must read postings lists, not the index: the IN filter
+    // has to reach the parquet scan so range-partitioned/sorted files
+    // prune on min/max stats
+    val dir = java.nio.file.Files.createTempDirectory("graft_trigram_audit_").toString
+    try {
+      val d = core.Tables.load(spark, sf, "documents")
+      graft.ops.TextSearch.buildTrigramIndex(d, "doc_id", "text", dir)
+      val df = graft.ops.TextSearch.searchIndex(spark, dir, d, "doc_id", "text", "scan the")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("In(gram"),
+        s"gram IN-list not pushed to the index scan:\n$plan")
+    } finally core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("fuzzy join: no cartesian product; candidate pairing is an equi-join on keys") {
     val df = graft.queries.PipelineQueries.qFuzzyJoin(spark, sf)
     val plan = finalPlan(df)
