@@ -89,6 +89,7 @@ object SparkEntry {
     "q_sim_ivf"        -> (PipelineQueries.qSimIvf _),
     "q_sim_ivf_indexed" -> (PipelineQueries.qSimIvfIndexed _),
     "q_sim_pq"         -> (PipelineQueries.qSimPq _),
+    "q_sim_ivf_append" -> (PipelineQueries.qSimIvfAppend _),
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
     "q_multimodal_audio" -> (PipelineQueries.qMultimodalAudio _),
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),

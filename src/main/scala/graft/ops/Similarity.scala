@@ -221,6 +221,18 @@ object Similarity {
     ivfAssign(corpus, corpusId, corpusVec, centroids)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Append NEW vectors to a persisted IVF index: one assignment pass
+    * over the arriving batch only, appended into the existing cell
+    * directories — the "embeddings land daily" maintenance shape (the
+    * ANN sibling of IncrementalDedup). The codebook is fixed at build
+    * time: cell geometry must match the resident postings, so appends
+    * reuse the build centroids; re-train and rebuild when distribution
+    * drift degrades recall (monitor via the recall self-checks). */
+  def ivfAppend(vectors: DataFrame, id: String, vec: String, path: String,
+                centroids: Array[Array[Double]]): Unit =
+    ivfAssign(vectors, id, vec, centroids)
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** Approximate top-k over a persisted IVF index. The distinct probe
     * cells of the query batch (≤ |codebook| values — bounded, driver-
     * side) become a static `cell IN (…)` predicate, so the scan's

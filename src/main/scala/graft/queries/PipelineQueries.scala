@@ -623,6 +623,36 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Incremental IVF index maintenance (ops/Similarity.ivfAppend):
+    * the index is built from half the corpus, the other half APPENDS
+    * (one assignment pass over the new batch, no rebuild), and the
+    * indexed search must be row-identical to the in-memory search
+    * over the full corpus — the same symmetric-difference require as
+    * q_sim_ivf_indexed, now covering the grown index. */
+  def qSimIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 3)
+    val queries = e.filter(col("vec_id") < 200)
+    withTempIndexDir("graft_ivf_append_gate_") { idx =>
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, cents)
+      Similarity.ivfAppend(e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", idx, cents)
+      val indexed = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 3, cents, nprobe = 4)
+        .select(col("query_id"), col("item_id"), col("rank"))
+      val inMemory = Similarity.ivfTopK(e, "vec_id", "embedding", queries,
+          "vec_id", "embedding", k = 3, cents, nprobe = 4)
+        .select(col("query_id"), col("item_id"), col("rank"))
+      val mismatch = indexed.union(inMemory)
+        .groupBy(col("query_id"), col("item_id"), col("rank"))
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
+      require(mismatch == 0,
+        s"q_sim_ivf_append: grown index diverges from in-memory ranking ($mismatch rows)")
+      indexed.orderBy(col("query_id"), col("rank")).localCheckpoint(true)
+    }
+  }
+
   /** Product-quantization ANN (ops/Similarity.pqTopK): 64-dim floats
     * → 8 one-byte codes (classic PQ 8×256), ADC-scored candidate
     * pool, exact cosine re-rank. Rows-only gate made SELF-CHECKING
