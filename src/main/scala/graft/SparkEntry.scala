@@ -1057,7 +1057,8 @@ object SparkEntry {
     // verify must reproduce it exactly
     "q_grep_index" ->
       """SELECT doc_id, n_chars FROM documents
-         WHERE contains(text, 'scan the') ORDER BY doc_id""",
+         WHERE doc_id % 2 = 0 AND contains(text, 'scan the')
+         ORDER BY doc_id""",
     // semantic dedup, exact variant: DuckDB recomputes every pairwise
     // cosine over the bounded id range and the transitive closure
     // (same recursive-CTE component spec as q_dedup_cc)
