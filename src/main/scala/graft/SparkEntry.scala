@@ -112,6 +112,7 @@ object SparkEntry {
     "q_stream_session" -> (StreamQueries.qStreamSession _),
     "q_stream_enrich"  -> (StreamQueries.qStreamEnrich _),
     "q_stream_join"    -> (StreamQueries.qStreamJoin _),
+    "q_stream_join_outer" -> (StreamQueries.qStreamJoinOuter _),
     "q_percentiles"    -> (AnalyticsQueries.qPercentiles _),
     "q_sample_topk"    -> (AnalyticsQueries.qSampleTopk _),
     "q_asof_join"      -> (AnalyticsQueries.qAsofJoin _),
@@ -125,6 +126,8 @@ object SparkEntry {
     "q_collect_list"   -> (AnalyticsQueries.qCollectList _),
     "q_stats_numeric"  -> (AnalyticsQueries.qStatsNumeric _),
     "q_quantile_clamp" -> (AnalyticsQueries.qQuantileClamp _),
+    "q_outer_join"     -> (BatchQueries.qOuterJoin _),
+    "q_rag_retrieve"   -> (PipelineQueries.qRagRetrieve _),
     "q_string_funcs"   -> (BatchQueries.qStringFuncs _),
     "q_datetime_funcs" -> (BatchQueries.qDatetimeFuncs _),
     "q_rank_analytics" -> (AnalyticsQueries.qRankAnalytics _),
@@ -786,6 +789,31 @@ object SparkEntry {
           AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
          ORDER BY p_id, c_id""",
+    // stream-stream LEFT OUTER interval join: matched rows emit on
+    // arrival; a null row emits once the GLOBAL watermark (min of the
+    // two inputs' max ts, minus the 10-min delay — Spark's
+    // multipleWatermarkPolicy=min) passes the purchase's latest
+    // possible match time (its own ts). Verified empirically: the one
+    // unmatched purchase above the min-watermark stays unemitted
+    "q_stream_join_outer" ->
+      """WITH p AS (
+           SELECT event_id AS p_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'
+         ), c AS (
+           SELECT event_id AS c_id, user_id AS c_uid, ts AS c_ts FROM events
+           WHERE event_type = 'click'
+         ), wm AS (
+           SELECT least((SELECT max(ts) FROM p), (SELECT max(c_ts) FROM c))
+                  - INTERVAL 10 MINUTE AS w
+         )
+         SELECT p_id, c_id, user_id, p_value FROM (
+           SELECT p.p_id, c.c_id, p.user_id, p.value AS p_value, p.ts AS p_ts
+           FROM p LEFT JOIN c
+             ON p.user_id = c.c_uid
+            AND c.c_ts >= p.ts - INTERVAL 6 HOUR AND c.c_ts <= p.ts
+         ) j, wm
+         WHERE j.c_id IS NOT NULL OR j.p_ts < wm.w
+         ORDER BY p_id, c_id NULLS FIRST""",
     // stream-static enrichment: the oracle is the identical batch
     // left join — streaming adds no semantics, only per-batch re-plan
     "q_stream_enrich" ->
@@ -1222,6 +1250,54 @@ object SparkEntry {
                 round(avg(greatest(b.p05, least(b.p95, e.value))), 2) AS avg_clamped
          FROM events e JOIN b USING (event_type)
          GROUP BY e.event_type ORDER BY e.event_type""",
+    // full outer join: both null sides exercised
+    "q_outer_join" ->
+      """SELECT coalesce(o_custkey, c_custkey) AS ck, o_orderkey AS ok,
+                o_totalprice AS price, c_name AS nm
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderpriority = '1-URGENT') o
+         FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer
+                          WHERE c_acctbal > 9000) c
+           ON o_custkey = c_custkey
+         ORDER BY ck, ok NULLS FIRST""",
+    // retrieval + quality fusion: the cosine ranking (q_sim_bruteforce
+    // spec) composed with the quality formula (q_text_analyze spec)
+    "q_rag_retrieve" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  length(text) AS tlen,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+                  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+           FROM documents
+         ), q AS (
+           SELECT doc_id,
+                  round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+                    * (CASE WHEN (CASE WHEN tlen > 0
+                         THEN CAST(n_punct AS DOUBLE) / tlen ELSE 0.0 END) < 0.2
+                       THEN 1.0 ELSE 0.5 END)
+                    * (CASE WHEN (CASE WHEN n_tokens > 0
+                         THEN CAST(len(list_intersect(toks,
+                                ['the','a','and','of','to','in','is'])) AS DOUBLE) / n_tokens
+                         ELSE 0.0 END) > 0.01
+                       THEN 1.0 ELSE 0.7 END), 4) AS quality
+           FROM f
+         ), r AS (
+           SELECT query_id, doc_id, rank FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                      CAST(b.embedding AS DOUBLE[])) DESC,
+                               b.vec_id) AS rank
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+             WHERE a.vec_id < 50
+           ) WHERE rank <= 3
+         )
+         SELECT r.query_id, r.doc_id, CAST(r.rank AS BIGINT) AS rank, q.quality
+         FROM r JOIN q USING (doc_id)
+         WHERE q.quality >= 0.5
+         ORDER BY query_id, rank""",
     // string-function parity, value-for-value
     "q_string_funcs" ->
       """SELECT p_partkey,

@@ -225,6 +225,24 @@ object BatchQueries {
         date_format(to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd"), "yyyy-MM-dd").as("to_date_rt"))
       .orderBy(col("o_orderkey"))
 
+  /** FULL OUTER join with non-matching rows on BOTH sides (urgent
+    * orders vs high-balance customers): matched rows, order-only rows
+    * (null customer columns), and customer-only rows (null order
+    * columns) all survive — the reconciliation shape. Shuffled hash /
+    * sort-merge on the key; null-side rows are per-partition
+    * complements, no extra pass. */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    o.join(c, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("c_custkey")).as("ck"),
+        col("o_orderkey").as("ok"), col("o_totalprice").as("price"),
+        col("c_name").as("nm"))
+      .orderBy(col("ck"), col("ok").asc_nulls_first)
+  }
+
   /** String-function surface parity: case mapping, padding, reversal,
     * translation, replacement, and regex extraction — all row-wise,
     * all codegen'd, every value hash-compared against DuckDB's

@@ -759,6 +759,29 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Retrieval + quality fusion — the RAG-curation composition: exact
+    * top-3 vector neighbors for a bounded query batch, joined to the
+    * retrieved DOCUMENTS (vec_id ≡ doc_id in the fixture corpus) and
+    * post-filtered by the text-quality score — "retrieve, then keep
+    * only readable results". Fully oracle-backed: DuckDB replays both
+    * the cosine ranking (q_sim_bruteforce's spec) and the quality
+    * formula (q_text_analyze's spec) and composes them the same way.
+    * Ranks keep their pre-filter values (gaps where quality dropped a
+    * hit — the caller sees WHICH rank survived). */
+  def qRagRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < 50)
+    val top = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+    val quality = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    top.join(quality, top("item_id") === quality("doc_id"))
+      .filter(col("quality") >= 0.5)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"),
+        col("quality"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Indexed substring search (ops/TextSearch.buildTrigramIndex /
     * searchIndex): the corpus's trigram inverted index is built to a
     * temp dir, the needle's grams probe it (posting intersection →

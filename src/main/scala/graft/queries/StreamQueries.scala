@@ -100,6 +100,36 @@ object StreamQueries {
       .orderBy(col("p_id"), col("c_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like q_stream_join but
+    * purchases with NO prior click still emit, with null click
+    * columns — once the watermark proves no matching click can still
+    * arrive. Matched rows emit on arrival (inner semantics); a null
+    * row emits when the watermark passes the purchase's latest
+    * possible match time (its own ts, since c_ts <= p_ts). Drained
+    * with AvailableNow, the final watermark is max(ts) − 10 min, so
+    * the oracle is the batch left join with null rows restricted to
+    * purchases the final watermark closed. */
+  def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.loadStream(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = Tables.loadStream(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = StreamOps.intervalJoinStream(purchases, clicks,
+      col("p_uid") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
+        col("c_ts") <= col("p_ts"), "left_outer")
+      .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"),
+        col("p_value"))
+    StreamOps.runToMemory(s, joined, uniq("stream_join_outer"), OutputMode.Append())
+      .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+  }
+
   /** Stream-static enrichment (StreamOps.enrichStream): the events
     * stream left-joined per micro-batch to the static customer dim —
     * no streaming state, dim broadcast each batch. Oracle is the plain

@@ -80,8 +80,9 @@ object StreamOps {
     * batch join exactly (watermarks bound STATE, not the emitted set,
     * when no data arrives later than the allowed lateness). */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
-                         joinExprs: org.apache.spark.sql.Column): DataFrame =
-    left.join(right, joinExprs, "inner")
+                         joinExprs: org.apache.spark.sql.Column,
+                         joinType: String = "inner"): DataFrame =
+    left.join(right, joinExprs, joinType)
 
   /** Streaming exact dedup: keep the first arrival per key, suppress
     * later duplicates — dedup-at-ingest for a training-data pipeline.

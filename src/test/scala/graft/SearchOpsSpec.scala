@@ -35,6 +35,30 @@ class SearchOpsSpec extends AnyFunSuite {
       "fixture should exercise dist 0 and transposition-as-2-subs")
   }
 
+  test("fuzzy join equals brute force on 150 random low-alphabet strings") {
+    // 3-letter alphabet + short lengths force a dense near-pair graph
+    // (substitutions, insertions, deletions, boundary cases all occur);
+    // fixed seed keeps the set reproducible
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 150L).map { i =>
+      val len = 3 + rnd.nextInt(7)
+      (i, Array.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = rows.toDF("id", "s")
+    val got = FuzzyJoin.editDistancePairs(df, "id", "s", k = 2)
+      .select("id1", "id2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("a.id"), col("b.id"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.size > 500, s"fixture should be pair-dense, got ${brute.size}")
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} spurious=${(got -- brute).take(5)}")
+  }
+
   test("fuzzy join maxBucket cap drops hot-key candidates only") {
     // 30 identical strings share every deletion key → one hot bucket;
     // capping below 30 removes all their pairs but keeps the disjoint
