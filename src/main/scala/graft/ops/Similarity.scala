@@ -174,10 +174,15 @@ object Similarity {
       var cents: Array[Array[Double]] = seeds
       val d = seeds.head.length
       for (_ <- 0 until iters) {
-        // assign (map-only) then mean per (cell, dim): k*d rows collect
+        // assign (map-only) then mean per (cell, dim): k*d rows collect.
+        // The generator's when-guard depends on `cell` so ColumnPruning
+        // cannot collapse the assignment above the Generate (which
+        // would re-run the k×d cell scan once per exploded ELEMENT —
+        // the same trap pqTrain documents)
         val means = sampled
-          .select(nearestCell(col("__kv"), cents).as("cell"),
-            posexplode(col("__kv")).as(Seq("pos", "x")))
+          .select(nearestCell(col("__kv"), cents).as("cell"), col("__kv"))
+          .select(col("cell"),
+            posexplode(when(col("cell") >= 0, col("__kv"))).as(Seq("pos", "x")))
           .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
           .collect()
         val next = cents.map(_.clone()) // empty cell keeps its centroid
@@ -311,22 +316,65 @@ object Similarity {
     * m·ksub·subDim doubles. */
   def pqTrain(vectors: DataFrame, id: String, vec: String,
               m: Int = 8, ksub: Int = 16, iters: Int = 5,
-              dim: Int = -1): Array[Array[Array[Double]]] = {
+              dim: Int = -1, targetSample: Int = 4000): Array[Array[Array[Double]]] = {
     val d = if (dim > 0) dim
             else vectors.select(size(col(vec)).as("d")).head().getInt(0)
     require(m >= 1 && d % m == 0, s"dim $d must divide into m=$m subspaces")
     val subDim = d / m
-    val normed = vectors
-      .select(col(id).as("__pid"), l2normalizedF(col(vec)).as("__pv"))
-      .persist() // m k-means passes share one normalized frame
+    // all m subspaces train JOINTLY, one pass per Lloyd iteration: the
+    // per-subspace spelling (m separate kmeansCentroids calls) costs
+    // m·iters·2 scheduler round-trips — 13.5 s of the 10× gate was
+    // job overhead, not math. Sampling rule matches kmeansCentroids.
+    val n = vectors.count()
+    require(n >= ksub, s"need >= $ksub vectors, got $n")
+    val buckets = math.max(1L, n / math.max(1, targetSample))
+    val base = vectors.select(col(id).as("__pid"), l2normalizedF(col(vec)).as("__pv"))
+    val sampled =
+      (if (buckets <= 1L) base
+       else base.filter(pmod(xxhash64(col("__pid")), lit(buckets)) === 0))
+        .persist()
     try {
-      (0 until m).map { j =>
-        kmeansCentroids(
-          normed.select(col("__pid"),
-            slice(col("__pv"), j * subDim + 1, subDim).as("__ps")),
-          "__pid", "__ps", ksub, iters)
-      }.toArray
-    } finally { normed.unpersist(); () }
+      val seedRows = sampled.orderBy(xxhash64(col("__pid")), col("__pid")).limit(ksub)
+        .select(col("__pv")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(seedRows.length >= ksub,
+        s"sample too small for $ksub sub-centroids (${seedRows.length})")
+      // seed subspace j's codebook from the same ksub sample vectors
+      var cents: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (j, c) =>
+        java.util.Arrays.copyOfRange(seedRows(c),
+          j * subDim, math.min((j + 1) * subDim, seedRows(c).length))
+      }
+      for (_ <- 0 until iters) {
+        // one job: per-row cell assignment for ALL subspaces, then the
+        // exploded positions tag themselves with (subspace, cell, dim)
+        val cellsCol = array((0 until m).map(j =>
+          element_at(graft.functions.VectorFunctions.nearestCells(
+            slice(col("__pv"), j * subDim + 1, subDim), cents(j), 1), 1)): _*)
+        // the generator must DEPEND on `cells` (the no-op when guard):
+        // otherwise ColumnPruning collapses the assignment expression
+        // above the Generate and all m nearestCells re-evaluate once
+        // per exploded ELEMENT — measured 8 s/iteration vs 0.5 s
+        val means = sampled
+          .select(cellsCol.as("cells"), col("__pv"))
+          .select(col("cells"),
+            posexplode(when(size(col("cells")) >= 0, col("__pv")))
+              .as(Seq("pos", "x")))
+          .select((col("pos") / subDim).cast("int").as("j"),
+            element_at(col("cells"), (col("pos") / subDim).cast("int") + 1).as("cell"),
+            pmod(col("pos"), lit(subDim)).as("sp"), col("x"))
+          .groupBy(col("j"), col("cell"), col("sp")).agg(avg(col("x")).as("mn"))
+          .collect()
+        val next = cents.map(_.map(_.clone())) // empty cell keeps its centroid
+        means.foreach { r =>
+          val j = r.getInt(0)
+          val sp = r.getInt(2)
+          if (j < m && sp < cents(j)(r.getInt(1)).length)
+            next(j)(r.getInt(1))(sp) = r.getDouble(3)
+        }
+        cents = next
+      }
+      cents
+    } finally { sampled.unpersist(); () }
   }
 
   /** Encode every vector as its m sub-centroid codes (array<int>,

@@ -660,13 +660,16 @@ object PipelineQueries {
     * brute-force top-3 over the same query batch must clear the floor
     * on every run (one semi-join + two counts), or the gate throws.
     * Measured (deterministic — hash-seeded k-means, fixed fixtures):
-    * 0.997 @ sf0.01, 0.933 @ sf0.1, 0.69 @ the 10× bench corpus
+    * ~1.0 @ sf0.01, ~0.93 @ sf0.1, 0.68 @ the 10× bench corpus
     * (fixed 48-candidate pool vs a growing corpus — the expected
     * fixed-budget decay; floor 0.55 leaves margin at every gated
     * scale). */
   def qSimPq(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val queries = e.filter(col("vec_id") < 200)
+    // 100 queries: the recall floor needs ~300 truth pairs for a
+    // stable estimate, and the gate's cost is linear in the batch
+    // (ADC scan + its brute-force self-check both scale with queries)
+    val queries = e.filter(col("vec_id") < 100)
     val cbs = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 256, iters = 3)
     val pq = Similarity.pqTopK(e, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 3, cbs, pool = 16)
