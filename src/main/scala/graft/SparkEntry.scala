@@ -116,6 +116,7 @@ object SparkEntry {
     "q_percentiles"    -> (AnalyticsQueries.qPercentiles _),
     "q_sample_topk"    -> (AnalyticsQueries.qSampleTopk _),
     "q_asof_join"      -> (AnalyticsQueries.qAsofJoin _),
+    "q_pattern_seq"    -> (AnalyticsQueries.qPatternSeq _),
     "q_range_join"     -> (AnalyticsQueries.qRangeJoin _),
     "q_rollup"         -> (AnalyticsQueries.qRollup _),
     "q_cube"           -> (AnalyticsQueries.qCube _),
@@ -1163,6 +1164,21 @@ object SparkEntry {
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              ON c.user_id = p.user_id AND c.ts <= p.ts
          ) WHERE rn = 1 ORDER BY id""",
+    // followed-by pattern: first same-user purchase at-or-after each
+    // error, within the 1h horizon; gap = difference of floored epochs
+    "q_pattern_seq" ->
+      """SELECT err_id, uid, p_id, gap_sec FROM (
+           SELECT e.event_id AS err_id, e.user_id AS uid,
+                  p.event_id AS p_id,
+                  CAST(floor(epoch(p.ts)) AS BIGINT)
+                    - CAST(floor(epoch(e.ts)) AS BIGINT) AS gap_sec,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY p.ts ASC, p.event_id ASC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'error') e
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             ON p.user_id = e.user_id
+            AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+         ) WHERE rn = 1 ORDER BY err_id""",
     // range join: purchases inside [error_ts, error_ts + 1h) per error
     "q_range_join" ->
       """SELECT er.event_id AS err_id, count(*) AS n_purch,

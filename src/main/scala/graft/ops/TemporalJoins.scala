@@ -89,6 +89,66 @@ object TemporalJoins {
       .select(col("__l.*") +: rightPayload.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** FORWARD as-of join: for every left row, the EARLIEST right row of
+    * the same key with rightTime >= leftTime (ties on rightTime broken
+    * by smallest tieBreak), optionally bounded by `horizonSec` —
+    * "the next right event at or after, within the horizon". The
+    * followed-by half of event-pattern matching: left = trigger,
+    * right = response, horizon = the pattern window. Same plan shape
+    * as [[asofJoin]] mirrored: one key exchange, one sort, a
+    * first(ignoreNulls) forward-frame window; the horizon is a post
+    * null-out (a match beyond it reverts to left-outer null). */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: String,
+      rightPayload: Seq[String],
+      horizonSec: Long = -1L): DataFrame = {
+    require(rightPayload.nonEmpty, "asofJoinForward: rightPayload must name at least one column")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"asofJoinForward: payload collides with left columns: $collisions")
+
+    val leftStruct  = struct(left.columns.map(col).toIndexedSeq: _*)
+    // carry rightTime inside the match struct so the horizon check can
+    // read it after the window picks the match
+    val rightStruct = struct(col(rightTime).as("__rt") +:
+      rightPayload.map(col).toIndexedSeq: _*)
+    val lSide = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(right.select(col(rightTieBreak)).schema.head.dataType).as("__tb"),
+      leftStruct.as("__l"),
+      lit(null).cast(right.select(rightStruct).schema.head.dataType).as("__r"))
+    val rSide = right.filter(col(rightKey).isNotNull).select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"),
+      lit(1).as("__side"), col(rightTieBreak).as("__tb"),
+      lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),
+      rightStruct.as("__r"))
+
+    // left rows (side 0) sort BEFORE right rows at equal time, so a
+    // right row exactly at leftTime is inside the forward frame
+    // (inclusive); among equal-time rights the smallest tieBreak sorts
+    // first and first() picks it
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matched = lSide.unionByName(rSide)
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val inHorizon =
+      if (horizonSec < 0) col("__m")
+      else when(col("__m").isNotNull &&
+        col("__m.__rt") <= col("__t") + expr(s"INTERVAL $horizonSec SECONDS"),
+        col("__m"))
+    matched.withColumn("__h", inHorizon)
+      .select(col("__l.*") +: rightPayload.map(c => col(s"__h.$c").as(c)): _*)
+  }
+
   /** Range (interval-overlap) join: pair every point row with every
     * interval row whose half-open window [start, end) contains the
     * point. No equi-key required — the classic case Spark would plan

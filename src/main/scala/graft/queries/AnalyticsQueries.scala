@@ -37,6 +37,30 @@ object AnalyticsQueries {
       .orderBy(col("id"))
   }
 
+  /** Event-pattern "followed by": for each error, the same user's
+    * FIRST purchase at-or-after the error and within 1 hour — the
+    * trigger→response half of CEP pattern matching, lowered as a
+    * forward as-of join with a horizon (ops/TemporalJoins
+    * .asofJoinForward: one key exchange + one sort, no interval
+    * blow-up). Left-outer: errors with no in-horizon response keep
+    * null response columns. */
+  def qPatternSeq(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("uid"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    TemporalJoins.asofJoinForward(errors, purchases,
+        leftKey = "uid", rightKey = "p_uid",
+        leftTime = "ts", rightTime = "p_ts",
+        rightTieBreak = "p_id", rightPayload = Seq("p_id", "p_ts"),
+        horizonSec = 3600L)
+      .select(col("err_id"), col("uid"), col("p_id"),
+        (col("p_ts").cast("long") - col("ts").cast("long")).as("gap_sec"))
+      .orderBy(col("err_id"))
+  }
+
   /** Range join: for each error event, the count and value-sum of
     * purchase events inside [error_ts, error_ts + 1h) — no equi-key,
     * binned to turn the interval overlap into an equi-join (see

@@ -115,6 +115,31 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       "asof must not fall back to a product join")
   }
+  test("forward as-of: earliest at-or-after match, horizon null-out, key isolation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq(
+      (1L, 1, "2024-01-01 10:00:00"),  // match exactly at same ts (inclusive)
+      (2L, 1, "2024-01-01 11:30:00"),  // next right 11:45 in horizon
+      (3L, 1, "2024-01-01 13:30:00"),  // next right 15:00 beyond 1h → null
+      (4L, 2, "2024-01-01 10:00:00"),  // other key: isolated
+      (5L, 3, "2024-01-01 10:00:00"))  // key with no rights at all
+      .toDF("id", "k", "ts_s").withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val right = Seq(
+      (101L, 1, "2024-01-01 10:00:00"),
+      (100L, 1, "2024-01-01 10:00:00"),  // same ts: smallest id wins
+      (102L, 1, "2024-01-01 11:45:00"),
+      (103L, 1, "2024-01-01 15:00:00"),
+      (201L, 2, "2024-01-01 10:30:00"))
+      .toDF("rid", "rk", "rts_s").withColumn("rts", col("rts_s").cast("timestamp")).drop("rts_s")
+    val got = graft.ops.TemporalJoins.asofJoinForward(left, right,
+        "k", "rk", "ts", "rts", rightTieBreak = "rid",
+        rightPayload = Seq("rid"), horizonSec = 3600L)
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 100L, 2L -> 102L, 3L -> -1L, 4L -> 201L, 5L -> -1L), s"$got")
+  }
+
 }
 
 class SketchesSpec extends AnyFunSuite {
