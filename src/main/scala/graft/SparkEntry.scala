@@ -127,6 +127,8 @@ object SparkEntry {
     "q_collect_list"   -> (AnalyticsQueries.qCollectList _),
     "q_stats_numeric"  -> (AnalyticsQueries.qStatsNumeric _),
     "q_quantile_clamp" -> (AnalyticsQueries.qQuantileClamp _),
+    "q_histogram"      -> (AnalyticsQueries.qHistogram _),
+    "q_zorder"         -> (AnalyticsQueries.qZorder _),
     "q_outer_join"     -> (BatchQueries.qOuterJoin _),
     "q_rag_retrieve"   -> (PipelineQueries.qRagRetrieve _),
     "q_string_funcs"   -> (BatchQueries.qStringFuncs _),
@@ -1252,6 +1254,15 @@ object SparkEntry {
                 round(var_samp(value), 4) AS vr,
                 round(corr(value, CAST(floor(epoch(ts)) AS BIGINT)), 4) AS cr
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // z-order rewrite round-trip: lossless by hash
+    "q_zorder" ->
+      """SELECT event_id, user_id, value FROM events ORDER BY event_id""",
+    // equi-width histogram: shared floor-bin arithmetic
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_lo,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2 ORDER BY event_type, bin""",
     // winsorized aggregates: quantile_cont shares Spark percentile's
     // continuous-interpolation rule (established by q_percentiles)
     "q_quantile_clamp" ->

@@ -185,6 +185,37 @@ object AnalyticsQueries {
         round(corr(col("value"), col("epoch")), 4).as("cr"))
       .orderBy(col("event_type"))
 
+  /** Z-ordered rewrite round-trip (ops/Layout.zorderWrite): events
+    * clustered on (user_id, value) so per-file min/max stats are tight
+    * in BOTH dimensions (locality property asserted in LayoutSpec).
+    * The gate proves the rewrite is LOSSLESS: every row read back from
+    * the z-ordered files must hash-match the source table. */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    graft.queries.PipelineQueries.withTempIndexDir("graft_zorder_gate_") { path =>
+      graft.ops.Layout.zorderWrite(ev, "user_id", "value", path)
+      s.read.parquet(path)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+        .localCheckpoint(true) // pin before the finally reclaims the files
+    }
+  }
+
+  /** Equi-width histogram per event type: 50-unit value bins with
+    * explicit edge semantics (left-closed; values at the top edge fall
+    * into the last in-range bin on both engines via the shared floor
+    * arithmetic). One map-side bin projection + one two-phase count. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") / 50.0).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", (col("bin") * 50.0).cast("double"))
+      .select(col("event_type"), col("bin"), col("bin_lo"), col("n"))
+      .orderBy(col("event_type"), col("bin"))
+
   /** Winsorization: clamp values into the per-group [p05, p95] band
     * (exact percentiles — q_percentiles' interpolation rule) before
     * aggregating — the outlier-robust feature scaling step. The
