@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsQueries, BatchQueries, DialectQueries, PipelineQueries, RemoteQueries, StreamQueries}
+import graft.queries.{AnalyticsQueries, BatchQueries, DialectQueries, PipelineQueries, RemoteQueries, StreamQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -138,6 +138,9 @@ object SparkEntry {
     "q_sketch_distinct"  -> (AnalyticsQueries.qSketchDistinct _),
     "q_sketch_cms"       -> (AnalyticsQueries.qSketchCms _),
     "q_sketch_quantiles" -> (AnalyticsQueries.qSketchQuantiles _),
+    "q_profile"        -> (WarehouseQueries.qProfile _),
+    "q_scd2"           -> (WarehouseQueries.qScd2 _),
+    "q_pagerank"       -> (WarehouseQueries.qPageRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1360,5 +1363,80 @@ object SparkEntry {
       """SELECT p_brand, p_type, count(*) AS freq
          FROM part GROUP BY 1, 2
          ORDER BY freq DESC, p_brand ASC, p_type ASC LIMIT 10""",
+    // one-pass column profile: numeric stats null for strings & vice
+    // versa; avg rounded on both engines
+    "q_profile" -> Seq(
+        ("c_custkey", true), ("c_name", false), ("c_nationkey", true),
+        ("c_acctbal", true), ("c_mktsegment", false)).map {
+          case (c, numeric) =>
+            val (mn, mx, av, ms, xs) =
+              if (numeric)
+                (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+                  s"round(avg($c), 4)",
+                  "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+              else
+                ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+                  "CAST(NULL AS DOUBLE)", s"min($c)", s"max($c)")
+            s"""SELECT '$c' AS col_name,
+                CAST(count($c) AS BIGINT) AS n_nonnull,
+                CAST(count(*) - count($c) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                $mn AS min_num, $mx AS max_num, $av AS avg_num,
+                $ms AS min_str, $xs AS max_str
+                FROM customer"""
+        }.mkString("", " UNION ALL ", " ORDER BY col_name"),
+    // SCD2 merge replay: %7 keys close+reopen, %5-not-%7 keys are a
+    // no-op re-send, %31 keys insert as new entities
+    "q_scd2" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+         SELECT c_custkey, round(bal, 2) AS bal, seg,
+                valid_from, valid_to, is_current
+         FROM (
+           SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg,
+                  '2020-01-01' AS valid_from, '2021-06-01' AS valid_to,
+                  CAST(0 AS INT) AS is_current
+           FROM base WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey, c_acctbal + 100, c_mktsegment,
+                  '2021-06-01', CAST(NULL AS VARCHAR), CAST(1 AS INT)
+           FROM base WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 1.5 * c_custkey, 'NEW',
+                  '2021-06-01', CAST(NULL AS VARCHAR), CAST(1 AS INT)
+           FROM base WHERE c_custkey % 31 = 0
+           UNION ALL
+           SELECT c_custkey, c_acctbal, c_mktsegment,
+                  '2020-01-01', CAST(NULL AS VARCHAR), CAST(1 AS INT)
+           FROM base WHERE c_custkey % 7 <> 0
+         ) ORDER BY c_custkey, valid_from""",
+    "q_pagerank" -> pageRankOracle(5),
   )
+
+  /** DuckDB replay of fixed-point PageRank: the same formula-derived
+    * edge list, outdegrees, and `iters` unrolled power-iteration CTEs
+    * in exact integer arithmetic (`//` floor-div = Spark `div` on the
+    * all-positive ranks) — so rank_fp hash-matches bit-for-bit. */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+           SELECT d.doc_id AS node,
+                  CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS r
+           FROM documents d LEFT JOIN (
+             SELECT e.dst AS dst, SUM(r.r // o.dg) AS s
+             FROM edges e JOIN r${k - 1} r ON r.node = e.src
+             JOIN outd o ON o.src = e.src
+             GROUP BY e.dst) c ON c.dst = d.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS c FROM documents),
+       edges AS (SELECT d.doc_id AS src,
+                        (d.doc_id * 7 + t.j * 13) % nn.c AS dst
+                 FROM documents d
+                 CROSS JOIN (VALUES (1), (2), (3)) t(j)
+                 CROSS JOIN nn),
+       outd AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+       r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r
+              FROM documents),
+       $steps
+       SELECT node, r AS rank_fp FROM r$iters ORDER BY node"""
+  }
 }

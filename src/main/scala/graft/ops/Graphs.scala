@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation. Web-scale training-data
+  * pipelines weight documents by the link structure of their sources
+  * (harvest ranking, seed selection, spam demotion) — a PageRank-style
+  * score over the domain/document link graph is the standard signal.
+  *
+  * Scale shape: each power iteration is ONE shuffle — ranks hash-join
+  * to edges on the source key (both sides arrive hash-partitioned on
+  * it, so the edge side's exchange is planned once and reused), then
+  * contributions two-phase-aggregate on the destination. Rank state is
+  * 16 B/node; edges carry (src, dst, outdeg) only. Lineage is cut with
+  * `localCheckpoint` every round — without it iteration k re-executes
+  * all k-1 predecessors (the quadratic-lineage trap).
+  *
+  * Arithmetic is FIXED-POINT INTEGER (rank ×1e6, floor division):
+  * BIGINT sums are exact and order-invariant, so the result is
+  * bit-identical across partitionings, retries, and engines — a
+  * floating-point PageRank differs in the low bits per run, which
+  * makes cross-engine verification impossible. Dangling-node mass
+  * (nodes with no out-edges) is dropped, the standard sparse-engine
+  * simplification; ranks then converge toward the damped visit
+  * frequency scaled so the no-inlink floor is `(1-d) × 1e6`.
+  */
+object Graphs {
+
+  /** Fixed-point PageRank. `edges`: (srcCol, dstCol) — duplicates are
+    * counted as parallel edges. `nodes`: one row per node id (nodes
+    * with no in-links keep the damping floor). `iters` fixed power
+    * iterations, damping = dampingPermille/1000 (default 850 = 0.85).
+    * Returns (node, rank_fp): rank scaled by 1e6, average ≈ 1e6.
+    */
+  def pageRank(nodes: DataFrame, nodeCol: String,
+               edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingPermille: Long = 850L): DataFrame = {
+    require(iters >= 1 && dampingPermille >= 0 && dampingPermille <= 1000)
+    val floorFp = (1000L - dampingPermille) * 1000L // (1-d) × 1e6
+    val n = nodes.select(col(nodeCol).as("node"))
+    // Outdegree folded onto the edge list once, up front; cached via
+    // localCheckpoint so every iteration rereads materialized blocks
+    // instead of re-scanning the source.
+    val deg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("outdeg"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(deg.withColumnRenamed(srcCol, "src"), "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var ranks = n.select(col("node"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, col("src") === col("node"))
+        // `div`, not `/`: long division stays exact where the
+        // double-rounded quotient can land on the wrong side of an
+        // integer boundary once operands outgrow the mantissa's ulp.
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = n.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(floorFp) + expr(s"($dampingPermille * coalesce(s, 0L)) div 1000"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Graphs, Profile, Scd}
+
+/** Profile / SCD2 / PageRank properties the DuckDB gates can't cover:
+  * the approx-distinct plan shape and tolerance, merge idempotence,
+  * changelog replay, and PageRank's partition-invariance + mass
+  * bounds. */
+class WarehouseOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val customer =
+    Tables.load(spark, "/root/testdata/sf0.01", "customer")
+
+  test("profile: approx distinct is Expand-free and within HLL tolerance") {
+    val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+    val exact = Profile.profile(customer, cols)
+      .select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+    val approxDf = Profile.profile(customer, cols, approxDistinct = true)
+    // plan shape: the exact variant needs one Expand per the multiple
+    // COUNT(DISTINCT)s; the HLL variant must plan without any
+    assert(Profile.profile(customer, cols).queryExecution.executedPlan
+      .toString.contains("Expand"), "exact profile should use Expand")
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must be Expand-free")
+    val approx = approxDf.select("col_name", "n_distinct")
+      .as[(String, Long)].collect().toMap
+    for ((c, ex) <- exact) {
+      val ap = approx(c).toDouble
+      assert(math.abs(ap - ex) <= math.max(2.0, 0.1 * ex),
+        s"$c: approx $ap vs exact $ex outside 10%")
+    }
+  }
+
+  test("scd2 merge: idempotent re-send creates zero new versions") {
+    val base = customer.select(col("c_custkey"), col("c_acctbal"))
+    val dim = Scd.init(base, lit("2020-01-01"))
+    val updates = base.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 5.0)
+    val m1 = Scd.merge(dim, updates, "c_custkey", Seq("c_acctbal"),
+      lit("2021-01-01")).localCheckpoint(true)
+    val n1 = m1.count()
+    // re-sending the SAME batch later must be a pure no-op
+    val m2 = Scd.merge(m1, updates, "c_custkey", Seq("c_acctbal"),
+      lit("2022-01-01")).localCheckpoint(true)
+    assert(m2.count() == n1, "identical re-send must not add versions")
+    assert(m2.filter(col("valid_from") === "2022-01-01").count() == 0)
+    // exactly one open version per key, and closed/open line up
+    val openPerKey = m2.filter(col("is_current"))
+      .groupBy(col("c_custkey")).count().filter(col("count") =!= 1).count()
+    assert(openPerKey == 0, "every key must have exactly one current row")
+  }
+
+  test("scd2 fromChangelog: versions chain with no gaps or overlaps") {
+    val log = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .filter(col("event_type") === "click").limit(5000)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val hist = Scd.fromChangelog(log, "user_id", "ts", "event_id",
+      Seq("value")).localCheckpoint(true)
+    assert(hist.count() == log.count(), "one version per changelog row")
+    // each key: exactly one current; valid_to of row k == valid_from
+    // of row k+1 under the (ts, tie) order
+    assert(hist.filter(col("is_current")).groupBy(col("user_id")).count()
+      .filter(col("count") =!= 1).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      // valid_to tiebreak: equal-ts versions chain in close order
+      .orderBy(col("valid_from"), col("valid_to").asc_nulls_last)
+    val broken = hist
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        !(col("valid_to") <=> col("next_from")))
+      .count()
+    assert(broken == 0, s"$broken chain breaks")
+  }
+
+  test("pagerank: partition-invariant, floor-exact, mass-bounded") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"))
+    val n = docs.count()
+    // star + chain: doc 0 receives a link from everyone (hub); nobody
+    // links to doc 1 except the formula chain below
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(array(lit(1), lit(2))).as("j"))
+      .select(col("src"),
+        when(col("j") === 1, lit(0L))
+          .otherwise((col("src") * 11 + 3) % n).as("dst"))
+    val r1 = Graphs.pageRank(docs, "doc_id", edges, "src", "dst", iters = 4)
+    val r2 = Graphs.pageRank(docs.repartition(17), "doc_id",
+      edges.repartition(13), "src", "dst", iters = 4)
+    // integer arithmetic ⇒ bit-identical under any partitioning
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty,
+      "rank_fp must not depend on partitioning")
+    val ranks = r1.as[(Long, Long)].collect().toMap
+    val hub = ranks(0L)
+    assert(hub > ranks.values.sum / n * 5,
+      s"hub must dominate, got $hub vs mean ${ranks.values.sum / n}")
+    // floor: every rank ≥ (1-d)·1e6; truncation only loses mass
+    assert(ranks.values.forall(_ >= 150000L))
+    assert(ranks.values.sum <= n * 1000000L,
+      "floor-div can only lose mass vs the continuous fixpoint")
+  }
+}
