@@ -141,6 +141,9 @@ object SparkEntry {
     "q_profile"        -> (WarehouseQueries.qProfile _),
     "q_scd2"           -> (WarehouseQueries.qScd2 _),
     "q_pagerank"       -> (WarehouseQueries.qPageRank _),
+    "q_skyline"        -> (AnalyticsQueries.qSkyline _),
+    "q_funnel"         -> (AnalyticsQueries.qFunnel _),
+    "q_latest_wins"    -> (AnalyticsQueries.qLatestWins _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1410,6 +1413,60 @@ object SparkEntry {
            FROM base WHERE c_custkey % 7 <> 0
          ) ORDER BY c_custkey, valid_from""",
     "q_pagerank" -> pageRankOracle(5),
+    // 2D skyline: the window replays the op's sweep rule — descending
+    // x, keep iff y strictly beats every earlier y
+    "q_skyline" ->
+      """WITH p AS (
+           SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         s AS (
+           SELECT ep, value,
+                  max(value) OVER (ORDER BY ep DESC, value DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM p)
+         SELECT ep, value FROM s WHERE pm IS NULL OR value > pm
+         ORDER BY ep DESC""",
+    // 3-step funnel: first-in-horizon semantics of q_pattern_seq,
+    // chained twice
+    "q_funnel" ->
+      """WITH v AS (SELECT event_id AS v_id, user_id AS uid, ts
+                    FROM events WHERE event_type = 'view'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         s1 AS (SELECT v_id, uid, c_id, c_ts FROM (
+           SELECT v.v_id, v.uid, c.event_id AS c_id, c.ts AS c_ts,
+                  row_number() OVER (PARTITION BY v.v_id
+                    ORDER BY c.ts ASC, c.event_id ASC) AS rn
+           FROM v LEFT JOIN c
+             ON c.user_id = v.uid AND c.ts >= v.ts
+            AND c.ts <= v.ts + INTERVAL 2 HOUR) WHERE rn = 1),
+         s2 AS (SELECT v_id, uid, c_id, p_id FROM (
+           SELECT s1.v_id, s1.uid, s1.c_id, p.event_id AS p_id,
+                  row_number() OVER (PARTITION BY s1.v_id
+                    ORDER BY p.ts ASC, p.event_id ASC) AS rn
+           FROM s1 LEFT JOIN p
+             ON s1.c_id IS NOT NULL AND p.user_id = s1.uid
+            AND p.ts >= s1.c_ts AND p.ts <= s1.c_ts + INTERVAL 2 HOUR)
+           WHERE rn = 1)
+         SELECT v_id, uid, c_id, p_id FROM s2 ORDER BY v_id""",
+    // arg-max under the total (ts, event_id) order, replayed with
+    // row_number since the struct-keyed max_by is Spark-side
+    "q_latest_wins" ->
+      """WITH e AS (
+           SELECT user_id, value, ts,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rd,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS ra
+           FROM events)
+         SELECT user_id AS uid,
+                max(CASE WHEN rd = 1 THEN value END) AS last_value,
+                max(CASE WHEN ra = 1 THEN value END) AS first_value,
+                CAST(max(floor(epoch(ts))) AS BIGINT) AS last_ep,
+                CAST(count(*) AS BIGINT) AS n
+         FROM e GROUP BY user_id ORDER BY uid""",
   )
 
   /** DuckDB replay of fixed-point PageRank: the same formula-derived

@@ -364,4 +364,61 @@ object AnalyticsQueries {
       "q_sketch_quantiles: GK quantile rank outside the 2% tolerance")
     q.orderBy(col("event_type"))
   }
+
+  /** Recency-value Pareto frontier (ops/Frontier.skyline2d): events
+    * nothing beats on BOTH freshness and value. One range shuffle +
+    * a per-partition sweep; the oracle replays the identical
+    * descending-x running-max rule in a window. */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("ts").cast("long").as("ep"), col("value"))
+    graft.ops.Frontier.skyline2d(ev, "ep", "value")
+      .select(col("ep").cast("long").as("ep"), col("value"))
+      .orderBy(col("ep").desc)
+  }
+
+  /** Three-step conversion funnel view → click → purchase, each step
+    * the user's FIRST qualifying event within 2 h of the previous one
+    * — two chained forward as-of joins (one key exchange + one sort
+    * each, no interval replication), drop-offs kept as null steps. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("uid"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val s1 = TemporalJoins.asofJoinForward(views, clicks,
+      leftKey = "uid", rightKey = "c_uid", leftTime = "ts",
+      rightTime = "c_ts", rightTieBreak = "c_id",
+      rightPayload = Seq("c_id", "c_ts"), horizonSec = 7200L)
+    val matched = s1.filter(col("c_id").isNotNull)
+    val s2 = TemporalJoins.asofJoinForward(matched, purchases,
+      leftKey = "uid", rightKey = "p_uid", leftTime = "c_ts",
+      rightTime = "p_ts", rightTieBreak = "p_id",
+      rightPayload = Seq("p_id"), horizonSec = 7200L)
+      .select(col("v_id"), col("uid"), col("c_id"), col("p_id"))
+    val droppedOff = s1.filter(col("c_id").isNull)
+      .select(col("v_id"), col("uid"), col("c_id"),
+        lit(null).cast("long").as("p_id"))
+    s2.unionAll(droppedOff).orderBy(col("v_id"))
+  }
+
+  /** Latest-wins consolidation via native arg-max aggregates: per
+    * user, the value of their LAST and FIRST event under the total
+    * (ts, event_id) order — `max_by`/`min_by` on a struct key, one
+    * two-phase aggregation, no window sort. The crawl-snapshot
+    * "newest record per key" shape. */
+  def qLatestWins(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id").as("uid"))
+      .agg(
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("first_value"),
+        max(col("ts")).cast("long").as("last_ep"),
+        count(lit(1)).as("n"))
+      .orderBy(col("uid"))
 }
