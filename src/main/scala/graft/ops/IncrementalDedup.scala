@@ -139,6 +139,34 @@ final class IncrementalDedup private (
       survivors
     }
   }
+
+  /** Off-hot-path index maintenance. Every `dedupBatch` commit adds
+    * one file set per table, so after B batches the bucket join reads
+    * B× more files than it needs; this (1) deletes dangling bucket
+    * rows — ids whose signatures never landed because a crash split
+    * the bands-then-sigs commit pair (the verify join already ignores
+    * them; dropping them stops the collision join from carrying them
+    * forever), then (2) rewrites both tables clustered: buckets
+    * range-sorted by (band, bucket) so a batch's collision join prunes
+    * to the files its buckets land in, sigs by id so the verify fetch
+    * prunes by manifest id range. Appends stay O(batch); run this at
+    * the cadence small-file pressure dictates, like any LSM/Delta
+    * OPTIMIZE. Old versions remain until `vacuum`. */
+  def compact(targetFiles: Int = 8): Unit = {
+    if (buckets.exists && sigs.exists) {
+      val dangling = buckets.read.select(col("id"))
+        .join(sigs.read.select(col("id")), Seq("id"), "left_anti").distinct()
+      if (!dangling.isEmpty) buckets.deleteKeys(dangling)
+    }
+    buckets.compact(targetFiles, clusterBy = Seq("band", "bucket"))
+    sigs.compact(targetFiles, clusterBy = Seq("id"))
+  }
+
+  /** Reclaim superseded index versions (delegates to TableStore
+    * vacuum; `graceMs = 0` keeps only the latest snapshot). */
+  def vacuum(graceMs: Long = 10 * 60 * 1000L): Unit = {
+    buckets.vacuum(graceMs); sigs.vacuum(graceMs)
+  }
 }
 
 object IncrementalDedup {

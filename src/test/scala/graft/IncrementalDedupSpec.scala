@@ -65,6 +65,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"dropped docs without a kept near-dup: $violations")
   }
 
+  test("compact: drops dangling bucket rows, shrinks files, preserves behavior") {
+    val dir = tmp()
+    val idx = IncrementalDedup.open(spark, dir, threshold = 0.6)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    // 4 append commits → 4 file sets per table
+    for (lo <- 0L until 400L by 100L)
+      idx.dedupBatch(docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 100), "doc_id", "text")
+    val keptBefore = idx.sigs.read.select("id").collect().map(_.getLong(0)).toSet
+    // simulate the crash window: bucket rows whose sigs never landed
+    idx.buckets.append(Seq((0, 12345L, 999999L)).toDF("band", "bucket", "id"))
+    assert(!idx.buckets.read.filter(col("id") === 999999L).isEmpty)
+
+    idx.compact(targetFiles = 2)
+
+    assert(idx.buckets.read.filter(col("id") === 999999L).isEmpty,
+      "dangling bucket rows must be dropped")
+    assert(idx.sigs.read.select("id").collect().map(_.getLong(0)).toSet
+      == keptBefore, "compaction must not change the kept set")
+    // a reopened index behaves identically on the next batch
+    val idx2 = IncrementalDedup.open(spark, dir, threshold = 0.6)
+    val s = idx2.dedupBatch(docs.filter(col("doc_id") >= 400), "doc_id", "text")
+    val oneShot = Dedup.minhashDedup(docs, "doc_id", "text",
+        threshold = 0.6, k = 5, numHashes = 64, bands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inc = (idx2.sigs.read.select("id").collect().map(_.getLong(0)).toSet)
+    assert(oneShot.subsetOf(inc), "superset contract survives compaction")
+    assert(s.count() > 0)
+  }
+
   test("streaming composition: foreachBatch dedups each micro-batch against the index") {
     val dir = tmp()
     val idx = IncrementalDedup.open(spark, dir, threshold = 0.9)
