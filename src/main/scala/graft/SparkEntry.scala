@@ -144,6 +144,7 @@ object SparkEntry {
     "q_skyline"        -> (AnalyticsQueries.qSkyline _),
     "q_funnel"         -> (AnalyticsQueries.qFunnel _),
     "q_latest_wins"    -> (AnalyticsQueries.qLatestWins _),
+    "q_mix_sources"    -> (PipelineQueries.qMixSources _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1467,6 +1468,33 @@ object SparkEntry {
                 CAST(max(floor(epoch(ts))) AS BIGINT) AS last_ep,
                 CAST(count(*) AS BIGINT) AS n
          FROM e GROUP BY user_id ORDER BY uid""",
+    // √-temperature mixing: all-integer replay — floor∘sqrt is
+    // IEEE-stable, allocations/rates are floor division, keep test is
+    // a modular hash of doc_id
+    "q_mix_sources" ->
+      """WITH sz AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+                     FROM documents GROUP BY source),
+         tot AS (SELECT
+             CAST(sum(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_sum,
+             CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) // 2 AS budget
+           FROM sz),
+         r AS (SELECT sz.source, sz.n,
+                 least(1000000,
+                   (1000000 * ((tot.budget *
+                     CAST(floor(sqrt(CAST(sz.n AS DOUBLE))) AS BIGINT))
+                       // tot.s_sum)) // sz.n) AS rate_ppm
+               FROM sz CROSS JOIN tot),
+         k AS (SELECT d.source, d.n_chars
+               FROM documents d JOIN r ON d.source = r.source
+               WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm),
+         ka AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                       CAST(sum(n_chars) AS BIGINT) AS mass_kept
+                FROM k GROUP BY source)
+         SELECT r.source, r.n, r.rate_ppm,
+                COALESCE(ka.n_kept, 0) AS n_kept,
+                COALESCE(ka.mass_kept, 0) AS mass_kept
+         FROM r LEFT JOIN ka ON r.source = ka.source
+         ORDER BY r.source""",
   )
 
   /** DuckDB replay of fixed-point PageRank: the same formula-derived

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Temperature-scaled source mixing — the "don't let the biggest crawl
+  * drown the corpus" step of training-data assembly: allocate a total
+  * mass budget across sources proportional to size^α (α = 0.5 here,
+  * the common square-root temperature), then keep a deterministic
+  * per-source fraction of documents hitting that allocation.
+  *
+  * Everything is INTEGER arithmetic so the selection replays
+  * bit-for-bit on any engine: size^0.5 enters as floor∘sqrt (IEEE
+  * sqrt is correctly rounded, so the floor is engine-stable),
+  * allocations and per-million rates use floor division, and the
+  * per-document keep test is a modular hash of the id against the
+  * rate — no RNG, no float thresholds. Exactness bound: intermediate
+  * products stay in BIGINT while per-source mass ≤ ~9·10^12 units;
+  * above that, pre-scale the mass column (chars → KB) before calling.
+  *
+  * Scale shape: one two-phase aggregate for the per-source masses
+  * (#sources rows), a broadcast join to attach rates, and a map-side
+  * modular filter — the document table is scanned once and never
+  * shuffled.
+  */
+object Mixing {
+
+  private val Mixer = 2654435761L // Knuth multiplicative hash constant
+
+  /** Per-source √-temperature allocation: (source, n, rate_ppm) where
+    * n is the source's total mass (sum of `massCol`) and rate_ppm the
+    * kept fraction in parts-per-million. `budget` is the target total
+    * mass in the same units as `massCol`. Sources whose √-share
+    * exceeds their own mass cap at 1e6 (keep everything). */
+  def sqrtMixRates(df: DataFrame, sourceCol: String, massCol: String,
+                   budget: Long): DataFrame = {
+    val sz = df.groupBy(col(sourceCol))
+      .agg(sum(col(massCol)).cast("long").as("n"))
+      .withColumn("s", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val tot = sz.agg(sum(col("s")).cast("long").as("s_sum"))
+    sz.crossJoin(broadcast(tot))
+      .withColumn("alloc", expr(s"($budget * s) div s_sum"))
+      .select(col(sourceCol), col("n"),
+        least(lit(1000000L), expr("(1000000 * alloc) div n")).as("rate_ppm"))
+  }
+
+  /** Keep each row iff its id's modular hash lands under the source's
+    * rate: (id · 2654435761) mod 1e6 < rate_ppm. Deterministic,
+    * stateless, map-side (rates broadcast). */
+  def sampleByRatePpm(df: DataFrame, sourceCol: String, idCol: String,
+                      rates: DataFrame): DataFrame =
+    df.join(broadcast(rates.select(col(sourceCol), col("rate_ppm"))),
+        Seq(sourceCol))
+      .filter((col(idCol) * Mixer) % 1000000L < col("rate_ppm"))
+      .drop("rate_ppm")
+}

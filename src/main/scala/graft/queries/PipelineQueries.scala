@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, IncrementalDedup, Multimodal, Scrub, Similarity, TextAnalysis}
+import graft.ops.{Dedup, IncrementalDedup, Mixing, Multimodal, Scrub, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators driven through the correctness
   * gate on the `documents` and `embeddings` tables. Oracle-backed where
@@ -817,6 +817,27 @@ object PipelineQueries {
       defaultBp = 6000)
     sampled.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("source"))
+  }
+
+  /** √-temperature source mixing (ops/Mixing): half the corpus' char
+    * mass, allocated across sources ∝ √mass, kept via the integer
+    * modular-hash rate — per-source rates and kept masses replayed
+    * exactly by DuckDB (all-integer arithmetic, IEEE-stable isqrt).
+    * One aggregate + broadcast-rate map-side filter; no shuffle of
+    * the document table. */
+  def qMixSources(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val budget = d.agg(sum(col("n_chars")).cast("long")).head().getLong(0) / 2
+    val rates = Mixing.sqrtMixRates(d, "source", "n_chars", budget)
+    val kept = Mixing.sampleByRatePpm(d, "source", "doc_id", rates)
+    val ka = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("mass_kept"))
+    rates.join(ka, Seq("source"), "left")
+      .select(col("source"), col("n"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("mass_kept"), lit(0L)).as("mass_kept"))
       .orderBy(col("source"))
   }
 }

@@ -78,6 +78,29 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(broken == 0, s"$broken chain breaks")
   }
 
+  test("mixing: sqrt temperature boosts small sources, caps at keep-all") {
+    val rows = (0 until 100).map(i => (i.toLong, "small", 1L)) ++
+      (100 until 10100).map(i => (i.toLong, "big", 1L))
+    val df = rows.toDF("id", "source", "mass")
+    val rates = graft.ops.Mixing.sqrtMixRates(df, "source", "mass", budget = 1010L)
+      .select($"source", $"rate_ppm").as[(String, Long)].collect().toMap
+    assert(rates.values.forall(r => r >= 0L && r <= 1000000L))
+    // isqrt shares: small gets 10/110 of 1010 = 91 over mass 100 →
+    // 910000 ppm; big gets 918 over 10000 → 91800 ppm
+    assert(rates("small") == 910000L && rates("big") == 91800L,
+      s"exact integer allocation, got $rates")
+    val kept = graft.ops.Mixing.sampleByRatePpm(df, "source", "id",
+      graft.ops.Mixing.sqrtMixRates(df, "source", "mass", budget = 1010L))
+    val frac = kept.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(frac("small") / 100.0 - 0.91) < 0.15)
+    assert(math.abs(frac("big") / 10000.0 - 0.0918) < 0.03)
+    // full-budget ⇒ every source caps at keep-all
+    val capAll = graft.ops.Mixing
+      .sqrtMixRates(df, "source", "mass", budget = 1000000L)
+      .select($"rate_ppm").as[Long].collect()
+    assert(capAll.forall(_ == 1000000L))
+  }
+
   test("pagerank: partition-invariant, floor-exact, mass-bounded") {
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select(col("doc_id"))
