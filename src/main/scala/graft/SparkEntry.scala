@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsQueries, BatchQueries, DialectQueries, PipelineQueries, RemoteQueries, StreamQueries, WarehouseQueries}
+import graft.queries.{AnalyticsQueries, BatchQueries, DialectQueries, PipelineQueries, RemoteQueries, SourceQueries, StreamQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -145,6 +145,8 @@ object SparkEntry {
     "q_funnel"         -> (AnalyticsQueries.qFunnel _),
     "q_latest_wins"    -> (AnalyticsQueries.qLatestWins _),
     "q_mix_sources"    -> (PipelineQueries.qMixSources _),
+    "q_schema_evolve"  -> (SourceQueries.qSchemaEvolve _),
+    "q_source_jsonl"   -> (SourceQueries.qSourceJsonl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1495,6 +1497,18 @@ object SparkEntry {
                 COALESCE(ka.mass_kept, 0) AS mass_kept
          FROM r LEFT JOIN ka ON r.source = ka.source
          ORDER BY r.source""",
+    // schema evolution: even keys predate the added column
+    "q_schema_evolve" ->
+      """SELECT c_custkey, c_acctbal,
+                CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS seg
+         FROM customer ORDER BY c_custkey""",
+    // JSONL quarantine: one malformed line per doc_id ≡ 0 (mod 50)
+    "q_source_jsonl" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_parsed,
+                CAST((SELECT count(*) FROM documents WHERE doc_id % 50 = 0)
+                  AS BIGINT) AS n_corrupt,
+                CAST(sum(n_chars) AS BIGINT) AS chars_total
+         FROM documents""",
   )
 
   /** DuckDB replay of fixed-point PageRank: the same formula-derived
