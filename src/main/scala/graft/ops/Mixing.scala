@@ -46,11 +46,15 @@ object Mixing {
 
   /** Keep each row iff its id's modular hash lands under the source's
     * rate: (id · 2654435761) mod 1e6 < rate_ppm. Deterministic,
-    * stateless, map-side (rates broadcast). */
+    * stateless, map-side (rates broadcast). Computed in the residue
+    * ring — ((id mod 1e6) · (Mixer mod 1e6)) mod 1e6, the SAME value
+    * by mod-multiplicativity — so 64-bit ids can't overflow the
+    * product under ANSI arithmetic. */
   def sampleByRatePpm(df: DataFrame, sourceCol: String, idCol: String,
                       rates: DataFrame): DataFrame =
     df.join(broadcast(rates.select(col(sourceCol), col("rate_ppm"))),
         Seq(sourceCol))
-      .filter((col(idCol) * Mixer) % 1000000L < col("rate_ppm"))
+      .filter(((col(idCol) % 1000000L) * (Mixer % 1000000L)) % 1000000L
+        < col("rate_ppm"))
       .drop("rate_ppm")
 }
