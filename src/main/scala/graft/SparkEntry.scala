@@ -147,6 +147,8 @@ object SparkEntry {
     "q_mix_sources"    -> (PipelineQueries.qMixSources _),
     "q_schema_evolve"  -> (SourceQueries.qSchemaEvolve _),
     "q_source_jsonl"   -> (SourceQueries.qSourceJsonl _),
+    "q_outliers"       -> (AnalyticsQueries.qOutliers _),
+    "q_source_overlap" -> (PipelineQueries.qSourceOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1509,6 +1511,32 @@ object SparkEntry {
                   AS BIGINT) AS n_corrupt,
                 CAST(sum(n_chars) AS BIGINT) AS chars_total
          FROM documents""",
+    // z-score tail trim: per-type stats then the same filter
+    "q_outliers" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+                            stddev_samp(value) AS sd
+                     FROM events GROUP BY event_type)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_out,
+                min(e.value) AS v_lo, max(e.value) AS v_hi
+         FROM events e JOIN st USING (event_type)
+         WHERE abs(e.value - st.mu) > 1.5 * st.sd
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    // source contamination matrix: identical raw 5-char shingle sets
+    "q_source_overlap" ->
+      """WITH sh AS (
+           SELECT DISTINCT g, substr(text, CAST(i AS INT), 5) AS s
+           FROM (SELECT source AS g, text,
+                        unnest(range(1, length(text) - 3)) AS i
+                 FROM documents WHERE length(text) >= 5)),
+         per AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY g),
+         pr AS (SELECT a.g AS g1, b.g AS g2, CAST(count(*) AS BIGINT) AS n_ab
+                FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+                GROUP BY a.g, b.g)
+         SELECT pr.g1, pr.g2, pa.n AS n_a, pb.n AS n_b, pr.n_ab,
+                round(CAST(pr.n_ab AS DOUBLE) / (pa.n + pb.n - pr.n_ab), 6)
+                  AS jaccard
+         FROM pr JOIN per pa ON pa.g = pr.g1 JOIN per pb ON pb.g = pr.g2
+         ORDER BY pr.g1, pr.g2""",
   )
 
   /** DuckDB replay of fixed-point PageRank: the same formula-derived

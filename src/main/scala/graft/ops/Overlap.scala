@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-source overlap matrix — "how much of source A is also in
+  * source B": the contamination / provenance diagnostic run before
+  * mixing corpora (a crawl that substantially duplicates another
+  * source should be down-weighted or dropped, and train/eval sources
+  * must not overlap). Overlap is measured as Jaccard similarity of
+  * the sources' character-k-shingle SETS — the same granularity the
+  * dedup family uses, but aggregated per source pair instead of per
+  * document pair.
+  *
+  * Scale shape: one explode to DISTINCT (shingle, source) rows — the
+  * per-source shingle SET, so volume is unique-shingles × sources,
+  * not corpus length — then a self-equi-join on the shingle. Each
+  * shingle contributes at most (sources it appears in choose 2)
+  * pairs, so the join output is bounded by #sources², not corpus
+  * size; with tens-to-hundreds of sources this is metadata-scale.
+  * Shingles travel as raw k-char strings (no hashing), so pair
+  * counts are exact — a hash would make the matrix only
+  * almost-surely right, which a byte-compare gate can't tolerate.
+  */
+object Overlap {
+
+  /** Pairwise (groupA < groupB) shingle-set overlap: n_a, n_b
+    * distinct-shingle counts, n_ab the intersection, jaccard rounded
+    * to 6 decimals. Rows shorter than k contribute nothing. */
+  def shingleOverlapMatrix(df: DataFrame, groupCol: String, textCol: String,
+                           k: Int = 5): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val sh = df.filter(length(col(textCol)) >= k)
+      .select(col(groupCol).as("g"),
+        explode(expr(
+          s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))"))
+          .as("s"))
+      .distinct()
+    val per = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("g").as("g1"), col("s"))
+      .join(sh.select(col("g").as("g2"), col("s")), Seq("s"))
+      .filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(per.select(col("g").as("g1"), col("n").as("n_a")), Seq("g1"))
+      .join(per.select(col("g").as("g2"), col("n").as("n_b")), Seq("g2"))
+      .select(col("g1"), col("g2"), col("n_a"), col("n_b"), col("n_ab"),
+        round(col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")), 6)
+          .as("jaccard"))
+  }
+}

@@ -407,6 +407,23 @@ object AnalyticsQueries {
     s2.unionAll(droppedOff).orderBy(col("v_id"))
   }
 
+  /** Z-score outlier trim report: per event type, the rows beyond
+    * 1.5σ of the type mean (the tail-trimming step before feature
+    * aggregation; 1.5 because a bounded-uniform value column has no
+    * 3σ tail at all). One tiny stats aggregate broadcast back, then
+    * a map-side filter — the same two-pass shape as q_quantile_clamp. */
+  def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("value") - col("mu")) > lit(1.5) * col("sd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_out"),
+        min(col("value")).as("v_lo"), max(col("value")).as("v_hi"))
+      .orderBy(col("event_type"))
+  }
+
   /** Latest-wins consolidation via native arg-max aggregates: per
     * user, the value of their LAST and FIRST event under the total
     * (ts, event_id) order — `max_by`/`min_by` on a struct key, one

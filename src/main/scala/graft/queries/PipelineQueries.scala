@@ -840,4 +840,13 @@ object PipelineQueries {
         coalesce(col("mass_kept"), lit(0L)).as("mass_kept"))
       .orderBy(col("source"))
   }
+
+  /** Cross-source contamination matrix (ops/Overlap): pairwise
+    * Jaccard of the sources' 5-char-shingle sets — the pre-mixing
+    * "is crawl B just crawl A again" diagnostic. Distinct
+    * (shingle, source) rows bound the join; raw shingle strings keep
+    * the counts exact. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Overlap.shingleOverlapMatrix(docs(s, dir), "source", "text")
+      .orderBy(col("g1"), col("g2"))
 }

@@ -101,6 +101,22 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(capAll.forall(_ == 1000000L))
   }
 
+  test("overlap matrix: hand-computed shingle jaccard, short rows ignored") {
+    val df = Seq(
+      ("A", "abcdefgh"),  // shingles: abcde bcdef cdefg defgh
+      ("B", "abcdexyzw"), // shingles: abcde bcdex cdexy dexyz exyzw
+      ("B", "tiny")       // < k chars: contributes nothing
+    ).toDF("src", "text")
+    val m = graft.ops.Overlap.shingleOverlapMatrix(df, "src", "text", k = 5)
+      .collect()
+    assert(m.length == 1)
+    val r = m.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 4 && r.getLong(3) == 5 && r.getLong(4) == 1,
+      s"expected n_a=4 n_b=5 n_ab=1, got $r")
+    assert(r.getDouble(5) == 0.125) // 1 / (4 + 5 - 1)
+  }
+
   test("pagerank: partition-invariant, floor-exact, mass-bounded") {
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select(col("doc_id"))
