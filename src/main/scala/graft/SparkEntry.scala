@@ -149,6 +149,9 @@ object SparkEntry {
     "q_source_jsonl"   -> (SourceQueries.qSourceJsonl _),
     "q_outliers"       -> (AnalyticsQueries.qOutliers _),
     "q_source_overlap" -> (PipelineQueries.qSourceOverlap _),
+    "q_label_encode"   -> (AnalyticsQueries.qLabelEncode _),
+    "q_regression"     -> (AnalyticsQueries.qRegression _),
+    "q_version_diff"   -> (BatchQueries.qVersionDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1537,6 +1540,45 @@ object SparkEntry {
                   AS jaccard
          FROM pr JOIN per pa ON pa.g = pr.g1 JOIN per pb ON pb.g = pr.g2
          ORDER BY pr.g1, pr.g2""",
+    // label encoding: dense_rank over the sorted category dictionary
+    "q_label_encode" ->
+      """SELECT c_mktsegment,
+                CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS BIGINT)
+                  AS seg_id,
+                CAST(count(*) AS BIGINT) AS n
+         FROM customer GROUP BY c_mktsegment ORDER BY seg_id""",
+    // groupwise least squares via SQL-standard regr_* aggregates;
+    // x centered at epoch 1.6e9 on both engines
+    "q_regression" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                round(regr_slope(value,
+                  CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1600000000 AS DOUBLE))
+                  * 1e6, 4) AS slope_scaled,
+                round(regr_intercept(value,
+                  CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1600000000 AS DOUBLE)),
+                  2) AS icept,
+                round(regr_r2(value,
+                  CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1600000000 AS DOUBLE)),
+                  4) AS r2
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // snapshot CDC: append leg adds purchases; delete leg removes
+    // value<10 rows of the click+purchase table
+    "q_version_diff" ->
+      """WITH cp AS (SELECT * FROM events
+                     WHERE event_type IN ('click', 'purchase'))
+         SELECT 'v1_v2' AS leg,
+                CAST((SELECT count(*) FROM events
+                      WHERE event_type = 'purchase') AS BIGINT) AS n_added,
+                round((SELECT sum(value) FROM events
+                       WHERE event_type = 'purchase'), 2) AS val_added,
+                CAST(0 AS BIGINT) AS n_removed,
+                0.0 AS val_removed
+         UNION ALL
+         SELECT 'v2_v3', CAST(0 AS BIGINT), 0.0,
+                CAST((SELECT count(*) FROM cp WHERE value < 10) AS BIGINT),
+                round(coalesce((SELECT sum(value) FROM cp WHERE value < 10),
+                  0.0), 2)
+         ORDER BY leg""",
   )
 
   /** DuckDB replay of fixed-point PageRank: the same formula-derived

@@ -424,6 +424,39 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Categorical label encoding — the feature-prep step that maps
+    * string categories to dense integer ids: dictionary = distinct
+    * values ranked in sort order (dense_rank), broadcast back onto
+    * the rows. The dictionary is category-cardinality-sized, so the
+    * encode join is map-side at any corpus size. */
+  def qLabelEncode(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val dict = cust.select(col("c_mktsegment")).distinct()
+      .withColumn("seg_id",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_mktsegment"))).cast("long"))
+    cust.join(broadcast(dict), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"), col("seg_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("seg_id"))
+  }
+
+  /** Group-wise least squares: value regressed on event time per
+    * type, via the SQL-standard regr_* aggregates (one two-phase
+    * pass, no per-group collection). Slope/intercept/r² rounded on
+    * both engines. */
+  def qRegression(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      // x centered at a fixed epoch so the moment sums keep precision
+      .select(col("event_type"), col("value"),
+        (col("ts").cast("long") - 1600000000L).cast("double").as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(regr_slope(col("value"), col("x")) * 1e6, 4).as("slope_scaled"),
+        round(regr_intercept(col("value"), col("x")), 2).as("icept"),
+        round(regr_r2(col("value"), col("x")), 4).as("r2"))
+      .orderBy(col("event_type"))
+
   /** Latest-wins consolidation via native arg-max aggregates: per
     * user, the value of their LAST and FIRST event under the total
     * (ts, event_id) order — `max_by`/`min_by` on a struct key, one

@@ -354,6 +354,34 @@ object BatchQueries {
       .orderBy(col("snapshot"))
   }
 
+  /** Snapshot CDC (TableStore.diff): the same three-version history
+    * as q_time_travel, diffed leg by leg — append leg shows only
+    * added rows, delete leg only removed rows, and rows a rewrite
+    * merely copied between files cancel. Only CHANGED files are
+    * scanned (manifest file-set intersection skips common files
+    * unread). */
+  def qVersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = graft.core.TempDirs.create("graft_vdiff_")
+    val store = new graft.core.TableStore(s, tmp, "event_id")
+    store.append(ev.filter(col("event_type") === "click"))
+    store.append(ev.filter(col("event_type") === "purchase"))
+    store.delete(col("value") < 10.0)
+    val Seq(v1, v2, v3) = store.versions.sorted.takeRight(3)
+    def leg(tag: String, a: Long, b: Long): DataFrame = {
+      val (ad, rm) = store.diff(a, b)
+      ad.agg(count(lit(1)).as("n_added"),
+          coalesce(round(sum(col("value")), 2), lit(0.0)).as("val_added"))
+        .crossJoin(rm.agg(count(lit(1)).as("n_removed"),
+          coalesce(round(sum(col("value")), 2), lit(0.0)).as("val_removed")))
+        .select(lit(tag).as("leg"), col("n_added"), col("val_added"),
+          col("n_removed"), col("val_removed"))
+    }
+    leg("v1_v2", v1, v2).unionAll(leg("v2_v3", v2, v3))
+      .orderBy(col("leg"))
+  }
+
   def qPersistFind(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),

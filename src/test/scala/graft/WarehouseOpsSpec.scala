@@ -101,6 +101,25 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(capAll.forall(_ == 1000000L))
   }
 
+  test("version diff: upsert rewrite yields only truly-changed rows") {
+    val tmp = graft.core.TempDirs.create("graft_diffspec_")
+    val store = new graft.core.TableStore(spark, tmp, "id")
+    val base = (0L until 1000L).map(i => (i, i * 2.0)).toDF("id", "v")
+    store.append(base)
+    // rewrite 100 rows; the other 900 in the touched files are copied
+    // unchanged into new files and must CANCEL in the diff
+    store.upsert(base.filter($"id" % 10 === 0).withColumn("v", $"v" + 0.5))
+    val Seq(v1, v2) = store.versions.sorted.takeRight(2)
+    val (added, removed) = store.diff(v1, v2)
+    assert(added.as[(Long, Double)].collect().toSet ==
+      (0L until 1000L by 10).map(i => (i, i * 2.0 + 0.5)).toSet)
+    assert(removed.as[(Long, Double)].collect().toSet ==
+      (0L until 1000L by 10).map(i => (i, i * 2.0)).toSet)
+    // reverse direction swaps the roles
+    val (radd, rrem) = store.diff(v2, v1)
+    assert(radd.count() == 100 && rrem.count() == 100)
+  }
+
   test("overlap matrix: hand-computed shingle jaccard, short rows ignored") {
     val df = Seq(
       ("A", "abcdefgh"),  // shingles: abcde bcdef cdefg defgh
