@@ -60,4 +60,35 @@ class LayoutSpec extends AnyFunSuite {
       core.TempDirs.deleteRecursively(java.nio.file.Paths.get(sdir))
     }
   }
+
+  test("3D z-order: per-file spans shrink in all three dimensions") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").cast("long").as("ep"))
+    def spans3(path: String): (Double, Double, Double) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("user_id")) - min(col("user_id"))).cast("double").as("su"),
+          (max(col("value")) - min(col("value"))).as("sv"),
+          (max(col("ep")) - min(col("ep"))).cast("double").as("se"))
+        .agg(avg(col("su")), avg(col("sv")), avg(col("se"))).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val g = ev.agg(
+      (max(col("user_id")) - min(col("user_id"))).cast("double"),
+      (max(col("value")) - min(col("value"))),
+      (max(col("ep")) - min(col("ep"))).cast("double")).head()
+    val (gu, gv, ge) = (g.getDouble(0), g.getDouble(1), g.getDouble(2))
+    val zdir = core.TempDirs.create("graft_zorder3_spec_")
+    try {
+      Layout.zorderWrite3(ev, "user_id", "value", "ep", zdir)
+      val (zu, zv, ze) = spans3(zdir)
+      // ∛(1/32) ≈ 31% ideal per dim; 0.65 leaves room for edge files
+      assert(zu < 0.65 * gu, s"user_id span $zu vs global $gu")
+      assert(zv < 0.65 * gv, s"value span $zv vs global $gv")
+      assert(ze < 0.65 * ge, s"ep span $ze vs global $ge")
+    } finally {
+      core.TempDirs.deleteRecursively(java.nio.file.Paths.get(zdir))
+    }
+  }
 }
