@@ -20,18 +20,21 @@ object Tables {
     if (!spark.conf.getOption(k).contains("true")) spark.conf.set(k, "true")
   }
 
-  /** Schema per table path — the testdata tables are immutable, so one
-    * footer read serves every GraftSession/query in the JVM (each gate
-    * query builds a fresh session; without the cache each one re-ran
-    * schema inference — a listing + footer read per table). JVM-global
-    * and never auto-invalidated BY DESIGN: this registry only fronts
-    * the fixed `names` fixture layout. If a fixture file is regenerated
-    * in-place with a different schema, call `invalidateSchemaCache()`
+  /** Schema per table file — the testdata tables are immutable within a
+    * run, so one footer read serves every GraftSession/query in the JVM
+    * (each gate query builds a fresh session; without the cache each one
+    * re-ran schema inference — a listing + footer read per table). The
+    * cache key includes the file's (mtime, size) footprint, so a fixture
+    * regenerated in-place with a different schema is picked up on the
+    * next load instead of silently serving the stale inferred schema
     * (mutable tables go through TableStore, never through here). */
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
-  private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), org.apache.spark.sql.types.StructType]
+  private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val f = new java.io.File(path)
+    schemaCache.getOrElseUpdate((path, f.lastModified, f.length),
+      spark.read.parquet(path).schema)
+  }
 
   /** Drop all cached schemas (next load re-infers from footers). */
   def invalidateSchemaCache(): Unit = schemaCache.clear()
@@ -54,15 +57,32 @@ object Tables {
       .parquet(dir))
   }
 
-  /** events.ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects;
-    * read nanos as long (nanosAsLong) and truncate to microsecond
-    * precision (integer DIV — ns since epoch exceeds double's 2^53
-    * mantissa). */
-  private def fixup(name: String, df: DataFrame): DataFrame =
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+  /** Canonicalize every parquet timestamp flavor the lake can carry to
+    * one engine-internal type: TIMESTAMP (with local-tz semantics, session
+    * pinned UTC). The fixture has already shipped three flavors across
+    * rounds — TIMESTAMP(NANOS) (read as long via nanosAsLong, truncated
+    * to micros with integer DIV: ns-since-epoch exceeds double's 2^53
+    * mantissa), timestamp[us] with no tz annotation (Spark 4 infers
+    * TIMESTAMP_NTZ, which rejects BIGINT casts / unix_micros / event-time
+    * watermarks), and tz-annotated micros (already canonical). INT96
+    * arrives as TimestampType natively. Under the pinned UTC session the
+    * NTZ→TIMESTAMP cast is bit-identical. Applied to ALL tables and ALL
+    * timestamp columns — a 100 TB lake mixes flavors file-by-file, so the
+    * registry, not each query, owns normalization (TimestampFlavorSpec
+    * locks the contract). */
+  private[core] def fixup(name: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType if name == "events" && f.name == "ts" =>
+          d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` DIV 1000")))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` and the graft
     * dialect both resolve bare table names. */

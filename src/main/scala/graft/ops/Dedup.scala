@@ -238,13 +238,20 @@ object Dedup {
     * per-table p = (1-θ/π)^planes, overall 1-(1-p)^tables), verified
     * with exact cosine. Candidate generation shuffles (id, tbl, sig)
     * only; vectors attach once per distinct pair. Deterministic:
-    * hyperplane components derive from hash(table, plane, dim). */
+    * hyperplane components derive from hash(table, plane, dim).
+    *
+    * `planes <= 0` auto-sizes from the corpus (log₂(n/128), min 4 —
+    * `Similarity.sizePlanes`), pinning expected bucket occupancy so
+    * candidate pairing stays ~linear as the corpus grows; pass
+    * `corpusCount` to keep the call lazy when the size is known. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double = 0.9, planes: Int = 12,
-                            tables: Int = 4, maxBucket: Int = 2000): DataFrame = {
+                            threshold: Double = 0.9, planes: Int = 0,
+                            tables: Int = 4, maxBucket: Int = 2000,
+                            corpusCount: Long = -1L): DataFrame = {
+    val nPlanes = Similarity.sizePlanes(planes, corpusCount, df)
     val sigs = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
-        Similarity.hyperplaneSignature(col(vecCol), planes, seed = t).as("sig"))): _*)
+        Similarity.hyperplaneSignature(col(vecCol), nPlanes, seed = t).as("sig"))): _*)
     val banded0 = df.select(col(idCol).as("id"), explode(sigs).as("b"))
       .select(col("id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
     // skew guard: a hyperplane bucket crowded past maxBucket —

@@ -53,6 +53,22 @@ object Similarity {
     array((0 until tables).map(t =>
       struct(lit(t).as("tbl"), hyperplaneSignature(vec, planes, t).as("sig"))): _*)
 
+  /** Corpus-sized plane count: `planes > 0` is used as-is; otherwise
+    * planes = max(4, ⌈log₂(n/128)⌉), which pins expected bucket
+    * occupancy near 128 at ANY corpus size — with FIXED planes, bucket
+    * population (and candidate-pair count) grows linearly with the
+    * corpus, so pairing grows super-linearly (measured 11.9× at 10×
+    * data on `embeddingNearDupPairs` before this dial was shared; see
+    * SCALE.md "Scaling study"). When `corpusCount < 0` this is an
+    * EAGER count() at plan-construction — callers holding the size
+    * pass it to stay lazy. */
+  private[ops] def sizePlanes(planes: Int, corpusCount: Long, corpus: DataFrame): Int =
+    if (planes > 0) planes
+    else math.max(4, math.ceil(
+      math.log(math.max(1.0,
+        (if (corpusCount >= 0L) corpusCount else corpus.count()) / 128.0))
+        / math.log(2.0)).toInt)
+
   /** Exact brute-force cosine top-k: every query against the full
     * corpus. Queries are broadcast (small side), the corpus scan is a
     * single pass, ranking is a per-query window top-k. */
@@ -103,12 +119,7 @@ object Similarity {
     // expensive derived frame. Callers holding the size (or willing to
     // count a cached frame once) pass `corpusCount` to keep the call
     // lazy; otherwise cache the corpus before auto-sizing.
-    val nPlanes =
-      if (planes > 0) planes
-      else math.max(4, math.ceil(
-        math.log(math.max(1.0,
-          (if (corpusCount >= 0L) corpusCount else corpus.count()) / 128.0))
-          / math.log(2.0)).toInt)
+    val nPlanes = sizePlanes(planes, corpusCount, corpus)
     // Candidate generation carries IDS ONLY: the exploded signature
     // rows are (id, tbl, sig) — ~24 bytes — not the embedding payload,
     // so the bucket join and the pair-dedup never shuffle vectors (the

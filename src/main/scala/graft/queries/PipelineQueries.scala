@@ -107,10 +107,12 @@ object PipelineQueries {
   /** Embedding-cosine near-dup survivors via hyperplane LSH. */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    // planes=8/tables=8: at cos≥0.9 (θ≤26°) per-table collision ≈0.29,
-    // OR-ed recall ≈0.94 — the multi-table dial the single-table form lacked
+    // auto-planes (log₂(n/128)) keeps bucket occupancy ~constant as the
+    // corpus grows — fixed planes made this the bench's worst scaler
+    // (11.9× at 10× data); tables=8 ORs recall back up (at sf0.01's
+    // n≈6k auto gives ~6 planes: cos≥0.9 per-table ≈0.44, OR ≈0.99)
     val dropped = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
-      threshold = 0.9, planes = 8, tables = 8).select(col("id2").as("vec_id")).distinct()
+      threshold = 0.9, planes = 0, tables = 8).select(col("id2").as("vec_id")).distinct()
     e.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
   }
