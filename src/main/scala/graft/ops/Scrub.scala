@@ -46,15 +46,27 @@ object Scrub {
     regexp_count(text, lit(phoneRe)).cast("long").as("n_phones"),
     regexp_count(text, lit(ipv4Re)).cast("long").as("n_ips"))
 
+  /** Redacted text AND the per-category counts from ONE fused scan
+    * (struct: redacted, n_emails, n_phones, n_ips) — the shape a
+    * pipeline that both scrubs and audits wants: `piiCounts` +
+    * `redactPii` separately costs four full regexp passes per doc,
+    * this costs one. */
+  def piiScrub(text: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.functions.PiiScrubExpr(
+        org.apache.spark.sql.graft.CatalystBridge.expression(text)))
+
   /** Text with every PII span replaced by its category placeholder.
-    * Email first (its local part may contain digits-with-dots that a
-    * later pass should never see), then phones, then IPs. */
+    * ONE fused scan (native expression, graft.functions.ScrubKernel):
+    * an alternation with email first (its local part may contain
+    * digits-with-dashes a later alternative should never see), then
+    * phones, then IPs — same replacements as the former three
+    * sequential regexp_replace passes (mutually exclusive patterns)
+    * at a third of the text rewrites. */
   def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>"),
-      ipv4Re, "<IP>")
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.functions.PiiRedactExpr(
+        org.apache.spark.sql.graft.CatalystBridge.expression(text)))
 
   // ---------------------------------------------------------------
   // URL / domain filtering

@@ -40,12 +40,41 @@ object PipelineQueries {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
       .orderBy(col("h"))
 
-  /** MinHash+LSH near-dup survivors (min-id-wins). */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
-        threshold = 0.6, k = 5, numHashes = 64, bands = 16)
-      .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy(col("doc_id"))
+  /** MinHash+LSH near-dup survivors (min-id-wins). Rows-only gate made
+    * SELF-CHECKING with a planted-duplicate recall probe: 200 corpus
+    * docs are re-injected verbatim under ids offset by 10⁹, the full
+    * pipeline (signature → band hash → bucket pairing → min-id-wins)
+    * runs over the union, and every planted copy MUST be dropped — an
+    * exact copy has an identical signature, estimated Jaccard 1 ≥ any
+    * threshold, so a survivor proves a recall-zero regression (e.g. a
+    * band hash that buckets nothing together), which rows-only gating
+    * could never catch. Planting is used because the fixture carries no
+    * exact duplicates at the gate SF; the probe is content-independent. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // one cached signature pass feeds the gate result AND the probe —
+    // a planted copy's signature IS its original's (identical text), so
+    // the probe re-keys cached signatures instead of re-hashing docs
+    val sig = d.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), k = 5, numHashes = 64).as("sig")).cache()
+    try {
+      val out = Dedup.minhashDedupSigned(d, "doc_id", sig,
+          threshold = 0.6, numHashes = 64, bands = 16, maxBucket = 1000)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val plantedSig = sig.filter(col("id") < 200)
+        .withColumn("id", col("id") + lit(1000000000L))
+      val probe = Dedup.minhashDedupSigned(
+          d.select(col("doc_id")).unionByName(
+            plantedSig.select(col("id").as("doc_id"))),
+          "doc_id", sig.unionByName(plantedSig),
+          threshold = 0.6, numHashes = 64, bands = 16, maxBucket = 1000)
+        .filter(col("doc_id") >= 1000000000L).count()
+      require(probe == 0,
+        s"q_dedup_minhash: $probe planted exact duplicates survived the dedup")
+      // pin the gate result before unpersisting the signature frame it reads
+      out.orderBy(col("doc_id")).localCheckpoint(true)
+    } finally sig.unpersist()
+  }
 
   /** Incremental corpus dedup (ops/IncrementalDedup): the corpus
     * arrives as two ingest batches, each deduped against the
@@ -359,16 +388,31 @@ object PipelineQueries {
     }
   }
 
-  /** Approximate LSH top-k (recall measured in spec). Corpus-sized
-    * planes (planes = 0 → log₂(n/128)): bucket occupancy stays
-    * constant as the corpus grows, keeping the all-corpus sweep linear
-    * (fixed planes measured 42× at 10× data — SCALE.md). */
+  /** Approximate LSH top-k. Corpus-sized planes (planes = 0 →
+    * log₂(n/128)): bucket occupancy stays constant as the corpus
+    * grows, keeping the all-corpus sweep linear (fixed planes measured
+    * 42× at 10× data — SCALE.md). Rows-only gate made SELF-CHECKING:
+    * recall@3 vs exact brute-force over a 100-query sample must clear
+    * the floor every run or the gate throws (measured, deterministic
+    * hash-seeded planes: 0.74 @ sf0.01 AND sf0.1 — the random fixture
+    * has FAR neighbors, cos≈0.5, the hardest LSH regime; floor 0.55
+    * leaves noise-free margin since the result is deterministic). */
   def qSimLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    Similarity.lshTopK(e, "vec_id", "embedding", e, "vec_id", "embedding",
+    val out = Similarity.lshTopK(e, "vec_id", "embedding", e, "vec_id", "embedding",
         k = 3, planes = 0, tables = 8)
       .select(col("query_id"), col("item_id"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    val sample = e.filter(col("vec_id") < 100)
+    val exactPairs = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        sample, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("item_id"))
+    val hit = exactPairs.join(
+      out.filter(col("query_id") < 100).select(col("query_id"), col("item_id")),
+      Seq("query_id", "item_id"), "left_semi").count()
+    val total = exactPairs.count()
+    require(total > 0 && hit.toDouble / total >= 0.55,
+      s"q_sim_lsh: recall@3 ${hit.toDouble / total} below 0.55 floor ($hit/$total)")
+    out.orderBy(col("query_id"), col("rank"))
   }
 
   /** Multimodal round-trip, fully oracle-backed: executor-side
@@ -569,9 +613,9 @@ object PipelineQueries {
         rep(phone, (id % 2).cast("int")),
         rep(ip, lit(1) + (id % 2).cast("int"))))
     enriched
-      .withColumn("c", Scrub.piiCounts(col("pii_text")))
+      .withColumn("c", Scrub.piiScrub(col("pii_text")))
       .select(col("doc_id"),
-        Scrub.redactPii(col("pii_text")).as("redacted"),
+        col("c.redacted").as("redacted"),
         col("c.n_emails").as("n_emails"),
         col("c.n_phones").as("n_phones"),
         col("c.n_ips").as("n_ips"))
