@@ -53,37 +53,19 @@ object TableStore {
   private[core] val staleClaimMs: Long = 60000L
 }
 
-final class TableStore(val spark: SparkSession, val path: String, val idCol: String) {
+final class TableStore(val spark: SparkSession, val path: String, val idCol: String,
+                       format: LogFormat = NativeManifestLog) {
   private val filesDir = s"$path/files"
-  private val versionsDir = s"$path/_versions"
-
-  /** One manifest line: a data file, its row count, and, when the id
-    * column is integral, its id range for pruning. Row counts make
-    * total-size questions (@Threshold) and id-base allocation
-    * (@DistributedId) metadata-only — no table scan on the insert hot
-    * path (the reference keeps the same state in its id generator,
-    * persistent/Table.java:61-157 idValue/incValue). */
-  private case class FileEntry(name: String, idMin: Option[Long], idMax: Option[Long],
-                               rows: Option[Long]) {
-    def overlaps(kmin: Long, kmax: Long): Boolean = (idMin, idMax) match {
-      case (Some(lo), Some(hi)) => lo <= kmax && hi >= kmin
-      case _ => true // no stats → always a rewrite candidate
-    }
-    def line: String = {
-      def s(o: Option[Long]) = o.map(_.toString).getOrElse("")
-      s"$name\t${s(idMin)}\t${s(idMax)}\t${s(rows)}"
-    }
-  }
-  private object FileEntry {
-    def parse(line: String): FileEntry = {
-      def opt(s: String) = Option(s).filter(_.nonEmpty).map(_.toLong)
-      line.split("\t", -1) match {
-        case Array(n, lo, hi, rc) => FileEntry(n, opt(lo), opt(hi), opt(rc))
-        case Array(n, lo, hi) => FileEntry(n, opt(lo), opt(hi), None) // pre-rowCount manifest
-        case other => FileEntry(other.head, None, None, None)
-      }
-    }
-  }
+  /** A table's on-disk log format is fixed at creation: reopening an
+    * existing table resolves whatever log directory is already there;
+    * the constructor's `format` applies only to fresh tables. */
+  private val log: LogFormat = LogFormat.detect(fs, path).getOrElse(format)
+  private val versionsDir = s"$path/${log.dirName}"
+  /** Schema JSON of the last written/initialized rows — recorded so the
+    * Delta-style log can embed a real schemaString in its metaData
+    * action (None before any write on a reopened table: the format
+    * emits a placeholder). */
+  @volatile private var lastSchemaJson: Option[String] = None
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,15 +123,12 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
       .map(_.getPath)
-      .filter(_.getName.matches("v\\d+\\.manifest"))
-      .map(p => (p.getName.stripPrefix("v").stripSuffix(".manifest").toLong, p))
+      .flatMap(p => log.versionOf(p.getName).map(v => (v, p)))
       .sortBy(_._1)
   }
 
   private def latestManifest(f: FileSystem): Option[(Long, Seq[FileEntry])] =
-    listVersions(f).lastOption.map { case (v, p) =>
-      (v, readUtf8(f, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(FileEntry.parse))
-    }
+    listVersions(f).lastOption.map { case (v, p) => (v, log.decode(readUtf8(f, p))) }
 
   def exists: Boolean = latestManifest(fs).isDefined
 
@@ -161,6 +140,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * No-op if a version already exists. */
   def initialize(schema: org.apache.spark.sql.types.StructType): Unit =
     TableStore.commitLock(path).synchronized {
+      lastSchemaJson = Some(schema.json)
       // backfill the anchor for pre-anchor tables too, not only fresh
       // ones — an already-populated table still needs it once every
       // row is deleted and vacuum empties files/
@@ -198,20 +178,15 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * superseded frames for in-flight READ COMMITTED readers
     * (persistent/UndoChunk.java:46-70); version manifests are the
     * table-format rendering of the same idea with an explicit handle. */
-  def readVersion(version: Long): DataFrame = {
-    val p = new Path(s"$versionsDir/v$version.manifest")
-    if (!fs.exists(p))
-      throw new IllegalArgumentException(
-        s"version $version not present at $path (available: ${versions.mkString(",")})")
-    readFiles(readUtf8(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(FileEntry.parse))
-  }
+  def readVersion(version: Long): DataFrame =
+    readFiles(entriesOfVersion(version))
 
   private def entriesOfVersion(version: Long): Seq[FileEntry] = {
-    val p = new Path(s"$versionsDir/v$version.manifest")
+    val p = new Path(s"$versionsDir/${log.fileName(version)}")
     if (!fs.exists(p))
       throw new IllegalArgumentException(
         s"version $version not present at $path (available: ${versions.mkString(",")})")
-    readUtf8(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(FileEntry.parse)
+    log.decode(readUtf8(fs, p))
   }
 
   /** Row-level snapshot diff `fromV → toV`: (added, removed) frames.
@@ -239,6 +214,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
 
   /** Write `rows` as new immutable files with per-file id stats. */
   private def writeFiles(rows: DataFrame): Seq[FileEntry] = {
+    lastSchemaJson = Some(rows.schema.json)
     val f = fs
     f.mkdirs(new Path(filesDir))
     val tmp = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
@@ -337,7 +313,8 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       val entries = update(prevEntries)
       val tmp = new Path(s"$versionsDir/.tmp-${UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, false)
-      try out.write((entries.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write(log.encode(prevVer + 1, prevEntries, entries, lastSchemaJson)
+        .getBytes("UTF-8"))
       finally out.close()
       val claimPath = new Path(s"$versionsDir/v${prevVer + 1}.claim")
       val token = UUID.randomUUID().toString
@@ -346,7 +323,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       // stale-claim steal during a long pause re-issues the claim to
       // someone else, and renaming anyway would clobber their manifest
       done = claimed && ownsClaim(f, claimPath, token) &&
-        f.rename(tmp, new Path(s"$versionsDir/v${prevVer + 1}.manifest"))
+        f.rename(tmp, new Path(s"$versionsDir/${log.fileName(prevVer + 1)}"))
       if (!done) {
         f.delete(tmp, false)
         if (claimed) {
@@ -361,7 +338,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
           // deliberately exceeds this threshold so the steal path is
           // reachable before "commit contention" fires.
           try {
-            if (!f.exists(new Path(s"$versionsDir/v${prevVer + 1}.manifest")) &&
+            if (!f.exists(new Path(s"$versionsDir/${log.fileName(prevVer + 1)}")) &&
                 System.currentTimeMillis() -
                   f.getFileStatus(claimPath).getModificationTime > TableStore.staleClaimMs)
               f.delete(claimPath, false)
@@ -505,13 +482,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   def revertTo(version: Long): Unit = {
     val target: Seq[FileEntry] =
       if (version < 0L) Seq.empty
-      else {
-        val p = new Path(s"$versionsDir/v$version.manifest")
-        if (!fs.exists(p))
-          throw new IllegalArgumentException(
-            s"version $version not present at $path (available: ${versions.mkString(",")})")
-        readUtf8(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(FileEntry.parse)
-      }
+      else entriesOfVersion(version)
     commit(_ => target)
   }
 
@@ -734,8 +705,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       // deleting a file out from under a within-grace manifest would
       // leave readable versions pointing at nothing
       val live = (all.lastOption.toSeq ++ keptOld).flatMap { case (_, p) =>
-        readUtf8(f, p).split("\n").map(_.trim).filter(_.nonEmpty)
-          .map(FileEntry.parse(_).name)
+        log.decode(readUtf8(f, p)).map(_.name)
       }.toSet
       if (f.exists(new Path(filesDir)))
         f.listStatus(new Path(filesDir)).toSeq

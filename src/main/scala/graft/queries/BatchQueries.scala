@@ -340,7 +340,11 @@ object BatchQueries {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
     val tmp = graft.core.TempDirs.create("graft_tt_")
-    val store = new graft.core.TableStore(s, tmp, "event_id")
+    // through the Delta-style JSON action log (core/LogFormat): same
+    // commit protocol, cluster-grade table-format encoding — the gate
+    // proves time travel reads identical snapshots through the adapter
+    val store = new graft.core.TableStore(s, tmp, "event_id",
+      format = graft.core.DeltaJsonLog)
     store.append(ev.filter(col("event_type") === "click"))
     store.append(ev.filter(col("event_type") === "purchase"))
     store.delete(col("value") < 10.0)
@@ -387,7 +391,9 @@ object BatchQueries {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
         col("o_orderpriority"))
     val tmp = graft.core.TempDirs.create("graft_persist_")
-    val store = new graft.core.TableStore(s, tmp, "o_orderkey")
+    // through the Delta-style JSON action log (see qTimeTravel)
+    val store = new graft.core.TableStore(s, tmp, "o_orderkey",
+      format = graft.core.DeltaJsonLog)
     store.append(base)
     // persist existing ids with a changed column (update arm of upsert)
     store.upsert(base.filter(col("o_orderpriority") === "1-URGENT")

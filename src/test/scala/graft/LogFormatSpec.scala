@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{DeltaJsonLog, LogFormat, NativeManifestLog, TableStore, TempDirs}
+
+/** core/LogFormat: the version-log adapter behind TableStore. The
+  * commit protocol is format-independent; these tests prove the
+  * Delta-style JSON action log carries the full TableStore lifecycle
+  * (append / upsert / delete / time travel / revert / vacuum) with
+  * results identical to the native manifest, that the log on disk is
+  * well-formed Delta actions (add/remove/metaData with stats), and
+  * that reopening resolves a table's existing format regardless of
+  * the constructor default. */
+class LogFormatSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshRows(n: Int) =
+    (0 until n).map(i => (i.toLong, s"r$i", i * 1.5)).toDF("id", "tag", "v")
+
+  test("full lifecycle through the Delta JSON log matches the native manifest") {
+    val results = Seq(NativeManifestLog, DeltaJsonLog).map { fmt =>
+      val dir = TempDirs.create(s"graft_lf_${fmt.dirName.replace("_", "")}_")
+      val st = new TableStore(spark, dir, "id", format = fmt)
+      st.append(freshRows(100))
+      st.upsert(freshRows(10).withColumn("v", col("v") * 2))
+      st.delete(col("id") >= 90)
+      val Seq(v1, v2, v3) = st.versions.sorted.takeRight(3)
+      val snaps = Seq(v1, v2, v3).map(v =>
+        st.readVersion(v).agg(count(lit(1)), round(sum(col("v")), 2))
+          .as[(Long, Double)].head())
+      st.revertTo(v2)
+      val afterRevert = st.read.agg(count(lit(1)), round(sum(col("v")), 2))
+        .as[(Long, Double)].head()
+      st.vacuum(graceMs = 0L)
+      val afterVacuum = st.read.agg(count(lit(1)), round(sum(col("v")), 2))
+        .as[(Long, Double)].head()
+      (snaps, afterRevert, afterVacuum)
+    }
+    assert(results(0) == results(1),
+      s"delta-log lifecycle diverged from native manifest: ${results(0)} vs ${results(1)}")
+  }
+
+  test("delta log on disk is well-formed NDJSON actions with stats") {
+    val dir = TempDirs.create("graft_lf_ondisk_")
+    val st = new TableStore(spark, dir, "id", format = DeltaJsonLog)
+    st.append(freshRows(50))
+    st.delete(col("id") < 10)
+    val logDir = new java.io.File(s"$dir/_delta_log")
+    val logs = logDir.listFiles().filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+    assert(logs.length == 2, s"expected 2 commits, got ${logs.map(_.getName).mkString(",")}")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v1 = scala.io.Source.fromFile(logs.last, "UTF-8").getLines().toList.map(mapper.readTree)
+    // commit 1 (the delete-rewrite) must carry removes for the rewritten
+    // files and adds whose stats expose numRecords and id min/max
+    assert(v1.exists(n => n.has("remove")), "delete commit lost its remove actions")
+    val adds = v1.filter(_.has("add"))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val st2 = mapper.readTree(a.get("add").get("stats").asText())
+      assert(st2.has("numRecords") && st2.has("minValues") && st2.has("maxValues"),
+        s"add action missing data-skipping stats: $a")
+    }
+    val md = v1.find(_.has("metaData")).get.get("metaData")
+    assert(md.get("schemaString").asText().contains("\"id\""),
+      "metaData schemaString is not the real table schema")
+    assert(md.get("format").get("provider").asText() == "parquet")
+  }
+
+  test("reopening resolves the existing on-disk format over the constructor default") {
+    val dir = TempDirs.create("graft_lf_reopen_")
+    val st = new TableStore(spark, dir, "id", format = DeltaJsonLog)
+    st.append(freshRows(20))
+    // reopen with the DEFAULT (native) format: detection must route to
+    // the delta log that is already there
+    val reopened = new TableStore(spark, dir, "id")
+    assert(reopened.read.count() == 20)
+    reopened.append(freshRows(5).withColumn("id", col("id") + 1000))
+    assert(reopened.versions.size == 2)
+    assert(new java.io.File(s"$dir/_delta_log").listFiles()
+      .count(_.getName.matches("\\d{20}\\.json")) == 2,
+      "reopened store committed outside the table's original log format")
+    assert(!new java.io.File(s"$dir/_versions").exists(),
+      "reopened store created a second log directory")
+  }
+
+  test("id-range pruning stats survive the delta stats round-trip") {
+    val dir = TempDirs.create("graft_lf_prune_")
+    val st = new TableStore(spark, dir, "id", format = DeltaJsonLog)
+    st.append(freshRows(100))
+    // metadata-only row count and max id prove stats decoded from the
+    // add actions' stats JSON, not rescanned
+    assert(st.rowCountFromManifest.contains(100L))
+    assert(st.maxId.contains(99L))
+  }
+}
