@@ -215,8 +215,14 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] endpoint stop: ${e.getMessage}") }
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark stop: ${e.getMessage}") }
+    // provenance: who ran this bench and under what conditions — a
+    // regenerated/judge-rerun artifact must be distinguishable from the
+    // driver's (round-7 advice: an unmarked re-run under review-session
+    // load silently replaced the driver's numbers and skewed the
+    // round-over-round ingest comparison)
+    val runner = sys.env.getOrElse("SPARK_GRAFT_RUNNER", "unmarked")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"metrics":$metricsJson,"sf":"$sfDir"$sf2Json}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"ingest_rows_per_sec":$ingestRate%.0f,"metrics":$metricsJson,"runner":"$runner","sf":"$sfDir"$sf2Json}"""
     // durable copy FIRST (stdout can be tail-truncated by the caller's
     // output window; the file cannot) — but only for a full two-scale
     // run: a quick sf0.01 smoke bench must not clobber the headline

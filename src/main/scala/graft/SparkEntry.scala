@@ -141,6 +141,8 @@ object SparkEntry {
     "q_profile"        -> (WarehouseQueries.qProfile _),
     "q_scd2"           -> (WarehouseQueries.qScd2 _),
     "q_pagerank"       -> (WarehouseQueries.qPageRank _),
+    "q_triangles"      -> (WarehouseQueries.qTriangles _),
+    "q_ivm"            -> (WarehouseQueries.qIvm _),
     "q_skyline"        -> (AnalyticsQueries.qSkyline _),
     "q_funnel"         -> (AnalyticsQueries.qFunnel _),
     "q_latest_wins"    -> (AnalyticsQueries.qLatestWins _),
@@ -1421,6 +1423,35 @@ object SparkEntry {
            FROM base WHERE c_custkey % 7 <> 0
          ) ORDER BY c_custkey, valid_from""",
     "q_pagerank" -> pageRankOracle(5),
+    // triangle counts: DuckDB replays the ring-with-chords edge formula
+    // and closes triangles with the id-ordered three-way join (u<v<w,
+    // each triangle once); per-node counts by exploding the members
+    "q_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (
+           SELECT doc_id AS src, (doc_id + j) % (SELECT n FROM nn) AS dst
+           FROM documents, (VALUES (1), (2), (3)) AS t(j)
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 13) % (SELECT n FROM nn) FROM documents),
+         e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e0 WHERE src <> dst),
+         tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                 FROM e a JOIN e b ON b.u = a.v
+                          JOIN e c ON c.u = a.u AND c.v = b.v)
+         SELECT node, count(*) AS n_tri FROM (
+           SELECT x AS node FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+         GROUP BY node ORDER BY node""",
+    // incremental view maintenance: the oracle rebuilds the FINAL
+    // snapshot's aggregate directly (clicks + purchases, minus the
+    // deleted value<10 rows) — the gate's delta-maintained view must
+    // land on the identical state
+    "q_ivm" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events
+         WHERE event_type IN ('click', 'purchase') AND value >= 10.0
+         GROUP BY event_type ORDER BY event_type""",
     // 2D skyline: the window replays the op's sweep rule — descending
     // x, keep iff y strictly beats every earlier y
     "q_skyline" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Graphs, Profile, Scd}
+import graft.ops.{Graphs, Ivm, Profile, Scd}
 
 /** Gate queries for the warehouse-maintenance / curation-signal ops:
   * single-pass column profiling, SCD2 merge, and fixed-point PageRank.
@@ -68,5 +68,63 @@ object WarehouseQueries {
         ((col("src") * 7 + col("j") * 13) % n).as("dst"))
     Graphs.pageRank(docs, "doc_id", edges, "src", "dst", iters = 5)
       .orderBy(col("node"))
+  }
+
+  /** Per-node triangle counts (ops/Graphs.triangleCounts) over a
+    * formula-derived ring-with-chords graph (each doc links to
+    * doc+1, doc+2, doc+3 and to 7·doc+13, all mod N): the local
+    * clustering signal, computed with degree-ordered wedge closing so
+    * the intermediate is O(m^1.5) total instead of hot-node quadratic.
+    * DuckDB replays the exact edge formula and the id-ordered
+    * three-way join — counts are integers, no tolerance. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count() // parquet footer count — metadata-cheap
+    val ring = docs.select(col("doc_id").as("src"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select(col("src"), ((col("src") + col("j")) % n).as("dst"))
+    val chords = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 13) % n).as("dst"))
+    Graphs.triangleCounts(ring.unionByName(chords), "src", "dst")
+      .orderBy(col("node"))
+  }
+
+  /** Incremental view maintenance (ops/Ivm): a per-event-type
+    * (count, sum) view advanced across three TableStore commits
+    * (clicks → +purchases → delete) using ONLY `diff` deltas — cost
+    * tracks the commit footprint, never the table. SELF-CHECKING
+    * in-gate: the maintained view must equal a direct recompute of the
+    * final snapshot (exceptAll both ways), or the gate throws; the
+    * DuckDB oracle independently rebuilds the final state from the
+    * base table. */
+  def qIvm(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = graft.core.TempDirs.create("graft_ivm_")
+    val store = new graft.core.TableStore(s, tmp, "event_id")
+    store.append(ev.filter(col("event_type") === "click"))
+    var view = Ivm.init(store.read, Seq("event_type"), Seq("value"))
+      .localCheckpoint(true) // view state is the loop-carried frame
+    store.append(ev.filter(col("event_type") === "purchase"))
+    store.delete(col("value") < 10.0)
+    val Seq(v1, v2, v3) = store.versions.sorted.takeRight(3)
+    for ((a, b) <- Seq((v1, v2), (v2, v3))) {
+      val (ad, rm) = store.diff(a, b)
+      view = Ivm.maintain(view,
+          ad.select(col("event_type"), col("value")),
+          rm.select(col("event_type"), col("value")),
+          Seq("event_type"), Seq("value"))
+        .localCheckpoint(true) // cut lineage: next leg reads state, not history
+    }
+    def rounded(v: DataFrame) = v.select(col("event_type"), col("view_n"),
+      round(col("view_sum_value"), 2).as("sv"))
+    val direct = Ivm.init(store.readVersion(v3), Seq("event_type"), Seq("value"))
+    val diverged = rounded(view).exceptAll(rounded(direct)).count() +
+      rounded(direct).exceptAll(rounded(view)).count()
+    require(diverged == 0,
+      s"q_ivm: maintained view diverged from direct recompute ($diverged rows)")
+    view.select(col("event_type"), col("view_n").as("n"),
+        round(col("view_sum_value"), 2).as("sum_value"))
+      .orderBy(col("event_type"))
   }
 }

@@ -269,4 +269,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join must pair via the deletion-key equi-join, not a cross join:\n$plan")
   }
+
+  test("triangle counting: wedge and closing joins are equi, no product") {
+    val plan = finalPlan(graft.queries.WarehouseQueries.qTriangles(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle wedges must close through equi joins on oriented endpoints:\n$plan")
+    // the per-node rollup must two-phase aggregate (the triangle list
+    // shrinks map-side before the final shuffle)
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"triangle rollup must map-side combine:\n$plan")
+  }
 }
