@@ -143,6 +143,8 @@ object SparkEntry {
     "q_pagerank"       -> (WarehouseQueries.qPageRank _),
     "q_triangles"      -> (WarehouseQueries.qTriangles _),
     "q_ivm"            -> (WarehouseQueries.qIvm _),
+    "q_group_topk"     -> (WarehouseQueries.qGroupTopk _),
+    "q_expectations"   -> (WarehouseQueries.qExpectations _),
     "q_skyline"        -> (AnalyticsQueries.qSkyline _),
     "q_funnel"         -> (AnalyticsQueries.qFunnel _),
     "q_latest_wins"    -> (AnalyticsQueries.qLatestWins _),
@@ -1443,6 +1445,37 @@ object SparkEntry {
            UNION ALL SELECT y FROM tri
            UNION ALL SELECT z FROM tri)
          GROUP BY node ORDER BY node""",
+    // per-group top-k: identical window rank + filter in DuckDB
+    "q_group_topk" ->
+      """SELECT source, rk, doc_id, n_chars FROM (
+           SELECT source, doc_id, length(text) AS n_chars,
+                  CAST(row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY length(text) DESC, doc_id) AS INT) AS rk
+           FROM documents)
+         WHERE rk <= 3 ORDER BY source, rk""",
+    // expectations: each check's violation count recomputed as an
+    // independent conditional sum; NULL predicate = violation
+    "q_expectations" ->
+      """WITH t AS (
+           SELECT count(*) AS total,
+                  sum(CASE WHEN NOT coalesce(o_totalprice > 0.0, false) THEN 1 ELSE 0 END) AS v_price,
+                  sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), false) THEN 1 ELSE 0 END) AS v_status,
+                  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v_prio,
+                  sum(CASE WHEN NOT coalesce(o_orderdate BETWEEN '1992-01-01' AND '1998-12-31', false) THEN 1 ELSE 0 END) AS v_date,
+                  sum(CASE WHEN NOT coalesce(o_totalprice < 100000.0, false) THEN 1 ELSE 0 END) AS v_cap,
+                  count(DISTINCT o_orderkey) AS d
+           FROM orders)
+         SELECT check_name, n_violations,
+                CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass
+         FROM (
+           SELECT 'totalprice_positive' AS check_name, v_price AS n_violations FROM t
+           UNION ALL SELECT 'status_known', v_status FROM t
+           UNION ALL SELECT 'priority_nonnull', v_prio FROM t
+           UNION ALL SELECT 'date_in_range', v_date FROM t
+           UNION ALL SELECT 'totalprice_under_100k', v_cap FROM t
+           UNION ALL SELECT 'unique_o_orderkey', total - d FROM t)
+         ORDER BY check_name""",
     // incremental view maintenance: the oracle rebuilds the FINAL
     // snapshot's aggregate directly (clicks + purchases, minus the
     // deleted value<10 rows) — the gate's delta-maintained view must

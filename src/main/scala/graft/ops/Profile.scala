@@ -65,4 +65,36 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Declarative data-quality expectations — the commit gate a
+    * production ingest runs before publishing a batch (the shape of
+    * Deequ/dbt-test constraint suites): each check is a row-level
+    * predicate that must hold; a NULL predicate result counts as a
+    * violation (a null price fails `price > 0` — three-valued logic
+    * must not let nulls slip a constraint).
+    *
+    * ONE scan regardless of check count: every check compiles to a
+    * conditional-sum aggregate in the same aggregation (map-side
+    * partial combine, one 1-row result), and the report unpivots from
+    * that single row. An optional `uniqueKey` adds an exact
+    * count-distinct (Expand-based, same single scan) checked against
+    * the row count. Output: (check_name, n_violations, pass ∈ {0,1}). */
+  def expectations(df: DataFrame, checks: Seq[(String, Column)],
+                   uniqueKey: Option[String] = None): DataFrame = {
+    require(checks.nonEmpty || uniqueKey.nonEmpty, "expectations: nothing to check")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__total") +:
+      (checks.map { case (name, pred) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+      } ++ uniqueKey.map(k => count_distinct(col(k)).as("__uniq")).toSeq)
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = checks.map { case (name, _) =>
+      struct(lit(name).as("check_name"), col(s"__v_$name").as("n_violations"))
+    } ++ uniqueKey.map(k =>
+      struct(lit(s"unique_$k").as("check_name"),
+        (col("__total") - col("__uniq")).as("n_violations"))).toSeq
+    one.select(explode(array(rows: _*)).as("e"))
+      .select(col("e.check_name"), col("e.n_violations"),
+        when(col("e.n_violations") === 0, 1).otherwise(0).as("pass"))
+  }
 }

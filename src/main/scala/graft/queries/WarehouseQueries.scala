@@ -89,6 +89,43 @@ object WarehouseQueries {
       .orderBy(col("node"))
   }
 
+  /** Per-group top-k selection: the 3 longest documents per source —
+    * the "best-k exemplars per stratum" curation primitive. The rank
+    * filter is planned through Spark's WindowGroupLimit, which pushes a
+    * per-group top-k heap BELOW the shuffle (map-side group-limit on
+    * every input partition, then the final per-group sort sees at most
+    * k·partitions rows per group, never the full group — the property
+    * PlanAuditSpec locks). Deterministic tiebreak on doc_id. */
+  def qGroupTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), length(col("text")).as("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Data-quality expectations (ops/Profile.expectations): a
+    * constraint suite over orders — positive price, known status
+    * domain, non-null priority, clerk format, key uniqueness — in ONE
+    * scan. The fixture satisfies most checks; the gate includes a
+    * deliberately failing range check so BOTH report arms (pass and
+    * violation counting) are oracle-verified, not just the all-green
+    * path. */
+  def qExpectations(s: SparkSession, dir: String): DataFrame =
+    Profile.expectations(t(s, dir, "orders"),
+      Seq(
+        "totalprice_positive" -> (col("o_totalprice") > 0.0),
+        "status_known" -> col("o_orderstatus").isin("F", "O", "P"),
+        "priority_nonnull" -> col("o_orderpriority").isNotNull,
+        "date_in_range" -> col("o_orderdate").between("1992-01-01", "1998-12-31"),
+        "totalprice_under_100k" -> (col("o_totalprice") < 100000.0)),
+      uniqueKey = Some("o_orderkey"))
+      .orderBy(col("check_name"))
+
   /** Incremental view maintenance (ops/Ivm): a per-event-type
     * (count, sum) view advanced across three TableStore commits
     * (clicks → +purchases → delete) using ONLY `diff` deltas — cost

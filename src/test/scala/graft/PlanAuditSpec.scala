@@ -279,4 +279,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial count"),
       s"triangle rollup must map-side combine:\n$plan")
   }
+
+  test("per-group top-k: rank filter pushes a WindowGroupLimit below the shuffle") {
+    val plan = finalPlan(graft.queries.WarehouseQueries.qGroupTopk(spark, sf))
+    // Partial-mode WindowGroupLimit = per-input-partition top-k heap
+    // BEFORE the exchange; without it every group's full row set rides
+    // the shuffle and the final sort
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must plan a WindowGroupLimit, not a full window sort:\n$plan")
+    assert(plan.contains("Partial"),
+      s"WindowGroupLimit must run map-side (Partial) before the exchange:\n$plan")
+  }
+
+  test("expectations suite is one scan: single aggregate, no joins") {
+    val plan = finalPlan(graft.queries.WarehouseQueries.qExpectations(spark, sf))
+    assert(!plan.contains("Join"),
+      s"expectations must fold every check into one aggregation pass:\n$plan")
+    // one scan of orders only
+    val scans = "FileScan parquet".r.findAllIn(plan).length +
+      "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"expectations should scan the table once:\n$plan")
+  }
 }

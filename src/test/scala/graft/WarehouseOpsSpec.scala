@@ -16,6 +16,24 @@ class WarehouseOpsSpec extends AnyFunSuite {
   private lazy val customer =
     Tables.load(spark, "/root/testdata/sf0.01", "customer")
 
+  test("expectations: NULL predicate results count as violations; uniqueness exact") {
+    import org.apache.spark.sql.functions._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "ok"), (2L, null, "ok"), (3L, -5.0, null),
+      (4L, 20.0, "ok"), (4L, 30.0, "dup"))
+      .toDF("id", "price", "tag")
+    val rep = graft.ops.Profile.expectations(df,
+        Seq("price_positive" -> (col("price") > 0.0),
+            "tag_nonnull" -> col("tag").isNotNull),
+        uniqueKey = Some("id"))
+      .orderBy("check_name")
+      .as[(String, Long, Int)].collect().toList
+    assert(rep == List(
+      ("price_positive", 2L, 0),  // null price AND -5 both violate
+      ("tag_nonnull", 1L, 0),
+      ("unique_id", 1L, 0)))      // 5 rows, 4 distinct ids
+  }
+
   test("profile: approx distinct is Expand-free and within HLL tolerance") {
     val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
     val exact = Profile.profile(customer, cols)
