@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsQueries, BatchQueries, DialectQueries, PipelineQueries, RemoteQueries, SourceQueries, StreamQueries, WarehouseQueries}
+import graft.queries.{AnalyticsQueries, BatchQueries, DialectQueries, PipelineQueries, RemoteQueries, SourceQueries, StreamQueries, TimeSeriesQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -156,6 +156,15 @@ object SparkEntry {
     "q_label_encode"   -> (AnalyticsQueries.qLabelEncode _),
     "q_regression"     -> (AnalyticsQueries.qRegression _),
     "q_version_diff"   -> (BatchQueries.qVersionDiff _),
+    "q_resample"       -> (TimeSeriesQueries.qResample _),
+    "q_concurrency"    -> (TimeSeriesQueries.qConcurrency _),
+    "q_retention"      -> (TimeSeriesQueries.qRetention _),
+    "q_entropy"        -> (TimeSeriesQueries.qEntropy _),
+    "q_bpe"            -> (TimeSeriesQueries.qBpe _),
+    "q_source_csv"     -> (SourceQueries.qSourceCsv _),
+    "q_source_orc"     -> (SourceQueries.qSourceOrc _),
+    "q_kcore"          -> (WarehouseQueries.qKcore _),
+    "q_bpe_encode"     -> (TimeSeriesQueries.qBpeEncode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1643,7 +1652,154 @@ object SparkEntry {
                 round(coalesce((SELECT sum(value) FROM cp WHERE value < 10),
                   0.0), 2)
          ORDER BY leg""",
+    // per-key daily grid + forward fill: generate_series over each
+    // key's own span, IGNORE NULLS window carries the last daily max
+    "q_resample" ->
+      """WITH obs AS (
+           SELECT user_id, date_trunc('day', ts) AS bucket, max(value) AS v_obs
+           FROM events GROUP BY 1, 2
+         ), spans AS (
+           SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+           FROM obs GROUP BY 1
+         ), grid AS (
+           SELECT user_id,
+                  unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket
+           FROM spans
+         ), j AS (
+           SELECT g.user_id, g.bucket, o.v_obs
+           FROM grid g LEFT JOIN obs o
+             ON g.user_id = o.user_id AND g.bucket = o.bucket
+         )
+         SELECT user_id, bucket,
+                last_value(v_obs IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+                CAST(CASE WHEN v_obs IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS is_obs
+         FROM j ORDER BY user_id, bucket""",
+    // session-concurrency sweep: islands -> [first, last+4h) intervals,
+    // +/-1 boundary deltas grouped by (ts, delta), one ordered prefix
+    "q_concurrency" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 4 HOUR
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+         ), sess AS (
+           SELECT user_id, ts,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x
+         ), iv AS (
+           SELECT user_id, min(ts) AS st, max(ts) + INTERVAL 4 HOUR AS en
+           FROM sess GROUP BY user_id, sid
+         ), d AS (
+           SELECT st AS ts, 1 AS delta FROM iv
+           UNION ALL SELECT en, -1 FROM iv
+         ), g AS (
+           SELECT ts, CAST(delta AS BIGINT) AS delta,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM d GROUP BY 1, 2
+         )
+         SELECT ts, delta, n,
+                CAST(sum(delta * n) OVER (ORDER BY ts, delta
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS concurrency
+         FROM g ORDER BY ts, delta""",
+    // cohort retention: first-seen day per user, distinct actives per
+    // (cohort, day offset)
+    "q_retention" ->
+      """WITH firsts AS (
+           SELECT user_id, min(date_trunc('day', ts)) AS cohort
+           FROM events GROUP BY 1
+         )
+         SELECT f.cohort,
+                CAST(datediff('day', f.cohort, date_trunc('day', e.ts))
+                  AS BIGINT) AS day_offset,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM events e JOIN firsts f ON e.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // token entropy: the oracle rebuilds the unigram distribution
+    // relationally (unnest + group) and must agree with the one-pass
+    // kernel to 4 decimals; ln(n) - sum(c ln c)/n keeps only integer
+    // counts in the float math
+    "q_entropy" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM toks WHERE tok <> '' GROUP BY 1, 2
+         ), agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_distinct,
+                  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+           FROM tf GROUP BY doc_id
+         )
+         SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                coalesce(a.n_distinct, 0) AS n_distinct,
+                coalesce(a.entropy, 0.0) AS entropy
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+    // CSV round-trip: the aggregate over what survived the trip must
+    // equal the same aggregate over the source-of-truth parquet
+    "q_source_csv" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents GROUP BY source ORDER BY source""",
+    // ORC round-trip: q1-agg shape over the ORC copy vs parquet truth
+    "q_source_orc" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_kcore" -> kCoreOracle(k = 4, rounds = 10),
   )
+
+  /** DuckDB replay of the k=4 peel: the same formula graph, `rounds`
+    * unrolled induced-subgraph degree filters (idempotent once the
+    * cascade converges — Graphs.kCore's `require(converged)` makes
+    * sure it has), then the survivors' in-core degrees. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // TWICE, so inlined CTEs expand 2^rounds-fold (DuckDB ran out of
+    // file handles re-opening the parquet per expansion)
+    val steps = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+           SELECT e.a AS node FROM e
+           JOIN a${r - 1} x ON x.node = e.a
+           JOIN a${r - 1} y ON y.node = e.b
+           GROUP BY e.a HAVING count(*) >= $k)"""
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       e0 AS (
+         SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst
+         FROM documents
+         UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+           FROM documents WHERE doc_id % 2 = 0
+         UNION ALL SELECT doc_id, (doc_id + 4) % (SELECT n FROM nn)
+           FROM documents WHERE doc_id % 4 = 0
+         UNION ALL SELECT doc_id, (doc_id + 8) % (SELECT n FROM nn)
+           FROM documents WHERE doc_id % 8 = 0
+         UNION ALL SELECT doc_id, (doc_id + 16) % (SELECT n FROM nn)
+           FROM documents WHERE doc_id % 16 = 0
+         UNION ALL SELECT doc_id, (doc_id + j) % 64
+           FROM documents, (VALUES (1), (2), (3), (4)) AS t(j)
+           WHERE doc_id < 64),
+       eu AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e0 WHERE src <> dst),
+       e AS MATERIALIZED (SELECT u AS a, v AS b FROM eu
+                          UNION ALL SELECT v, u FROM eu),
+       a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e),
+       $steps
+       SELECT e.a AS node, CAST(count(*) AS BIGINT) AS core_deg FROM e
+       JOIN a$rounds x ON x.node = e.a
+       JOIN a$rounds y ON y.node = e.b
+       GROUP BY e.a ORDER BY node"""
+  }
 
   /** DuckDB replay of fixed-point PageRank: the same formula-derived
     * edge list, outdegrees, and `iters` unrolled power-iteration CTEs

@@ -233,6 +233,59 @@ object RepetitionStatsExpr {
     StructField("max_tok", LongType, nullable = false)))
 }
 
+/** One-pass token-entropy kernel — the vocabulary-diversity quality
+  * signal (low-entropy documents are keyword stuffing / template spam;
+  * LLM corpus filters cut on it next to the repetition rules):
+  *   n_tokens   = token count (same tokenization as TextStatsKernel)
+  *   n_distinct = distinct tokens
+  *   entropy    = Shannon entropy (nats) of the token unigram
+  *                distribution, computed as ln(n) − Σ c·ln(c) / n so
+  *                only exact integer counts enter the float math.
+  * Empty (btrim) text → (0, 0, 0.0). Per-row, map-side: a corpus-wide
+  * entropy pass shuffles NOTHING.
+  */
+object EntropyKernel {
+  def stats(u: UTF8String): InternalRow = {
+    val s = u.toString
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (e == b) return new GenericInternalRow(Array[Any](0L, 0L, 0.0))
+    val toks = TextHash.tokenize(u)
+    val n = toks.length
+    val freq = new java.util.HashMap[String, Int](n * 2)
+    var i = 0
+    while (i < n) { freq.merge(toks(i), 1, (a, bx) => a + bx); i += 1 }
+    var sumClnC = 0.0
+    val it = freq.values().iterator()
+    while (it.hasNext) { val c = it.next().toDouble; sumClnC += c * math.log(c) }
+    val entropy = math.log(n.toDouble) - sumClnC / n
+    new GenericInternalRow(Array[Any](n.toLong, freq.size.toLong, entropy))
+  }
+}
+
+case class TokenEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TokenEntropyExpr.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+  override def prettyName: String = "graft_token_entropy"
+  override protected def nullSafeEval(input: Any): Any =
+    EntropyKernel.stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.EntropyKernel.stats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropyExpr =
+    copy(child = newChild)
+}
+
+object TokenEntropyExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+}
+
 /** Column-level entry points. */
 object TextStatsFunctions {
   def textStats(text: Column, stopwords: Seq[String]): Column =
@@ -241,4 +294,6 @@ object TextStatsFunctions {
     CatalystBridge.column(LangIdExpr(CatalystBridge.expression(text), langs, markers))
   def repetitionStats(text: Column): Column =
     CatalystBridge.column(RepetitionStatsExpr(CatalystBridge.expression(text)))
+  def tokenEntropy(text: Column): Column =
+    CatalystBridge.column(TokenEntropyExpr(CatalystBridge.expression(text)))
 }

@@ -115,4 +115,53 @@ object Graphs {
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** k-core: the maximal subgraph in which every node keeps degree
+    * ≥ k — the standard density filter for link-graph curation (spam
+    * farms and isolated chains peel away; the well-connected core
+    * survives). Input edges are undirected (both orientations are
+    * normalized and deduplicated here).
+    *
+    * Iterative peeling: each round recomputes degrees over the
+    * surviving subgraph (one two-phase agg) and drops nodes under k
+    * (two semi-joins keep edges with both endpoints alive) — removing
+    * a node can push its neighbors under k, so rounds CASCADE; the
+    * fixed point is reached when a round removes nothing. Per round
+    * the shuffle carries (node, deg) pairs — 16 B/row — and the edge
+    * set only shrinks; `localCheckpoint` per round cuts the quadratic
+    * lineage, exactly as in [[pageRank]]. Peeling is deterministic
+    * (the k-core is unique), so any engine replaying the same rounds
+    * lands on the identical survivor set.
+    *
+    * Returns (node, core_deg) for surviving nodes, with core_deg the
+    * node's degree INSIDE the core. Throws if `maxRounds` passes did
+    * not reach the fixed point (callers replaying the peel elsewhere
+    * — the gate's unrolled oracle — need convergence to be a fact,
+    * not a hope). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 20): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    val und0 = edges.select(
+        least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var sym = und0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      val alive = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a").as("node"))
+      val next = sym
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      if (next.count() == sym.count()) converged = true
+      sym = next
+      round += 1
+    }
+    require(converged, s"kCore: no fixed point within $maxRounds rounds")
+    sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

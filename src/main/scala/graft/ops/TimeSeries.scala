@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series operators over event tables: per-key
+  * resampling with forward fill, and interval-concurrency sweeps.
+  * Both are building blocks the reference's users assemble from its
+  * window/aggregate surface (reference: sql/SQLGroupContainer.java
+  * window machinery); here they are first-class, shaped for Spark's
+  * distribution model — per-key work distributes on the key hash, the
+  * one global scan (the sweep prefix) uses the same range-bucket +
+  * carry technique as [[graft.plan.CountWindow]] instead of a
+  * single-task global window.
+  */
+object TimeSeries {
+
+  /** Per-key resampling onto a regular time grid with forward fill —
+    * the gap-fill shape every metrics/feature pipeline needs (a 100 TB
+    * event lake is never gap-free; training features want one row per
+    * (key, bucket)).
+    *
+    * Semantics:
+    *   - bucket = `date_trunc(truncUnit, ts)`;
+    *   - observed value per (key, bucket) = `max(valueCol)` (an
+    *     order-independent aggregate, so results are bit-stable under
+    *     any partitioning — an avg would be summation-order noise);
+    *   - the grid spans each key's OWN [min bucket, max bucket] range
+    *     (no global densification: a key active for a week costs 7
+    *     rows, not the corpus's full span);
+    *   - `v_fill` = last observed value at or before the bucket;
+    *     `is_obs` = 1 on buckets that had real events.
+    *
+    * Distribution: one hash shuffle on the key for the per-bucket
+    * aggregate, a map-side `sequence()` explode off the per-key span
+    * row (never a driver loop), one (key, bucket) join, and a per-key
+    * window for the fill. Nothing global, no skew beyond the key
+    * histogram itself.
+    *
+    * `maxBucketsPerKey` guards the explode: a key whose span/step
+    * exceeds it (a 10-year-old zombie key resampled to seconds would
+    * emit 300 M rows) fails fast with a clear message instead of
+    * OOM-ing an executor.
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+               truncUnit: String = "DAY", step: String = "interval 1 day",
+               maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    val obs = df
+      .select(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("bucket"),
+        col(valueCol).as("v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(col("v")).as("v_obs"))
+    val grid = obs.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col(keyCol), sequence(col("b0"), col("b1"), expr(step)).as("seq"))
+      .select(col(keyCol),
+        when(size(col("seq")) > maxBucketsPerKey,
+          raise_error(concat(lit(s"resample: key "), col(keyCol).cast("string"),
+            lit(s" expands to more than $maxBucketsPerKey grid buckets"))))
+          .otherwise(col("seq")).as("seq"))
+      .select(col(keyCol), explode(col("seq")).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("v_fill"),
+        when(col("v_obs").isNull, 0L).otherwise(1L).as("is_obs"))
+  }
+
+  /** Interval-concurrency sweep: given intervals [start, end) (end
+    * EXCLUSIVE — an interval ending at t does not overlap one starting
+    * at t), emit the running count of open intervals at every boundary
+    * point. `concurrency` on a `delta = +1` row is the count INCLUDING
+    * the intervals opening at that instant; closings at the same
+    * instant are applied first (delta −1 sorts before +1).
+    *
+    * The prefix sum is the textbook single-ordered-scan — the shape
+    * that naively funnels every boundary through ONE task. Here it is
+    * distributed exactly like [[graft.plan.CountWindow]]'s global
+    * window: boundaries are range-bucketed on time (cut points from an
+    * approx-quantile pass), each bucket computes its local running sum
+    * in parallel, and per-bucket totals (`buckets` rows — metadata
+    * scale) become broadcast prefix offsets. Boundary rows are grouped
+    * by (ts, delta) first, so row identity — and therefore the per-row
+    * running value — is deterministic under any physical row order.
+    */
+  def intervalConcurrency(intervals: DataFrame, startCol: String, endCol: String,
+                          buckets: Int = 64): DataFrame = {
+    val deltas = intervals.select(col(startCol).as("ts"), lit(1L).as("delta"))
+      .unionAll(intervals.select(col(endCol).as("ts"), lit(-1L).as("delta")))
+      .groupBy(col("ts"), col("delta")).agg(count(lit(1)).as("n"))
+    // range-bucket cut points over the boundary timestamps (one
+    // column-pruned approx-quantile scan; ties/duplicates collapse)
+    val tsd = deltas.select(col("ts").cast("double").as("tsd"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts =
+      if (probs.isEmpty) Array.empty[Double]
+      else tsd.stat.approxQuantile("tsd", probs, 0.001).distinct.sorted
+    val bucketOf: Column = cuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(col("ts").cast("double") > c, 1L).otherwise(0L)
+    }
+    val bucketed = deltas.withColumn("bkt", bucketOf)
+    // per-bucket totals -> exclusive prefix offsets (metadata scale)
+    val totals = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("delta") * col("n")).as("tot"))
+      .orderBy(col("bkt")).collect()
+    var running = 0L
+    val offsets = totals.map { r =>
+      val o = (r.getLong(0), running); running += r.getLong(1); o
+    }.toMap
+    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("bkt") === b, off).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("bkt")).orderBy(col("ts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("concurrency", sum(col("delta") * col("n")).over(w) + offsetCol)
+      .select(col("ts"), col("delta"), col("n"), col("concurrency"))
+  }
+
+  /** Cohort retention: each key's cohort is the bucket of its FIRST
+    * event; the matrix counts distinct keys active at each
+    * (cohort, bucket-offset). Two keyed shuffles (first-seen agg, then
+    * the distinct-count agg) — the join is on the key, so no row ever
+    * leaves its key's partition line. The standard DAU/WAU engagement
+    * decay analysis at lake scale. */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
+                      truncUnit: String = "DAY"): DataFrame = {
+    val day = date_trunc(truncUnit, col(tsCol))
+    val firsts = df.groupBy(col(keyCol)).agg(min(day).as("cohort"))
+    df.select(col(keyCol), day.as("bucket"))
+      .join(firsts, Seq(keyCol))
+      .groupBy(col("cohort"),
+        datediff(col("bucket"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+}

@@ -121,10 +121,28 @@ object PipelineQueries {
     }
   }
 
-  /** SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures). */
-  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
+  /** SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures).
+    * Rows-only gate made SELF-CHECKING with a planted-duplicate probe:
+    * 200 VERBATIM copies (re-keyed +10⁶) are unioned in and every
+    * planted pair MUST surface — a verbatim copy has Hamming distance
+    * 0, so banding/candidate generation cannot legitimately drop it;
+    * a miss means the pairing machinery broke, and the gate (not just
+    * a spec) fails. The emitted result stays the original corpus's
+    * pair set. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val planted = d.filter(col("doc_id") % 5 === 0).limit(200)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val probeIn = d.select(col("doc_id"), col("text")).unionByName(planted)
+    val probePairs = Dedup.simhashPairs(probeIn, "doc_id", "text", maxHamming = 6)
+    val missed = planted
+      .select((col("doc_id") - 1000000L).as("id1"), col("doc_id").as("id2"))
+      .join(probePairs, Seq("id1", "id2"), "left_anti").count()
+    require(missed == 0L,
+      s"q_dedup_simhash: $missed planted verbatim duplicates were not paired")
+    Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 6)
       .orderBy(col("id1"), col("id2"))
+  }
 
   /** True n-gram Jaccard near-dup pairs — exact verification over
     * 5-token shingle sets, oracle-checked against DuckDB all-pairs. */

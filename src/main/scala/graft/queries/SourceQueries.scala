@@ -66,4 +66,48 @@ object SourceQueries {
       out
     }
   }
+
+  /** CSV ingest round-trip: the documents metadata columns travel
+    * through headered CSV and back, then aggregate per source. The
+    * gate deliberately ships only FLAT columns — free text with
+    * embedded newlines would force multiLine=true, which makes a CSV
+    * file non-splittable (one task per file at 100 TB); the engine's
+    * stance is that prose belongs in parquet/JSONL, CSV carries
+    * metadata. An explicit schema skips the inference scan. */
+  def qSourceCsv(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    PipelineQueries.withTempIndexDir("graft_csv_gate_") { path =>
+      d.write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      s.read.schema(schema).option("header", "true").csv(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** ORC ingest round-trip: the lineitem measures travel through ORC
+    * (the other columnar lake format Spark reads natively) and
+    * aggregate to the q1-agg shape. Predicate pushdown and column
+    * pruning work on ORC exactly as on parquet — the scan reads two
+    * columns, not sixteen. */
+  def qSourceOrc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+    PipelineQueries.withTempIndexDir("graft_orc_gate_") { path =>
+      li.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .localCheckpoint(true)
+    }
+  }
 }

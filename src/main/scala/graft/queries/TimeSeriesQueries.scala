@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Bpe, TimeSeries}
+
+/** Gate queries for the time-series / engagement-analytics operators
+  * (ops/TimeSeries) and the BPE tokenizer trainer (ops/Bpe). The
+  * first three replay exactly in DuckDB (generate_series + IGNORE
+  * NULLS window, ordered sweep, cohort matrix); BPE is iterative
+  * global-argmax — no SQL oracle can express it, so the gate enforces
+  * CROSS-PATH IDENTITY with an independent driver-side implementation
+  * instead (the q_sim_ivf_indexed pattern).
+  */
+object TimeSeriesQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Per-user daily resample of the events stream with forward fill
+    * (ops/TimeSeries.resample): one row per (user, day) across each
+    * user's own active span, gaps carrying the last observed daily
+    * max. Per-bucket aggregate is max() — order-independent, so the
+    * doubles are bit-stable against the oracle. */
+  def qResample(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.resample(t(s, dir, "events"), "user_id", "ts", "value",
+        truncUnit = "DAY", step = "interval 1 day")
+      .orderBy(col("user_id"), col("bucket"))
+
+  /** Max-concurrency sweep over gap-based user sessions
+    * (ops/TimeSeries.intervalConcurrency): session intervals are
+    * [first event, last event + 4h) — the native session_window
+    * bounds — and the sweep emits the running open-session count at
+    * every boundary. The prefix sum distributes via range buckets +
+    * broadcast offsets, not a single-task global window. */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = graft.ops.Sessions.sessionAgg(t(s, dir, "events"),
+        "user_id", "ts", "4 hours", Seq(count(lit(1)).as("n_events")))
+      .select(col("session_window.start").as("st"),
+        col("session_window.end").as("en"))
+    TimeSeries.intervalConcurrency(iv, "st", "en")
+      .orderBy(col("ts"), col("delta"))
+  }
+
+  /** Cohort retention matrix (ops/TimeSeries.cohortRetention): users
+    * bucketed by first-seen day, distinct actives per (cohort, day
+    * offset) — the engagement-decay table. */
+  def qRetention(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cohortRetention(t(s, dir, "events"), "user_id", "ts", "DAY")
+      .orderBy(col("cohort"), col("day_offset"))
+
+  /** Token-entropy quality signal (functions/TokenEntropyExpr): the
+    * whole corpus scored in ONE compiled map-side pass — no explode,
+    * no shuffle; the DuckDB oracle rebuilds the unigram distribution
+    * relationally and must agree to 4 decimals. */
+  def qEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextStatsFunctions.tokenEntropy(col("text")).as("e"))
+      .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+        col("e.n_distinct").as("n_distinct"),
+        round(col("e.entropy"), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** BPE vocabulary learning (ops/Bpe): 30 merges over the document
+    * corpus's word-frequency dict. SELF-CHECKING: the distributed
+    * learner's merge sequence must be IDENTICAL (rank, pair, freq) to
+    * an independent driver-side reference implementation replayed on
+    * the collected dict — any divergence in pair counting, greedy
+    * re-segmentation, or tie-breaking fails the gate, not just a
+    * spec. (Guarded to gate scales: the replay runs only while the
+    * dict fits comfortably on the driver.) */
+  def qBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Bpe.wordFreq(t(s, dir, "documents"), "text")
+    val merges = Bpe.learnMerges(words, numMerges = 30)
+    require(merges.nonEmpty, "q_bpe: no merges learned")
+    val dictSize = words.count()
+    if (dictSize <= 200000L) {
+      val dict = words.select(col("word"), col("wcount"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ref = Bpe.referenceLearn(dict, numMerges = 30)
+      require(merges == ref,
+        s"q_bpe: distributed merges diverge from reference replay\n" +
+          s"  spark: ${merges.take(5)}\n  ref:   ${ref.take(5)}")
+    }
+    merges.toDF()
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("freq"))
+      .orderBy(col("rank"))
+  }
+
+  /** Corpus-scale BPE application (ops/Bpe.encode): the 30 learned
+    * merges segment every document map-side; output is the per-source
+    * tokenizer-fertility table (BPE tokens per character — the metric
+    * tokenizer training actually optimizes). No SQL oracle can know
+    * the learned merges, so the gate enforces the LOSSLESSNESS
+    * invariant over the WHOLE corpus instead: re-joining each doc's
+    * BPE tokens (with `</w>` → space) must reproduce its
+    * whitespace-normalized lowercased text exactly — one dropped,
+    * duplicated, or mis-merged symbol anywhere fails the gate. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.learnMerges(Bpe.wordFreq(docs, "text"), numMerges = 30)
+    val enc = Bpe.encode(docs, "text", merges).localCheckpoint(true)
+    val rejoined = rtrim(regexp_replace(
+      array_join(col("bpe_tokens"), ""), java.util.regex.Pattern.quote(Bpe.EndOfWord), " "))
+    val normalized = regexp_replace(btrim(lower(col("text"))), "\\s+", " ")
+    val broken = enc.filter(rejoined =!= normalized).count()
+    require(broken == 0L,
+      s"q_bpe_encode: $broken documents do not rejoin to their normalized text")
+    enc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("tokens_total"),
+        sum(length(regexp_replace(btrim(lower(col("text"))), "\\s+", " ")))
+          .as("chars_norm"))
+      .withColumn("fertility",
+        round(col("tokens_total").cast("double") / col("chars_norm"), 4))
+      .orderBy(col("source"))
+  }
+}

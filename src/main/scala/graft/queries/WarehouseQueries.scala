@@ -89,6 +89,29 @@ object WarehouseQueries {
       .orderBy(col("node"))
   }
 
+  /** k-core of a formula-derived link graph (ops/Graphs.kCore, k=4):
+    * a binary-lattice body (doc→doc+1; +2 on evens; +4, +8, +16 on
+    * their strides — degrees 2..10, engineered so peeling CASCADES
+    * for 5-6 rounds) plus a dense 64-node clique-ish core that
+    * survives. DuckDB replays the identical peel with 10 unrolled
+    * induced-subgraph rounds — the op's `require(converged)` makes
+    * "10 is enough" a checked fact, so the equality is exact. */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count() // parquet footer count — metadata-cheap
+    val lattice = Seq(1L -> 1L, 2L -> 2L, 4L -> 4L, 8L -> 8L, 16L -> 16L)
+      .map { case (step, stride) =>
+        docs.filter(col("doc_id") % stride === 0)
+          .select(col("doc_id").as("src"), ((col("doc_id") + step) % n).as("dst"))
+      }.reduce(_ unionByName _)
+    val core = docs.filter(col("doc_id") < 64)
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1), lit(2), lit(3), lit(4))).as("j"))
+      .select(col("src"), ((col("src") + col("j")) % 64).as("dst"))
+    Graphs.kCore(lattice.unionByName(core), "src", "dst", k = 4, maxRounds = 10)
+      .orderBy(col("node"))
+  }
+
   /** Per-group top-k selection: the 3 longest documents per source —
     * the "best-k exemplars per stratum" curation primitive. The rank
     * filter is planned through Spark's WindowGroupLimit, which pushes a

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Bpe
+
+/** ops/Bpe: hand-checkable merges on the classic toy corpus, exact
+  * distributed-vs-reference identity on real text, and encode()
+  * consistency with the learned segmentation. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("learns the classic merges on a toy corpus") {
+    // Sennrich's running example shape: {low x5, lower x2, newest x6,
+    // widest x3}. Highest pair is (e,s) 9 (newest+widest), then
+    // (es,t) 9, then (est,</w>) 9, then (l,o) 7, (lo,w) 7 ...
+    val df = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .toDF("text")
+    val words = Bpe.wordFreq(df, "text")
+    val merges = Bpe.learnMerges(words, numMerges = 5)
+    assert(merges.map(m => (m.left, m.right, m.freq)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)), s"got $merges")
+  }
+
+  test("distributed learner identical to reference implementation on real docs") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val words = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.learnMerges(words, numMerges = 20)
+    val dict = words.select(col("word"), col("wcount"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ref = Bpe.referenceLearn(dict, numMerges = 20)
+    assert(merges == ref,
+      s"diverged:\n spark=${merges.take(8)}\n ref=  ${ref.take(8)}")
+    assert(merges.size == 20)
+  }
+
+  test("greedy left-to-right merge handles overlapping runs") {
+    // 'aaaa' with merge (a,a): non-overlapping left-to-right -> [aa][aa]
+    val df = Seq.fill(3)("aaaa").toDF("text")
+    val words = Bpe.wordFreq(df, "text")
+    val merges = Bpe.learnMerges(words, numMerges = 2)
+    assert(merges.head.left == "a" && merges.head.right == "a")
+    // 3 words x 3 adjacent 'a a' pairs = 9
+    assert(merges.head.freq == 9L)
+    // second round: every word is [aa, aa, </w>] -> (aa,aa) x3 ties
+    // (aa,</w>) x3; '<' sorts before 'a', so the tie-break takes
+    // (aa, </w>) — locked here because the gate's cross-path identity
+    // depends on both implementations agreeing on exactly this rule
+    assert(merges(1).left == "aa" && merges(1).right == Bpe.EndOfWord &&
+      merges(1).freq == 3L, s"got ${merges(1)}")
+  }
+
+  test("encode applies learned merges and counts tokens") {
+    val corpus = Seq.fill(5)("low low newest").toDF("text")
+    val merges = Bpe.learnMerges(Bpe.wordFreq(corpus, "text"), numMerges = 4)
+    val enc = Bpe.encode(Seq("low newest unknown").toDF("text"), "text", merges)
+      .select(col("bpe_tokens"), col("n_bpe_tokens"))
+      .as[(Seq[String], Long)].head()
+    // whatever the learned merges, re-joining tokens must reproduce the
+    // source words with </w> marking word ends
+    val rejoined = enc._1.mkString("")
+      .replace(Bpe.EndOfWord, " ").trim
+    assert(rejoined == "low newest unknown", s"got ${enc._1}")
+    assert(enc._2 == enc._1.size.toLong)
+  }
+}

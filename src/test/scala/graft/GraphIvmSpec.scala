@@ -67,4 +67,23 @@ class GraphIvmSpec extends AnyFunSuite {
     view = Ivm.maintain(view, df(Seq.empty), df(wipeK3), keys, sums)
     assert(!view.select("k").as[String].collect().contains("k3"))
   }
+
+  private def kcore(k: Int, edges: (Long, Long)*): Map[Long, Long] =
+    Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
+      .as[(Long, Long)].collect().toMap
+
+  test("k-core peels tails and cascades") {
+    // K4 on 1-4 with a pendant path 4-5-6: k=2 keeps K4 + nothing of
+    // the path (5 dies -> 6 dies: the CASCADE), k=3 keeps exactly K4
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val g = k4 ++ Seq((4L, 5L), (5L, 6L))
+    assert(kcore(3, g: _*) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(kcore(2, g: _*) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), "pendant path must cascade away")
+    // k above the max degree: empty core
+    assert(kcore(4, g: _*).isEmpty)
+    // duplicate + reversed edges are one undirected edge
+    assert(kcore(2, (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
