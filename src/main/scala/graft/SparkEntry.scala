@@ -165,6 +165,9 @@ object SparkEntry {
     "q_source_orc"     -> (SourceQueries.qSourceOrc _),
     "q_kcore"          -> (WarehouseQueries.qKcore _),
     "q_bpe_encode"     -> (TimeSeriesQueries.qBpeEncode _),
+    "q_decayed"        -> (TimeSeriesQueries.qDecayed _),
+    "q_json_extract"   -> (SourceQueries.qJsonExtract _),
+    "q_mad"            -> (AnalyticsQueries.qMad _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1757,6 +1760,48 @@ object SparkEntry {
                 round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_kcore" -> kCoreOracle(k = 4, rounds = 10),
+    // decayed score: the same bounded-horizon contribution explode in
+    // exact integer arithmetic — score_fp is a BIGINT equality, score
+    // one shared IEEE division
+    "q_decayed" ->
+      """WITH obs AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(round(max(value) * 100) AS BIGINT) AS v_fp
+           FROM events GROUP BY 1, 2
+         ), ages AS (SELECT unnest(range(0, 14)) AS age),
+         contrib AS (
+           SELECT o.user_id, o.day + CAST(a.age AS INT) AS day,
+                  o.v_fp * (CAST(1 AS BIGINT) << (13 - CAST(a.age AS INT)))
+                    AS w
+           FROM obs o CROSS JOIN ages a
+         )
+         SELECT c.user_id, CAST(c.day AS TIMESTAMP) AS day,
+                CAST(sum(c.w) AS BIGINT) AS score_fp,
+                CAST(sum(c.w) AS DOUBLE) / 819200.0 AS score
+         FROM contrib c JOIN obs d ON c.user_id = d.user_id AND c.day = d.day
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // typed JSON extraction: DuckDB's ->> replays from_json's k field
+    "q_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+                CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_min,
+                CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max,
+                CAST(sum(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // MAD robust fence: two quantile_cont passes mirror the two
+    // native-percentile passes
+    "q_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY 1),
+         mad AS (SELECT e.event_type, min(m.med) AS med,
+                        quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                 FROM events e JOIN med m USING (event_type) GROUP BY 1)
+         SELECT e.event_type, round(min(m.med), 4) AS med,
+                round(min(m.mad), 4) AS mad,
+                CAST(sum(CASE WHEN abs(e.value - m.med) > m.mad * 3 * 1.4826
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+         FROM events e JOIN mad m USING (event_type) GROUP BY 1 ORDER BY 1""",
   )
 
   /** DuckDB replay of the k=4 peel: the same formula graph, `rounds`

@@ -248,6 +248,30 @@ object AnalyticsQueries {
         round(percentile(col("value"), lit(0.99)), 2).as("p99"))
       .orderBy(col("event_type"))
 
+  /** MAD-based robust outliers: per event type, the median, the median
+    * absolute deviation, and the count beyond the 3σ-equivalent robust
+    * fence (3 × 1.4826 × MAD) — the outlier rule that, unlike z-scores
+    * (q_outliers), a few extreme points cannot drag. Two exact
+    * distributed percentile passes (Spark's native `percentile`
+    * aggregate) + one counting pass; the 5-row median table broadcasts
+    * back onto the scan. */
+  def qMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"), // constant per group
+        percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(min(col("med")), 4).as("med"),
+        round(min(col("mad")), 4).as("mad"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 3 * 1.4826, 1L)
+          .otherwise(0L)).as("n_anom"))
+      .orderBy(col("event_type"))
+  }
+
   /** Deterministic uniform k-sample: order by a salted md5 of the key,
     * take k — the "give me a reproducible random eval subset" op.
     * Lowered as TakeOrderedAndProject: per-partition top-k heaps then

@@ -67,6 +67,25 @@ object SourceQueries {
     }
   }
 
+  /** Typed JSON extraction from an embedded JSON column (the
+    * reference's users stuff semi-structured props into strings; a
+    * lake query must parse them relationally). `from_json` with an
+    * explicit schema keeps the parse inside whole-stage codegen — one
+    * pass, no UDFs; malformed documents surface as NULLs and are
+    * COUNTED, never silently dropped. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          StructType(Seq(StructField("k", LongType)))).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        count(when(col("k").isNull, 1)).as("n_bad"))
+      .orderBy(col("event_type"))
+
   /** CSV ingest round-trip: the documents metadata columns travel
     * through headered CSV and back, then aggregate per source. The
     * gate deliberately ships only FLAT columns — free text with

@@ -62,6 +62,21 @@ object TimeSeriesQueries {
         round(col("e.entropy"), 4).as("entropy"))
       .orderBy(col("doc_id"))
 
+  /** Exponentially decayed engagement score (ops/TimeSeries
+    * .decayedScore): per (user, active day), the trailing-14-day decay
+    * sum of daily maxima with a 1-day half-life — fixed-point BIGINT
+    * weights (exact powers of two), contributions exploded map-side
+    * (bounded fan-out), never a per-key quadratic self-join. The
+    * integer score_fp hash-matches bit-for-bit; score is one IEEE
+    * division from it. `day` travels as TIMESTAMP so both engines
+    * hash the same dtype. */
+  def qDecayed(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.decayedScore(t(s, dir, "events"), "user_id", "ts", "value",
+        horizonDays = 14, valueScale = 100L)
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        col("score_fp"), col("score"))
+      .orderBy(col("user_id"), col("day"))
+
   /** BPE vocabulary learning (ops/Bpe): 30 merges over the document
     * corpus's word-frequency dict. SELF-CHECKING: the distributed
     * learner's merge sequence must be IDENTICAL (rank, pair, freq) to

@@ -86,6 +86,22 @@ class TimeSeriesSpec extends AnyFunSuite {
       "bucketed prefix sums disagree with single-bucket truth")
   }
 
+  test("decayed score: exact halving per day, horizon cut, fp exactness") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 8.0),
+      (1L, "2024-01-02 10:00:00", 4.0),
+      (1L, "2024-01-20 10:00:00", 2.0)) // outside day-2's 14-day horizon
+    val r = TimeSeries.decayedScore(df, "k", "ts", "v",
+        horizonDays = 14, valueScale = 100L)
+      .select(col("k"), col("day").cast("string"), col("score"))
+      .as[(Long, String, Double)].collect().sortBy(_._2).toList
+    assert(r == List(
+      (1L, "2024-01-01", 8.0),        // just itself
+      (1L, "2024-01-02", 4.0 + 8.0 / 2), // yesterday halves
+      (1L, "2024-01-20", 2.0)),       // 18 days later: both aged out
+      s"got $r")
+  }
+
   test("retention cohorts: every user lands in exactly one cohort, offsets >= 0") {
     val df = ev(
       (1L, "2024-01-01 10:00:00", 0.0), (1L, "2024-01-03 10:00:00", 0.0),
