@@ -168,6 +168,8 @@ object SparkEntry {
     "q_decayed"        -> (TimeSeriesQueries.qDecayed _),
     "q_json_extract"   -> (SourceQueries.qJsonExtract _),
     "q_mad"            -> (AnalyticsQueries.qMad _),
+    "q_rank_fusion"    -> (PipelineQueries.qRankFusion _),
+    "q_store_optimize" -> (BatchQueries.qStoreOptimize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1802,6 +1804,70 @@ object SparkEntry {
                 CAST(sum(CASE WHEN abs(e.value - m.med) > m.mad * 3 * 1.4826
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
          FROM events e JOIN mad m USING (event_type) GROUP BY 1 ORDER BY 1""",
+    // RRF hybrid fusion: the q_bm25 ranking CTEs verbatim + a length
+    // ranking, fused by 1/(60+rank), top-20 re-ranked
+    "q_rank_fusion" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+           FROM documents
+         ), g AS (
+           SELECT doc_id, len(t) AS dl,
+                  len(list_filter(t, w -> w = 'table')) AS tf0,
+                  len(list_filter(t, w -> w = 'scan'))  AS tf1,
+                  len(list_filter(t, w -> w = 'fast'))  AS tf2,
+                  len(list_filter(t, w -> w = 'key'))   AS tf3,
+                  len(list_filter(t, w -> w = 'slow'))  AS tf4
+           FROM f
+         ), st AS (
+           SELECT count(*) AS n, sum(dl) AS sumdl,
+                  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+                  sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
+           FROM g
+         ), scored AS (
+           SELECT doc_id, round(
+               ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*2.2) / (tf0 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*2.2) / (tf1 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2*2.2) / (tf2 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             + ln(1 + (n - df3 + 0.5)/(df3 + 0.5)) * (tf3*2.2) / (tf3 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             + ln(1 + (n - df4 + 0.5)/(df4 + 0.5)) * (tf4*2.2) / (tf4 + 1.2*(0.25 + 0.75*dl/(CAST(sumdl AS DOUBLE)/n)))
+             , 4) AS score
+           FROM g, st
+         ), bm AS (
+           SELECT doc_id, rank FROM (
+             SELECT doc_id,
+                    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+             FROM scored) WHERE rank <= 50
+         ), ln_rk AS (
+           SELECT doc_id, rank FROM (
+             SELECT doc_id,
+                    row_number() OVER (ORDER BY length(text) DESC, doc_id ASC)
+                      AS rank
+             FROM documents) WHERE rank <= 50
+         ), fused AS (
+           SELECT doc_id, round(sum(1.0 / (rank + 60)), 6) AS rrf,
+                  CAST(count(*) AS BIGINT) AS n_lists
+           FROM (SELECT * FROM bm UNION ALL SELECT * FROM ln_rk)
+           GROUP BY doc_id
+         )
+         SELECT doc_id, rrf, n_lists, frank FROM (
+           SELECT doc_id, rrf, n_lists,
+                  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+                    AS BIGINT) AS frank
+           FROM fused) WHERE frank <= 20
+         ORDER BY doc_id""",
+    // compaction content gate: the aggregate over the compacted store
+    // equals the source-table truth (structure checks run in-query)
+    "q_store_optimize" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                round(sum(c_acctbal), 2) AS bal_sum,
+                CAST(min(c_custkey) AS BIGINT) AS k_min,
+                CAST(max(c_custkey) AS BIGINT) AS k_max
+         FROM customer GROUP BY 1 ORDER BY 1""",
   )
 
   /** DuckDB replay of the k=4 peel: the same formula graph, `rounds`

@@ -64,6 +64,26 @@ object TextSearch {
     scoredInput.select(col("doc_id"), score.as("bm25"))
   }
 
+  /** Reciprocal-rank fusion of N rankings (Cormack et al. 2009) — the
+    * standard hybrid-retrieval combiner (lexical BM25 + semantic ANN +
+    * priors) because it needs no score calibration, only ranks:
+    * rrf(d) = Σ_lists 1/(k + rank_list(d)), absent → no contribution.
+    *
+    * Each input is (idCol, rankCol); the fuse is one union + one keyed
+    * aggregate — no joins, so N lists cost N scans and one shuffle of
+    * (id, rank) pairs regardless of corpus size. Output: (idCol,
+    * rrf (rounded to 6), n_lists), unsorted — callers rank the fused
+    * set themselves (it is candidate-list-sized, not corpus-sized). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings.map(_.select(col(idCol), col(rankCol).cast("long").as("rank")))
+      .reduce(_ unionAll _)
+      .groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (col("rank") + k)), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+  }
+
   /** Build a persisted trigram inverted index: one (gram, doc_id) row
     * per DISTINCT trigram per document, range-partitioned and sorted
     * by gram so a probe's `gram IN (…)` predicate prunes whole files

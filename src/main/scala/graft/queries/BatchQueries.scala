@@ -364,6 +364,44 @@ object BatchQueries {
     * merely copied between files cancel. Only CHANGED files are
     * scanned (manifest file-set intersection skips common files
     * unread). */
+  /** Small-file compaction (TableStore.compact — the OPTIMIZE
+    * maintenance op): 12 striped appends leave 12 key-interleaved
+    * files; the clustered rewrite packs them into ≤4 NON-OVERLAPPING
+    * key ranges. SELF-CHECKING structure gates in-query: file count
+    * must drop to target, ranges must stop overlapping (what restores
+    * manifest/row-group pruning), and the pre-compact version must
+    * still time-travel (a rewrite may never destroy history). Content
+    * equality is the DuckDB oracle: the aggregate over the compacted
+    * store must equal the same aggregate over the source table. */
+  def qStoreOptimize(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val tmp = graft.core.TempDirs.create("graft_opt_")
+    val store = new graft.core.TableStore(s, tmp, "c_custkey")
+    (0 until 12).foreach { i =>
+      store.append(base.filter(col("c_custkey") % 12 === i))
+    }
+    val before = store.fileIdRanges.size
+    val rowsBefore = store.read.count()
+    store.compact(targetFiles = 4, clusterBy = Seq("c_custkey"))
+    val ranges = store.fileIdRanges
+    require(ranges.size <= 4 && ranges.size < before,
+      s"q_store_optimize: expected <=4 files after compact, got ${ranges.size} (was $before)")
+    val sorted = ranges.map(r => (r._1.get, r._2.get)).sorted
+    require(sorted.zip(sorted.drop(1)).forall { case ((_, hi), (lo, _)) => hi < lo },
+      s"q_store_optimize: compacted key ranges overlap: $sorted")
+    val vs = store.versions.sorted
+    require(store.readVersion(vs(vs.size - 2)).count() == rowsBefore,
+      "q_store_optimize: pre-compact version lost rows under time travel")
+    store.read
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("bal_sum"),
+        min(col("c_custkey")).as("k_min"),
+        max(col("c_custkey")).as("k_max"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def qVersionDiff(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))

@@ -811,6 +811,35 @@ object PipelineQueries {
     * (N, avgdl, per-term df) come from ONE global aggregate broadcast
     * back — no explode, no per-token shuffle. DuckDB replays the
     * identical formula, term order, and rounding. */
+  /** Hybrid-retrieval rank fusion (ops/TextSearch.rrfFuse): the BM25
+    * keyword top-50 fused with a length-prior top-50 by reciprocal
+    * rank — no score calibration, one union + one keyed agg over two
+    * candidate lists (never corpus-sized). Final re-rank happens
+    * INSIDE the ≤100-row fused set, so the row_number window is
+    * candidate-scale by construction. */
+  def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val byScore = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val bmTop = graft.ops.TextSearch.bm25(d, "doc_id", "text",
+        Seq("table", "scan", "fast", "key", "slow"))
+      .withColumn("score", round(col("bm25"), 4))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+    val byLen = Window.orderBy(col("n_chars").desc, col("doc_id").asc)
+    val lenTop = d.select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc).limit(50)
+      .withColumn("rank", row_number().over(byLen).cast("long"))
+    val fused = graft.ops.TextSearch.rrfFuse(
+      Seq(bmTop.select(col("doc_id"), col("rank")),
+        lenTop.select(col("doc_id"), col("rank"))), "doc_id", "rank")
+    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+      .withColumn("frank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   def qBm25(s: SparkSession, dir: String): DataFrame = {
     val scored = graft.ops.TextSearch.bm25(docs(s, dir), "doc_id", "text",
       Seq("table", "scan", "fast", "key", "slow"))
