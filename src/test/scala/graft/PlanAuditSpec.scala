@@ -300,4 +300,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "Scan parquet".r.findAllIn(plan).length
     assert(scans <= 2, s"expectations should scan the table once:\n$plan")
   }
+
+  test("token entropy scores the corpus with zero exchanges, inside codegen") {
+    import org.apache.spark.sql.functions._
+    val df = core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextStatsFunctions.tokenEntropy(col("text")).as("e"))
+      .select(col("doc_id"), col("e.n_tokens"), col("e.entropy"))
+    val plan = finalPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"entropy is per-row — a shuffle means the kernel fell apart:\n$plan")
+    assert(plan.contains("*(1)") && !plan.toLowerCase.contains("scalaudf"),
+      s"entropy kernel must run inside whole-stage codegen:\n$plan")
+  }
+
+  test("decayed score: bounded explode, no cartesian, keyed aggregation") {
+    val df = graft.ops.TimeSeries.decayedScore(
+      core.Tables.load(spark, sf, "events"), "user_id", "ts", "value")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"decay contributions must explode map-side, never cross-join:\n$plan")
+    assert(plan.contains("Generate"),
+      s"expected the horizon explode in the plan:\n$plan")
+  }
 }
