@@ -170,6 +170,7 @@ object SparkEntry {
     "q_mad"            -> (AnalyticsQueries.qMad _),
     "q_rank_fusion"    -> (PipelineQueries.qRankFusion _),
     "q_store_optimize" -> (BatchQueries.qStoreOptimize _),
+    "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1868,6 +1869,14 @@ object SparkEntry {
                 CAST(min(c_custkey) AS BIGINT) AS k_min,
                 CAST(max(c_custkey) AS BIGINT) AS k_max
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // partition pruning: content equality after the directory-pruned
+    // read (the pruning itself is asserted on the plan in-gate)
+    "q_partition_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS val_sum,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1 ORDER BY 1""",
   )
 
   /** DuckDB replay of the k=4 peel: the same formula graph, `rounds`

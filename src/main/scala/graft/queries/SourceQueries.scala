@@ -86,6 +86,34 @@ object SourceQueries {
         count(when(col("k").isNull, 1)).as("n_bad"))
       .orderBy(col("event_type"))
 
+  /** Hive-style partitioned layout + partition pruning: events land as
+    * `event_type=<v>/` directories (the standard lake layout for a
+    * low-cardinality filter key), and a filtered read must prune at
+    * the DIRECTORY level — the gate asserts `PartitionFilters` carries
+    * the predicate in the executed plan, so the scan never lists the
+    * other partitions' files, then oracle-checks the aggregate. At
+    * 100 TB partition pruning is the difference between reading 20 TB
+    * and reading one partition. */
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    PipelineQueries.withTempIndexDir("graft_part_gate_") { path =>
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val filtered = s.read.parquet(path)
+        .filter(col("event_type") === "click" || col("event_type") === "purchase")
+      val plan = filtered.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters") &&
+          plan.linesIterator.filter(_.contains("PartitionFilters"))
+            .mkString.contains("event_type"),
+        s"q_partition_prune: predicate did not reach PartitionFilters:\n$plan")
+      filtered.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true)
+    }
+  }
+
   /** CSV ingest round-trip: the documents metadata columns travel
     * through headered CSV and back, then aggregate per source. The
     * gate deliberately ships only FLAT columns — free text with
