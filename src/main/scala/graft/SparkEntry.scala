@@ -171,6 +171,8 @@ object SparkEntry {
     "q_rank_fusion"    -> (PipelineQueries.qRankFusion _),
     "q_store_optimize" -> (BatchQueries.qStoreOptimize _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
+    "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
+    "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1877,6 +1879,67 @@ object SparkEntry {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY 1 ORDER BY 1""",
+    // leak-free split: the q_dedup_cc transitive-closure replay, then
+    // the md5 bucket of the COMPONENT decides the whole cluster
+    "q_split_leakfree" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+4], ' ')
+                        for i in generate_series(1, len(t)-4)] END) AS s
+           FROM toks
+         ), p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)) >= 0.5
+         ), e AS (
+           SELECT id1 AS u, id2 AS v FROM p
+           UNION SELECT id2, id1 FROM p
+         ), reach AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+         ), lbl AS (
+           SELECT u AS doc_id, least(u, min(v)) AS component
+           FROM reach GROUP BY u
+         ), full_lbl AS (
+           SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN lbl l USING (doc_id)
+         )
+         SELECT doc_id, component,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, component,
+                      CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))
+                        AS INT) % 100 AS b
+               FROM full_lbl)
+         ORDER BY doc_id""",
+    // hard negatives: per (query, label-match) rank over exact cosine,
+    // ties on item id; rn=1 rows pivot into pos/neg columns
+    "q_hard_negatives" ->
+      """SELECT query_id,
+                max(CASE WHEN same THEN item_id END) AS pos_id,
+                round(max(CASE WHEN same THEN cos END), 6) AS pos_cos,
+                max(CASE WHEN NOT same THEN item_id END) AS neg_id,
+                round(max(CASE WHEN NOT same THEN cos END), 6) AS neg_cos
+         FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+                  (a.label = b.label) AS same,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) AS cos,
+                  row_number() OVER (
+                    PARTITION BY a.vec_id, (a.label = b.label)
+                    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[]))
+                             DESC, b.vec_id) AS rn
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id < 100)
+         WHERE rn = 1
+         GROUP BY query_id ORDER BY query_id""",
   )
 
   /** DuckDB replay of the k=4 peel: the same formula graph, `rounds`

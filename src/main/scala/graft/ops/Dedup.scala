@@ -295,6 +295,31 @@ object Dedup {
     * their own components; callers re-attach them with a left join
     * (see queries.PipelineQueries.qDedupCc).
     */
+  /** Leakage-free train/val/test assignment: near-duplicate CLUSTERS
+    * are the split unit, not documents — a doc in train with its
+    * near-copy in test is evaluation leakage, and per-doc hash splits
+    * (`q_split_hash`) produce exactly that whenever a dup pair's
+    * members hash apart. Resolution: connected components over the
+    * near-dup pair graph, then the deterministic md5 bucket of the
+    * COMPONENT id decides every member's split. Singleton docs are
+    * their own component, so the assignment is total. Cost on top of
+    * the pair graph: the O(log n) CC rounds + one component join. */
+  def leakFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String, bCol: String,
+                    trainPct: Int = 80, valPct: Int = 90): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val labeled = df.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    // the q_split_hash md5 bucket, keyed on the COMPONENT id
+    val bucket =
+      conv(substring(md5(col("component").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    labeled.withColumn("split",
+      when(bucket < trainPct, "train").when(bucket < valPct, "val")
+        .otherwise("test"))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     def canon(df: DataFrame): DataFrame = df

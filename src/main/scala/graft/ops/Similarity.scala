@@ -87,6 +87,36 @@ object Similarity {
       .select(col("query_id"), col("item_id"), col("cosine"), col("rank"))
   }
 
+  /** Contrastive-pair mining: for each query, the most similar item
+    * of the SAME label (the positive) and the most similar item of a
+    * DIFFERENT label (the hard negative) — the pair-construction step
+    * of contrastive/metric training. Brute force over the given
+    * corpus (queries broadcast, corpus streamed — same shape as
+    * [[bruteForceTopK]]; pre-filter the corpus or use the LSH/IVF path
+    * to mine from candidates at full scale). Ties break on item id,
+    * so results are engine-exact. */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    labelCol: String,
+                    queries: DataFrame, queryId: String, queryVec: String): DataFrame = {
+    val c = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("item_vec"),
+      col(labelCol).as("item_label"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("query_vec"),
+      col(labelCol).as("query_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+      .withColumn("same", col("item_label") === col("query_label"))
+    val w = Window.partitionBy(col("query_id"), col("same"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("same"), col("item_id"))).as("pos_id"),
+        max(when(col("same"), col("cosine"))).as("pos_cos"),
+        max(when(!col("same"), col("item_id"))).as("neg_id"),
+        max(when(!col("same"), col("cosine"))).as("neg_cos"))
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: `tables`
     * independent signature families, candidates = same (table, bucket)
     * on any table, deduped, then exact cosine rank. More tables →

@@ -643,6 +643,43 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-free split assignment (ops/Dedup.leakFreeSplit):
+    * near-dup CLUSTERS, not documents, are the split unit — the same
+    * n-gram pair graph as q_dedup_cc, components resolved, and the
+    * md5 bucket of the COMPONENT deciding every member's split. The
+    * in-gate require checks the property end-to-end: NO near-dup pair
+    * may straddle two splits (that's evaluation leakage, and exactly
+    * what per-doc hash splitting produces). */
+  def qSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5, threshold = 0.5)
+      .localCheckpoint(true) // consumed by the split AND the leak check
+    val assigned = Dedup.leakFreeSplit(d, "doc_id", pairs, "id1", "id2")
+    val cross = pairs
+      .join(assigned.select(col("doc_id").as("id1"), col("split").as("s1")), Seq("id1"))
+      .join(assigned.select(col("doc_id").as("id2"), col("split").as("s2")), Seq("id2"))
+      .filter(col("s1") =!= col("s2")).count()
+    require(cross == 0L,
+      s"q_split_leakfree: $cross near-dup pairs straddle two splits")
+    assigned.select(col("doc_id"), col("component"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Contrastive-pair mining (ops/Similarity.hardNegatives): for each
+    * of 100 query vectors, the most-similar SAME-label item (positive)
+    * and the most-similar DIFFERENT-label item (hard negative) — the
+    * metric-learning batch-construction primitive. Exact brute force
+    * at gate scale; cosine dot products accumulate in index order on
+    * both engines, so even the ranking ties are deterministic. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id") < 100), "vec_id", "embedding")
+      .select(col("query_id"), col("pos_id"), round(col("pos_cos"), 6).as("pos_cos"),
+        col("neg_id"), round(col("neg_cos"), 6).as("neg_cos"))
+      .orderBy(col("query_id"))
+  }
+
   /** PII redaction (ops/Scrub): the fixture injects a doc_id-derived
     * number of emails/phones/IPs into each document (base corpus is
     * verified PII-free — no digits, '@', or '+'), the kernel finds
