@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_embed"    -> (PipelineQueries.qDedupEmbed _),
     "q_text_stats"     -> (PipelineQueries.qTextStats _),
     "q_text_quality"   -> (PipelineQueries.qTextQuality _),
+    "q_gopher_rules"   -> (PipelineQueries.qGopherRules _),
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_text_tokens"    -> (PipelineQueries.qTextTokens _),
     "q_text_repetition" -> (PipelineQueries.qTextRepetition _),
@@ -170,6 +171,8 @@ object SparkEntry {
     "q_mad"            -> (AnalyticsQueries.qMad _),
     "q_rank_fusion"    -> (PipelineQueries.qRankFusion _),
     "q_store_optimize" -> (BatchQueries.qStoreOptimize _),
+    "q_data_skip"      -> (BatchQueries.qDataSkip _),
+    "q_bucket_join"    -> (BatchQueries.qBucketJoin _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
     "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
@@ -485,6 +488,53 @@ object SparkEntry {
                      THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                      ELSE 0.0 END AS mean_token_len
          FROM f ORDER BY doc_id""",
+    // Gopher rule suite: every rule's verdict recomputed relationally —
+    // exact-string replace counting, list_intersect stopword sets, the
+    // same zero-word edge semantics (empty doc fails per-word rules).
+    "q_gopher_rules" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+                  length(text) - length(replace(text, '#', '')) AS n_hash,
+                  (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                  string_split(text, chr(10)) AS lns
+           FROM documents
+         ), g AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS wc,
+                  n_hash, n_ell,
+                  CAST(len(lns) AS BIGINT) AS n_lines,
+                  len(list_filter(lns, l -> left(ltrim(l), 1) IN ('-', '*', '•'))) AS n_bullet,
+                  len(list_filter(lns, l -> ends_with(rtrim(l), '...')
+                                         OR ends_with(rtrim(l), '…'))) AS n_ell_lines,
+                  len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                  CAST(len(list_intersect(toks,
+                    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+           FROM f
+         ), v AS (
+           SELECT doc_id, n_words, wc, n_stop,
+                  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+                  n_words > 0 AND CAST(wc AS DOUBLE)/n_words >= 3.0
+                    AND CAST(wc AS DOUBLE)/n_words <= 10.0 AS r_mean_word_len,
+                  n_words > 0 AND (n_hash + n_ell)/n_words <= 0.1 AS r_symbol_ratio,
+                  CAST(n_bullet AS DOUBLE)/n_lines <= 0.9 AS r_bullet_lines,
+                  CAST(n_ell_lines AS DOUBLE)/n_lines <= 0.3 AS r_ellipsis_lines,
+                  n_words > 0 AND CAST(n_alpha AS DOUBLE)/n_words >= 0.8 AS r_alpha_words,
+                  n_stop >= 2 AS r_stopwords
+           FROM g
+         )
+         SELECT doc_id, n_words,
+                round(CASE WHEN n_words > 0 THEN CAST(wc AS DOUBLE)/n_words ELSE 0.0 END, 4)
+                  AS mean_word_len,
+                n_stop AS n_req_stopwords,
+                r_word_count, r_mean_word_len, r_symbol_ratio,
+                r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+                r_word_count AND r_mean_word_len AND r_symbol_ratio
+                  AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+                  AND r_stopwords AS keep
+         FROM v ORDER BY doc_id""",
     // Language-ID + quality score, fully oracle-backed: the heuristics
     // are deterministic SQL over token/char counts — CJK code-point
     // ratio, marker-lexicon overlap with argmax via struct sort (ties →
@@ -1871,6 +1921,25 @@ object SparkEntry {
                 CAST(min(c_custkey) AS BIGINT) AS k_min,
                 CAST(max(c_custkey) AS BIGINT) AS k_max
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // bucketed co-located join: plain join content — the zero-Exchange
+    // co-location property is asserted on the physical plan in-gate
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS price_sum
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    // data skipping: same band arithmetic (integer division) rebuilt
+    // relationally; the file-level pruning is asserted in-gate
+    "q_data_skip" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+              w AS (SELECT lo, (hi - lo) // 8 + 1 AS width FROM b)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS price_sum,
+                CAST(min(o_orderkey) AS BIGINT) AS k_min,
+                CAST(max(o_orderkey) AS BIGINT) AS k_max
+         FROM orders, w
+         WHERE o_orderkey >= lo + 3 * width AND o_orderkey <= lo + 4 * width - 1
+         GROUP BY 1 ORDER BY 1""",
     // partition pruning: content equality after the directory-pruned
     // read (the pruning itself is asserted on the plan in-gate)
     "q_partition_prune" ->

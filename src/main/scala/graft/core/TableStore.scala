@@ -544,6 +544,23 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     readFiles(pruned).filter(col(idCol) === lit(id))
   }
 
+  /** Range scan with manifest-level data skipping: only files whose
+    * id stats intersect [kmin, kmax] are handed to Spark at all — the
+    * pruned files are never listed, opened, or footer-read. This is
+    * the table-format half of data skipping (Delta/Iceberg file stats);
+    * parquet row-group min/max pruning then works WITHIN the surviving
+    * files. On a compacted (clustered, non-overlapping) 100 TB table a
+    * narrow range reads O(range) files instead of O(table); on an
+    * uncompacted key-interleaved table every file overlaps and this
+    * degrades — gracefully — to the full scan, which is exactly why
+    * `compact(clusterBy=id)` exists. Files without stats (non-integral
+    * id, null ids) are conservatively always read. */
+  def readRange(kmin: Long, kmax: Long): DataFrame = {
+    val entries = currentEntries.filter(_.overlaps(kmin, kmax))
+    readFiles(entries)
+      .filter(col(idCol) >= lit(kmin) && col(idCol) <= lit(kmax))
+  }
+
   /** DELETE WHERE: removes rows where the condition is TRUE only —
     * NULL-evaluating rows are retained (SQL three-valued semantics;
     * a bare `!cond` would silently drop them). Two-phase, like Delta's

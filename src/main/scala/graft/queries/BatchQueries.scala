@@ -402,6 +402,90 @@ object BatchQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Bucketed co-located join: both sides written `bucketBy(8, key)`
+    * + `sortBy(key)` into the session catalog, then joined on the
+    * bucket key. With compatible bucketing Spark's SMJ reads bucket i
+    * against bucket i directly — the gate REQUIRES a SortMergeJoin
+    * with ZERO Exchange (no shuffle of either side) over bucket-aware
+    * scans in the executed plan. This is
+    * the pre-partitioning story for repeated 100 TB fact-fact joins:
+    * pay one clustered write, then every subsequent join on that key
+    * moves no data. The `merge` hint pins SMJ so a broadcast-eligible
+    * dim side cannot hide the property being locked; content equality
+    * is the DuckDB oracle. */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    // repartition by the bucket key first so every bucket is exactly ONE
+    // file (bucketBy writes one file per (task, bucket) pair; a
+    // multi-file bucket loses the reported sort order and re-Sorts)
+    o.repartition(8, col("o_custkey")).write.bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").mode("overwrite").saveAsTable("graft_bkt_orders")
+    c.repartition(8, col("c_custkey")).write.bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").mode("overwrite").saveAsTable("graft_bkt_customer")
+    val j = s.table("graft_bkt_orders").hint("merge")
+      .join(s.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"))
+      .orderBy(col("c_mktsegment"))
+    val joinPlan = j.queryExecution.executedPlan.toString
+    require(joinPlan.contains("SortMergeJoin"),
+      "q_bucket_join: expected a sort-merge join over bucketed tables")
+    // the printed tree is top-down: everything BELOW the SMJ node (its
+    // inputs) must be exchange-free — the aggregation above the join
+    // still shuffles on its own key, as it should. A per-partition
+    // Sort remains (Spark 4 does not propagate bucket-file sort order
+    // without the legacy outputOrdering flag); it is map-local CPU,
+    // not data movement, so the scale property being locked is the
+    // absent shuffle. The scan must actually BE bucket-aware, not a
+    // plain file scan that AQE happened to coalesce.
+    val belowJoin = joinPlan.split("SortMergeJoin", 2).last
+    require(!belowJoin.contains("Exchange"),
+      "q_bucket_join: bucketed join shuffled — co-location lost:\n" + joinPlan)
+    require(belowJoin.contains("Bucketed: true"),
+      "q_bucket_join: scan is not bucket-aware:\n" + joinPlan)
+    j
+  }
+
+  /** Manifest-stats data skipping (TableStore.readRange): 8 contiguous
+    * key-band appends leave files with DISJOINT id ranges; a narrow
+    * range read must then touch only the band's files — asserted
+    * in-gate on `inputFiles` (the pruned files are never handed to
+    * Spark at all, stronger than scan-time row-group pruning). Band
+    * arithmetic is all-integer so the DuckDB oracle recomputes the
+    * same bounds relationally. Content equality is the oracle. */
+  def qDataSkip(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val tmp = graft.core.TempDirs.create("graft_skip_")
+    val store = new graft.core.TableStore(s, tmp, "o_orderkey")
+    val r = base.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+    val (lo, hi) = (r.get(0).asInstanceOf[Number].longValue(),
+      r.get(1).asInstanceOf[Number].longValue())
+    val width = (hi - lo) / 8 + 1
+    (0 until 8).foreach { i =>
+      store.append(base.filter(
+        col("o_orderkey") >= lo + i * width && col("o_orderkey") < lo + (i + 1) * width))
+    }
+    val total = store.fileIdRanges.size
+    val (qlo, qhi) = (lo + 3 * width, lo + 4 * width - 1)
+    val banded = store.readRange(qlo, qhi)
+    val touched = banded.inputFiles.length
+    require(touched > 0 && touched * 4 <= total,
+      s"q_data_skip: range read touched $touched of $total files — manifest stats did not prune")
+    banded.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"),
+        min(col("o_orderkey")).as("k_min"),
+        max(col("o_orderkey")).as("k_max"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def qVersionDiff(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))

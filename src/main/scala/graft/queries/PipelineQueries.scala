@@ -208,6 +208,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher rule suite over the corpus: per-rule verdicts + keep flag,
+    * every rule mirrored exactly by the DuckDB oracle (counting via
+    * exact-string replace, stopword intersection, line prefixes). */
+  def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val g = TextAnalysis.gopherRules(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      g.getField("n_words").as("n_words"),
+      g.getField("mean_word_len").as("mean_word_len"),
+      g.getField("n_req_stopwords").as("n_req_stopwords"),
+      g.getField("r_word_count").as("r_word_count"),
+      g.getField("r_mean_word_len").as("r_mean_word_len"),
+      g.getField("r_symbol_ratio").as("r_symbol_ratio"),
+      g.getField("r_bullet_lines").as("r_bullet_lines"),
+      g.getField("r_ellipsis_lines").as("r_ellipsis_lines"),
+      g.getField("r_alpha_words").as("r_alpha_words"),
+      g.getField("r_stopwords").as("r_stopwords"),
+      g.getField("keep").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting: whitespace tokens + the BPE-ish subword budget
     * (words + punctuation + one unit per full 6 chars of long words).
     * Oracle reproduces the floor-division estimate in DuckDB. */
