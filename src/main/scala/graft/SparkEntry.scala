@@ -77,6 +77,8 @@ object SparkEntry {
     "q_text_stats"     -> (PipelineQueries.qTextStats _),
     "q_text_quality"   -> (PipelineQueries.qTextQuality _),
     "q_gopher_rules"   -> (PipelineQueries.qGopherRules _),
+    "q_compress_ratio" -> (PipelineQueries.qCompressRatio _),
+    "q_classifier"     -> (PipelineQueries.qClassifier _),
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_text_tokens"    -> (PipelineQueries.qTextTokens _),
     "q_text_repetition" -> (PipelineQueries.qTextRepetition _),

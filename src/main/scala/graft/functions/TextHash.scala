@@ -129,4 +129,38 @@ object TextHash {
     }
     out
   }
+
+  /** Hashed bag-of-words feature bucket of one token:
+    * floorMod(hashString, dims) — the feature map of the linear
+    * classifier (hashing trick). Shared verbatim by the distributed
+    * scoring kernel and the driver-side reference fit so the two
+    * training paths are INTEGER-IDENTICAL. */
+  @inline def bucket(tok: String, dims: Int): Int =
+    java.lang.Math.floorMod(hashString(tok), dims.toLong).toInt
+
+  /** Feature buckets of a document (empty tokens dropped). */
+  def bucketArray(u: UTF8String, dims: Int): ArrayData = {
+    val toks = tokenize(u)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) out += bucket(toks(i), dims)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Linear score of a document under hashed-BoW weights:
+    * bias + Σ_token w[bucket(token)]. All-integer — deterministic
+    * under any partitioning or evaluation order. */
+  def bowScore(u: UTF8String, dims: Int, w: Array[Long], bias: Long): Long = {
+    val toks = tokenize(u)
+    var s = bias
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) s += w(bucket(toks(i), dims))
+      i += 1
+    }
+    s
+  }
 }

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextHash, TextHashFunctions}
+
+/** Distributed linear quality/domain classifier over hashed
+  * bag-of-words features (the hashing trick) — the fastText-shaped
+  * model-based filter of an LLM data pipeline (e.g. a "looks like
+  * reference-quality text" screen), built so training is EXACTLY
+  * reproducible:
+  *
+  *   - features: token → floorMod(fnv1a(token), dims) — no vocabulary
+  *     to build, no driver-side dictionary, dims is the only knob;
+  *   - training: BATCH perceptron. Each epoch scores every document
+  *     under the current weights (one compiled map-side kernel pass,
+  *     `BowScore` — no explode, no join), then aggregates one
+  *     per-bucket update Σ label over the misclassified docs' tokens
+  *     (one shuffle whose rows are (bucket, Σlabel) — at most `dims`
+  *     rows reach the driver, metadata scale);
+  *   - ALL-INTEGER arithmetic: scores, weights, and updates are
+  *     Longs, so the fit is bit-identical under any partitioning,
+  *     any evaluation order, and any cluster size — unlike float
+  *     SGD, whose sums reorder. `referenceFit` is an independent
+  *     single-machine implementation of the same spec; the gate
+  *     requires weight-vector identity between the two paths.
+  *
+  * Per-example (online) perceptron is inherently sequential; the
+  * batch variant trades per-epoch convergence speed for a fit that is
+  * embarrassingly parallel and deterministic — the right trade at
+  * corpus scale, where an epoch is one scan.
+  */
+object Classifier {
+
+  final case class Model(dims: Int, weights: Array[Long], bias: Long,
+                         epochsRun: Int) {
+    def score(text: Column): Column =
+      TextHashFunctions.bowScore(text, dims, weights, bias)
+    def predict(text: Column): Column =
+      when(score(text) >= 0L, 1).otherwise(-1)
+  }
+
+  /** Fit up to `epochs` batch-perceptron epochs on (textCol, labelCol)
+    * with labelCol ∈ {+1, -1}, POCKETING the best epoch: full-batch
+    * updates overshoot (epoch 1 starts all-misclassified, so the first
+    * update is the entire class-centroid difference and later epochs
+    * can oscillate around the boundary), so the returned model is the
+    * weight vector of whichever epoch classified most training docs
+    * correctly — the classic pocket algorithm, still all-integer and
+    * still bit-identical to `referenceFit`. Ties keep the EARLIER
+    * epoch (both paths scan epochs in order with a strict `>`).
+    * Stops early when an epoch's net update is zero. The input is
+    * localCheckpointed once: every epoch re-reads materialized rows,
+    * not the upstream plan. */
+  def fitBatch(df: DataFrame, textCol: String, labelCol: String,
+               dims: Int = 256, epochs: Int = 5): Model = {
+    require(dims > 0 && Integer.bitCount(dims) == 1,
+      "Classifier.fitBatch: dims must be a positive power of two")
+    val base = df
+      .select(col(textCol).as("__text"),
+        col(labelCol).cast("long").as("__y"),
+        TextHashFunctions.bowBuckets(col(textCol), dims).as("__b"))
+      .localCheckpoint(true)
+    val w = new Array[Long](dims)
+    var bias = 0L
+    var pocketW = w.clone(); var pocketBias = bias; var pocketCorrect = -1L
+    var e = 0
+    var converged = false
+    while (e < epochs && !converged) {
+      val scored = base.withColumn("__s",
+        TextHashFunctions.bowScore(col("__text"), dims, w.clone(), bias))
+      // one pass: pocket accuracy of the CURRENT weights + per-bucket
+      // Σ label over misclassified docs' tokens (≤ dims+2 rows out)
+      val correct = scored.filter(col("__y") * col("__s") > 0L).count()
+      if (correct > pocketCorrect) {
+        pocketCorrect = correct; pocketW = w.clone(); pocketBias = bias
+      }
+      val mis = scored.filter(col("__y") * col("__s") <= 0L)
+      val deltas = mis
+        .select(col("__y"), explode(col("__b")).as("__k"))
+        .groupBy(col("__k")).agg(sum(col("__y")).as("__d"))
+        .collect()
+      val biasDelta = mis.agg(coalesce(sum(col("__y")), lit(0L))).head.getLong(0)
+      // converged = the NET update is zero (mirrors referenceFit: a
+      // +1/-1 misclassified pair over identical tokens nets to zero)
+      if (deltas.forall(_.getLong(1) == 0L) && biasDelta == 0L) converged = true
+      else {
+        deltas.foreach(r => w(r.getInt(0)) += r.getLong(1))
+        bias += biasDelta
+        e += 1
+      }
+    }
+    // the post-loop weights are one more candidate (the final update
+    // was applied but never evaluated)
+    val finalCorrect = base.filter(col("__y") *
+      TextHashFunctions.bowScore(col("__text"), dims, w.clone(), bias) > 0L).count()
+    if (finalCorrect > pocketCorrect) { pocketW = w.clone(); pocketBias = bias }
+    base.unpersist()
+    Model(dims, pocketW, pocketBias, e)
+  }
+
+  /** Independent driver-side reference implementation (same spec, no
+    * Spark) for the gate's cross-path identity check: batch updates
+    * accumulated over the epoch, applied once at epoch end, same
+    * hash/bucket kernel (TextHash.bucket), same early stop. */
+  def referenceFit(docs: Seq[(String, Long)], dims: Int,
+                   epochs: Int = 5): Model = {
+    val feats = docs.map { case (text, y) =>
+      (TextHash.tokenize(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .filter(_.nonEmpty).map(TextHash.bucket(_, dims)), y)
+    }
+    val w = new Array[Long](dims)
+    var bias = 0L
+    var pocketW = w.clone(); var pocketBias = bias; var pocketCorrect = -1L
+    def countCorrect(): Long =
+      feats.count { case (buckets, y) =>
+        var s = bias
+        buckets.foreach(k => s += w(k))
+        y * s > 0L
+      }.toLong
+    var e = 0
+    var converged = false
+    while (e < epochs && !converged) {
+      val correct = countCorrect()
+      if (correct > pocketCorrect) {
+        pocketCorrect = correct; pocketW = w.clone(); pocketBias = bias
+      }
+      val delta = new Array[Long](dims)
+      var biasDelta = 0L
+      feats.foreach { case (buckets, y) =>
+        var s = bias
+        buckets.foreach(k => s += w(k))
+        if (y * s <= 0L) {
+          buckets.foreach(k => delta(k) += y)
+          biasDelta += y
+        }
+      }
+      if (delta.forall(_ == 0L) && biasDelta == 0L) converged = true
+      else {
+        var i = 0
+        while (i < dims) { w(i) += delta(i); i += 1 }
+        bias += biasDelta
+        e += 1
+      }
+    }
+    if (countCorrect() > pocketCorrect) { pocketW = w.clone(); pocketBias = bias }
+    Model(dims, pocketW, pocketBias, e)
+  }
+}

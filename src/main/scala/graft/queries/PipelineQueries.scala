@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, IncrementalDedup, Mixing, Multimodal, Scrub, Similarity, TextAnalysis}
+import graft.ops.{Classifier, Dedup, IncrementalDedup, Mixing, Multimodal, Scrub, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators driven through the correctness
   * gate on the `documents` and `embeddings` tables. Oracle-backed where
@@ -226,6 +226,80 @@ object PipelineQueries {
       g.getField("r_alpha_words").as("r_alpha_words"),
       g.getField("r_stopwords").as("r_stopwords"),
       g.getField("keep").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Compression-ratio redundancy signal (CompressSizesExpr): DEFLATE
+    * size over raw UTF-8 size per document. No SQL oracle can replay
+    * zlib, so the gate is SELF-CHECKING on compression's defining
+    * properties: two planted probes — one maximally repetitive, one
+    * high-entropy — must land on opposite sides of the ratio scale
+    * with a wide gap, and every document must satisfy the format's
+    * hard bounds (output non-empty, at most raw + stored-block
+    * overhead). Map-side only; nothing shuffles but the final sort. */
+  def qCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val repetitive = Seq.fill(200)("spark spark table row").mkString(" ")
+    val diverse = (0 until 400).map(i =>
+      java.lang.Long.toHexString(i * 2654435761L + 40503)).mkString(" ")
+    val probes = Seq((-1L, repetitive), (-2L, diverse)).toDF("doc_id", "text")
+    val sized = docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(probes)
+      .withColumn("cz", graft.functions.CompressFunctions.compressSizes(col("text")))
+      .select(col("doc_id"),
+        col("cz.raw_bytes").as("raw_bytes"),
+        col("cz.deflate_bytes").as("deflate_bytes"),
+        round(col("cz.deflate_bytes").cast("double") /
+          greatest(col("cz.raw_bytes"), lit(1L)), 4).as("compress_ratio"))
+    val bad = sized.filter(col("deflate_bytes") <= 0 ||
+      col("deflate_bytes") > col("raw_bytes") + lit(64L)).count()
+    require(bad == 0, s"q_compress_ratio: $bad docs violate deflate size bounds")
+    val probeRatios = sized.filter(col("doc_id") < 0)
+      .select(col("doc_id"), col("compress_ratio")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(probeRatios(-1L) < 0.1 && probeRatios(-2L) > 0.4
+        && probeRatios(-2L) - probeRatios(-1L) > 0.3,
+      s"q_compress_ratio: probes did not separate: $probeRatios")
+    sized.orderBy(col("doc_id"))
+  }
+
+  /** Model-based corpus filter: distributed batch-perceptron training
+    * over hashed-BoW features, then corpus-wide scoring with the
+    * learned weights. The fixture's metadata labels are uncorrelated
+    * with text (every lang/source shares one vocabulary), so the gate
+    * plants a DETERMINISTIC SEPARABLE labeling the trainer is not
+    * told about — y = +1 iff the doc mentions 'spark' more often than
+    * 'vector' (a two-feature linear concept) — and requires the fit
+    * to actually find a separator. No SQL oracle can replay the
+    * iterative fit, so the gate uses CROSS-PATH IDENTITY (the q_bpe
+    * pattern): the distributed integer fit must produce the EXACT
+    * weight vector of an independent driver-side reference
+    * implementation, and the pocketed model must clearly beat the
+    * majority class on its training labels. */
+  def qClassifier(s: SparkSession, dir: String): DataFrame = {
+    def cnt(word: String) = size(filter(
+      split(btrim(lower(col("text"))), "\\s+"), w => w === word))
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        when(cnt("spark") > cnt("vector"), 1L).otherwise(-1L).as("y"))
+    val dims = 256
+    val model = Classifier.fitBatch(d, "text", "y", dims = dims, epochs = 20)
+    val local = d.select(col("text"), col("y")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ref = Classifier.referenceFit(local, dims, epochs = 20)
+    require(model.weights.sameElements(ref.weights) && model.bias == ref.bias
+        && model.epochsRun == ref.epochsRun,
+      s"q_classifier: distributed fit diverged from reference " +
+        s"(epochs ${model.epochsRun} vs ${ref.epochsRun}, bias ${model.bias} vs ${ref.bias})")
+    val scored = d
+      .withColumn("score", model.score(col("text")))
+      .withColumn("pred", model.predict(col("text")))
+    val n = local.length.toDouble
+    val acc = scored.filter(col("pred") * col("y") > 0).count() / n
+    val majority = math.max(local.count(_._2 > 0), local.count(_._2 < 0)) / n
+    require(acc > majority && acc >= 0.8,
+      f"q_classifier: training accuracy $acc%.3f (majority $majority%.3f) — fit failed to separate")
+    scored.select(col("doc_id"), col("score"), col("pred"), col("y"))
       .orderBy(col("doc_id"))
   }
 
