@@ -175,6 +175,7 @@ object SparkEntry {
     "q_store_optimize" -> (BatchQueries.qStoreOptimize _),
     "q_data_skip"      -> (BatchQueries.qDataSkip _),
     "q_bucket_join"    -> (BatchQueries.qBucketJoin _),
+    "q_stream_sink"    -> (StreamQueries.qStreamSink _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
     "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
@@ -1923,6 +1924,14 @@ object SparkEntry {
                 CAST(min(c_custkey) AS BIGINT) AS k_min,
                 CAST(max(c_custkey) AS BIGINT) AS k_max
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // exactly-once streamed ingest: content equality vs the source
+    // table — the replay/no-dup property is asserted in-gate
+    "q_stream_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS val_sum,
+                CAST(min(event_id) AS BIGINT) AS id_min,
+                CAST(max(event_id) AS BIGINT) AS id_max
+         FROM events GROUP BY 1 ORDER BY 1""",
     // bucketed co-located join: plain join content — the zero-Exchange
     // co-location property is asserted on the physical plan in-gate
     "q_bucket_join" ->

@@ -33,11 +33,18 @@ private[graft] sealed trait LogFormat {
   def versionOf(name: String): Option[Long]
   /** Serialize version `v`: `next` is the complete new file list,
     * `prev` the previous version's (for formats that record removals),
-    * `schemaJson` the table schema when the writer knows it. */
+    * `schemaJson` the table schema when the writer knows it, `txn`
+    * the CUMULATIVE idempotence state (appId → last applied version,
+    * e.g. a streaming sink's micro-batch id). Cumulative on purpose:
+    * every version file stays self-contained, so `lastTxn` reads ONE
+    * file instead of replaying the commit chain. */
   def encode(v: Long, prev: Seq[FileEntry], next: Seq[FileEntry],
-             schemaJson: Option[String]): String
+             schemaJson: Option[String],
+             txn: Map[String, Long] = Map.empty): String
   /** Deserialize one version file's content to its full file list. */
   def decode(content: String): Seq[FileEntry]
+  /** Deserialize one version file's cumulative txn state. */
+  def decodeTxn(content: String): Map[String, Long]
 }
 
 private[graft] object LogFormat {
@@ -62,13 +69,16 @@ private[graft] object NativeManifestLog extends LogFormat {
       Some(name.stripPrefix("v").stripSuffix(".manifest").toLong)
     else None
   def encode(v: Long, prev: Seq[FileEntry], next: Seq[FileEntry],
-             schemaJson: Option[String]): String = {
+             schemaJson: Option[String],
+             txn: Map[String, Long] = Map.empty): String = {
     def s(o: Option[Long]) = o.map(_.toString).getOrElse("")
-    next.map(e => s"${e.name}\t${s(e.idMin)}\t${s(e.idMax)}\t${s(e.rows)}")
-      .mkString("", "\n", "\n")
+    val files = next.map(e => s"${e.name}\t${s(e.idMin)}\t${s(e.idMax)}\t${s(e.rows)}")
+    val txns = txn.toSeq.sortBy(_._1).map { case (app, ver) => s"#txn\t$app\t$ver" }
+    (files ++ txns).mkString("", "\n", "\n")
   }
   def decode(content: String): Seq[FileEntry] =
-    content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map { line =>
+    content.split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq.map { line =>
       def opt(s: String) = Option(s).filter(_.nonEmpty).map(_.toLong)
       line.split("\t", -1) match {
         case Array(n, lo, hi, rc) => FileEntry(n, opt(lo), opt(hi), opt(rc))
@@ -76,6 +86,13 @@ private[graft] object NativeManifestLog extends LogFormat {
         case other => FileEntry(other.head, None, None, None)
       }
     }
+  def decodeTxn(content: String): Map[String, Long] =
+    content.split("\n").map(_.trim).filter(_.startsWith("#txn\t")).flatMap {
+      _.split("\t", -1) match {
+        case Array(_, app, ver) => Some(app -> ver.toLong)
+        case _ => None
+      }
+    }.toMap
 }
 
 /** Delta-Lake-style JSON action log under `_delta_log/`: version
@@ -106,7 +123,8 @@ private[graft] object DeltaJsonLog extends LogFormat {
     else None
 
   def encode(v: Long, prev: Seq[FileEntry], next: Seq[FileEntry],
-             schemaJson: Option[String]): String = {
+             schemaJson: Option[String],
+             txn: Map[String, Long] = Map.empty): String = {
     val now = System.currentTimeMillis()
     val sb = new StringBuilder
     def obj(): com.fasterxml.jackson.databind.node.ObjectNode = mapper.createObjectNode()
@@ -132,6 +150,17 @@ private[graft] object DeltaJsonLog extends LogFormat {
     mdBody.putArray("partitionColumns"); mdBody.putObject("configuration")
     mdBody.put("createdTime", now)
     line(md)
+
+    // cumulative txn actions — re-stating every appId's latest version
+    // each commit is latest-wins-legal in Delta replay and keeps the
+    // version file self-contained (readers never walk the chain)
+    txn.toSeq.sortBy(_._1).foreach { case (app, ver) =>
+      val tx = obj(); val txBody = tx.putObject("txn")
+      txBody.put("appId", app)
+      txBody.put("version", ver)
+      txBody.put("lastUpdated", now)
+      line(tx)
+    }
 
     val nextNames = next.map(_.name).toSet
     prev.filterNot(e => nextNames.contains(e.name)).foreach { e =>
@@ -174,4 +203,12 @@ private[graft] object DeltaJsonLog extends LogFormat {
           statLong("numRecords"))
       }
     }
+
+  def decodeTxn(content: String): Map[String, Long] =
+    content.split("\n").map(_.trim).filter(_.nonEmpty).flatMap { l =>
+      val node = mapper.readTree(l)
+      Option(node.get("txn")).map { t =>
+        t.get("appId").asText() -> t.get("version").asLong()
+      }
+    }.toMap
 }

@@ -291,8 +291,14 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * entries)` — the update function is RE-EVALUATED on every retry, so
     * concurrent committers merge instead of clobbering each other
     * (rename fails if the version already exists → optimistic retry
-    * with the newly observed entry list). */
-  private def commit(update: Seq[FileEntry] => Seq[FileEntry]): Unit =
+    * with the newly observed entry list). `txnUpdate` folds this
+    * commit's idempotence markers into the previous version's
+    * cumulative (appId → version) state; it is re-evaluated on retry
+    * too, and returning the input UNCHANGED while `alreadyApplied`
+    * says so is how a replayed micro-batch becomes a no-op commit. */
+  private def commit(update: Seq[FileEntry] => Seq[FileEntry],
+                     txnUpdate: Map[String, Long] => Map[String, Long] = identity)
+      : Unit =
     TableStore.commitLock(path).synchronized {
     // The monitor serializes commits from this driver JVM (where all
     // table mutations run). Cross-PROCESS racers are excluded by a
@@ -308,12 +314,15 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     var attempts = 0
     var done = false
     while (!done) {
-      val (prevVer, prevEntries) =
-        latestManifest(f).map { case (v, e) => (v, e) }.getOrElse((-1L, Seq.empty[FileEntry]))
+      val (prevVer, prevContent) = listVersions(f).lastOption
+        .map { case (v, p) => (v, Some(readUtf8(f, p))) }.getOrElse((-1L, None))
+      val prevEntries = prevContent.map(log.decode).getOrElse(Seq.empty)
+      val prevTxn = prevContent.map(log.decodeTxn).getOrElse(Map.empty[String, Long])
       val entries = update(prevEntries)
       val tmp = new Path(s"$versionsDir/.tmp-${UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, false)
-      try out.write(log.encode(prevVer + 1, prevEntries, entries, lastSchemaJson)
+      try out.write(log.encode(prevVer + 1, prevEntries, entries, lastSchemaJson,
+          txnUpdate(prevTxn))
         .getBytes("UTF-8"))
       finally out.close()
       val claimPath = new Path(s"$versionsDir/v${prevVer + 1}.claim")
@@ -491,6 +500,47 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   def append(rows: DataFrame): Unit = Metrics.timer("persistInsertChunk").time {
     val added = writeFiles(rows)
     commit(prev => prev ++ added)
+  }
+
+  /** Last applied idempotence version for `appId` (a streaming sink's
+    * micro-batch id), from the LATEST version file only — the state is
+    * cumulative per version, never a chain replay. */
+  def lastTxn(appId: String): Option[Long] = {
+    val f = fs
+    listVersions(f).lastOption.flatMap { case (_, p) =>
+      log.decodeTxn(readUtf8(f, p)).get(appId)
+    }
+  }
+
+  /** EXACTLY-ONCE append: commit `rows` and the (appId, version)
+    * idempotence marker in ONE atomic manifest rename. A replay of an
+    * already-applied version (sink restart, task retry, duplicated
+    * foreachBatch call) is dropped WITHOUT writing — there is no crash
+    * window between "data committed" and "marker recorded" because
+    * they are the same rename. Versions must be monotonically
+    * increasing per appId (micro-batch ids are). Returns true when the
+    * batch was applied, false when deduplicated. */
+  def appendOnce(appId: String, version: Long, rows: DataFrame): Boolean = {
+    if (lastTxn(appId).exists(_ >= version)) return false
+    val added = writeFiles(rows)
+    var applied = false
+    commit(
+      prev => {
+        // re-check INSIDE the commit attempt: a concurrent committer
+        // for the same appId may have applied this version while we
+        // were writing files (update fns re-evaluate on retry)
+        applied = !lastTxn(appId).exists(_ >= version)
+        if (applied) prev ++ added else prev
+      },
+      prevTxn =>
+        if (prevTxn.get(appId).exists(_ >= version)) prevTxn
+        else prevTxn + (appId -> version))
+    if (!applied) { // lost the race — drop the orphaned files
+      val f = fs
+      added.foreach(e => try f.delete(new Path(s"$filesDir/${e.name}"), false)
+        catch { case _: java.io.IOException => })
+    }
+    applied
   }
 
   /** Split `entries` into (files whose id range intersects the key

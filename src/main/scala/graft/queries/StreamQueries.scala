@@ -29,6 +29,41 @@ object StreamQueries {
       .orderBy(col("id"))
   }
 
+  /** Exactly-once streaming ingestion (StreamOps.sinkToStore →
+    * TableStore.appendOnce): the events stream lands in a TableStore
+    * with the micro-batch id committed ATOMICALLY with the data, then
+    * the gate REPLAYS the last batch id with extra rows — the
+    * signature at-least-once failure (foreachBatch re-run after a
+    * crash) — and requires the store unchanged. Content equality of
+    * the ingested table vs the source is the DuckDB oracle. */
+  def qStreamSink(s: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.loadStream(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = graft.core.TempDirs.create("graft_sink_")
+    val store = new graft.core.TableStore(s, tmp, "event_id")
+    val app = "q_stream_sink"
+    StreamOps.sinkToStore(stream, store, app,
+      graft.core.TempDirs.createFast("graft_sinkckpt_"))
+    val lastBatch = store.lastTxn(app).getOrElse(
+      throw new IllegalStateException("q_stream_sink: no batch recorded"))
+    val rowsBefore = store.read.count()
+    val replay = Tables.load(s, dir, "events").limit(50)
+      .select(col("event_id"), col("event_type"), col("value"))
+    require(!store.appendOnce(app, lastBatch, replay),
+      "q_stream_sink: replayed batch was applied twice")
+    require(store.read.count() == rowsBefore,
+      "q_stream_sink: replay changed the table")
+    // a NEW batch id is accepted (empty payload keeps content stable)
+    require(store.appendOnce(app, lastBatch + 1, replay.limit(0)),
+      "q_stream_sink: a fresh batch id was rejected")
+    store.read.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("val_sum"),
+        min(col("event_id")).as("id_min"),
+        max(col("event_id")).as("id_max"))
+      .orderBy(col("event_type"))
+  }
+
   /** C3 — streaming tumbling aggregation (group revisions; complete
     * mode materializes the final group states = batch semantics). */
   def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {

@@ -105,6 +105,30 @@ object StreamOps {
       case None => stream.dropDuplicates(keyCols)
     }
 
+  /** Exactly-once streaming ingestion into a TableStore: every
+    * micro-batch lands via `TableStore.appendOnce(appId, batchId, _)`,
+    * which commits the rows AND the (appId, batchId) idempotence
+    * marker in one atomic manifest rename. Structured Streaming's
+    * foreachBatch is only at-least-once (a batch can re-run after a
+    * restart before its checkpoint offset commit) — the store-side
+    * marker upgrades it: the replayed batch sees its id already
+    * recorded in the latest manifest and becomes a no-op, with no
+    * window where data is committed but the marker is not. This is
+    * the Delta `txn`-action idempotent-sink design. Runs until the
+    * source drains (AvailableNow); the checkpoint directory makes
+    * restart-resume work across calls with the same appId. */
+  def sinkToStore(stream: DataFrame, store: graft.core.TableStore,
+                  appId: String, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        store.appendOnce(appId, batchId, batch.toDF()): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to a memory sink until the source is
     * drained; returns the result table. Deterministic harness for the
     * correctness gate and tests (the production path is

@@ -94,4 +94,29 @@ class LogFormatSpec extends AnyFunSuite {
     assert(st.rowCountFromManifest.contains(100L))
     assert(st.maxId.contains(99L))
   }
+
+  test("appendOnce is exactly-once across replays, formats, and reopen") {
+    Seq(NativeManifestLog, DeltaJsonLog).foreach { fmt =>
+      val dir = TempDirs.create(s"graft_txn_${fmt.dirName.replace("_", "")}_")
+      val st = new TableStore(spark, dir, "id", format = fmt)
+      assert(st.appendOnce("sinkA", 0L, freshRows(10)))
+      assert(st.appendOnce("sinkA", 1L, freshRows(5)))
+      // replays of both applied versions are dropped
+      assert(!st.appendOnce("sinkA", 0L, freshRows(10)))
+      assert(!st.appendOnce("sinkA", 1L, freshRows(99)))
+      assert(st.read.count() == 15L)
+      // independent appId has its own sequence
+      assert(st.appendOnce("sinkB", 0L, freshRows(3)))
+      assert(st.read.count() == 18L)
+      // txn state survives unrelated commits (cumulative re-encode)
+      st.append(freshRows(2))
+      assert(st.lastTxn("sinkA").contains(1L))
+      assert(st.lastTxn("sinkB").contains(0L))
+      // ...and survives reopening the table from disk
+      val reopened = new TableStore(spark, dir, "id")
+      assert(!reopened.appendOnce("sinkA", 1L, freshRows(4)))
+      assert(reopened.appendOnce("sinkA", 2L, freshRows(4)))
+      assert(reopened.read.count() == 24L)
+    }
+  }
 }
