@@ -176,6 +176,7 @@ object SparkEntry {
     "q_data_skip"      -> (BatchQueries.qDataSkip _),
     "q_bucket_join"    -> (BatchQueries.qBucketJoin _),
     "q_stream_sink"    -> (StreamQueries.qStreamSink _),
+    "q_schema_enforce" -> (WarehouseQueries.qSchemaEnforce _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
     "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
@@ -1924,6 +1925,12 @@ object SparkEntry {
                 CAST(min(c_custkey) AS BIGINT) AS k_min,
                 CAST(max(c_custkey) AS BIGINT) AS k_max
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // write-side schema evolution: pre-evolution rows surface the new
+    // column as NULL; rejection/time-travel asserted in-gate
+    "q_schema_enforce" ->
+      """SELECT c_custkey, c_name,
+                CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+         FROM customer ORDER BY c_custkey""",
     // exactly-once streamed ingest: content equality vs the source
     // table — the replay/no-dup property is asserted in-gate
     "q_stream_sink" ->

@@ -45,6 +45,12 @@ private[graft] sealed trait LogFormat {
   def decode(content: String): Seq[FileEntry]
   /** Deserialize one version file's cumulative txn state. */
   def decodeTxn(content: String): Map[String, Long]
+  /** Deserialize one version file's committed table schema (Spark
+    * StructType JSON), when the format recorded one. The schema as of
+    * a version rides IN that version: evolved tables read old files
+    * against the version's schema (absent columns → null), and time
+    * travel sees the schema as committed then. */
+  def decodeSchema(content: String): Option[String]
 }
 
 private[graft] object LogFormat {
@@ -74,7 +80,9 @@ private[graft] object NativeManifestLog extends LogFormat {
     def s(o: Option[Long]) = o.map(_.toString).getOrElse("")
     val files = next.map(e => s"${e.name}\t${s(e.idMin)}\t${s(e.idMax)}\t${s(e.rows)}")
     val txns = txn.toSeq.sortBy(_._1).map { case (app, ver) => s"#txn\t$app\t$ver" }
-    (files ++ txns).mkString("", "\n", "\n")
+    // StructType.json is single-line JSON with no raw tabs/newlines
+    val schema = schemaJson.map(j => s"#schema\t$j").toSeq
+    (files ++ txns ++ schema).mkString("", "\n", "\n")
   }
   def decode(content: String): Seq[FileEntry] =
     content.split("\n").map(_.trim)
@@ -93,6 +101,9 @@ private[graft] object NativeManifestLog extends LogFormat {
         case _ => None
       }
     }.toMap
+  def decodeSchema(content: String): Option[String] =
+    content.split("\n").map(_.trim).find(_.startsWith("#schema\t"))
+      .map(_.split("\t", 2)(1))
 }
 
 /** Delta-Lake-style JSON action log under `_delta_log/`: version
@@ -211,4 +222,11 @@ private[graft] object DeltaJsonLog extends LogFormat {
         t.get("appId").asText() -> t.get("version").asLong()
       }
     }.toMap
+
+  def decodeSchema(content: String): Option[String] =
+    content.split("\n").map(_.trim).filter(_.nonEmpty).flatMap { l =>
+      val node = mapper.readTree(l)
+      Option(node.get("metaData")).flatMap(m => Option(m.get("schemaString")))
+        .map(_.asText())
+    }.headOption.filter(_ != "{\"type\":\"struct\",\"fields\":[]}")
 }

@@ -127,8 +127,19 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       .sortBy(_._1)
   }
 
+  private def latestContent(f: FileSystem): Option[(Long, String)] =
+    listVersions(f).lastOption.map { case (v, p) => (v, readUtf8(f, p)) }
+
   private def latestManifest(f: FileSystem): Option[(Long, Seq[FileEntry])] =
-    listVersions(f).lastOption.map { case (v, p) => (v, log.decode(readUtf8(f, p))) }
+    latestContent(f).map { case (v, c) => (v, log.decode(c)) }
+
+  /** The committed table schema of the latest version (recorded in the
+    * version log since the schema-enforcement change; None on legacy
+    * tables, which keep the old read path). */
+  private def committedSchema: Option[org.apache.spark.sql.types.StructType] =
+    latestContent(fs).flatMap(c => log.decodeSchema(c._2))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   def exists: Boolean = latestManifest(fs).isDefined
 
@@ -150,17 +161,27 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       if (!exists) commit(prev => prev)
     }
 
-  private def readFiles(entries: Seq[FileEntry]): DataFrame =
-    if (entries.nonEmpty) spark.read.parquet(entries.map(e => s"$filesDir/${e.name}"): _*)
+  /** Read `entries` under `schema` when one is committed: parquet
+    * scans given an explicit schema surface columns a file predates
+    * as nulls — additive evolution needs NO rewrite of old files. */
+  private def readFiles(entries: Seq[FileEntry],
+                        schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    if (entries.nonEmpty) reader.parquet(entries.map(e => s"$filesDir/${e.name}"): _*)
     else if (fs.exists(new Path(schemaDir)))
-      spark.read.parquet(schemaDir) // zero rows, schema preserved
+      reader.parquet(schemaDir) // zero rows, schema preserved
     else spark.read.parquet(filesDir).limit(0) // legacy committed-empty fallback
+  }
 
   /** Current snapshot. The file list is resolved now; concurrent
     * commits do not disturb this DataFrame. */
   def read: DataFrame = {
-    latestManifest(fs) match {
-      case Some((_, entries)) => readFiles(entries)
+    latestContent(fs) match {
+      case Some((_, c)) =>
+        readFiles(log.decode(c), log.decodeSchema(c).map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
       case None =>
         throw new IllegalStateException(s"table store at $path has no committed version")
     }
@@ -178,16 +199,24 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * superseded frames for in-flight READ COMMITTED readers
     * (persistent/UndoChunk.java:46-70); version manifests are the
     * table-format rendering of the same idea with an explicit handle. */
-  def readVersion(version: Long): DataFrame =
-    readFiles(entriesOfVersion(version))
+  def readVersion(version: Long): DataFrame = {
+    val content = contentOfVersion(version)
+    // time travel surfaces the schema AS COMMITTED THEN, not today's
+    readFiles(log.decode(content), log.decodeSchema(content).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+  }
 
-  private def entriesOfVersion(version: Long): Seq[FileEntry] = {
+  private def contentOfVersion(version: Long): String = {
     val p = new Path(s"$versionsDir/${log.fileName(version)}")
     if (!fs.exists(p))
       throw new IllegalArgumentException(
         s"version $version not present at $path (available: ${versions.mkString(",")})")
-    log.decode(readUtf8(fs, p))
+    readUtf8(fs, p)
   }
+
+  private def entriesOfVersion(version: Long): Seq[FileEntry] =
+    log.decode(contentOfVersion(version))
 
   /** Row-level snapshot diff `fromV → toV`: (added, removed) frames.
     * Files are immutable, so files common to both manifests cancel
@@ -199,10 +228,16 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * 100 TB table where any full-snapshot compare is off the table. */
   def diff(fromV: Long, toV: Long): (DataFrame, DataFrame) = {
     val from = entriesOfVersion(fromV)
-    val to = entriesOfVersion(toV)
+    val toContent = contentOfVersion(toV)
+    val to = log.decode(toContent)
+    // both sides read under the TO version's (wider, additive) schema
+    // so exceptAll compares congruent rows across an evolution
+    val schema = log.decodeSchema(toContent).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val common = from.map(_.name).toSet.intersect(to.map(_.name).toSet)
-    val onlyFrom = readFiles(from.filterNot(e => common(e.name)))
-    val onlyTo = readFiles(to.filterNot(e => common(e.name)))
+    val onlyFrom = readFiles(from.filterNot(e => common(e.name)), schema)
+    val onlyTo = readFiles(to.filterNot(e => common(e.name)), schema)
     (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
   }
 
@@ -319,9 +354,14 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       val prevEntries = prevContent.map(log.decode).getOrElse(Seq.empty)
       val prevTxn = prevContent.map(log.decodeTxn).getOrElse(Map.empty[String, Long])
       val entries = update(prevEntries)
+      // schema carries forward: a data-free commit (revert, txn-only,
+      // delete-to-empty) must not drop the committed schema, or an
+      // evolved table's old files would silently stop surfacing the
+      // newer columns
+      val schemaJson = lastSchemaJson.orElse(prevContent.flatMap(log.decodeSchema))
       val tmp = new Path(s"$versionsDir/.tmp-${UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, false)
-      try out.write(log.encode(prevVer + 1, prevEntries, entries, lastSchemaJson,
+      try out.write(log.encode(prevVer + 1, prevEntries, entries, schemaJson,
           txnUpdate(prevTxn))
         .getBytes("UTF-8"))
       finally out.close()
@@ -495,10 +535,54 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     commit(_ => target)
   }
 
+  /** Schema enforcement + additive evolution (the Delta write
+    * contract): an incoming batch may ADD nullable columns (the
+    * committed schema widens; old files are never rewritten — reads
+    * surface the absent columns as null) and may OMIT columns (filled
+    * null on write), but may never CHANGE an existing column's type —
+    * that is the silent-corruption path a 100 TB table cannot afford,
+    * so it throws. Returns the incoming rows aligned to the merged
+    * schema. Legacy tables with no committed schema pass through. */
+  private def enforceSchema(rows: DataFrame): DataFrame =
+    committedSchema match {
+      case None => rows
+      case Some(cur) =>
+        // nullability (incl. containsNull/valueContainsNull inside
+        // containers) is not a TYPE change — compare erased structure
+        def erased(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+          import org.apache.spark.sql.types._
+          dt match {
+            case a: ArrayType => ArrayType(erased(a.elementType), containsNull = true)
+            case m: MapType => MapType(erased(m.keyType), erased(m.valueType), valueContainsNull = true)
+            case s: StructType => StructType(s.fields.map(f =>
+              f.copy(dataType = erased(f.dataType), nullable = true)))
+            case other => other
+          }
+        }
+        val curByName = cur.fields.map(f => f.name -> f).toMap
+        rows.schema.fields.foreach { f =>
+          curByName.get(f.name).foreach { c =>
+            if (erased(c.dataType) != erased(f.dataType))
+              throw new IllegalArgumentException(
+                s"schema enforcement at $path: column '${f.name}' arrives as " +
+                  s"${f.dataType.simpleString} but is committed as " +
+                  s"${c.dataType.simpleString}; type changes require an explicit rewrite")
+          }
+        }
+        val incomingByName = rows.schema.fields.map(f => f.name -> f).toMap
+        val newFields = rows.schema.fields
+          .filterNot(f => curByName.contains(f.name)).map(_.copy(nullable = true))
+        val merged = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
+        rows.select(merged.fields.map { f =>
+          if (incomingByName.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+    }
+
   /** Fast insert, no existence check (reference @NoCheck path): new
     * files + manifest commit, nothing rewritten. */
   def append(rows: DataFrame): Unit = Metrics.timer("persistInsertChunk").time {
-    val added = writeFiles(rows)
+    val added = writeFiles(enforceSchema(rows))
     commit(prev => prev ++ added)
   }
 
@@ -522,7 +606,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * batch was applied, false when deduplicated. */
   def appendOnce(appId: String, version: Long, rows: DataFrame): Boolean = {
     if (lastTxn(appId).exists(_ >= version)) return false
-    val added = writeFiles(rows)
+    val added = writeFiles(enforceSchema(rows))
     var applied = false
     commit(
       prev => {
@@ -569,12 +653,13 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     Metrics.timer("persistInsertChunk").time { upsertExisting(rows, singleFile) }
   }
 
-  private def upsertExisting(rows: DataFrame, singleFile: Boolean): Unit = {
+  private def upsertExisting(rows0: DataFrame, singleFile: Boolean): Unit = {
+    val rows = enforceSchema(rows0)
     val snapshot = currentEntries
     val (affected, _) = pruneByKeys(snapshot, rows.select(col(idCol)))
     val merged =
       if (affected.isEmpty) rows
-      else readFiles(affected)
+      else readFiles(affected, Some(rows.schema))
         .join(rows.select(col(idCol)), Seq(idCol), "left_anti")
         .unionByName(rows)
     commitRewrite(snapshot, affected,

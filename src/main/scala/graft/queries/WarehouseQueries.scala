@@ -25,6 +25,40 @@ object WarehouseQueries {
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
       .orderBy(col("col_name"))
 
+  /** Write-side schema enforcement + additive evolution on TableStore
+    * (the Delta write contract, enforced since the version log records
+    * the committed schema): even-key rows land under the narrow
+    * (key, name) schema, odd-key rows arrive WIDENED with c_acctbal —
+    * the commit widens the table schema, old files are never
+    * rewritten, and reads surface the pre-evolution rows' new column
+    * as null. In-gate requires: a TYPE-CHANGING append throws (the
+    * silent-corruption path), time travel to the pre-evolution
+    * version still shows the NARROW schema, and the current schema
+    * has exactly the widened shape. Content is the DuckDB oracle. */
+  def qSchemaEnforce(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val tmp = graft.core.TempDirs.create("graft_enforce_")
+    val store = new graft.core.TableStore(s, tmp, "c_custkey")
+    store.append(cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name")))
+    val narrowV = store.versions.max
+    store.append(cust.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+    val rejected =
+      try { store.append(cust.select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment").as("c_acctbal"))); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejected,
+      "q_schema_enforce: a type-changing append was accepted")
+    require(store.readVersion(narrowV).schema.fieldNames.toSeq ==
+        Seq("c_custkey", "c_name"),
+      "q_schema_enforce: time travel lost the pre-evolution schema")
+    require(store.read.schema.fieldNames.toSeq ==
+        Seq("c_custkey", "c_name", "c_acctbal"),
+      s"q_schema_enforce: unexpected evolved schema ${store.read.schema.simpleString}")
+    store.read.orderBy(col("c_custkey"))
+  }
+
   /** SCD2 merge (ops/Scd.merge): a 2020 customer snapshot receives a
     * 2021 update batch — keys %7 change (acctbal +100 → close +
     * reopen), keys %5 (and not %7) re-send identical values (must be

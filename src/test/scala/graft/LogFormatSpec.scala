@@ -119,4 +119,31 @@ class LogFormatSpec extends AnyFunSuite {
       assert(reopened.read.count() == 24L)
     }
   }
+
+  test("schema evolution: widen, omit, reject type change, upsert across it") {
+    Seq(NativeManifestLog, DeltaJsonLog).foreach { fmt =>
+      val dir = TempDirs.create(s"graft_evo_${fmt.dirName.replace("_", "")}_")
+      val st = new TableStore(spark, dir, "id", format = fmt)
+      st.append((0L until 4L).map(i => (i, s"r$i")).toDF("id", "tag"))
+      // widened append: new nullable column, old files not rewritten
+      st.append(Seq((10L, "w", 1.5), (11L, "x", 2.5)).toDF("id", "tag", "v"))
+      val rows = st.read.orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 10L, 11L))
+      assert(rows.take(4).forall(_.isNullAt(2)), "pre-evolution rows must read null v")
+      assert(rows.last.getDouble(2) == 2.5)
+      // omitted column fills null on write
+      st.append(Seq((20L, 9.9)).toDF("id", "v"))
+      val r20 = st.read.filter(col("id") === 20L).head
+      assert(r20.isNullAt(1) && r20.getDouble(2) == 9.9)
+      // type change rejected
+      intercept[IllegalArgumentException] {
+        st.append(Seq((30L, 7)).toDF("id", "v")) // v: int vs committed double
+      }
+      // upsert across the evolution boundary touches pre-evolution files
+      st.upsert(Seq((1L, "updated", 4.0)).toDF("id", "tag", "v"))
+      val r1 = st.read.filter(col("id") === 1L).head
+      assert(r1.getString(1) == "updated" && r1.getDouble(2) == 4.0)
+      assert(st.read.count() == 7L)
+    }
+  }
 }
