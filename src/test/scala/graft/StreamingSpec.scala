@@ -206,6 +206,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally h2.stop()
   }
 
+  test("sinkToStore survives checkpoint LOSS without duplicating (exactly-once)") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_sink_src_").toString
+    Seq(TestEvent(1, 1, "click", 1.0), TestEvent(2, 1, "view", 2.0),
+        TestEvent(3, 2, "click", 3.0))
+      .toDF().write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_sink_st_").toString
+    val store = new TableStore(spark, storeDir, "event_id")
+    def drain(cp: String): Unit = graft.streaming.StreamOps.sinkToStore(
+      spark.readStream.schema(schema).parquet(src), store, "sinkX", cp)
+    drain(java.nio.file.Files.createTempDirectory("graft_sink_cp1_").toString)
+    assert(store.read.count() == 3L)
+    // checkpoint LOST (fresh dir): Structured Streaming replays the
+    // whole source from batch 0 — at-least-once. The store-side txn
+    // marker makes the replayed batches no-ops: still exactly once.
+    drain(java.nio.file.Files.createTempDirectory("graft_sink_cp2_").toString)
+    assert(store.read.count() == 3L,
+      "checkpoint loss duplicated the ingested rows")
+    // same checkpoint, new data: only the delta lands
+    val cp3 = java.nio.file.Files.createTempDirectory("graft_sink_cp3_").toString
+    drain(cp3)
+    Seq(TestEvent(4, 2, "view", 4.0)).toDF().write.mode("append").parquet(src)
+    drain(cp3)
+    assert(store.read.count() == 4L)
+    assert(store.read.select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("dialect streaming count window with PARTITION BY keys state per user") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TestEvent]
