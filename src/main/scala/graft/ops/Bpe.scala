@@ -49,13 +49,20 @@ object Bpe {
 
   /** One greedy left-to-right merge pass over a symbol array: every
     * non-overlapping (a, b) adjacency becomes the fused symbol. A
-    * fold, not a regex — symbols are opaque strings. */
+    * fold, not a regex — symbols are opaque strings. The fold is a
+    * higher-order function (interpreted per element), so it is gated
+    * behind a codegen'd containment check: a word that does not hold
+    * BOTH symbols cannot hold the adjacency and skips the fold
+    * untouched — for later merges (rare fused symbols) that is almost
+    * every word in the dict. */
   private def applyMerge(syms: Column, a: String, b: String): Column =
-    aggregate(syms, array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
+    when(array_contains(syms, a) && array_contains(syms, b),
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x)))))
+    .otherwise(syms)
 
   /** Adjacent-pair frequencies of the current dict segmentation,
     * weighted by word count. Map-side explode; one agg shuffle whose
