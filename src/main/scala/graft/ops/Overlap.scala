@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * Shingles travel as raw k-char strings (no hashing), so pair
   * counts are exact — a hash would make the matrix only
   * almost-surely right, which a byte-compare gate can't tolerate.
+  *
+  * Measured negative result (keep this formulation): collapsing to
+  * ONE shuffle via groupBy(shingle).agg(collect_set(source)) + map-
+  * side pair explode is ~40% SLOWER at the 10× corpus (38–46 s vs
+  * 27–30 s) — collect_set leaves whole-stage codegen for
+  * ObjectHashAggregate and its per-row object cost exceeds the two
+  * extra compact-row hash-shuffle passes it saves. Fewer shuffles is
+  * not automatically faster when the replacement aggregate abandons
+  * Tungsten.
   */
 object Overlap {
 
