@@ -79,6 +79,7 @@ object SparkEntry {
     "q_gopher_rules"   -> (PipelineQueries.qGopherRules _),
     "q_compress_ratio" -> (PipelineQueries.qCompressRatio _),
     "q_classifier"     -> (PipelineQueries.qClassifier _),
+    "q_embed_project"  -> (PipelineQueries.qEmbedProject _),
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_text_tokens"    -> (PipelineQueries.qTextTokens _),
     "q_text_repetition" -> (PipelineQueries.qTextRepetition _),
@@ -492,6 +493,15 @@ object SparkEntry {
                      THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                      ELSE 0.0 END AS mean_token_len
          FROM f ORDER BY doc_id""",
+    // random projection: the oracle regenerates the formula-derived
+    // matrix and folds in the same ascending-index double order
+    "q_embed_project" ->
+      """SELECT vec_id, CAST(j AS BIGINT) AS j,
+                round(list_sum(list_transform(generate_series(1, len(embedding)),
+                  i -> embedding[i] * (CAST((i*37 + j*101) % 211 - 105 AS DOUBLE) / 105.0))), 6)
+                  AS proj
+         FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS j)
+         ORDER BY vec_id, j""",
     // Gopher rule suite: every rule's verdict recomputed relationally —
     // exact-string replace counting, list_intersect stopword sets, the
     // same zero-word edge semantics (empty doc fails per-word rules).

@@ -69,6 +69,30 @@ object Similarity {
         (if (corpusCount >= 0L) corpusCount else corpus.count()) / 128.0))
         / math.log(2.0)).toInt)
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * shape): project each embedding onto `k` fixed pseudo-random
+    * hyperplanes. The projection matrix is FORMULA-DERIVED — entry
+    * (i, j) = ((i·37 + j·101) mod 211 − 105) / 105 over 1-based
+    * indices, small integers only — so it needs no broadcast, no
+    * stored artifact, is identical on every executor, and any SQL
+    * engine regenerates it exactly (the q_embed_project oracle does).
+    * All arithmetic is IEEE double in ascending-index fold order, so
+    * outputs are bit-identical across engines that fold left-to-right.
+    * Map-side only — nothing shuffles at any corpus size. The output
+    * column is the ANN-support reduction: k ≪ d cuts downstream
+    * pair-scoring cost while approximately preserving angles. */
+  def randomProjection(vec: Column, k: Int): Column = {
+    require(k >= 1, "randomProjection: k >= 1")
+    val j = (0 until k).map(_ + 1)
+    array(j.map { jj =>
+      aggregate(
+        zip_with(vec, sequence(lit(1), size(vec)), (x, i) =>
+          x.cast("double") *
+            (((i * 37 + lit(jj) * 101) % 211 - 105).cast("double") / 105.0)),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+  }
+
   /** Exact brute-force cosine top-k: every query against the full
     * corpus. Queries are broadcast (small side), the corpus scan is a
     * single pass, ranking is a per-query window top-k. */

@@ -263,6 +263,20 @@ object PipelineQueries {
     sized.orderBy(col("doc_id"))
   }
 
+  /** Random-projection dimensionality reduction over the embeddings
+    * table (Similarity.randomProjection): 64 → 8 dims against the
+    * formula-derived projection matrix, exploded to scalar rows. The
+    * DuckDB oracle regenerates the same matrix from the same integer
+    * formula and folds in the same ascending-index double order —
+    * exact agreement, no tolerance. */
+  def qEmbedProject(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(Similarity.randomProjection(col("embedding"), 8)).as(Seq("j0", "p")))
+      .select(col("vec_id"), (col("j0") + 1).cast("long").as("j"),
+        round(col("p"), 6).as("proj"))
+      .orderBy(col("vec_id"), col("j"))
+
   /** Model-based corpus filter: distributed batch-perceptron training
     * over hashed-BoW features, then corpus-wide scoring with the
     * learned weights. The fixture's metadata labels are uncorrelated
