@@ -178,6 +178,7 @@ object SparkEntry {
     "q_bucket_join"    -> (BatchQueries.qBucketJoin _),
     "q_stream_sink"    -> (StreamQueries.qStreamSink _),
     "q_schema_enforce" -> (WarehouseQueries.qSchemaEnforce _),
+    "q_dialect_prune"  -> (WarehouseQueries.qDialectPrune _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
     "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
@@ -1935,6 +1936,18 @@ object SparkEntry {
                 CAST(min(c_custkey) AS BIGINT) AS k_min,
                 CAST(max(c_custkey) AS BIGINT) AS k_max
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // dialect-driven manifest pruning: band 5 of the 8-band layout,
+    // bounds re-derived relationally; pruning asserted in-gate
+    "q_dialect_prune" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+              w AS (SELECT lo, (hi - lo) // 8 + 1 AS width FROM b)
+         SELECT o_orderstatus AS ostat, CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS price_sum,
+                CAST(min(o_orderkey) AS BIGINT) AS k_min,
+                CAST(max(o_orderkey) AS BIGINT) AS k_max
+         FROM orders, w
+         WHERE o_orderkey >= lo + 5 * width AND o_orderkey <= lo + 6 * width - 1
+         GROUP BY 1 ORDER BY 1""",
     // write-side schema evolution: pre-evolution rows surface the new
     // column as NULL; rejection/time-travel asserted in-gate
     "q_schema_enforce" ->

@@ -27,6 +27,52 @@ object GraftSession {
     * expired baseline only disables rollback for that abandoned
     * transaction, it never undoes data. */
   val txIdleTimeoutMs: Long = 24L * 60 * 60 * 1000
+
+  /** Conservative [lo, hi] id bounds implied by a WHERE tree for one
+    * table's id column, or None when the tree implies no bound. Only
+    * top-level AND conjuncts contribute (the dialect nests one
+    * connective kind per level, so anything under an OR is skipped —
+    * skipping can only WIDEN the range, never lose rows). Fractional
+    * literals round inward (`id > 1.5` → lo 2); an equality on a
+    * fractional value yields an empty range, which is exactly what
+    * the row filter would return. */
+  private[core] def idBounds(where: Option[graft.sqlparse.Ast.Cond],
+                             idCol: String, tref: graft.sqlparse.Ast.TableRef,
+                             single: Boolean): Option[(Long, Long)] = {
+    import graft.sqlparse.Ast._
+    def conjuncts(c: Cond): Seq[Cond] = c match {
+      case BoolOp(op, cs) if op.equalsIgnoreCase("AND") => cs.flatMap(conjuncts)
+      case other => Seq(other)
+    }
+    def matches(r: ColRef): Boolean =
+      r.name.equalsIgnoreCase(idCol) && (r.table match {
+        case Some(t) => tref.alias.exists(_.equalsIgnoreCase(t)) ||
+          t.equalsIgnoreCase(tref.name)
+        case None => single
+      })
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var found = false
+    where.toSeq.flatMap(conjuncts).foreach {
+      case Cmp(op, c, Left(NumLit(v, _))) if matches(c) => op match {
+        case ">=" => lo = math.max(lo, math.ceil(v).toLong); found = true
+        case ">"  => lo = math.max(lo, math.floor(v).toLong + 1); found = true
+        case "<=" => hi = math.min(hi, math.floor(v).toLong); found = true
+        case "<"  => hi = math.min(hi, math.ceil(v).toLong - 1); found = true
+        case "="  => lo = math.max(lo, math.ceil(v).toLong)
+                     hi = math.min(hi, math.floor(v).toLong); found = true
+        case _    => () // <> implies no contiguous bound
+      }
+      case InList(c, vs, false) if matches(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[NumLit]) =>
+        val nums = vs.collect { case NumLit(v, _) => v }
+        lo = math.max(lo, math.ceil(nums.min).toLong)
+        hi = math.min(hi, math.floor(nums.max).toLong)
+        found = true
+      case _ => ()
+    }
+    if (found) Some((lo, hi)) else None
+  }
 }
 
 class GraftSession(val spark: SparkSession,
@@ -289,8 +335,29 @@ class GraftSession(val spark: SparkSession,
     val stmt = Parser.parse(sql)
     require(!stmt.stream, "SELECT STREAM goes through executeStream")
     require(stmt.processWithin.isEmpty, "PROCESS goes through executeProcess")
-    Lowering.lower(stmt, table, compat, customAggs.toMap)
+    Lowering.lower(stmt, prunedResolver(stmt), compat, customAggs.toMap)
   }
+
+  /** Table resolver with MANIFEST-LEVEL file pruning for store-backed
+    * tables (the dialect rendering of the reference's id-index scan,
+    * persistent/Table.java:1880-2035): when the statement's WHERE
+    * implies bounds on the store's id column, the scan starts from
+    * `TableStore.readRange` — files outside the id range are never
+    * listed — instead of the full snapshot. Sound because the implied
+    * range is derived only from top-level AND conjuncts (a superset of
+    * the true result set) and the lowered WHERE still filters
+    * row-exactly on top. Non-store tables and unbounded statements
+    * resolve exactly as before. */
+  private def prunedResolver(stmt: graft.sqlparse.Ast.SelectStmt): String => DataFrame =
+    name => {
+      val pruned = for {
+        store <- stores.get(name.toLowerCase)
+        tref <- stmt.tables.find(_.name.equalsIgnoreCase(name))
+        bounds <- GraftSession.idBounds(stmt.where, store.idCol, tref,
+          single = stmt.tables.size == 1)
+      } yield store.readRange(bounds._1, bounds._2)
+      pruned.getOrElse(table(name))
+    }
 
   /** Entity-result mode (reference: `SELECT * FROM one_table` returns
     * the entity class itself, sql/SQLSelect.java:292-301 → here a

@@ -59,6 +59,45 @@ object WarehouseQueries {
     store.read.orderBy(col("c_custkey"))
   }
 
+  /** Dialect-level manifest pruning (GraftSession.prunedResolver):
+    * the SAME banded store as q_data_skip, but the range predicate
+    * arrives through the reference DIALECT's WHERE clause — the
+    * engine must derive the id bounds from the AST's conjuncts and
+    * start the scan from `readRange`, so files outside the band are
+    * never listed (the reference's id-index scan, surfaced through
+    * its own query language). Pruning asserted in-gate on
+    * `inputFiles`; row content is the DuckDB oracle. */
+  def qDialectPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val tmp = graft.core.TempDirs.create("graft_dprune_")
+    val store = new graft.core.TableStore(s, tmp, "o_orderkey")
+    val r = base.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+    val (lo, hi) = (r.get(0).asInstanceOf[Number].longValue(),
+      r.get(1).asInstanceOf[Number].longValue())
+    val width = (hi - lo) / 8 + 1
+    (0 until 8).foreach { i =>
+      store.append(base.filter(
+        col("o_orderkey") >= lo + i * width && col("o_orderkey") < lo + (i + 1) * width))
+    }
+    val gs = new graft.core.GraftSession(s)
+    gs.registerStore("ord_banded", store)
+    val (qlo, qhi) = (lo + 5 * width, lo + 6 * width - 1)
+    val res = gs.execute(
+      s"""select o.o_orderkey okey, o.o_orderstatus ostat, o.o_totalprice oprice
+          from ord_banded o
+          where o.o_orderkey >= $qlo and o.o_orderkey <= $qhi""")
+    val touched = res.inputFiles.length
+    val total = store.fileIdRanges.size
+    require(touched > 0 && touched * 4 <= total,
+      s"q_dialect_prune: dialect WHERE touched $touched of $total files — no manifest pruning")
+    res.groupBy(col("ostat"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("oprice")), 2).as("price_sum"),
+        min(col("okey")).as("k_min"), max(col("okey")).as("k_max"))
+      .orderBy(col("ostat"))
+  }
+
   /** SCD2 merge (ops/Scd.merge): a 2020 customer snapshot receives a
     * 2021 update batch — keys %7 change (acctbal +100 → close +
     * reopen), keys %5 (and not %7) re-send identical values (must be

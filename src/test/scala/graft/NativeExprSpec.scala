@@ -64,6 +64,48 @@ class NativeExprSpec extends AnyFunSuite {
       s"expected a WholeStageCodegen span:\n$s")
   }
 
+  test("BoW score/buckets: codegen column path equals the kernel directly, in codegen") {
+    val dims = 64
+    val w = Array.tabulate(dims)(i => (i * 7 - 200).toLong)
+    val cases = Seq("", "  ", "one", "a b  c", "UPPER case repeated case")
+    val df = cases.toDF("t")
+    // the codegen-span check needs a file-backed scan (a LocalRelation
+    // constant-folds away before codegen)
+    val filePlan = Tables.load(spark, sf, "documents")
+      .select(TextHashFunctions.bowScore(col("text"), dims, w, 11L))
+      .queryExecution.executedPlan
+    assert(filePlan.find(_.getClass.getSimpleName.contains("WholeStageCodegen")).isDefined,
+      s"expected a WholeStageCodegen span:\n$filePlan")
+    val q = df.select(
+      TextHashFunctions.bowScore(col("t"), dims, w, 11L).as("s"),
+      TextHashFunctions.bowBuckets(col("t"), dims).as("b"))
+    val got = q.collect()
+    cases.zip(got).foreach { case (s, r) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      assert(r.getLong(0) == TextHash.bowScore(u, dims, w, 11L), s"score for '$s'")
+      val kb = TextHash.tokenize(u).filter(_.nonEmpty).map(TextHash.bucket(_, dims)).toList
+      assert(r.getSeq[Int](1).toList == kb, s"buckets for '$s'")
+    }
+  }
+
+  test("compress sizes: codegen column path equals the kernel, stays in codegen") {
+    val cases = Seq("", "x", "abab" * 50, "the quick brown fox")
+    val df = cases.toDF("t")
+    val filePlan = Tables.load(spark, sf, "documents")
+      .select(graft.functions.CompressFunctions.compressSizes(col("text")))
+      .queryExecution.executedPlan
+    assert(filePlan.find(_.getClass.getSimpleName.contains("WholeStageCodegen")).isDefined,
+      s"expected a WholeStageCodegen span:\n$filePlan")
+    val q = df.select(graft.functions.CompressFunctions.compressSizes(col("t")).as("cz"))
+    val got = q.select(col("cz.raw_bytes"), col("cz.deflate_bytes")).collect()
+    cases.zip(got).foreach { case (s, r) =>
+      val k = graft.functions.CompressionKernel.sizes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(r.getLong(0) == k.getLong(0) && r.getLong(1) == k.getLong(1),
+        s"sizes for '${s.take(10)}'")
+    }
+  }
+
   test("native cosine matches a manual computation and the kernel directly") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     val got = df.select(VectorFunctions.cosine(col("a"), col("b"))).head.getDouble(0)

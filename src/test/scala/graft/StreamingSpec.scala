@@ -584,7 +584,9 @@ class TableStoreSpec extends AnyFunSuite {
       val vdir = new java.io.File(s"$dir/_versions")
       val latest = vdir.listFiles().filter(_.getName.endsWith(".manifest"))
         .maxBy(_.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
-      scala.io.Source.fromFile(latest).getLines().map(_.split("\t").head).toSet
+      scala.io.Source.fromFile(latest).getLines()
+        .filterNot(_.startsWith("#")) // txn/schema metadata lines
+        .map(_.split("\t").head).toSet
     }
     val before = manifestNames
     // upsert touches only the 1000-1100 range: batch-1 files must
@@ -622,7 +624,9 @@ class TableStoreSpec extends AnyFunSuite {
       val vdir = new java.io.File(s"$dir/_versions")
       val latest = vdir.listFiles().filter(_.getName.endsWith(".manifest"))
         .maxBy(_.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
-      scala.io.Source.fromFile(latest).getLines().map(_.split("\t").head).toSet
+      scala.io.Source.fromFile(latest).getLines()
+        .filterNot(_.startsWith("#")) // txn/schema metadata lines
+        .map(_.split("\t").head).toSet
     }
     val before = manifestNames
     val vBefore = st.versions.size
