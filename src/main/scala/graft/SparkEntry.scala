@@ -177,6 +177,7 @@ object SparkEntry {
     "q_data_skip"      -> (BatchQueries.qDataSkip _),
     "q_bucket_join"    -> (BatchQueries.qBucketJoin _),
     "q_stream_sink"    -> (StreamQueries.qStreamSink _),
+    "q_store_tail"     -> (StreamQueries.qStoreTail _),
     "q_schema_enforce" -> (WarehouseQueries.qSchemaEnforce _),
     "q_dialect_prune"  -> (WarehouseQueries.qDialectPrune _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
@@ -1954,6 +1955,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
                 CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
          FROM customer ORDER BY c_custkey""",
+    // store-as-queue tail: the drained stream aggregates to the whole
+    // source table (backlog/tail exactly-once asserted in-gate)
+    "q_store_tail" ->
+      """SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS val_sum,
+                CAST(min(event_id) AS BIGINT) AS id_min,
+                CAST(max(event_id) AS BIGINT) AS id_max
+         FROM events GROUP BY 1 ORDER BY 1""",
     // exactly-once streamed ingest: content equality vs the source
     // table — the replay/no-dup property is asserted in-gate
     "q_stream_sink" ->

@@ -113,6 +113,7 @@ class GraftSession(val spark: SparkSession,
       })
     registerProvider(name, () => store.read)
     stores.put(name.toLowerCase, store)
+    streams.put(name.toLowerCase, () => store.readStream) // queue duality
     tt
   }
 
@@ -124,6 +125,10 @@ class GraftSession(val spark: SparkSession,
     store.recoverPendingRevert() // finish any crashed multi-table rollback
     stores.put(name.toLowerCase, store)
     registerProvider(name, () => store.read)
+    // table-is-a-queue duality: the same name under SELECT STREAM
+    // tails the store (backlog + appends). Append-only contract —
+    // see TableStore.readStream.
+    streams.put(name.toLowerCase, () => store.readStream)
   }
 
   /** Writable store behind a table name, if one backs it. */

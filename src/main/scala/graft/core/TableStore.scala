@@ -187,6 +187,23 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     }
   }
 
+  /** Streaming scan of the store: backlog (files already committed)
+    * then tail (each append's new files arrive as a micro-batch) —
+    * the reference's table-is-a-queue duality (SELECT STREAM on a
+    * mutable table) rendered as a file stream source over files/.
+    * CONTRACT: append-only while a streaming reader is attached —
+    * compact/upsert/delete rewrite rows into NEW file names, which a
+    * file source would re-deliver (the same caveat that makes Delta
+    * route CDC readers through the commit log instead). Reads under
+    * the committed schema, so evolved appends surface uniformly. */
+  def readStream: DataFrame = {
+    val schema = committedSchema.getOrElse(read.schema)
+    fs.mkdirs(new Path(filesDir)) // a fresh store streams an empty backlog
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(filesDir)
+  }
+
   /** Committed version numbers still present, oldest first — the
     * time-travel index (`vacuum` trims versions past its grace window). */
   def versions: Seq[Long] = listVersions(fs).map(_._1)

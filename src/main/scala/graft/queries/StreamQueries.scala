@@ -29,6 +29,46 @@ object StreamQueries {
       .orderBy(col("id"))
   }
 
+  /** Table-is-a-queue duality on a MUTABLE store (TableStore
+    * .readStream through dialect SELECT STREAM): half the events
+    * table is the store's backlog when the continuous query starts;
+    * the second half is appended WHILE it runs and must flow through
+    * the same query as tail micro-batches — each row delivered
+    * exactly once across the backlog/tail boundary. The drained
+    * result aggregates to the full table; DuckDB replays that
+    * aggregate from the source. */
+  def qStoreTail(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val mid = ev.agg(percentile_approx(col("event_id"), lit(0.5), lit(100)))
+      .head.get(0).asInstanceOf[Number].longValue()
+    val tmp = graft.core.TempDirs.create("graft_tail_")
+    val store = new graft.core.TableStore(s, tmp, "event_id")
+    store.append(ev.filter(col("event_id") <= mid))
+    val gs = new graft.core.GraftSession(s)
+    gs.registerStore("ev_q", store)
+    val plan = gs.executeStreamPlan(
+      "select stream e.event_id id, e.event_type t, e.value v from ev_q e")
+    val name = uniq("store_tail")
+    val q = plan.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", graft.core.TempDirs.createFast("graft_tailck_"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val backlog = s.table(name).count()
+      store.append(ev.filter(col("event_id") > mid)) // tail while running
+      q.processAllAvailable()
+      require(s.table(name).count() > backlog,
+        "q_store_tail: tail append did not flow through the running query")
+    } finally q.stop()
+    s.table(name).groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("val_sum"),
+        min(col("id")).as("id_min"), max(col("id")).as("id_max"))
+      .orderBy(col("t"))
+      .localCheckpoint(true)
+  }
+
   /** Exactly-once streaming ingestion (StreamOps.sinkToStore →
     * TableStore.appendOnce): the events stream lands in a TableStore
     * with the micro-batch id committed ATOMICALLY with the data, then
