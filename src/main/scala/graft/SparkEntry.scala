@@ -180,6 +180,7 @@ object SparkEntry {
     "q_store_tail"     -> (StreamQueries.qStoreTail _),
     "q_schema_enforce" -> (WarehouseQueries.qSchemaEnforce _),
     "q_dialect_prune"  -> (WarehouseQueries.qDialectPrune _),
+    "q_profile_drift"  -> (WarehouseQueries.qProfileDrift _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
     "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
@@ -1483,6 +1484,39 @@ object SparkEntry {
                 $ms AS min_str, $xs AS max_str
                 FROM customer"""
         }.mkString("", " UNION ALL ", " ORDER BY col_name"),
+    // profile drift: both version snapshots rebuilt relationally, the
+    // per-column profiles and their deltas replayed exactly
+    "q_profile_drift" -> {
+      val sides = Seq(
+        "b" -> "SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0",
+        "a" -> """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0
+                  UNION ALL
+                  SELECT c_custkey,
+                         CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_acctbal END,
+                         c_mktsegment
+                  FROM customer WHERE c_custkey % 3 = 0""")
+      val colsSpec = Seq(("c_custkey", true), ("c_acctbal", true), ("c_mktsegment", false))
+      val perSide = sides.map { case (tag, src) =>
+        val rows = colsSpec.map { case (c, numeric) =>
+          val av = if (numeric) s"round(avg($c), 4)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS col_name,
+                CAST(count($c) AS BIGINT) AS nonnull_$tag,
+                CAST(count(*) - count($c) AS BIGINT) AS null_$tag,
+                CAST(count(DISTINCT $c) AS BIGINT) AS distinct_$tag,
+                $av AS avg_$tag
+              FROM side_$tag"""
+        }.mkString(" UNION ALL ")
+        s"p_$tag AS ($rows)"
+      }.mkString(", ")
+      s"""WITH side_b AS (${sides(0)._2}), side_a AS (${sides(1)._2}), $perSide
+          SELECT p_b.col_name,
+                 nonnull_b, nonnull_a, nonnull_a - nonnull_b AS nonnull_delta,
+                 null_b, null_a, null_a - null_b AS null_delta,
+                 distinct_b, distinct_a, distinct_a - distinct_b AS distinct_delta,
+                 avg_b, avg_a, round(avg_a - avg_b, 4) AS avg_delta
+          FROM p_b JOIN p_a ON p_b.col_name = p_a.col_name
+          ORDER BY p_b.col_name"""
+    },
     // SCD2 merge replay: %7 keys close+reopen, %5-not-%7 keys are a
     // no-op re-send, %31 keys insert as new entities
     "q_scd2" ->

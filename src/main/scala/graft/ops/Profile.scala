@@ -66,6 +66,35 @@ object Profile {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Version-to-version profile drift — the monitoring signal a
+    * warehouse alerts on (null-rate spike after an upstream change,
+    * cardinality collapse from a bad join, mean shift from a unit
+    * change). Both snapshots profile in one scan each; the comparison
+    * joins two #cols-row frames — the whole diff is metadata-scale
+    * regardless of table size, and with TableStore versions the
+    * "before" scan reads the old snapshot's files directly (no saved
+    * report needed). avg deltas subtract the already-rounded per-side
+    * averages, so the report is engine-stable. */
+  def drift(before: DataFrame, after: DataFrame, cols: Seq[String],
+            approxDistinct: Boolean = false): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols, approxDistinct).select(col("col_name"),
+        col("n_nonnull").as(s"nonnull_$tag"),
+        col("n_null").as(s"null_$tag"),
+        col("n_distinct").as(s"distinct_$tag"),
+        col("avg_num").as(s"avg_$tag"))
+    side(before, "b").join(side(after, "a"), Seq("col_name"))
+      .select(col("col_name"),
+        col("nonnull_b"), col("nonnull_a"),
+        (col("nonnull_a") - col("nonnull_b")).as("nonnull_delta"),
+        col("null_b"), col("null_a"),
+        (col("null_a") - col("null_b")).as("null_delta"),
+        col("distinct_b"), col("distinct_a"),
+        (col("distinct_a") - col("distinct_b")).as("distinct_delta"),
+        col("avg_b"), col("avg_a"),
+        round(col("avg_a") - col("avg_b"), 4).as("avg_delta"))
+  }
+
   /** Declarative data-quality expectations — the commit gate a
     * production ingest runs before publishing a batch (the shape of
     * Deequ/dbt-test constraint suites): each check is a row-level

@@ -59,6 +59,27 @@ object WarehouseQueries {
     store.read.orderBy(col("c_custkey"))
   }
 
+  /** Profile drift between two committed TableStore versions
+    * (Profile.drift over readVersion snapshots): version 1 holds keys
+    * %3 ≠ 0; version 2 adds the %3 = 0 slice with acctbal NULLED at
+    * %9 = 0 — a null-rate spike + cardinality/mean shift the drift
+    * report must surface exactly. The before-side scan reads the OLD
+    * snapshot's files via time travel, not a saved report. */
+  def qProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val tmp = graft.core.TempDirs.create("graft_drift_")
+    val store = new graft.core.TableStore(s, tmp, "c_custkey")
+    store.append(cust.filter(col("c_custkey") % 3 =!= 0))
+    store.append(cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 9 === 0, lit(null)).otherwise(col("c_acctbal"))))
+    val Seq(v1, v2) = store.versions.sorted.takeRight(2)
+    Profile.drift(store.readVersion(v1), store.readVersion(v2),
+        Seq("c_custkey", "c_acctbal", "c_mktsegment"))
+      .orderBy(col("col_name"))
+  }
+
   /** Dialect-level manifest pruning (GraftSession.prunedResolver):
     * the SAME banded store as q_data_skip, but the range predicate
     * arrives through the reference DIALECT's WHERE clause — the
