@@ -80,6 +80,7 @@ object SparkEntry {
     "q_compress_ratio" -> (PipelineQueries.qCompressRatio _),
     "q_classifier"     -> (PipelineQueries.qClassifier _),
     "q_embed_project"  -> (PipelineQueries.qEmbedProject _),
+    "q_conv_pairs"     -> (PipelineQueries.qConvPairs _),
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_text_tokens"    -> (PipelineQueries.qTextTokens _),
     "q_text_repetition" -> (PipelineQueries.qTextRepetition _),
@@ -496,6 +497,21 @@ object SparkEntry {
                      THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                      ELSE 0.0 END AS mean_token_len
          FROM f ORDER BY doc_id""",
+    // conversation pairs: the oracle rebuilds prompt/response pairs
+    // straight from the token formula, bypassing JSON entirely
+    "q_conv_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents
+         ), n AS (
+           SELECT doc_id, t, least(4, len(t) // 4) AS nt FROM toks WHERE len(t) >= 4
+         )
+         SELECT doc_id, CAST(i // 2 AS BIGINT) AS pair_idx,
+                array_to_string(t[i*4+1 : i*4+4], ' ') AS prompt,
+                array_to_string(t[(i+1)*4+1 : (i+1)*4+4], ' ') AS response
+         FROM n, (SELECT unnest([0, 2]) AS i)
+         WHERE i + 1 <= nt - 1
+         ORDER BY doc_id, pair_idx""",
     // random projection: the oracle regenerates the formula-derived
     // matrix and folds in the same ascending-index double order
     "q_embed_project" ->

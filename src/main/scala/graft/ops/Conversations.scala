@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** Conversation-structured corpus operators — the instruction-tuning
+  * side of a training-data pipeline: chat logs arrive as JSON turn
+  * arrays, training needs flat (prompt, response) pairs. Both steps
+  * are map-side codegen (from_json + explode + one keyed window for
+  * pairing); nothing shuffles except the pairing window's hash on the
+  * document key, which any corpus partitioned by doc already
+  * satisfies.
+  */
+object Conversations {
+
+  /** Schema of one chat turn in a JSON conversation column. */
+  val turnSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType),
+    StructField("content", StringType))))
+
+  /** Parse a JSON conversation column and explode to one row per
+    * turn: input columns + (turn_idx, role, content). Malformed JSON
+    * parses to null and contributes zero turns (posexplode_outer
+    * keeps the doc visible with null turn fields — silent drops are
+    * unauditable at corpus scale). */
+  def extractTurns(df: DataFrame, jsonCol: String): DataFrame =
+    df.withColumn("__turns", from_json(col(jsonCol), turnSchema))
+      .select(col("*"), posexplode_outer(col("__turns")).as(Seq("turn_idx", "__t")))
+      .select(df.columns.map(col) :+ col("turn_idx") :+
+        col("__t.role").as("role") :+ col("__t.content").as("content"): _*)
+
+  /** Pair each user turn with the assistant turn that immediately
+    * follows it: (keyCol, pair_idx, prompt, response). Turns without
+    * a following assistant reply (trailing user turn, consecutive
+    * same-role turns) produce no pair. One window over (key, turn
+    * order) — state is one row of lookahead. */
+  def toPairs(turns: DataFrame, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("turn_idx"))
+    turns
+      .withColumn("__nrole", lead(col("role"), 1).over(w))
+      .withColumn("__ncontent", lead(col("content"), 1).over(w))
+      .filter(col("role") === "user" && col("__nrole") === "assistant")
+      .select(col(keyCol), (col("turn_idx") / 2).cast("long").as("pair_idx"),
+        col("content").as("prompt"), col("__ncontent").as("response"))
+  }
+}

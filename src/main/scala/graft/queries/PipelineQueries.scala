@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Classifier, Dedup, IncrementalDedup, Mixing, Multimodal, Scrub, Similarity, TextAnalysis}
+import graft.ops.{Classifier, Conversations, Dedup, IncrementalDedup, Mixing, Multimodal, Scrub, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators driven through the correctness
   * gate on the `documents` and `embeddings` tables. Oracle-backed where
@@ -261,6 +261,30 @@ object PipelineQueries {
         && probeRatios(-2L) - probeRatios(-1L) > 0.3,
       s"q_compress_ratio: probes did not separate: $probeRatios")
     sized.orderBy(col("doc_id"))
+  }
+
+  /** Conversation extraction end-to-end (ops/Conversations): each doc
+    * becomes a synthetic chat log — turn i is tokens [4i, 4i+4),
+    * roles alternating user/assistant, up to 4 turns — serialized to
+    * REAL JSON, then the operator parses it back (from_json), explodes
+    * turns, and pairs each user turn with the following assistant
+    * turn. The DuckDB oracle rebuilds the pairs DIRECTLY from the
+    * text formula, never touching JSON — a wrong serialization,
+    * parse, explode, or pairing all break the compare. */
+  def qConvPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(btrim(lower(col("text"))), "\\s+"), w => w =!= "")
+    val nTurns = least(lit(4), floor(size(col("__toks")) / 4).cast("int"))
+    val turns = transform(sequence(lit(0), nTurns - 1), i =>
+      struct(
+        when(i % 2 === 0, "user").otherwise("assistant").as("role"),
+        array_join(slice(col("__toks"), i * 4 + 1, lit(4)), " ").as("content")))
+    val withJson = docs(s, dir)
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= 4)
+      .select(col("doc_id"), to_json(turns).as("convo"))
+    val parsed = Conversations.extractTurns(withJson, "convo")
+    Conversations.toPairs(parsed, "doc_id")
+      .orderBy(col("doc_id"), col("pair_idx"))
   }
 
   /** Random-projection dimensionality reduction over the embeddings
