@@ -177,6 +177,7 @@ object SparkEntry {
     "q_store_optimize" -> (BatchQueries.qStoreOptimize _),
     "q_data_skip"      -> (BatchQueries.qDataSkip _),
     "q_bucket_join"    -> (BatchQueries.qBucketJoin _),
+    "q_col_skip"       -> (BatchQueries.qColSkip _),
     "q_stream_sink"    -> (StreamQueries.qStreamSink _),
     "q_store_tail"     -> (StreamQueries.qStoreTail _),
     "q_schema_enforce" -> (WarehouseQueries.qSchemaEnforce _),
@@ -2027,6 +2028,15 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(sum(o_totalprice), 2) AS price_sum
          FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    // column-stats skipping: plain range aggregate — the file pruning
+    // after the clustered rewrite is asserted in-gate
+    "q_col_skip" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                round(sum(c_acctbal), 2) AS bal_sum,
+                CAST(min(c_custkey) AS BIGINT) AS k_min,
+                CAST(max(c_custkey) AS BIGINT) AS k_max
+         FROM customer WHERE c_nationkey >= 5 AND c_nationkey <= 9
          GROUP BY 1 ORDER BY 1""",
     // data skipping: same band arithmetic (integer division) rebuilt
     // relationally; the file-level pruning is asserted in-gate

@@ -40,11 +40,15 @@ private[graft] sealed trait LogFormat {
     * file instead of replaying the commit chain. */
   def encode(v: Long, prev: Seq[FileEntry], next: Seq[FileEntry],
              schemaJson: Option[String],
-             txn: Map[String, Long] = Map.empty): String
+             txn: Map[String, Long] = Map.empty,
+             colStats: Map[String, Map[String, (Double, Double)]] = Map.empty): String
   /** Deserialize one version file's content to its full file list. */
   def decode(content: String): Seq[FileEntry]
   /** Deserialize one version file's cumulative txn state. */
   def decodeTxn(content: String): Map[String, Long]
+  /** Deserialize per-file numeric column stats (fileName → col →
+    * (min, max)) — the data-skipping stats for non-id columns. */
+  def decodeColStats(content: String): Map[String, Map[String, (Double, Double)]]
   /** Deserialize one version file's committed table schema (Spark
     * StructType JSON), when the format recorded one. The schema as of
     * a version rides IN that version: evolved tables read old files
@@ -76,13 +80,21 @@ private[graft] object NativeManifestLog extends LogFormat {
     else None
   def encode(v: Long, prev: Seq[FileEntry], next: Seq[FileEntry],
              schemaJson: Option[String],
-             txn: Map[String, Long] = Map.empty): String = {
+             txn: Map[String, Long] = Map.empty,
+             colStats: Map[String, Map[String, (Double, Double)]] = Map.empty): String = {
     def s(o: Option[Long]) = o.map(_.toString).getOrElse("")
     val files = next.map(e => s"${e.name}\t${s(e.idMin)}\t${s(e.idMax)}\t${s(e.rows)}")
     val txns = txn.toSeq.sortBy(_._1).map { case (app, ver) => s"#txn\t$app\t$ver" }
+    val nextNames = next.map(_.name).toSet
+    val stats = colStats.toSeq.filter(e => nextNames.contains(e._1)).sortBy(_._1)
+      .map { case (file, cols) =>
+        val json = cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s""""$c":[$lo,$hi]""" }.mkString("{", ",", "}")
+        s"#colstats\t$file\t$json"
+      }
     // StructType.json is single-line JSON with no raw tabs/newlines
     val schema = schemaJson.map(j => s"#schema\t$j").toSeq
-    (files ++ txns ++ schema).mkString("", "\n", "\n")
+    (files ++ txns ++ stats ++ schema).mkString("", "\n", "\n")
   }
   def decode(content: String): Seq[FileEntry] =
     content.split("\n").map(_.trim)
@@ -104,6 +116,21 @@ private[graft] object NativeManifestLog extends LogFormat {
   def decodeSchema(content: String): Option[String] =
     content.split("\n").map(_.trim).find(_.startsWith("#schema\t"))
       .map(_.split("\t", 2)(1))
+  def decodeColStats(content: String): Map[String, Map[String, (Double, Double)]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    content.split("\n").map(_.trim).filter(_.startsWith("#colstats\t")).flatMap {
+      _.split("\t", 3) match {
+        case Array(_, file, json) =>
+          import scala.jdk.CollectionConverters._
+          val node = mapper.readTree(json)
+          val cols = node.properties().asScala.map { e =>
+            e.getKey -> ((e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble()))
+          }.toMap
+          Some(file -> cols)
+        case _ => None
+      }
+    }.toMap
+  }
 }
 
 /** Delta-Lake-style JSON action log under `_delta_log/`: version
@@ -135,7 +162,8 @@ private[graft] object DeltaJsonLog extends LogFormat {
 
   def encode(v: Long, prev: Seq[FileEntry], next: Seq[FileEntry],
              schemaJson: Option[String],
-             txn: Map[String, Long] = Map.empty): String = {
+             txn: Map[String, Long] = Map.empty,
+             colStats: Map[String, Map[String, (Double, Double)]] = Map.empty): String = {
     val now = System.currentTimeMillis()
     val sb = new StringBuilder
     def obj(): com.fasterxml.jackson.databind.node.ObjectNode = mapper.createObjectNode()
@@ -190,8 +218,16 @@ private[graft] object DeltaJsonLog extends LogFormat {
       adBody.put("dataChange", true)
       val stats = obj()
       e.rows.foreach(r => stats.put("numRecords", r))
-      e.idMin.foreach(lo => stats.putObject("minValues").put("__id", lo))
-      e.idMax.foreach(hi => stats.putObject("maxValues").put("__id", hi))
+      val cols = colStats.getOrElse(e.name, Map.empty)
+      if (e.idMin.isDefined || cols.nonEmpty) {
+        val mins = stats.putObject("minValues")
+        val maxs = stats.putObject("maxValues")
+        e.idMin.foreach(lo => mins.put("__id", lo))
+        e.idMax.foreach(hi => maxs.put("__id", hi))
+        cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          mins.put(c, lo); maxs.put(c, hi)
+        }
+      }
       adBody.put("stats", mapper.writeValueAsString(stats))
       line(ad)
     }
@@ -229,4 +265,26 @@ private[graft] object DeltaJsonLog extends LogFormat {
       Option(node.get("metaData")).flatMap(m => Option(m.get("schemaString")))
         .map(_.asText())
     }.headOption.filter(_ != "{\"type\":\"struct\",\"fields\":[]}")
+
+  def decodeColStats(content: String): Map[String, Map[String, (Double, Double)]] =
+    content.split("\n").map(_.trim).filter(_.nonEmpty).flatMap { l =>
+      import scala.jdk.CollectionConverters._
+      val node = mapper.readTree(l)
+      Option(node.get("add")).flatMap { add =>
+        val name = add.get("path").asText().stripPrefix("files/")
+        Option(add.get("stats")).map(s => mapper.readTree(s.asText())).flatMap { st =>
+          (Option(st.get("minValues")), Option(st.get("maxValues"))) match {
+            case (Some(mins), Some(maxs)) =>
+              val cols = mins.properties().asScala.flatMap { e =>
+                val c = e.getKey
+                if (c == "__id") None
+                else Option(maxs.get(c)).map(hx =>
+                  c -> ((e.getValue.asDouble(), hx.asDouble())))
+              }.toMap
+              if (cols.nonEmpty) Some(name -> cols) else None
+            case _ => None
+          }
+        }
+      }
+    }.toMap
 }

@@ -297,15 +297,34 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       Future.traverse(renamed) { n =>
         Future((n, footerStats(f, new Path(s"$filesDir/$n"), integral)))
       }, 10.minutes)
-    statted.flatMap { case (n, (rowCount, range)) =>
+    statted.flatMap { case (n, (rowCount, range, colStats)) =>
       if (rowCount == 0L) { f.delete(new Path(s"$filesDir/$n"), false); None }
-      else Some(FileEntry(n, range.map(_._1), range.map(_._2), Some(rowCount)))
+      else {
+        if (colStats.nonEmpty) pendingColStats.put(n, colStats)
+        Some(FileEntry(n, range.map(_._1), range.map(_._2), Some(rowCount)))
+      }
     }
   }
 
-  /** (rowCount, id min/max) from a parquet footer — metadata only. */
-  private def footerStats(f: FileSystem, p: Path,
-                          integral: Boolean): (Long, Option[(Long, Long)]) = {
+  /** Per-file numeric column stats written at this store's next
+    * commit (fileName → col → (min, max)); merged with the previous
+    * version's stats inside `commit`, under the same lock. */
+  private val pendingColStats =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, (Double, Double)]]
+
+  /** Largest magnitude a stat may have and still be EXACT as a
+    * double (2^52): larger values are dropped rather than risk a
+    * rounded bound wrongly pruning a file. */
+  private val statExactMax = 4503599627370496.0
+
+  /** (rowCount, id min/max, per-column numeric min/max) from a parquet
+    * footer — metadata only. Column stats cover TOP-LEVEL int/long/
+    * float/double columns where every block carries statistics; nulls
+    * in a column are fine for VALUE-range pruning (a null row cannot
+    * satisfy a range predicate), unlike the id range, which keyed
+    * mutations rely on and which stays null-strict. */
+  private def footerStats(f: FileSystem, p: Path, integral: Boolean)
+      : (Long, Option[(Long, Long)], Map[String, (Double, Double)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -335,7 +354,38 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
             Some((perBlock.map(_._1).min, perBlock.map(_._2).max))
           else None
         }
-      (rows, range)
+      val colStats: Map[String, (Double, Double)] =
+        if (rows == 0L) Map.empty
+        else {
+          val names = blocks.headOption.toSeq.flatMap(_.getColumns.asScala)
+            .map(_.getPath.toDotString).filterNot(_.contains('.'))
+          names.flatMap { name =>
+            val perBlock = blocks.flatMap { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == name).flatMap { c =>
+                val st = c.getStatistics
+                if (st == null || !st.hasNonNullValue) None
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                    Some((lo.doubleValue(), hi.doubleValue()))
+                  case (lo: java.lang.Long, hi: java.lang.Long) =>
+                    Some((lo.doubleValue(), hi.doubleValue()))
+                  case (lo: java.lang.Float, hi: java.lang.Float) =>
+                    Some((lo.doubleValue(), hi.doubleValue()))
+                  case (lo: java.lang.Double, hi: java.lang.Double) =>
+                    Some((lo.doubleValue(), hi.doubleValue()))
+                  case _ => None
+                }
+              }
+            }
+            if (perBlock.length == blocks.length && perBlock.nonEmpty &&
+                perBlock.forall { case (lo, hi) =>
+                  math.abs(lo) <= statExactMax && math.abs(hi) <= statExactMax &&
+                    !lo.isNaN && !hi.isNaN })
+              Some(name -> ((perBlock.map(_._1).min, perBlock.map(_._2).max)))
+            else None
+          }.toMap
+        }
+      (rows, range, colStats)
     } finally reader.close()
   }
 
@@ -376,10 +426,15 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       // evolved table's old files would silently stop surfacing the
       // newer columns
       val schemaJson = lastSchemaJson.orElse(prevContent.flatMap(log.decodeSchema))
+      // column stats carry forward too: previous files keep theirs,
+      // this commit's new files contribute pendingColStats; encode
+      // drops entries for files no longer in the version
+      val colStats = prevContent.map(log.decodeColStats)
+        .getOrElse(Map.empty[String, Map[String, (Double, Double)]]) ++ pendingColStats
       val tmp = new Path(s"$versionsDir/.tmp-${UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, false)
       try out.write(log.encode(prevVer + 1, prevEntries, entries, schemaJson,
-          txnUpdate(prevTxn))
+          txnUpdate(prevTxn), colStats)
         .getBytes("UTF-8"))
       finally out.close()
       val claimPath = new Path(s"$versionsDir/v${prevVer + 1}.claim")
@@ -415,6 +470,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
         Thread.sleep(math.min(2000L, 50L * attempts)) // let the claim holder finish its rename
       }
     }
+    pendingColStats.clear() // committed (or filtered out) — never re-attach
   }
 
   private def currentEntries: Seq[FileEntry] =
@@ -711,6 +767,31 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     val entries = currentEntries.filter(_.overlaps(kmin, kmax))
     readFiles(entries)
       .filter(col(idCol) >= lit(kmin) && col(idCol) <= lit(kmax))
+  }
+
+  /** Range scan with data skipping on an ARBITRARY numeric column
+    * (the Delta/Iceberg file-stats generalization of [[readRange]]):
+    * files whose committed (min, max) for `colName` miss [lo, hi] are
+    * never handed to Spark; files without stats for the column read
+    * conservatively. Stats exist for top-level int/long/float/double
+    * columns whose values stay within double-exact range (2^52 —
+    * collection drops anything that could round). A null row can
+    * never satisfy the range predicate, so value pruning is sound on
+    * columns WITH nulls, unlike the null-strict id range. Pair with
+    * `compact(clusterBy = colName)` to make the ranges disjoint and
+    * the pruning sharp. The residual row-exact filter is applied on
+    * top. */
+  def readWhere(colName: String, lo: Double, hi: Double): DataFrame = {
+    val stats = latestContent(fs).map(c => log.decodeColStats(c._2))
+      .getOrElse(Map.empty[String, Map[String, (Double, Double)]])
+    val entries = currentEntries.filter { e =>
+      stats.get(e.name).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mn <= hi && mx >= lo
+        case None => true // no stats → always read
+      }
+    }
+    readFiles(entries, committedSchema)
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** DELETE WHERE: removes rows where the condition is TRUE only —

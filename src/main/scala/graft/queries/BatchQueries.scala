@@ -486,6 +486,34 @@ object BatchQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Data skipping on a NON-id numeric column (TableStore.readWhere
+    * over per-file column stats): six custkey-striped appends
+    * interleave every nation in every file (no pruning possible);
+    * `compact(clusterBy = c_nationkey)` then makes the per-file
+    * nationkey ranges tight, and a range read on the column must
+    * touch a strict subset of files — asserted in-gate. Content is
+    * the DuckDB oracle. */
+  def qColSkip(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val tmp = graft.core.TempDirs.create("graft_colskip_")
+    val store = new graft.core.TableStore(s, tmp, "c_custkey")
+    (0 until 6).foreach { i =>
+      store.append(base.filter(col("c_custkey") % 6 === i))
+    }
+    store.compact(targetFiles = 5, clusterBy = Seq("c_nationkey"))
+    val res = store.readWhere("c_nationkey", 5.0, 9.0)
+    val (touched, total) = (res.inputFiles.length, store.fileIdRanges.size)
+    require(touched > 0 && touched < total,
+      s"q_col_skip: range read touched $touched of $total files — column stats did not prune")
+    res.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("bal_sum"),
+        min(col("c_custkey")).as("k_min"),
+        max(col("c_custkey")).as("k_max"))
+      .orderBy(col("c_nationkey"))
+  }
+
   def qVersionDiff(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))

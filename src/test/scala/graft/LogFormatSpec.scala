@@ -120,6 +120,30 @@ class LogFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("column stats: round-trip both formats, prune readWhere, survive commits") {
+    Seq(NativeManifestLog, DeltaJsonLog).foreach { fmt =>
+      val dir = TempDirs.create(s"graft_cs_${fmt.dirName.replace("_", "")}_")
+      val st = new TableStore(spark, dir, "id", format = fmt)
+      // two files with disjoint v ranges
+      st.append((0 until 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1))
+      st.append((50 until 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1))
+      val narrow = st.readWhere("v", 10.0, 20.0)
+      assert(narrow.inputFiles.length == 1,
+        s"expected 1 file read, got ${narrow.inputFiles.length}")
+      assert(narrow.count() == 11L)
+      // stats survive an unrelated commit (delete touching nothing new)
+      st.append((100 until 110).map(i => (i.toLong, -1.0)).toDF("id", "v").coalesce(1))
+      val narrow2 = st.readWhere("v", 60.0, 70.0)
+      assert(narrow2.inputFiles.length == 1)
+      assert(narrow2.count() == 11L)
+      // a column with no stats (strings) reads everything, correctly
+      val st2 = new TableStore(spark,
+        TempDirs.create(s"graft_cs2_${fmt.dirName.replace("_", "")}_"), "id", format = fmt)
+      st2.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+      assert(st2.readWhere("id", 1.0, 1.0).count() == 1L)
+    }
+  }
+
   test("schema evolution: widen, omit, reject type change, upsert across it") {
     Seq(NativeManifestLog, DeltaJsonLog).foreach { fmt =>
       val dir = TempDirs.create(s"graft_evo_${fmt.dirName.replace("_", "")}_")
