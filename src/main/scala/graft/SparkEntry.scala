@@ -183,6 +183,7 @@ object SparkEntry {
     "q_schema_enforce" -> (WarehouseQueries.qSchemaEnforce _),
     "q_dialect_prune"  -> (WarehouseQueries.qDialectPrune _),
     "q_profile_drift"  -> (WarehouseQueries.qProfileDrift _),
+    "q_dialect_prune_col" -> (WarehouseQueries.qDialectPruneCol _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
     "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
@@ -1501,6 +1502,15 @@ object SparkEntry {
                 $ms AS min_str, $xs AS max_str
                 FROM customer"""
         }.mkString("", " UNION ALL ", " ORDER BY col_name"),
+    // dialect column-stats pruning: same aggregate as q_col_skip with
+    // renamed dialect output columns; pruning asserted in-gate
+    "q_dialect_prune_col" ->
+      """SELECT c_nationkey AS nat, CAST(count(*) AS BIGINT) AS n,
+                round(sum(c_acctbal), 2) AS bal_sum,
+                CAST(min(c_custkey) AS BIGINT) AS k_min,
+                CAST(max(c_custkey) AS BIGINT) AS k_max
+         FROM customer WHERE c_nationkey >= 5 AND c_nationkey <= 9
+         GROUP BY 1 ORDER BY 1""",
     // profile drift: both version snapshots rebuilt relationally, the
     // per-column profiles and their deltas replayed exactly
     "q_profile_drift" -> {

@@ -73,6 +73,48 @@ object GraftSession {
     }
     if (found) Some((lo, hi)) else None
   }
+
+  /** Per-column conservative double bounds implied by the WHERE tree —
+    * the stats-pruning generalization of [[idBounds]] to every column
+    * (file column stats compare in doubles, so strict `<`/`>` keep the
+    * literal itself as an inclusive bound — conservative). */
+  private[core] def columnBounds(where: Option[graft.sqlparse.Ast.Cond],
+                                 tref: graft.sqlparse.Ast.TableRef,
+                                 single: Boolean): Map[String, (Double, Double)] = {
+    import graft.sqlparse.Ast._
+    def conjuncts(c: Cond): Seq[Cond] = c match {
+      case BoolOp(op, cs) if op.equalsIgnoreCase("AND") => cs.flatMap(conjuncts)
+      case other => Seq(other)
+    }
+    def colOf(r: ColRef): Option[String] = r.table match {
+      case Some(t) if tref.alias.exists(_.equalsIgnoreCase(t)) ||
+        t.equalsIgnoreCase(tref.name) => Some(r.name)
+      case None if single => Some(r.name)
+      case _ => None
+    }
+    val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def tighten(c: String, lo: Double, hi: Double): Unit = {
+      val (plo, phi) = acc.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
+      acc(c) = (math.max(plo, lo), math.min(phi, hi))
+    }
+    where.toSeq.flatMap(conjuncts).foreach {
+      case Cmp(op, r, Left(NumLit(v, _))) => colOf(r).foreach { c =>
+        op match {
+          case ">=" | ">" => tighten(c, v, Double.PositiveInfinity)
+          case "<=" | "<" => tighten(c, Double.NegativeInfinity, v)
+          case "="        => tighten(c, v, v)
+          case _          => ()
+        }
+      }
+      case InList(r, vs, false) if vs.nonEmpty && vs.forall(_.isInstanceOf[NumLit]) =>
+        colOf(r).foreach { c =>
+          val nums = vs.collect { case NumLit(v, _) => v }
+          tighten(c, nums.min, nums.max)
+        }
+      case _ => ()
+    }
+    acc.toMap
+  }
 }
 
 class GraftSession(val spark: SparkSession,
@@ -358,9 +400,16 @@ class GraftSession(val spark: SparkSession,
       val pruned = for {
         store <- stores.get(name.toLowerCase)
         tref <- stmt.tables.find(_.name.equalsIgnoreCase(name))
-        bounds <- GraftSession.idBounds(stmt.where, store.idCol, tref,
-          single = stmt.tables.size == 1)
-      } yield store.readRange(bounds._1, bounds._2)
+      } yield {
+        val single = stmt.tables.size == 1
+        val idB = GraftSession.idBounds(stmt.where, store.idCol, tref, single)
+        // non-id numeric columns prune through per-file column stats
+        // (TableStore.readWhere machinery); the id column additionally
+        // prunes through the null-strict manifest id range
+        val colB = GraftSession.columnBounds(stmt.where, tref, single)
+        if (idB.isEmpty && colB.isEmpty) table(name)
+        else store.readPruned(colB, idB)
+      }
       pruned.getOrElse(table(name))
     }
 

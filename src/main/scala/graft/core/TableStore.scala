@@ -781,17 +781,29 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * `compact(clusterBy = colName)` to make the ranges disjoint and
     * the pruning sharp. The residual row-exact filter is applied on
     * top. */
-  def readWhere(colName: String, lo: Double, hi: Double): DataFrame = {
+  def readWhere(colName: String, lo: Double, hi: Double): DataFrame =
+    readPruned(Map(colName -> ((lo, hi))))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+
+  /** File-pruned snapshot under SEVERAL per-column range constraints
+    * at once (conjunctive): a file survives only if every constrained
+    * column's stats intersect its range. NO row filter is applied —
+    * the caller (e.g. the dialect's lowered WHERE) owns row-exact
+    * filtering; this only shrinks the file set, conservatively. */
+  def readPruned(bounds: Map[String, (Double, Double)],
+                 idRange: Option[(Long, Long)] = None): DataFrame = {
     val stats = latestContent(fs).map(c => log.decodeColStats(c._2))
       .getOrElse(Map.empty[String, Map[String, (Double, Double)]])
     val entries = currentEntries.filter { e =>
-      stats.get(e.name).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => mn <= hi && mx >= lo
-        case None => true // no stats → always read
+      idRange.forall { case (klo, khi) => e.overlaps(klo, khi) } &&
+      bounds.forall { case (c, (lo, hi)) =>
+        stats.get(e.name).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None => true // no stats → always read
+        }
       }
     }
     readFiles(entries, committedSchema)
-      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** DELETE WHERE: removes rows where the condition is TRUE only —

@@ -59,6 +59,33 @@ object WarehouseQueries {
     store.read.orderBy(col("c_custkey"))
   }
 
+  /** Column-stats pruning through the dialect (the q_col_skip layout
+    * driven by dialect SQL): after the nationkey-clustered compact, a
+    * dialect WHERE on the NON-id column must prune files via the
+    * per-file column stats — the resolver's generalization past the
+    * id index. Pruning asserted in-gate; content oracle-checked. */
+  def qDialectPruneCol(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val tmp = graft.core.TempDirs.create("graft_dpcol_")
+    val store = new graft.core.TableStore(s, tmp, "c_custkey")
+    (0 until 6).foreach(i => store.append(base.filter(col("c_custkey") % 6 === i)))
+    store.compact(targetFiles = 5, clusterBy = Seq("c_nationkey"))
+    val gs = new graft.core.GraftSession(s)
+    gs.registerStore("cust_clustered", store)
+    val res = gs.execute(
+      """select c.c_nationkey nat, c.c_custkey ck, c.c_acctbal bal
+         from cust_clustered c
+         where c.c_nationkey >= 5 and c.c_nationkey <= 9""")
+    val (touched, total) = (res.inputFiles.length, store.fileIdRanges.size)
+    require(touched > 0 && touched < total,
+      s"q_dialect_prune_col: dialect WHERE touched $touched of $total files")
+    res.groupBy(col("nat"))
+      .agg(count(lit(1)).as("n"), round(sum(col("bal")), 2).as("bal_sum"),
+        min(col("ck")).as("k_min"), max(col("ck")).as("k_max"))
+      .orderBy(col("nat"))
+  }
+
   /** Profile drift between two committed TableStore versions
     * (Profile.drift over readVersion snapshots): version 1 holds keys
     * %3 ≠ 0; version 2 adds the %3 = 0 slice with acctbal NULLED at
