@@ -180,6 +180,7 @@ object SparkEntry {
     "q_col_skip"       -> (BatchQueries.qColSkip _),
     "q_stream_sink"    -> (StreamQueries.qStreamSink _),
     "q_store_tail"     -> (StreamQueries.qStoreTail _),
+    "q_stream_mview"   -> (StreamQueries.qStreamMview _),
     "q_schema_enforce" -> (WarehouseQueries.qSchemaEnforce _),
     "q_dialect_prune"  -> (WarehouseQueries.qDialectPrune _),
     "q_profile_drift"  -> (WarehouseQueries.qProfileDrift _),
@@ -2016,6 +2017,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
                 CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
          FROM customer ORDER BY c_custkey""",
+    // streaming materialized view: the maintained store must equal the
+    // batch aggregate (replay-immunity asserted in-gate)
+    "q_stream_mview" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(value), 2) AS val_sum
+         FROM events GROUP BY 1 ORDER BY 1""",
     // store-as-queue tail: the drained stream aggregates to the whole
     // source table (backlog/tail exactly-once asserted in-gate)
     "q_store_tail" ->

@@ -482,14 +482,16 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * REWRITES are last-writer-wins, matching the reference's
     * single-mutator table lock for PROCESS — sql/SQLSelect.java:278-285). */
   private def commitRewrite(snapshot: Seq[FileEntry], replaced: Seq[FileEntry],
-                            newFiles: Seq[FileEntry]): Unit = {
+                            newFiles: Seq[FileEntry],
+                            txnUpdate: Map[String, Long] => Map[String, Long] = identity)
+      : Unit = {
     val snapshotNames = snapshot.map(_.name).toSet
     val replacedNames = replaced.map(_.name).toSet
-    commit { prev =>
+    commit({ prev =>
       val concurrentlyAdded = prev.filterNot(e => snapshotNames.contains(e.name))
       prev.filter(e => snapshotNames.contains(e.name) && !replacedNames.contains(e.name)) ++
         newFiles ++ concurrentlyAdded
-    }
+    }, txnUpdate)
   }
 
   /** Largest id in the table, METADATA-ONLY when every live file
@@ -724,6 +726,47 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     // so one logical chunk insert never counts twice
     if (!exists) { append(if (singleFile) rows.coalesce(1) else rows); return }
     Metrics.timer("persistInsertChunk").time { upsertExisting(rows, singleFile) }
+  }
+
+  /** EXACTLY-ONCE upsert: like [[appendOnce]] but MERGING on the id —
+    * the sink primitive of a continuously-maintained materialized
+    * view, where each micro-batch carries updated per-key aggregate
+    * rows. The rewrite and the (appId, version) marker commit in one
+    * manifest rename; a replayed batch no-ops. Returns true when
+    * applied. */
+  def upsertOnce(appId: String, version: Long, rows: DataFrame): Boolean = {
+    if (lastTxn(appId).exists(_ >= version)) return false
+    if (!exists) return appendOnce(appId, version, rows)
+    val rowsE = enforceSchema(rows)
+    val snapshot = currentEntries
+    val (affected, _) = pruneByKeys(snapshot, rowsE.select(col(idCol)))
+    val merged =
+      if (affected.isEmpty) rowsE
+      else readFiles(affected, Some(rowsE.schema))
+        .join(rowsE.select(col(idCol)), Seq(idCol), "left_anti")
+        .unionByName(rowsE)
+    val newFiles = writeFiles(merged)
+    val snapshotNames = snapshot.map(_.name).toSet
+    val replacedNames = affected.map(_.name).toSet
+    var applied = false
+    commit({ prev =>
+      // re-check INSIDE the attempt (update fns re-evaluate on retry)
+      applied = !lastTxn(appId).exists(_ >= version)
+      if (!applied) prev
+      else {
+        val concurrentlyAdded = prev.filterNot(e => snapshotNames.contains(e.name))
+        prev.filter(e => snapshotNames.contains(e.name) &&
+          !replacedNames.contains(e.name)) ++ newFiles ++ concurrentlyAdded
+      }
+    }, prevTxn =>
+      if (prevTxn.get(appId).exists(_ >= version)) prevTxn
+      else prevTxn + (appId -> version))
+    if (!applied) {
+      val f = fs
+      newFiles.foreach(e => try f.delete(new Path(s"$filesDir/${e.name}"), false)
+        catch { case _: java.io.IOException => })
+    }
+    applied
   }
 
   private def upsertExisting(rows0: DataFrame, singleFile: Boolean): Unit = {

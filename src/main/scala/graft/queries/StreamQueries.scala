@@ -29,6 +29,36 @@ object StreamQueries {
       .orderBy(col("id"))
   }
 
+  /** Exactly-once streaming MATERIALIZED VIEW (StreamOps
+    * .materializeToStore → TableStore.upsertOnce): per-user engagement
+    * totals maintained in Update mode, each micro-batch's changed
+    * groups merged into the store with the batch id in the SAME
+    * commit. The gate replays the last batch id with garbage values —
+    * it must no-op — then oracle-checks the view against the batch
+    * aggregate of the whole events table. */
+  def qStreamMview(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.loadStream(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("val_sum"))
+    val tmp = graft.core.TempDirs.create("graft_mview_")
+    val store = new graft.core.TableStore(s, tmp, "user_id")
+    val app = "q_stream_mview"
+    StreamOps.materializeToStore(agg, store, app,
+      graft.core.TempDirs.createFast("graft_mviewck_"))
+    val lastBatch = store.lastTxn(app).getOrElse(
+      throw new IllegalStateException("q_stream_mview: no batch recorded"))
+    val before = store.read.agg(coalesce(round(sum(col("val_sum")), 2), lit(0.0))).head.getDouble(0)
+    val garbage = store.read.limit(5).withColumn("val_sum", lit(-1e9))
+    require(!store.upsertOnce(app, lastBatch, garbage),
+      "q_stream_mview: replayed batch was applied twice")
+    val after = store.read.agg(coalesce(round(sum(col("val_sum")), 2), lit(0.0))).head.getDouble(0)
+    require(before == after, "q_stream_mview: replay changed the view")
+    store.read
+      .select(col("user_id"), col("n_events"), col("val_sum"))
+      .orderBy(col("user_id"))
+  }
+
   /** Table-is-a-queue duality on a MUTABLE store (TableStore
     * .readStream through dialect SELECT STREAM): half the events
     * table is the store's backlog when the continuous query starts;

@@ -129,6 +129,28 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Continuously-maintained materialized view with exactly-once
+    * semantics: an UPDATE-mode streaming aggregation lands each
+    * micro-batch's changed groups via `TableStore.upsertOnce` — merge
+    * on the group key, with the batch id committed atomically with
+    * the rewrite, so replays (restart, checkpoint loss) cannot double-
+    * apply. The store converges to exactly the batch aggregate of the
+    * whole stream (streaming state carries cumulative group values;
+    * each upsert overwrites the key's row). The view's key column is
+    * the store's id column. */
+  def materializeToStore(aggregated: DataFrame, store: graft.core.TableStore,
+                         appId: String, checkpoint: String): Unit = {
+    val q = aggregated.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        store.upsertOnce(appId, batchId, batch.toDF()): Unit
+      }
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to a memory sink until the source is
     * drained; returns the result table. Deterministic harness for the
     * correctness gate and tests (the production path is

@@ -144,6 +144,20 @@ class LogFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertOnce merges on the key, dedups replays, both formats") {
+    Seq(NativeManifestLog, DeltaJsonLog).foreach { fmt =>
+      val dir = TempDirs.create(s"graft_uo_${fmt.dirName.replace("_", "")}_")
+      val st = new TableStore(spark, dir, "id", format = fmt)
+      assert(st.upsertOnce("view", 0L, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")))
+      assert(st.upsertOnce("view", 1L, Seq((2L, 25.0), (3L, 30.0)).toDF("id", "v")))
+      // replay of batch 1 with different values must NOT apply
+      assert(!st.upsertOnce("view", 1L, Seq((2L, -99.0)).toDF("id", "v")))
+      val got = st.read.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+      assert(st.lastTxn("view").contains(1L))
+    }
+  }
+
   test("schema evolution: widen, omit, reject type change, upsert across it") {
     Seq(NativeManifestLog, DeltaJsonLog).foreach { fmt =>
       val dir = TempDirs.create(s"graft_evo_${fmt.dirName.replace("_", "")}_")
