@@ -322,19 +322,25 @@ object PipelineQueries {
         when(cnt("spark") > cnt("vector"), 1L).otherwise(-1L).as("y"))
     val dims = 256
     val model = Classifier.fitBatch(d, "text", "y", dims = dims, epochs = 20)
-    val local = d.select(col("text"), col("y")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val ref = Classifier.referenceFit(local, dims, epochs = 20)
-    require(model.weights.sameElements(ref.weights) && model.bias == ref.bias
-        && model.epochsRun == ref.epochsRun,
-      s"q_classifier: distributed fit diverged from reference " +
-        s"(epochs ${model.epochsRun} vs ${ref.epochsRun}, bias ${model.bias} vs ${ref.bias})")
+    // cross-path identity replay is single-threaded O(docs × epochs) on
+    // the driver — run it at gate scales, skip at the 10× bench corpus
+    // (the q_bpe guard pattern); the accuracy floor holds at ANY scale
+    val n = d.count().toDouble
+    if (n <= 20000) {
+      val local = d.select(col("text"), col("y")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ref = Classifier.referenceFit(local, dims, epochs = 20)
+      require(model.weights.sameElements(ref.weights) && model.bias == ref.bias
+          && model.epochsRun == ref.epochsRun,
+        s"q_classifier: distributed fit diverged from reference " +
+          s"(epochs ${model.epochsRun} vs ${ref.epochsRun}, bias ${model.bias} vs ${ref.bias})")
+    }
     val scored = d
       .withColumn("score", model.score(col("text")))
       .withColumn("pred", model.predict(col("text")))
-    val n = local.length.toDouble
     val acc = scored.filter(col("pred") * col("y") > 0).count() / n
-    val majority = math.max(local.count(_._2 > 0), local.count(_._2 < 0)) / n
+    val nPos = d.filter(col("y") > 0).count()
+    val majority = math.max(nPos, n.toLong - nPos) / n
     require(acc > majority && acc >= 0.8,
       f"q_classifier: training accuracy $acc%.3f (majority $majority%.3f) — fit failed to separate")
     scored.select(col("doc_id"), col("score"), col("pred"), col("y"))
