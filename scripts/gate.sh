@@ -30,7 +30,9 @@ echo
 echo "## bench smoke ($GATE_SF, single scale)"
 SPARK_GRAFT_SF_DIR="$GATE_SF" SPARK_GRAFT_SF2_DIR=off \
   sbt -batch "runMain graft.Bench" > /tmp/gate_bench.log 2>&1
-bench_line=$(grep -E '^\{"metric"' /tmp/gate_bench.log | tail -1)
+# sbt may prefix run stdout with "[info] " — extract the JSON payload
+# wherever it starts on the line
+bench_line=$(grep -o '{"metric".*' /tmp/gate_bench.log | tail -1)
 if [ -z "$bench_line" ]; then
   echo "BENCH: RED — no JSON line produced (full log: /tmp/gate_bench.log)"
   grep -iE "failed|exception" /tmp/gate_bench.log | head -20
