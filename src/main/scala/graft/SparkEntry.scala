@@ -178,6 +178,7 @@ object SparkEntry {
     "q_data_skip"      -> (BatchQueries.qDataSkip _),
     "q_bucket_join"    -> (BatchQueries.qBucketJoin _),
     "q_col_skip"       -> (BatchQueries.qColSkip _),
+    "q_vacuum"         -> (BatchQueries.qVacuum _),
     "q_stream_sink"    -> (StreamQueries.qStreamSink _),
     "q_store_tail"     -> (StreamQueries.qStoreTail _),
     "q_stream_mview"   -> (StreamQueries.qStreamMview _),
@@ -2045,6 +2046,13 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(sum(o_totalprice), 2) AS price_sum
          FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    // vacuum: content equality AFTER retention cleanup (deleted rows
+    // filtered like the store's delete); structure asserted in-gate
+    "q_vacuum" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+                round(sum(s_acctbal), 2) AS bal_sum
+         FROM supplier WHERE NOT (s_acctbal < 0.0)
          GROUP BY 1 ORDER BY 1""",
     // column-stats skipping: plain range aggregate — the file pruning
     // after the clustered rewrite is asserted in-gate

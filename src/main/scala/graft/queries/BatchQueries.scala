@@ -514,6 +514,39 @@ object BatchQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Retention vacuum (TableStore.vacuum): five versions accumulate —
+    * two appends, a rewriting delete, a compact — then a zero-grace
+    * vacuum must drop every superseded data file AND every stale
+    * version manifest while the LIVE snapshot stays byte-identical.
+    * Structure asserted in-gate (version count collapses, on-disk file
+    * count equals the live manifest's); content equality after vacuum
+    * is the DuckDB oracle — a vacuum that deletes a live file fails
+    * the hash, one that leaks old files fails the count require. */
+  def qVacuum(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+    val tmp = graft.core.TempDirs.create("graft_vac_")
+    val store = new graft.core.TableStore(s, tmp, "s_suppkey")
+    store.append(base.filter(col("s_suppkey") % 2 === 0))
+    store.append(base.filter(col("s_suppkey") % 2 === 1))
+    store.delete(col("s_acctbal") < 0.0) // rewrites matching files
+    store.compact(targetFiles = 2, clusterBy = Seq("s_suppkey"))
+    val versionsBefore = store.versions.size
+    require(versionsBefore >= 4, s"q_vacuum: expected >=4 versions, got $versionsBefore")
+    store.vacuum(graceMs = 0L)
+    require(store.versions.size == 1,
+      s"q_vacuum: expected 1 surviving version, got ${store.versions.size}")
+    val liveFiles = store.fileIdRanges.size
+    val onDisk = new java.io.File(s"$tmp/files").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    require(onDisk == liveFiles,
+      s"q_vacuum: $onDisk files on disk vs $liveFiles live — leak or over-delete")
+    store.read.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s_acctbal")), 2).as("bal_sum"))
+      .orderBy(col("s_nationkey"))
+  }
+
   def qVersionDiff(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
