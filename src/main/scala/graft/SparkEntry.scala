@@ -81,6 +81,7 @@ object SparkEntry {
     "q_classifier"     -> (PipelineQueries.qClassifier _),
     "q_embed_project"  -> (PipelineQueries.qEmbedProject _),
     "q_conv_pairs"     -> (PipelineQueries.qConvPairs _),
+    "q_dedup_canonical" -> (PipelineQueries.qDedupCanonical _),
     "q_text_analyze"   -> (PipelineQueries.qTextAnalyze _),
     "q_text_tokens"    -> (PipelineQueries.qTextTokens _),
     "q_text_repetition" -> (PipelineQueries.qTextRepetition _),
@@ -501,6 +502,49 @@ object SparkEntry {
                      THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                      ELSE 0.0 END AS mean_token_len
          FROM f ORDER BY doc_id""",
+    // cluster canonicalization: the q_dedup_cc transitive closure plus
+    // an arg_max keeper election on (n_chars, -doc_id)
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+4], ' ')
+                        for i in generate_series(1, len(t)-4)] END) AS s
+           FROM toks
+         ), p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)) >= 0.5
+         ), e AS (
+           SELECT id1 AS u, id2 AS v FROM p
+           UNION SELECT id2, id1 FROM p
+         ), reach AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+         ), lbl AS (
+           SELECT u AS doc_id, least(u, min(v)) AS component
+           FROM reach GROUP BY u
+         ), full_lbl AS (
+           SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN lbl l USING (doc_id)
+         ), keep AS (
+           -- composite BIGINT key = (n_chars desc, doc_id asc): doc_id
+           -- stays far below the 1e10 stride at any fixture scale
+           SELECT component,
+                  arg_max(f.doc_id,
+                    CAST(d.n_chars AS BIGINT) * 10000000000 - f.doc_id) AS keeper_id
+           FROM full_lbl f JOIN documents d USING (doc_id)
+           GROUP BY component
+         )
+         SELECT f.doc_id, f.component, k.keeper_id,
+                f.doc_id = k.keeper_id AS is_keeper
+         FROM full_lbl f JOIN keep k USING (component)
+         ORDER BY f.doc_id""",
     // conversation pairs: the oracle rebuilds prompt/response pairs
     // straight from the token formula, bypassing JSON entirely
     "q_conv_pairs" ->

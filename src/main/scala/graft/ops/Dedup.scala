@@ -320,6 +320,29 @@ object Dedup {
         .otherwise("test"))
   }
 
+  /** Cluster canonicalization — the RESOLUTION step after near-dup
+    * detection: connected components over the pair graph, then ONE
+    * exemplar kept per cluster by (qualityCol desc, id asc tiebreak).
+    * Output is the full per-doc resolution map (doc_id, component,
+    * keeper_id, is_keeper) a pipeline materializes so every dropped
+    * doc is attributable to its surviving exemplar. Shapes: the CC is
+    * the O(log n) join-only formulation; keeper election is one
+    * max_by aggregate on (quality, −id) struct ordering — exact and
+    * deterministic, no window over the cluster. */
+  def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String, bCol: String, qualityCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val labeled = df.select(col(idCol), col(qualityCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val keepers = labeled.groupBy(col("component"))
+      .agg(max_by(col(idCol),
+        struct(col(qualityCol), -col(idCol))).as("keeper_id"))
+    labeled.join(keepers, Seq("component"))
+      .select(col(idCol), col("component"), col("keeper_id"),
+        (col(idCol) === col("keeper_id")).as("is_keeper"))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     def canon(df: DataFrame): DataFrame = df

@@ -782,6 +782,18 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster canonicalization (ops/Dedup.canonicalize): the q_dedup_cc
+    * pair graph resolved to one kept exemplar per near-dup cluster by
+    * (n_chars desc, doc_id asc) — the dedup RESOLUTION map a corpus
+    * pipeline materializes. DuckDB replays the transitive closure and
+    * the arg_max election exactly. */
+  def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5, threshold = 0.5)
+    Dedup.canonicalize(d, "doc_id", pairs, "id1", "id2", "n_chars")
+      .orderBy(col("doc_id"))
+  }
+
   /** Leakage-free split assignment (ops/Dedup.leakFreeSplit):
     * near-dup CLUSTERS, not documents, are the split unit — the same
     * n-gram pair graph as q_dedup_cc, components resolved, and the
