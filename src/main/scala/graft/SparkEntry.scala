@@ -2096,7 +2096,7 @@ object SparkEntry {
     "q_vacuum" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
                 round(sum(s_acctbal), 2) AS bal_sum
-         FROM supplier WHERE NOT (s_acctbal < 0.0)
+         FROM supplier WHERE s_suppkey % 5 <> 0
          GROUP BY 1 ORDER BY 1""",
     // column-stats skipping: plain range aggregate — the file pruning
     // after the clustered rewrite is asserted in-gate

@@ -529,7 +529,10 @@ object BatchQueries {
     val store = new graft.core.TableStore(s, tmp, "s_suppkey")
     store.append(base.filter(col("s_suppkey") % 2 === 0))
     store.append(base.filter(col("s_suppkey") % 2 === 1))
-    store.delete(col("s_acctbal") < 0.0) // rewrites matching files
+    // modulo predicate matches at EVERY scale factor (a value
+    // predicate like acctbal < 0 finds nothing in a tiny fixture and
+    // the no-op delete commits no version)
+    store.delete(col("s_suppkey") % 5 === 0) // rewrites matching files
     store.compact(targetFiles = 2, clusterBy = Seq("s_suppkey"))
     val versionsBefore = store.versions.size
     require(versionsBefore >= 4, s"q_vacuum: expected >=4 versions, got $versionsBefore")
