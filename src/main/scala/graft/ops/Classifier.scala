@@ -76,16 +76,20 @@ object Classifier {
         pocketCorrect = correct; pocketW = w.clone(); pocketBias = bias
       }
       val mis = scored.filter(col("__y") * col("__s") <= 0L)
+      // ONE aggregation for weight deltas AND the bias delta: bucket
+      // −1 is the bias sentinel (every misclassified doc contributes
+      // its label once) — halves the per-epoch action count
       val deltas = mis
-        .select(col("__y"), explode(col("__b")).as("__k"))
+        .select(col("__y"),
+          explode(concat(col("__b"), array(lit(-1)))).as("__k"))
         .groupBy(col("__k")).agg(sum(col("__y")).as("__d"))
         .collect()
-      val biasDelta = mis.agg(coalesce(sum(col("__y")), lit(0L))).head.getLong(0)
+      val biasDelta = deltas.find(_.getInt(0) == -1).map(_.getLong(1)).getOrElse(0L)
       // converged = the NET update is zero (mirrors referenceFit: a
       // +1/-1 misclassified pair over identical tokens nets to zero)
       if (deltas.forall(_.getLong(1) == 0L) && biasDelta == 0L) converged = true
       else {
-        deltas.foreach(r => w(r.getInt(0)) += r.getLong(1))
+        deltas.foreach(r => if (r.getInt(0) >= 0) w(r.getInt(0)) += r.getLong(1))
         bias += biasDelta
         e += 1
       }
