@@ -137,7 +137,16 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs: candidates from shared
     * shingles (inverted index), verified with true Jaccard over the
-    * distinct shingle sets. `maxPostings` caps hot shingles. */
+    * distinct shingle sets. `maxPostings` caps hot shingles.
+    *
+    * Measured negative result (this fixture): inserting the exact
+    * size-ratio prefilter (J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|))
+    * between candidate generation and verification cost ~20% MORE at
+    * the 10× corpus — the fixture's shingle sets are small (tens of
+    * hashes), so two extra int joins exceed the intersects they
+    * save. Revisit only for corpora with 100s–1000s of shingles per
+    * doc, where verification dominates and the inequality prunes for
+    * free. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, threshold: Double = 0.7,
                         maxPostings: Int = 1000): DataFrame = {
