@@ -187,6 +187,7 @@ object SparkEntry {
     "q_dialect_prune"  -> (WarehouseQueries.qDialectPrune _),
     "q_profile_drift"  -> (WarehouseQueries.qProfileDrift _),
     "q_dialect_prune_col" -> (WarehouseQueries.qDialectPruneCol _),
+    "q_append_checked" -> (WarehouseQueries.qAppendChecked _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
     "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
@@ -1548,6 +1549,12 @@ object SparkEntry {
                 $ms AS min_str, $xs AS max_str
                 FROM customer"""
         }.mkString("", " UNION ALL ", " ORDER BY col_name"),
+    // checked ingest: only the clean batch lands (abort atomicity
+    // asserted in-gate)
+    "q_append_checked" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                round(sum(c_acctbal), 2) AS bal_sum
+         FROM customer GROUP BY 1 ORDER BY 1""",
     // dialect column-stats pruning: same aggregate as q_col_skip with
     // renamed dialect output columns; pruning asserted in-gate
     "q_dialect_prune_col" ->

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.cep.{EventProcessor, Process}
+import graft.ops.Profile
 
 /** Mutable table with a version-manifest commit protocol — the
   * ingest/point-op surface of the reference (`session.persist` /
@@ -659,6 +660,32 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   def append(rows: DataFrame): Unit = Metrics.timer("persistInsertChunk").time {
     val added = writeFiles(enforceSchema(rows))
     commit(prev => prev ++ added)
+  }
+
+  /** CHECKED append — the Delta table-constraints write contract: the
+    * batch's constraint suite (Profile.expectations: one aggregation
+    * pass regardless of check count, NULL predicate = violation)
+    * evaluates BEFORE anything commits; any violation aborts with the
+    * per-check counts in the exception and the table untouched — no
+    * version, no files, nothing for readers to see. The check scans
+    * only the INCOMING batch, not the table, so the cost is
+    * O(batch) at any table size. */
+  def appendChecked(rows: DataFrame,
+                    checks: Seq[(String, Column)],
+                    uniqueKey: Option[String] = None): Unit = {
+    // materialize ONCE: the constraint scan and the write read the
+    // same batch (a re-evaluated nondeterministic upstream cannot
+    // slip different rows past the checks)
+    val pinned = rows.localCheckpoint(true)
+    try {
+      val report = Profile.expectations(pinned, checks, uniqueKey).collect()
+      val failed = report.filter(_.getInt(2) == 0)
+      if (failed.nonEmpty)
+        throw new IllegalArgumentException(
+          "appendChecked: constraint violations, append aborted — " +
+            failed.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+      append(pinned)
+    } finally pinned.unpersist()
   }
 
   /** Last applied idempotence version for `appId` (a streaming sink's

@@ -59,6 +59,41 @@ object WarehouseQueries {
     store.read.orderBy(col("c_custkey"))
   }
 
+  /** Constraint-checked ingest (TableStore.appendChecked — the Delta
+    * table-constraints write contract): a clean batch commits; a batch
+    * violating a row predicate OR key uniqueness must abort with the
+    * table untouched — no version, no rows, nothing for readers. The
+    * final content (clean batch only) is the DuckDB oracle. */
+  def qAppendChecked(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val tmp = graft.core.TempDirs.create("graft_chk_")
+    val store = new graft.core.TableStore(s, tmp, "c_custkey")
+    val checks = Seq(
+      "key_nonnegative" -> (col("c_custkey") >= 0),
+      "segment_present" -> col("c_mktsegment").isNotNull)
+    store.appendChecked(cust, checks, uniqueKey = Some("c_custkey"))
+    val (vAfter, rowsAfter) = (store.versions.size, store.read.count())
+    // a duplicate-key batch must abort atomically
+    val rejected =
+      try { store.appendChecked(cust.limit(100).unionAll(cust.limit(50)),
+          checks, uniqueKey = Some("c_custkey")); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejected, "q_append_checked: duplicate-key batch was accepted")
+    // a predicate-violating batch (nulled segment) must abort too
+    val rejected2 =
+      try { store.appendChecked(
+          cust.limit(10).withColumn("c_mktsegment", lit(null).cast("string"))
+            .withColumn("c_custkey", col("c_custkey") + 1000000), checks); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejected2, "q_append_checked: violating batch was accepted")
+    require(store.versions.size == vAfter && store.read.count() == rowsAfter,
+      "q_append_checked: aborted append left a version or rows behind")
+    store.read.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Column-stats pruning through the dialect (the q_col_skip layout
     * driven by dialect SQL): after the nationkey-clustered compact, a
     * dialect WHERE on the NON-id column must prune files via the
