@@ -163,4 +163,72 @@ object TextHash {
     }
     s
   }
+
+  /** Linear score from a PRECOMPUTED bucket array (as produced by
+    * [[bucketArray]]): bias + Σ w[b_i]. Identical result to
+    * [[bowScore]] over the source text (both drop empty tokens) —
+    * lets the perceptron's per-epoch scans sum cached ints instead of
+    * re-tokenizing and re-hashing every document every epoch. */
+  def bowScoreBuckets(b: ArrayData, w: Array[Long], bias: Long): Long = {
+    val n = b.numElements()
+    var s = bias
+    var i = 0
+    while (i < n) { s += w(b.getInt(i)); i += 1 }
+    s
+  }
+
+  /** Count of agreeing positions between two long-array MinHash
+    * signatures (the estimated-Jaccard numerator). The zip_with→
+    * filter→size HOF chain this replaces walked an interpreted lambda
+    * per array element on EVERY candidate pair per colliding band —
+    * the hot inner loop of LSH pair scoring. Lengths are equal for
+    * same-config signatures; min() keeps the kernel total. */
+  def sigAgreement(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Jaccard similarity of two DISTINCT long-hash sets in one pass:
+    * |A∩B| via an open-addressing probe of the smaller side, |A∪B| =
+    * |A|+|B|−|A∩B|. Replaces array_intersect + array_union at pair
+    * verification, which materialize three intermediate arrays (and
+    * two hash sets) per candidate pair. Inputs MUST be distinct
+    * (callers apply array_distinct at shingle time) — duplicates
+    * would overcount the union term. */
+  def jaccardDistinct(a: ArrayData, b: ArrayData): Double = {
+    var small = a; var big = b
+    if (small.numElements() > big.numElements()) { small = b; big = a }
+    val ns = small.numElements(); val nb = big.numElements()
+    if (ns == 0) return if (nb == 0) 1.0 else 0.0
+    // open-addressing table of the smaller side, power-of-two sized
+    var cap = 4
+    while (cap < ns * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var i = 0
+    while (i < ns) {
+      val v = small.getLong(i)
+      var slot = (mix64(v) & 0x7fffffffffffffffL).toInt & mask
+      while (used(slot) && table(slot) != v) slot = (slot + 1) & mask
+      table(slot) = v; used(slot) = true
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val v = big.getLong(i)
+      var slot = (mix64(v) & 0x7fffffffffffffffL).toInt & mask
+      while (used(slot) && table(slot) != v) slot = (slot + 1) & mask
+      if (used(slot)) inter += 1
+      i += 1
+    }
+    inter.toDouble / (ns + nb - inter)
+  }
 }

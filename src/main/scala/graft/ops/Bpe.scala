@@ -49,30 +49,22 @@ object Bpe {
 
   /** One greedy left-to-right merge pass over a symbol array: every
     * non-overlapping (a, b) adjacency becomes the fused symbol. A
-    * fold, not a regex — symbols are opaque strings. The fold is a
-    * higher-order function (interpreted per element), so it is gated
-    * behind a codegen'd containment check: a word that does not hold
-    * BOTH symbols cannot hold the adjacency and skips the fold
-    * untouched — for later merges (rare fused symbols) that is almost
-    * every word in the dict. */
+    * compiled kernel (graft.functions.BpeMergePass) — the earlier
+    * `aggregate` fold evaluated an interpreted lambda per symbol per
+    * word per merge, outside whole-stage codegen, and dominated the
+    * 10×-bench learner. Fuse rule locked to [[referenceLearn]]: last
+    * emitted == a AND current == b. */
   private def applyMerge(syms: Column, a: String, b: String): Column =
-    when(array_contains(syms, a) && array_contains(syms, b),
-      aggregate(syms, array().cast("array<string>"),
-        (acc, x) =>
-          when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x)))))
-    .otherwise(syms)
+    graft.functions.BpeFunctions.mergePass(syms, a, b)
 
   /** Adjacent-pair frequencies of the current dict segmentation,
-    * weighted by word count. Map-side explode; one agg shuffle whose
-    * rows are (pair, count) — bytes per row, dict-bounded. */
+    * weighted by word count. Map-side kernel explode
+    * (graft.functions.AdjacentPairs — one pass, no slice/zip_with
+    * intermediates); one agg shuffle whose rows are (pair, count) —
+    * bytes per row, dict-bounded. */
   private def pairCounts(words: DataFrame): DataFrame =
     words.select(col("wcount"),
-        explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (l, r) => struct(l.as("left"), r.as("right")))).as("p"))
+        explode(graft.functions.BpeFunctions.adjacentPairs(col("syms"))).as("p"))
       .groupBy(col("p.left").as("left"), col("p.right").as("right"))
       .agg(sum(col("wcount")).as("freq"))
 
@@ -137,12 +129,14 @@ object Bpe {
         coalesce(sum(col("n")), lit(0L)).as("n_bpe_tokens"))
   }
 
-  /** Apply the merge chain to a word-frequency dict (one fold per
-    * merge over vocabulary-scale rows). */
+  /** Apply the merge chain to a word-frequency dict: the WHOLE
+    * rank-ordered chain as one compiled kernel call per word
+    * (graft.functions.BpeMergeChain) instead of |merges| chained
+    * expressions each materializing an intermediate array. */
   private def segmentDict(words: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.foldLeft(words) { (d, m) =>
-      d.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
-    }
+    if (merges.isEmpty) words
+    else words.withColumn("syms", graft.functions.BpeFunctions.mergeChain(
+      col("syms"), merges.map(_.left).toArray, merges.map(_.right).toArray))
 
   /** Independent driver-side reference implementation (same semantics,
     * no Spark): for the gate's cross-path identity check and the spec.

@@ -56,9 +56,11 @@ object Classifier {
                dims: Int = 256, epochs: Int = 5): Model = {
     require(dims > 0 && Integer.bitCount(dims) == 1,
       "Classifier.fitBatch: dims must be a positive power of two")
+    // text itself never rides into the checkpoint: epochs only need
+    // the label and the bucket array (ints), so the materialized
+    // per-epoch input is bytes per document, not the document
     val base = df
-      .select(col(textCol).as("__text"),
-        col(labelCol).cast("long").as("__y"),
+      .select(col(labelCol).cast("long").as("__y"),
         TextHashFunctions.bowBuckets(col(textCol), dims).as("__b"))
       .localCheckpoint(true)
     val w = new Array[Long](dims)
@@ -67,8 +69,11 @@ object Classifier {
     var e = 0
     var converged = false
     while (e < epochs && !converged) {
+      // score from the checkpointed bucket arrays — bit-identical to
+      // bowScore(__text) but skips re-tokenizing/re-hashing the corpus
+      // on every epoch (the old per-epoch hot cost)
       val scored = base.withColumn("__s",
-        TextHashFunctions.bowScore(col("__text"), dims, w.clone(), bias))
+        TextHashFunctions.bowScoreBuckets(col("__b"), w.clone(), bias))
       // one pass: pocket accuracy of the CURRENT weights + per-bucket
       // Σ label over misclassified docs' tokens (≤ dims+2 rows out)
       val correct = scored.filter(col("__y") * col("__s") > 0L).count()
@@ -97,7 +102,7 @@ object Classifier {
     // the post-loop weights are one more candidate (the final update
     // was applied but never evaluated)
     val finalCorrect = base.filter(col("__y") *
-      TextHashFunctions.bowScore(col("__text"), dims, w.clone(), bias) > 0L).count()
+      TextHashFunctions.bowScoreBuckets(col("__b"), w.clone(), bias) > 0L).count()
     if (finalCorrect > pocketCorrect) { pocketW = w.clone(); pocketBias = bias }
     base.unpersist()
     Model(dims, pocketW, pocketBias, e)

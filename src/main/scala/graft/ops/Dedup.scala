@@ -44,9 +44,14 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), lit(b)))
 
-  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  /** Estimated Jaccard = fraction of agreeing signature positions.
+    * The numerator is a compiled kernel (graft.functions.SigAgree) —
+    * the zip_with/filter/size HOF chain it replaces evaluated an
+    * interpreted lambda per signature element per candidate pair per
+    * colliding band, and was the super-linear term in the 10×-scale
+    * minhash bench. */
   private[ops] def estJaccard(a: Column, b: Column, numHashes: Int): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), x => x)).cast("double") / numHashes
+    graft.functions.TextHashFunctions.sigAgree(a, b).cast("double") / numHashes
 
   /** Skew guard shared by every candidate generator: drop bucket keys
     * holding more than `maxBucket` rows. An aggregated semi-join, not
@@ -165,8 +170,7 @@ object Dedup {
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        graft.functions.TextHashFunctions.jaccardDistinct(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
