@@ -194,6 +194,51 @@ object TextHash {
     c
   }
 
+  /** All character-k-shingles of a string, optionally per-document
+    * DISTINCT: byte-identical to
+    * `transform(sequence(1, length(s)-k+1), i -> substring(s, i, k))`
+    * (char semantics — slicing happens on precomputed code-point
+    * boundaries, one pass) but compiled. The HOF spelling walks an
+    * interpreted substring expression per character position of every
+    * document; with distinct=true the kernel also dedups map-side, so
+    * downstream explodes shuffle each shingle once per document
+    * instead of once per occurrence. */
+  def charShingles(u: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val n = u.numChars()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val bytes = u.getBytes
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var p = 0
+    while (i < n) {
+      offs(i) = p
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+      i += 1
+    }
+    offs(n) = p
+    val count = n - k + 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+      i = 0
+      while (i < count) {
+        seen.add(UTF8String.fromBytes(bytes, offs(i), offs(i + k) - offs(i)))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](count)
+      i = 0
+      while (i < count) {
+        out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + k) - offs(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Jaccard similarity of two DISTINCT long-hash sets in one pass:
     * |A∩B| via an open-addressing probe of the smaller side, |A∪B| =
     * |A|+|B|−|A∩B|. Replaces array_intersect + array_union at pair

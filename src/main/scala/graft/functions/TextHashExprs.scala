@@ -144,6 +144,24 @@ case class SigAgree(left: Expression, right: Expression)
       newRight: Expression): SigAgree = copy(left = newLeft, right = newRight)
 }
 
+/** Character k-shingles (optionally per-document distinct) as one
+  * compiled pass — the `transform(sequence, substring)` HOF it
+  * replaces dominated the overlap-matrix and trigram-index builds. */
+case class CharShingles(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+  override def prettyName: String = "graft_char_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.charShingles(input.asInstanceOf[UTF8String], k, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.charShingles($c, $k, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
 /** One-pass Jaccard over two distinct hash-set arrays (|A∩B| probe +
   * complement union count) — pair verification for the exact n-gram
   * dedup without materializing intersect/union arrays per pair. */
@@ -183,6 +201,8 @@ object TextHashFunctions {
     CatalystBridge.column(BowScoreBuckets(CatalystBridge.expression(buckets), weights, bias))
   def sigAgree(a: Column, b: Column): Column =
     CatalystBridge.column(SigAgree(CatalystBridge.expression(a), CatalystBridge.expression(b)))
+  def charShingles(text: Column, k: Int, distinct: Boolean): Column =
+    CatalystBridge.column(CharShingles(CatalystBridge.expression(text), k, distinct))
   def jaccardDistinct(a: Column, b: Column): Column =
     CatalystBridge.column(JaccardDistinct(CatalystBridge.expression(a), CatalystBridge.expression(b)))
 }

@@ -40,11 +40,8 @@ object LanguageModel {
     // BEFORE the explode (tokenize-once)
     val inst = withToks
       .select(col("doc_id"), explode(
-        when(size(col("t")) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(expr(
-            "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          graft.functions.BpeFunctions.adjacentPairs(col("t"))).as("b"))
+      .select(col("doc_id"), col("b.left").as("w1"), col("b.right").as("w2"))
     val bigramCounts = inst.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
     val startCounts = inst.groupBy(col("w1"))

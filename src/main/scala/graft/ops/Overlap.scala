@@ -39,11 +39,13 @@ object Overlap {
   def shingleOverlapMatrix(df: DataFrame, groupCol: String, textCol: String,
                            k: Int = 5): DataFrame = {
     require(k >= 1, "k >= 1")
+    // compiled shingle kernel, per-document DISTINCT before the
+    // explode: the global distinct's shuffle carries each (g, shingle)
+    // once per document instead of once per occurrence
     val sh = df.filter(length(col(textCol)) >= k)
       .select(col(groupCol).as("g"),
-        explode(expr(
-          s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))"))
-          .as("s"))
+        explode(graft.functions.TextHashFunctions.charShingles(
+          col(textCol), k, distinct = true)).as("s"))
       .distinct()
     val per = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("g").as("g1"), col("s"))

@@ -95,10 +95,8 @@ object TextSearch {
                         path: String): Unit = {
     val grams = docs
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(expr(
-          s"CASE WHEN length($textCol) >= 3 THEN " +
-          s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)) " +
-          s"ELSE cast(array() as array<string>) END"))).as("gram"))
+        explode(graft.functions.TextHashFunctions.charShingles(
+          col(textCol), 3, distinct = true)).as("gram"))
     grams.repartitionByRange(col("gram"))
       .sortWithinPartitions(col("gram"))
       .write.mode("overwrite").parquet(path)
