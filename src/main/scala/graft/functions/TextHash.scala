@@ -239,6 +239,116 @@ object TextHash {
     }
   }
 
+  /** Symmetric-delete neighborhood (SymSpell blocking keys) of a
+    * string: the string itself plus every variant with up to `k`
+    * (1..2) characters deleted, DISTINCT. Byte-identical to the
+    * substr/concat HOF spelling (char semantics — deletion happens on
+    * code-point boundaries) but one compiled pass per string instead
+    * of ~L²/2 interpreted lambda evaluations. */
+  def deletionNeighborhood(u: UTF8String, k: Int): ArrayData = {
+    val n = u.numChars()
+    val bytes = u.getBytes
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var p = 0
+    while (i < n) {
+      offs(i) = p
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+      i += 1
+    }
+    offs(n) = p
+    val total = p
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    seen.add(UTF8String.fromBytes(bytes, 0, total))
+    @inline def drop1(ci: Int): UTF8String = {
+      val len = total - (offs(ci + 1) - offs(ci))
+      val out = new Array[Byte](len)
+      System.arraycopy(bytes, 0, out, 0, offs(ci))
+      System.arraycopy(bytes, offs(ci + 1), out, offs(ci), total - offs(ci + 1))
+      UTF8String.fromBytes(out)
+    }
+    @inline def drop2(ci: Int, cj: Int): UTF8String = {
+      // ci < cj
+      val li = offs(ci + 1) - offs(ci)
+      val lj = offs(cj + 1) - offs(cj)
+      val out = new Array[Byte](total - li - lj)
+      System.arraycopy(bytes, 0, out, 0, offs(ci))
+      System.arraycopy(bytes, offs(ci + 1), out, offs(ci), offs(cj) - offs(ci + 1))
+      System.arraycopy(bytes, offs(cj + 1), out, offs(cj) - li, total - offs(cj + 1))
+      UTF8String.fromBytes(out)
+    }
+    if (k >= 1 && n >= 1) {
+      i = 0
+      while (i < n) { seen.add(drop1(i)); i += 1 }
+    }
+    if (k >= 2 && n >= 2) {
+      i = 0
+      while (i < n - 1) {
+        var j = i + 1
+        while (j < n) { seen.add(drop2(i, j)); j += 1 }
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All unordered id pairs within a bucket, canonicalized
+    * (min, max) — the blocking bucket's pair expansion as one pass
+    * instead of a nested interpreted transform. Output elements are
+    * (long, long) rows consumed via explode. */
+  def longPairCombos(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var m = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val b = ids.getLong(j)
+        out(m) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](math.min(a, b), math.max(a, b)))
+        m += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fixed-width token-window lines: line i = tokens
+    * [i·width, (i+1)·width) joined with " ", last line may be short;
+    * blank text (after the 0x20 trim) → zero lines. Tokenization is
+    * [[tokenize]] (byte-compatible with the column pipeline); the
+    * whole split-window-join runs as one pass instead of an
+    * interpreted per-line transform over slice/array_join. */
+  def tokenWindowLines(u: UTF8String, width: Int): ArrayData = {
+    val toks = tokenize(u)
+    if (toks.length == 1 && toks(0).isEmpty)
+      return new GenericArrayData(Array.empty[Any])
+    val nLines = (toks.length + width - 1) / width
+    val out = new Array[Any](nLines)
+    var i = 0
+    while (i < nLines) {
+      val from = i * width
+      val until = math.min(from + width, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard similarity of two DISTINCT long-hash sets in one pass:
     * |A∩B| via an open-addressing probe of the smaller side, |A∪B| =
     * |A|+|B|−|A∩B|. Replaces array_intersect + array_union at pair

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.CatalystBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-hash kernels (SURVEY.md
@@ -162,6 +162,59 @@ case class CharShingles(child: Expression, k: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Fixed-width token-window lines of a document as one compiled
+  * pass (tokenize → window → join). */
+case class TokenWindowLines(child: Expression, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+  override def prettyName: String = "graft_token_window_lines"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenWindowLines(input.asInstanceOf[UTF8String], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenWindowLines($c, $width)")
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowLines =
+    copy(child = newChild)
+}
+
+/** SymSpell deletion-neighborhood keys (distinct, k in 1..2) as one
+  * compiled pass per string. */
+case class DeletionNeighborhood(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+  override def prettyName: String = "graft_deletion_neighborhood"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.deletionNeighborhood(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.deletionNeighborhood($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): DeletionNeighborhood =
+    copy(child = newChild)
+}
+
+/** Unordered (min, max) id pair expansion of a blocking bucket. */
+case class LongPairCombos(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id1", LongType, nullable = false),
+    StructField("id2", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<bigint> column")
+  }
+  override def prettyName: String = "graft_long_pair_combos"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.longPairCombos(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.longPairCombos($c)")
+  override protected def withNewChildInternal(newChild: Expression): LongPairCombos =
+    copy(child = newChild)
+}
+
 /** One-pass Jaccard over two distinct hash-set arrays (|A∩B| probe +
   * complement union count) — pair verification for the exact n-gram
   * dedup without materializing intersect/union arrays per pair. */
@@ -201,6 +254,12 @@ object TextHashFunctions {
     CatalystBridge.column(BowScoreBuckets(CatalystBridge.expression(buckets), weights, bias))
   def sigAgree(a: Column, b: Column): Column =
     CatalystBridge.column(SigAgree(CatalystBridge.expression(a), CatalystBridge.expression(b)))
+  def tokenWindowLines(text: Column, width: Int): Column =
+    CatalystBridge.column(TokenWindowLines(CatalystBridge.expression(text), width))
+  def deletionNeighborhood(text: Column, k: Int): Column =
+    CatalystBridge.column(DeletionNeighborhood(CatalystBridge.expression(text), k))
+  def longPairCombos(ids: Column): Column =
+    CatalystBridge.column(LongPairCombos(CatalystBridge.expression(ids)))
   def charShingles(text: Column, k: Int, distinct: Boolean): Column =
     CatalystBridge.column(CharShingles(CatalystBridge.expression(text), k, distinct))
   def jaccardDistinct(a: Column, b: Column): Column =

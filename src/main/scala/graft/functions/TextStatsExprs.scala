@@ -286,6 +286,139 @@ object TokenEntropyExpr {
     StructField("entropy", DoubleType, nullable = false)))
 }
 
+/** One-pass Gopher-rules kernel — every feature and verdict of
+  * ops/TextAnalysis.gopherRules in a single compiled scan. The column
+  * spelling walked the document ~8 times (token fold, two replace
+  * passes, two line filters with interpreted lambdas, a per-token
+  * rlike regex, array_intersect). Semantics replicated exactly:
+  * Spark split keeps trailing empties (limit −1), ltrim/rtrim trim
+  * 0x20 only, length() counts code points, the ellipsis count divides
+  * a code-point delta by 3 in double math, round is HALF_UP. */
+object GopherKernel {
+  private val ReqStop = Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def features(u: UTF8String, minWords: Int, maxWords: Int): InternalRow = {
+    val s = u.toString
+    // tokens: blank (0x20-trim) → empty, else tokenize
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val toks: Array[String] =
+      if (e == b) Array.empty else TextHash.tokenize(u)
+    val nWords = toks.length.toLong
+
+    var wordChars = 0L
+    var alphaWords = 0L
+    val stopSeen = new Array[Boolean](ReqStop.length)
+    var nReqStop = 0L
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      wordChars += w.codePointCount(0, w.length)
+      var hasAlpha = false
+      var ci = 0
+      while (ci < w.length && !hasAlpha) {
+        val c = w.charAt(ci)
+        if (c >= 'a' && c <= 'z') hasAlpha = true
+        ci += 1
+      }
+      if (hasAlpha) alphaWords += 1
+      var k = 0
+      var hit = false
+      while (k < ReqStop.length && !hit) {
+        if (ReqStop(k) == w) {
+          hit = true
+          if (!stopSeen(k)) { stopSeen(k) = true; nReqStop += 1 }
+        }
+        k += 1
+      }
+      t += 1
+    }
+    val meanWordLen = if (nWords > 0) wordChars.toDouble / nWords else 0.0
+
+    // '#' count and non-overlapping "..." occurrences over the raw text
+    var nHash = 0L
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == '#') nHash += 1; i += 1 }
+    var nDotsRemoved = 0L
+    i = s.indexOf("...")
+    while (i >= 0) { nDotsRemoved += 3; i = s.indexOf("...", i + 3) }
+    val nEllipsis = nDotsRemoved.toDouble / 3.0
+    val symbolRatio =
+      if (nWords > 0) (nHash + nEllipsis) / nWords.toDouble else 0.0
+
+    // lines: split("\n", -1) keeps trailing empties → nLines >= 1
+    val lines = s.split("\n", -1)
+    val nLines = lines.length.toLong
+    var bulletLines = 0L
+    var ellipsisLines = 0L
+    var li = 0
+    while (li < lines.length) {
+      val line = lines(li)
+      var lb = 0
+      while (lb < line.length && line.charAt(lb) == ' ') lb += 1
+      if (lb < line.length) {
+        val c = line.charAt(lb)
+        if (c == '-' || c == '*' || c == '•') bulletLines += 1
+      }
+      var le = line.length
+      while (le > 0 && line.charAt(le - 1) == ' ') le -= 1
+      if ((le >= 3 && line.startsWith("...", le - 3)) ||
+          (le >= 1 && line.charAt(le - 1) == '…')) ellipsisLines += 1
+      li += 1
+    }
+    val bulletRatio = bulletLines.toDouble / nLines
+    val ellipsisRatio = ellipsisLines.toDouble / nLines
+    val alphaRatio = if (nWords > 0) alphaWords.toDouble / nWords else 0.0
+
+    val rWc = nWords >= minWords && nWords <= maxWords
+    val rMwl = nWords > 0 && meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val rSym = nWords > 0 && symbolRatio <= 0.1
+    val rBullet = bulletRatio <= 0.9
+    val rEllipsis = ellipsisRatio <= 0.3
+    val rAlpha = nWords > 0 && alphaRatio >= 0.8
+    val rStop = nReqStop >= 2L
+    val mwlRounded = java.math.BigDecimal.valueOf(meanWordLen)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    new GenericInternalRow(Array[Any](
+      nWords, mwlRounded, nReqStop,
+      rWc, rMwl, rSym, rBullet, rEllipsis, rAlpha, rStop,
+      rWc && rMwl && rSym && rBullet && rEllipsis && rAlpha && rStop))
+  }
+}
+
+case class GopherRulesExpr(child: Expression, minWords: Int, maxWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = GopherRulesExpr.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+  override def prettyName: String = "graft_gopher_rules"
+  override protected def nullSafeEval(input: Any): Any =
+    GopherKernel.features(input.asInstanceOf[UTF8String], minWords, maxWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GopherKernel.features($c, $minWords, $maxWords)")
+  override protected def withNewChildInternal(newChild: Expression): GopherRulesExpr =
+    copy(child = newChild)
+}
+
+object GopherRulesExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("n_req_stopwords", LongType, nullable = false),
+    StructField("r_word_count", BooleanType, nullable = false),
+    StructField("r_mean_word_len", BooleanType, nullable = false),
+    StructField("r_symbol_ratio", BooleanType, nullable = false),
+    StructField("r_bullet_lines", BooleanType, nullable = false),
+    StructField("r_ellipsis_lines", BooleanType, nullable = false),
+    StructField("r_alpha_words", BooleanType, nullable = false),
+    StructField("r_stopwords", BooleanType, nullable = false),
+    StructField("keep", BooleanType, nullable = false)))
+}
+
 /** Column-level entry points. */
 object TextStatsFunctions {
   def textStats(text: Column, stopwords: Seq[String]): Column =
@@ -296,4 +429,6 @@ object TextStatsFunctions {
     CatalystBridge.column(RepetitionStatsExpr(CatalystBridge.expression(text)))
   def tokenEntropy(text: Column): Column =
     CatalystBridge.column(TokenEntropyExpr(CatalystBridge.expression(text)))
+  def gopherRules(text: Column, minWords: Int, maxWords: Int): Column =
+    CatalystBridge.column(GopherRulesExpr(CatalystBridge.expression(text), minWords, maxWords))
 }

@@ -26,28 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** Deletion-neighborhood keys (distinct), k in 1..2. Native HOF
-    * expressions only — sequence/transform/flatten stay inside
-    * codegen'd projection; the CASE guards keep `sequence` ascending
-    * on short strings. */
-  private def deletionKeys(s: String, k: Int): Column = {
-    val d0 = s"array($s)"
-    val d1 =
-      s"""CASE WHEN length($s) >= 1 THEN
-            transform(sequence(1, length($s)),
-              i -> concat(substr($s, 1, i - 1), substr($s, i + 1, length($s))))
-          ELSE array() END"""
-    val d2 =
-      s"""CASE WHEN length($s) >= 2 THEN
-            flatten(transform(sequence(1, length($s) - 1),
-              i -> transform(sequence(i + 1, length($s)),
-                j -> concat(substr($s, 1, i - 1),
-                            substr($s, i + 1, j - i - 1),
-                            substr($s, j + 1, length($s))))))
-          ELSE array() END"""
-    val parts = Seq(d0) ++ (if (k >= 1) Seq(d1) else Nil) ++ (if (k >= 2) Seq(d2) else Nil)
-    expr(s"array_distinct(concat(${parts.mkString(", ")}))")
-  }
+  /** Deletion-neighborhood keys (distinct), k in 1..2 — a compiled
+    * kernel (graft.functions.DeletionNeighborhood). The earlier
+    * nested-transform HOF spelling evaluated ~L²/2 interpreted
+    * substr/concat lambdas per string. */
+  private def deletionKeys(s: String, k: Int): Column =
+    graft.functions.TextHashFunctions.deletionNeighborhood(col(s), k)
 
   /** All id pairs (id1 < id2) whose strings are within edit distance
     * `k`, with the exact distance. Exact by construction: lossless
@@ -69,14 +53,22 @@ object FuzzyJoin {
     // full key set — measured 23 s → 8 s on 50 k strings. Buckets are
     // per-row-distinct keys, so a pair's ids are always distinct;
     // least/greatest canonicalizes regardless of collect order.
-    val pairs = keyed.groupBy(col("key"))
+    val collected = keyed.groupBy(col("key"))
       .agg(collect_list(col("fz_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-             i -> transform(sequence(i + 1, size(ids) - 1),
-               j -> struct(least(ids[i], ids[j]) AS id1,
-                           greatest(ids[i], ids[j]) AS id2))))""")).as("p"))
+    // pair expansion: compiled kernel for long ids (the common case),
+    // the equivalent HOF for anything else
+    val expanded =
+      if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        collected.select(explode(
+          graft.functions.TextHashFunctions.longPairCombos(col("ids"))).as("p"))
+      else
+        collected.select(explode(expr(
+          """flatten(transform(sequence(0, size(ids) - 2),
+               i -> transform(sequence(i + 1, size(ids) - 1),
+                 j -> struct(least(ids[i], ids[j]) AS id1,
+                             greatest(ids[i], ids[j]) AS id2))))""")).as("p"))
+    val pairs = expanded
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .dropDuplicates("id1", "id2")
     pairs

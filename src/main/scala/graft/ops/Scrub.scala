@@ -146,24 +146,13 @@ object Scrub {
 
   /** Fixed-width token-window lines (the line split used by the gate
     * fixture): line i = tokens [i*width, (i+1)*width), last line may
-    * be short. Empty/blank text -> zero lines.
-    *
-    * The token array is LAMBDA-BOUND through a one-element transform
-    * before the per-line loop: an expression captured inside a lambda
-    * body is re-evaluated per element (no cross-lambda subexpression
-    * elimination), so slicing `split(text)` directly would re-split
-    * the document once PER LINE — measured 3.3x slower at sf0.1. */
-  def tokenWindowLines(text: Column, width: Int): Column = {
-    val toksOnce = when(length(btrim(text)) === 0, array().cast("array<string>"))
-      .otherwise(TextAnalysis.tokens(text))
-    val mkLines = (tk: Column) => {
-      val nLines = ceil(size(tk) / lit(width.toDouble)).cast("int")
-      when(nLines <= 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), nLines - 1),
-          i => array_join(slice(tk, i * width + 1, lit(width)), " ")))
-    }
-    get(transform(array(toksOnce), mkLines), lit(0))
-  }
+    * be short. Empty/blank text -> zero lines. One compiled pass
+    * (graft.functions.TokenWindowLines) — the per-line
+    * transform/slice/array_join spelling it replaces evaluated
+    * interpreted lambdas per line (and needed a lambda-binding trick
+    * just to avoid re-splitting the document per line). */
+  def tokenWindowLines(text: Column, width: Int): Column =
+    graft.functions.TextHashFunctions.tokenWindowLines(text, width)
 
   // ---------------------------------------------------------------
   // Stratified sampling

@@ -156,51 +156,8 @@ object TextAnalysis {
     * Output struct carries the measured features alongside the verdicts
     * (a filter that drops data silently is undebuggable at 100 TB). */
   def gopherRules(text: Column,
-                  minWords: Int = 50, maxWords: Int = 100000): Column = {
-    val toks = when(length(btrim(text)) === 0, array().cast("array<string>"))
-      .otherwise(tokens(text))
-    val nWords = size(toks).cast("long")
-    val wordChars = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
-    val meanWordLen = when(nWords > 0, wordChars.cast("double") / nWords)
-      .otherwise(lit(0.0))
-    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
-    val nEllipsis = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
-    val symbolRatio = when(nWords > 0,
-      (nHash + nEllipsis).cast("double") / nWords).otherwise(lit(0.0))
-    val lines = split(text, "\n")
-    val nLines = size(lines).cast("long")
-    val bulletLines = size(filter(lines,
-      l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
-    val ellipsisLines = size(filter(lines,
-      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
-    val bulletRatio = bulletLines.cast("double") / nLines
-    val ellipsisRatio = ellipsisLines.cast("double") / nLines
-    val alphaWords = size(filter(toks, w => w.rlike("[a-z]")))
-    val alphaRatio = when(nWords > 0, alphaWords.cast("double") / nWords)
-      .otherwise(lit(0.0))
-    val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val nReqStop = size(array_intersect(toks,
-      array(reqStop.map(lit): _*))).cast("long")
-    val rWc = nWords >= minWords && nWords <= maxWords
-    val rMwl = nWords > 0 && meanWordLen >= 3.0 && meanWordLen <= 10.0
-    val rSym = nWords > 0 && symbolRatio <= 0.1
-    val rBullet = bulletRatio <= 0.9
-    val rEllipsis = ellipsisRatio <= 0.3
-    val rAlpha = nWords > 0 && alphaRatio >= 0.8
-    val rStop = nReqStop >= 2L
-    struct(
-      nWords.as("n_words"),
-      round(meanWordLen, 4).as("mean_word_len"),
-      nReqStop.as("n_req_stopwords"),
-      rWc.as("r_word_count"),
-      rMwl.as("r_mean_word_len"),
-      rSym.as("r_symbol_ratio"),
-      rBullet.as("r_bullet_lines"),
-      rEllipsis.as("r_ellipsis_lines"),
-      rAlpha.as("r_alpha_words"),
-      rStop.as("r_stopwords"),
-      (rWc && rMwl && rSym && rBullet && rEllipsis && rAlpha && rStop).as("keep"))
-  }
+                  minWords: Int = 50, maxWords: Int = 100000): Column =
+    graft.functions.TextStatsFunctions.gopherRules(text, minWords, maxWords)
 
   /** Repetition statistics in ONE compiled pass (native
     * graft.functions.RepetitionStatsExpr): token count, duplicated
