@@ -188,6 +188,7 @@ object SparkEntry {
     "q_profile_drift"  -> (WarehouseQueries.qProfileDrift _),
     "q_dialect_prune_col" -> (WarehouseQueries.qDialectPruneCol _),
     "q_append_checked" -> (WarehouseQueries.qAppendChecked _),
+    "q_merge_store" -> (WarehouseQueries.qMergeStore _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
     "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
@@ -1555,6 +1556,32 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(sum(c_acctbal), 2) AS bal_sum
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // full MERGE INTO: the standard LEFT-JOIN + anti-join expansion of
+    // matched-update / matched-delete / not-matched-insert; target =
+    // even keys (two range-disjoint appends), source = key%3=0 of the
+    // high half. Per-row double addition is IEEE-deterministic on both
+    // engines; file pruning + single-version atomicity assert in-gate
+    "q_merge_store" ->
+      """WITH mid AS (SELECT max(c_custkey) // 2 AS m FROM customer),
+              t AS (SELECT c_custkey, c_acctbal, c_mktsegment
+                    FROM customer WHERE c_custkey % 2 = 0),
+              s AS (SELECT c_custkey, c_acctbal, c_mktsegment
+                    FROM customer, mid
+                    WHERE c_custkey % 3 = 0 AND c_custkey >= m)
+         SELECT * FROM (
+           SELECT t.c_custkey,
+                  CASE WHEN s.c_custkey IS NOT NULL
+                       THEN t.c_acctbal + s.c_acctbal
+                       ELSE t.c_acctbal END AS c_acctbal,
+                  CASE WHEN s.c_custkey IS NOT NULL
+                       THEN s.c_mktsegment || '#M'
+                       ELSE t.c_mktsegment END AS c_mktsegment
+           FROM t LEFT JOIN s ON t.c_custkey = s.c_custkey
+           WHERE s.c_custkey IS NULL OR s.c_custkey % 30 <> 0
+           UNION ALL
+           SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment
+           FROM s WHERE s.c_custkey NOT IN (SELECT c_custkey FROM t)
+         ) ORDER BY c_custkey""",
     // dialect column-stats pruning: same aggregate as q_col_skip with
     // renamed dialect output columns; pruning asserted in-gate
     "q_dialect_prune_col" ->

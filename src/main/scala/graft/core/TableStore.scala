@@ -809,6 +809,72 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       writeFiles(if (singleFile) merged.coalesce(1) else merged))
   }
 
+  /** Full MERGE INTO over the store — the Delta/Iceberg write
+    * contract a warehouse user expects beyond plain upsert:
+    *
+    *   - target rows matching a source key (on the id) apply
+    *     `matchedUpdate` (per-column assignment expressions; reference
+    *     the target as `t.<col>` and the source as `s.<col>`), unless
+    *     `matchedDeleteWhen` (same t/s vocabulary) holds — then they
+    *     are deleted;
+    *   - target rows with no source match are untouched;
+    *   - source rows with no target match insert when
+    *     `insertNotMatched` (full rows, schema-enforced).
+    *
+    * Scale shape: only files whose id range intersects the source
+    * keys rewrite (manifest-stats pruning — a merge touching one hot
+    * partition rewrites one file, not the table); untouched files
+    * carry over by name in ONE atomic manifest commit, so readers see
+    * the old or the new table, never a mix. Duplicate source keys are
+    * rejected up front (a target row matching twice makes the update
+    * nondeterministic — same rule as Delta). The id itself cannot be
+    * assigned (file pruning and find() depend on it). */
+  def merge(source: DataFrame,
+            matchedUpdate: Map[String, Column] = Map.empty,
+            matchedDeleteWhen: Option[Column] = None,
+            insertNotMatched: Boolean = true): Unit = {
+    require(!matchedUpdate.contains(idCol),
+      s"merge: the id column '$idCol' cannot be assigned")
+    if (!exists) {
+      if (insertNotMatched) append(source)
+      return
+    }
+    val src = enforceSchema(source).localCheckpoint(true)
+    try {
+      val dups = src.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dups == 0L,
+        "merge: duplicate source keys — a target row would match twice")
+      val snapshot = currentEntries
+      val (affected, _) = pruneByKeys(snapshot, src.select(col(idCol)))
+      val targetCols = committedSchema.getOrElse(src.schema).fieldNames.toSeq
+      val outFiles =
+        if (affected.isEmpty) {
+          if (!insertNotMatched) return
+          writeFiles(src)
+        } else {
+          val tgt = readFiles(affected, Some(src.schema)).alias("t")
+          val joined = tgt.join(src.alias("s"),
+            col(s"t.$idCol") === col(s"s.$idCol"), "left")
+          val matched = col(s"s.$idCol").isNotNull
+          val deleted = matchedDeleteWhen
+            .map(c => matched && c).getOrElse(lit(false))
+          val updated = joined.filter(!deleted).select(targetCols.map { f =>
+            (if (matchedUpdate.contains(f))
+               when(matched, matchedUpdate(f)).otherwise(col(s"t.$f"))
+             else col(s"t.$f")).as(f)
+          }: _*)
+          val inserts =
+            if (insertNotMatched)
+              src.join(tgt.select(col(s"t.$idCol").as(idCol)), Seq(idCol), "left_anti")
+                .select(targetCols.map(col): _*)
+            else src.limit(0).select(targetCols.map(col): _*)
+          writeFiles(updated.unionByName(inserts))
+        }
+      commitRewrite(snapshot, affected, outFiles)
+    } finally src.unpersist()
+  }
+
   /** `session.find(cls, id)` (persistent/Session.java:326-342): the
     * manifest's file stats prune to the file(s) whose range covers the
     * key, then parquet row-group min/max prune within. */

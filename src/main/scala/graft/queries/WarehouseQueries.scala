@@ -94,6 +94,50 @@ object WarehouseQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Full MERGE INTO (TableStore.merge — matched-update /
+    * matched-delete / not-matched-insert in one atomic commit), gated
+    * end-to-end:
+    *
+    *   target = even-key customers, written as two RANGE-DISJOINT
+    *   appends (low half, high half); source = key%3=0 rows of the
+    *   HIGH half only. Matched rows double their balance (t+s) and
+    *   tag the segment, matched keys %30=0 delete, unmatched source
+    *   keys (odd multiples of 3) insert.
+    *
+    * In-gate requires: (a) the merge commits exactly ONE version;
+    * (b) every low-half file survives BY NAME (manifest-stats file
+    * pruning — a merge outside a file's id range must not rewrite
+    * it). The final table replays in DuckDB as the standard
+    * LEFT-JOIN + anti-join MERGE expansion. */
+  def qMergeStore(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val maxKey = cust.agg(max(col("c_custkey"))).head.get(0)
+      .asInstanceOf[Number].longValue()
+    val mid = maxKey / 2
+    val tmp = graft.core.TempDirs.create("graft_merge_")
+    val store = new graft.core.TableStore(s, tmp, "c_custkey")
+    store.append(cust.filter(col("c_custkey") % 2 === 0 && col("c_custkey") < mid))
+    store.append(cust.filter(col("c_custkey") % 2 === 0 && col("c_custkey") >= mid))
+    val filesBefore = store.read.inputFiles.toSet
+    val lowFiles = store.fileIdRanges.count { case (_, hi) => hi.exists(_ < mid) }
+    require(lowFiles >= 1, "q_merge_store: no range-disjoint low file to assert pruning on")
+    val vBefore = store.versions.size
+    val source = cust.filter(col("c_custkey") % 3 === 0 && col("c_custkey") >= mid)
+    store.merge(source,
+      matchedUpdate = Map(
+        "c_acctbal" -> (col("t.c_acctbal") + col("s.c_acctbal")),
+        "c_mktsegment" -> concat(col("s.c_mktsegment"), lit("#M"))),
+      matchedDeleteWhen = Some(col("s.c_custkey") % 30 === 0))
+    require(store.versions.size == vBefore + 1,
+      "q_merge_store: merge must commit exactly one version")
+    val surviving = store.read.inputFiles.toSet.intersect(filesBefore).size
+    require(surviving >= lowFiles,
+      s"q_merge_store: only $surviving untouched files survived the merge " +
+        s"(expected at least the $lowFiles low-half files — pruning regressed)")
+    store.read.orderBy(col("c_custkey"))
+  }
+
   /** Column-stats pruning through the dialect (the q_col_skip layout
     * driven by dialect SQL): after the nationkey-clustered compact, a
     * dialect WHERE on the NON-id column must prune files via the

@@ -180,4 +180,37 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(ranks.values.sum <= n * 1000000L,
       "floor-div can only lose mass vs the continuous fixpoint")
   }
+
+  test("merge: matched-update/delete, not-matched-insert, edge cases") {
+    val tmp = graft.core.TempDirs.create("graft_mergespec_")
+    val store = new graft.core.TableStore(spark, tmp, "id")
+    // fresh store: merge == insert
+    store.merge(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v"))
+    assert(store.read.count() == 3)
+    // update 2 (v doubles via t+s), delete 3, insert 4, leave 1 alone
+    store.merge(
+      Seq((2L, "B", 5.0), (3L, "x", 0.0), (4L, "d", 40.0)).toDF("id", "tag", "v"),
+      matchedUpdate = Map(
+        "v" -> (col("t.v") + col("s.v")), "tag" -> col("s.tag")),
+      matchedDeleteWhen = Some(col("s.tag") === "x"))
+    val rows = store.read.orderBy("id").as[(Long, String, Double)].collect().toList
+    assert(rows == List((1L, "a", 10.0), (2L, "B", 25.0), (4L, "d", 40.0)))
+    // insertNotMatched=false: unmatched source rows vanish
+    store.merge(Seq((2L, "z", 1.0), (99L, "n", 9.0)).toDF("id", "tag", "v"),
+      matchedUpdate = Map("tag" -> col("s.tag")), insertNotMatched = false)
+    val rows2 = store.read.orderBy("id").as[(Long, String, Double)].collect().toList
+    assert(rows2 == List((1L, "a", 10.0), (2L, "z", 25.0), (4L, "d", 40.0)))
+    // duplicate source keys rejected before anything commits
+    val vBefore = store.versions.size
+    intercept[IllegalArgumentException] {
+      store.merge(Seq((5L, "e", 1.0), (5L, "f", 2.0)).toDF("id", "tag", "v"))
+    }
+    assert(store.versions.size == vBefore, "failed merge must not commit")
+    // the id cannot be assigned
+    intercept[IllegalArgumentException] {
+      store.merge(Seq((1L, "a", 1.0)).toDF("id", "tag", "v"),
+        matchedUpdate = Map("id" -> (col("s.id") + 1)))
+    }
+  }
 }
