@@ -87,6 +87,7 @@ object SparkEntry {
     "q_text_repetition" -> (PipelineQueries.qTextRepetition _),
     "q_text_chunks"    -> (PipelineQueries.qTextChunks _),
     "q_sequence_pack"  -> (PipelineQueries.qSequencePack _),
+    "q_concat_chunks"  -> (PipelineQueries.qConcatChunks _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -709,6 +710,32 @@ object SparkEntry {
          FROM g ORDER BY doc_id""",
     // token-window chunking: budget 40, overlap 8 → stride 32; chunk i
     // covers tokens [i·32, i·32+40), count = max(1, ceil((n-8)/32));
+    // concat-and-chunk: DuckDB replays the offsets with ONE window
+    // cumsum (the Spark side computes them with the two-phase
+    // distributed prefix sum — any bucket-boundary error shifts every
+    // downstream span and fails the hash)
+    "q_concat_chunks" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   END) + 1 AS w
+           FROM documents
+         ), o AS (
+           SELECT doc_id, w,
+                  CAST(COALESCE(sum(w) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS off
+           FROM w
+         ), e AS (
+           SELECT doc_id, w, off,
+                  unnest(generate_series(off // 256, (off + w - 1) // 256)) AS chunk_id
+           FROM o
+         )
+         SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+                CAST(greatest(0, chunk_id * 256 - off) AS BIGINT) AS tok_start,
+                CAST(least(w, (chunk_id + 1) * 256 - off) AS BIGINT) AS tok_end
+         FROM e ORDER BY chunk_id, doc_id""",
     // DuckDB replays the slice arithmetic (1-based inclusive slices =
     // Spark's slice(toks, s+1, budget))
     "q_text_chunks" ->

@@ -135,6 +135,80 @@ object TextAnalysis {
       .toDF(keyCol, orderCol, weightCol, "bin_idx")
   }
 
+  /** GPT-style concat-and-chunk packing (Brown et al. 2020 pretraining
+    * batches): the corpus is conceptually concatenated in ascending
+    * `idCol` order, each document followed by `eodTokens` separator
+    * tokens, and the token stream sliced into fixed `chunkLen` chunks
+    * that CROSS document boundaries — the complement of
+    * [[sequencePack]] (which never splits a document). Output: one row
+    * per (chunk, document) overlap with the document's token span
+    * inside that chunk:
+    *
+    *   (chunk_id, doc_id, tok_start, tok_end)   [start inc, end exc;
+    *    indices n_tokens .. n_tokens+eodTokens-1 are the EOD marks]
+    *
+    * Scale shape — the global prefix sum is TWO-PHASE, never a
+    * single-partition window: documents bucket by a pure id-range
+    * projection (deterministic under re-evaluation, unlike
+    * spark_partition_id after a sampled range shuffle), each bucket
+    * cumsums locally (hash shuffle + in-partition sort), and the
+    * per-bucket totals (#buckets rows, metadata scale) come back as a
+    * broadcast exclusive prefix. All-integer arithmetic throughout. */
+  def concatChunks(df: DataFrame, idCol: String, textCol: String,
+                   chunkLen: Long, eodTokens: Int = 1): DataFrame = {
+    require(chunkLen > 0, "concatChunks: chunkLen must be positive")
+    require(eodTokens >= 0, "concatChunks: eodTokens must be >= 0")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      (tokenCount(col(textCol)).cast("long") + eodTokens).as("__w"))
+    val r = base.agg(min(col("__id")), max(col("__id")), count(lit(1))).head
+    if (r.isNullAt(0))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("chunk_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tok_start",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tok_end",
+            org.apache.spark.sql.types.LongType))))
+    val (minId, maxId, nRows) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val par = spark.sparkContext.defaultParallelism.toLong
+    val buckets = math.max(1L, math.min(par, nRows / 4L))
+    val span = maxId - minId + 1
+    val width = math.max(1L, (span + buckets - 1) / buckets)
+    val wb = base.withColumn("__b", ((col("__id") - minId) / width).cast("int"))
+    // phase 1: per-bucket inclusive cumsum in id order
+    val wloc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__id"))
+    val local = wb.withColumn("__cum", sum(col("__w")).over(wloc))
+    // phase 2: bucket totals → driver (≤ parallelism rows) →
+    // exclusive prefix, rejoined by broadcast
+    val totals = wb.groupBy(col("__b")).agg(sum(col("__w")).as("__t"))
+      .orderBy(col("__b")).collect()
+    var acc = 0L
+    val prefixRows = totals.map { row =>
+      val p = (row.getInt(0), acc); acc += row.getLong(1); p
+    }.toSeq
+    import spark.implicits._
+    val prefixDf = prefixRows.toDF("__b", "__pfx")
+    val off = local.join(broadcast(prefixDf), Seq("__b"))
+      .withColumn("__off", col("__pfx") + col("__cum") - col("__w"))
+    // each document explodes to its overlapping chunk range (`div` =
+    // integral division, exact at any corpus size — float floor would
+    // drift past 2^53 tokens)
+    off.select(col("__id"), col("__w"), col("__off"),
+        explode(sequence(expr(s"__off div ${chunkLen}L"),
+          expr(s"(__off + __w - 1) div ${chunkLen}L"))).as("chunk_id"))
+      .select(
+        col("chunk_id"),
+        col("__id").as("doc_id"),
+        greatest(lit(0L), col("chunk_id") * chunkLen - col("__off")).as("tok_start"),
+        least(col("__w"), (col("chunk_id") + 1) * chunkLen - col("__off")).as("tok_end"))
+  }
+
   /** Gopher-style document-quality rule suite (Rae et al. 2021, "Scaling
     * Language Models: … Gopher", table A1) — the per-rule boolean verdicts
     * a corpus-filtering pass thresholds on, not a single opaque score, so

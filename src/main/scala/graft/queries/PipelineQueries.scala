@@ -399,6 +399,19 @@ object PipelineQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** GPT-style concat-and-chunk packing (TextAnalysis.concatChunks),
+    * fully oracle-backed: the corpus concatenated in doc_id order
+    * (one EOD token per doc), sliced into 256-token chunks crossing
+    * document boundaries. The two-phase distributed prefix sum is
+    * what the gate actually tests — DuckDB replays the offsets with a
+    * single window cumsum, so ANY bucket-boundary error (the classic
+    * off-by-one in parallel prefix sums) shifts every downstream span
+    * and fails the hash. */
+  def qConcatChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.concatChunks(docs(s, dir), "doc_id", "text",
+        chunkLen = 256, eodTokens = 1)
+      .orderBy(col("chunk_id"), col("doc_id"))
+
   /** Benchmark decontamination, oracle-backed: documents sharing ANY
     * 8-token shingle with the benchmark set (here: every 37th doc's
     * text, a deterministic stand-in for an eval suite) are flagged.

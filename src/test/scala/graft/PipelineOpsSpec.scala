@@ -372,4 +372,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(seen)),
       s"temp index dir $seen leaked on the failure path")
   }
+
+  test("concatChunks: spans partition the token stream; repartition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sparse, unordered ids (prefix-sum bucketing must not assume
+    // density) with varied token counts incl. a blank doc (w = eod)
+    val docs = Seq(
+      (907L, "a b c d e"), (3L, "x y"), (512L, "  "), (40L, "one"),
+      (41L, "t1 t2 t3 t4 t5 t6 t7"), (600L, "p q r s"), (8L, "m n o"))
+      .toDF("doc_id", "text").repartition(5)
+    val out = graft.ops.TextAnalysis.concatChunks(docs, "doc_id", "text",
+      chunkLen = 4, eodTokens = 1).cache()
+    try {
+      val rows = out.orderBy("chunk_id", "doc_id")
+        .as[(Long, Long, Long, Long)].collect().toList
+      // per-doc spans tile [0, w) with no gaps or overlaps
+      val wById = Map(3L -> 3L, 8L -> 4L, 40L -> 2L, 41L -> 8L,
+        512L -> 1L, 600L -> 5L, 907L -> 6L)
+      for ((id, w) <- wById) {
+        val spans = rows.filter(_._2 == id).map(r => (r._3, r._4)).sorted
+        assert(spans.head._1 == 0 && spans.last._2 == w,
+          s"doc $id spans $spans must cover [0, $w)")
+        spans.sliding(2).foreach {
+          case List((_, e1), (s2, _)) => assert(e1 == s2, s"doc $id gap at $e1")
+          case _ =>
+        }
+      }
+      // every chunk except the last carries exactly chunkLen tokens
+      val totalW = wById.values.sum
+      val perChunk = rows.groupBy(_._1).view
+        .mapValues(_.map(r => r._4 - r._3).sum).toMap
+      val lastChunk = perChunk.keys.max
+      perChunk.foreach { case (c, n) =>
+        if (c < lastChunk) assert(n == 4L, s"chunk $c carries $n != 4 tokens")
+      }
+      assert(perChunk.values.sum == totalW)
+      // chunk ids contiguous from 0
+      assert(perChunk.keys.toList.sorted == (0L to lastChunk).toList)
+      // identical output under a different input partitioning
+      val out2 = graft.ops.TextAnalysis.concatChunks(docs.repartition(2),
+          "doc_id", "text", chunkLen = 4, eodTokens = 1)
+        .orderBy("chunk_id", "doc_id").as[(Long, Long, Long, Long)].collect().toList
+      assert(out2 == rows, "concatChunks must not depend on input partitioning")
+    } finally out.unpersist()
+  }
 }
