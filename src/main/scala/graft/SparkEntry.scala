@@ -88,6 +88,7 @@ object SparkEntry {
     "q_text_chunks"    -> (PipelineQueries.qTextChunks _),
     "q_sequence_pack"  -> (PipelineQueries.qSequencePack _),
     "q_concat_chunks"  -> (PipelineQueries.qConcatChunks _),
+    "q_dedup_spans"    -> (PipelineQueries.qDedupSpans _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -710,6 +711,39 @@ object SparkEntry {
          FROM g ORDER BY doc_id""",
     // token-window chunking: budget 40, overlap 8 → stride 32; chunk i
     // covers tokens [i·32, i·32+40), count = max(1, ceil((n-8)/32));
+    // duplicate spans: DuckDB groups the 8-token window STRINGS (no
+    // hashing) and replays the island merge — validates the Spark
+    // side's rolling-chain hashes end-to-end
+    "q_dedup_spans" ->
+      """WITH f AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0
+         ), g AS (
+           SELECT doc_id, toks, len(toks) AS n FROM f WHERE len(toks) >= 8
+         ), wnd AS (
+           SELECT doc_id, toks, unnest(generate_series(1, n - 7)) AS i FROM g
+         ), wtxt AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS wt
+           FROM wnd
+         ), freq AS (
+           SELECT wt FROM wtxt GROUP BY wt HAVING count(DISTINCT doc_id) >= 2
+         ), flagged AS (
+           SELECT w.doc_id, w.pos FROM wtxt w JOIN freq USING (wt)
+         ), isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                       THEN 0 ELSE 1 END AS ns
+           FROM flagged
+         ), sp AS (
+           SELECT doc_id, pos,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+           FROM isl
+         )
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 8 AS BIGINT) AS span_end,
+                CAST(count(*) AS BIGINT) AS n_windows
+         FROM sp GROUP BY doc_id, si ORDER BY doc_id, span_start""",
     // concat-and-chunk: DuckDB replays the offsets with ONE window
     // cumsum (the Spark side computes them with the two-phase
     // distributed prefix sum — any bucket-boundary error shifts every

@@ -175,6 +175,55 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Exact duplicate-SPAN detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the exact-substring
+    * pass): every w-token window whose hash appears in ≥ `minDocs`
+    * distinct documents is flagged, and overlapping flagged windows
+    * merge into maximal per-document token spans — the span map an
+    * exact-substring scrubber cuts from documents (vs. whole-document
+    * near-dup dedup, which drops documents entirely).
+    *
+    * Scale shape: windows ride as 8-byte rolling-chain hashes
+    * ([[graft.functions.TextHash.shingles]] — text never shuffles);
+    * the frequency pass is one map-side-combined aggregate on the
+    * hash; span merging is a per-document window (partitioned by id,
+    * bytes per row). With fixed w a window's end is monotone in its
+    * start, so the gaps-and-islands lag test against the PREVIOUS
+    * start is exact. Documents shorter than w tokens have no
+    * w-window and are excluded up front (the shingle kernel's
+    * short-document fallback hash is NOT a w-window).
+    *
+    * Output: (idCol, span_start, span_end, n_windows) — token
+    * positions, end exclusive. Hash-collision false positives are
+    * ~2⁻⁶⁴ per window pair, the standard trade for never shipping
+    * text (same argument as [[contaminationFlags]]). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 50, minDocs: Int = 2): DataFrame = {
+    require(w >= 1 && minDocs >= 1, "duplicateSpans: w, minDocs >= 1")
+    val windows = df
+      .filter(TextAnalysis.tokenCount(col(textCol)) >= w)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.TextHashFunctions.shingleHashes(col(textCol), w))
+          .as(Seq("pos", "h")))
+    val frequent = windows.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val flagged = windows.join(frequent, Seq("h"), "left_semi")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    flagged
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(win) <= w, 0).otherwise(1))
+      .withColumn("__span", sum(col("__new")).over(win))
+      .groupBy(col("id"), col("__span"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + w).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** Benchmark decontamination screen: flag every document sharing at
     * least one k-token shingle with a benchmark/eval set — the
     * decontamination pass a training corpus runs so evaluation data

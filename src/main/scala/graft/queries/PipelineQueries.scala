@@ -426,6 +426,17 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicate-span detection (Dedup.duplicateSpans), fully
+    * oracle-backed: 8-token windows appearing in ≥2 distinct
+    * documents, merged into maximal per-document spans. Spark flags
+    * windows by 8-byte rolling-chain hash; DuckDB groups the window
+    * STRINGS themselves and replays the gaps-and-islands merge — a
+    * hash-chain bug, an off-by-one window position, or a wrong merge
+    * boundary all fail the hash. */
+  def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", w = 8, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+
   /** Video demux round-trip, fully oracle-backed: synthesize a REAL
     * MJPEG-in-AVI container per document — frame count, frame
     * dimensions and timing pure functions of doc_id — then run the

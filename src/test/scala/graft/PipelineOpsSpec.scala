@@ -373,6 +373,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"temp index dir $seen leaked on the failure path")
   }
 
+  test("duplicateSpans: overlap merge, minDocs isolation, short-doc exclusion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // docs 1 and 2 share a 6-token run inside different contexts;
+    // doc 3 repeats a phrase only within itself; doc 4 is too short
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"intro words here $shared trailing tail tokens"),
+      (2L, s"other prefix text goes $shared and ends differently now"),
+      (3L, "solo solo solo solo solo solo solo solo"),
+      (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.duplicateSpans(docs, "doc_id", "text",
+        w = 4, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toList
+    // doc1: tokens 3..8 shared → windows at 3,4,5 → one span [3, 9), 3 windows
+    // doc2: tokens 4..9 shared → one span [4, 10)
+    // doc3: within-doc repeats only → minDocs=2 on DISTINCT docs → absent
+    // doc4: < w tokens → absent
+    assert(out == List((1L, 3L, 9L, 3L), (2L, 4L, 10L, 3L)), s"got $out")
+    // within-doc repetition counts once minDocs drops to 1
+    val within = graft.ops.Dedup.duplicateSpans(docs, "doc_id", "text",
+        w = 4, minDocs = 1)
+      .filter(col("doc_id") === 3L)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(within == List((3L, 0L, 8L, 5L)),
+      s"doc3's all-identical windows must merge to one full span, got $within")
+  }
+
   test("concatChunks: spans partition the token stream; repartition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
