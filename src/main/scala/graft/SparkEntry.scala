@@ -89,6 +89,7 @@ object SparkEntry {
     "q_sequence_pack"  -> (PipelineQueries.qSequencePack _),
     "q_concat_chunks"  -> (PipelineQueries.qConcatChunks _),
     "q_dedup_spans"    -> (PipelineQueries.qDedupSpans _),
+    "q_span_corrupt"   -> (PipelineQueries.qSpanCorrupt _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -711,6 +712,46 @@ object SparkEntry {
          FROM g ORDER BY doc_id""",
     // token-window chunking: budget 40, overlap 8 → stride 32; chunk i
     // covers tokens [i·32, i·32+40), count = max(1, ceil((n-8)/32));
+    // span corruption: DuckDB replays the integer span-budget split
+    // and the md5-PRF segmented placement formula exactly
+    "q_span_corrupt" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  END AS n
+           FROM documents
+         ), p AS (
+           SELECT doc_id, n,
+                  greatest(1, (n * 1500) // 10000) AS n_noise
+           FROM w WHERE n >= 1
+         ), q AS (
+           SELECT doc_id, n, n_noise,
+                  greatest(1, n_noise // 3) AS n_spans
+           FROM p
+         ), e AS (
+           SELECT doc_id, n, n_noise, n_spans,
+                  n_noise // n_spans AS lbase, n_noise % n_spans AS extra,
+                  n // n_spans AS seg,
+                  unnest(generate_series(0, n_spans - 1)) AS span_idx
+           FROM q
+         ), f AS (
+           SELECT doc_id, n, seg, span_idx,
+                  least(lbase + CASE WHEN span_idx < extra THEN 1 ELSE 0 END,
+                        seg) AS span_len
+           FROM e
+         ), g AS (
+           SELECT doc_id, n, seg, span_idx, span_len,
+                  CAST(('0x' || substr(md5('t5:' || CAST(doc_id AS VARCHAR) ||
+                         ':' || CAST(span_idx AS VARCHAR)), 1, 4)) AS BIGINT)
+                    % (seg - span_len + 1) AS off
+           FROM f
+         )
+         SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+                CAST(span_idx * seg + off AS BIGINT) AS span_start,
+                CAST(span_idx * seg + off + span_len AS BIGINT) AS span_end,
+                CAST(n AS BIGINT) AS n_tokens
+         FROM g ORDER BY doc_id, span_idx""",
     // duplicate spans: DuckDB groups the 8-token window STRINGS (no
     // hashing) and replays the island merge — validates the Spark
     // side's rolling-chain hashes end-to-end

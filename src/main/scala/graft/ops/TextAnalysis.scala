@@ -209,6 +209,55 @@ object TextAnalysis {
         least(col("__w"), (col("chunk_id") + 1) * chunkLen - col("__off")).as("tok_end"))
   }
 
+  /** T5-style span-corruption map (Raffel et al. 2020): for each
+    * document, the set of non-overlapping noise spans a denoising
+    * pretraining objective masks — DETERMINISTIC, so the same corpus
+    * always yields the same training examples (and any SQL engine can
+    * replay the placement exactly, unlike an RNG-seeded sampler):
+    *
+    *   n_noise = max(1, ⌊n·noiseBp/10000⌋)   (≈15% of tokens)
+    *   n_spans = max(1, ⌊n_noise/meanSpan⌋)  (mean span ≈ meanSpan)
+    *   span s < n_spans gets length base(+1 for the first
+    *   n_noise mod n_spans spans), placed inside the s-th of n_spans
+    *   equal segments at offset md5(salt:id:s) mod avail — the same
+    *   16-bit md5-bucket PRF the sampling family uses, so placement
+    *   is identical on every engine that has md5.
+    *
+    * Segmented placement guarantees non-overlap by construction (no
+    * rejection loop to replay). Blank documents are excluded. Output:
+    * (idCol, span_idx, span_start, span_end, n_tokens) — positions
+    * token-based, end exclusive; span_idx doubles as the sentinel id.
+    * Map-side only: one projection + one explode, no shuffle. */
+  def spanCorruptionMap(df: DataFrame, idCol: String, textCol: String,
+                        noiseBp: Int = 1500, meanSpan: Int = 3,
+                        salt: String = "t5"): DataFrame = {
+    require(noiseBp >= 1 && noiseBp <= 10000, "noiseBp in 1..10000")
+    require(meanSpan >= 1, "meanSpan >= 1")
+    val base = df
+      .select(col(idCol).as("__id"), tokenCount(col(textCol)).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("n_noise", greatest(lit(1L), expr(s"(n * $noiseBp) div 10000")))
+      .withColumn("n_spans", greatest(lit(1L), expr(s"n_noise div $meanSpan")))
+      .withColumn("lbase", expr("n_noise div n_spans"))
+      .withColumn("extra", expr("n_noise % n_spans"))
+      .withColumn("seg", expr("n div n_spans"))
+    base
+      .select(col("__id"), col("n"), col("lbase"), col("extra"), col("seg"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+      .withColumn("span_len",
+        least(col("lbase") + when(col("span_idx") < col("extra"), 1L).otherwise(0L),
+          col("seg")))
+      .withColumn("avail", col("seg") - col("span_len") + 1)
+      .withColumn("off",
+        conv(substring(md5(concat(lit(salt + ":"), col("__id").cast("string"),
+          lit(":"), col("span_idx").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % col("avail"))
+      .select(col("__id").as(idCol), col("span_idx"),
+        (col("span_idx") * col("seg") + col("off")).as("span_start"),
+        (col("span_idx") * col("seg") + col("off") + col("span_len")).as("span_end"),
+        col("n").as("n_tokens"))
+  }
+
   /** Gopher-style document-quality rule suite (Rae et al. 2021, "Scaling
     * Language Models: … Gopher", table A1) — the per-rule boolean verdicts
     * a corpus-filtering pass thresholds on, not a single opaque score, so

@@ -426,6 +426,15 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T5 span-corruption map (TextAnalysis.spanCorruptionMap), fully
+    * oracle-backed: DuckDB recomputes every span's segmented placement
+    * from the md5 PRF and the integer span-budget arithmetic — a
+    * drifting length split, a biased offset, or an overlap all fail
+    * the hash. */
+  def qSpanCorrupt(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanCorruptionMap(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("span_idx"))
+
   /** Exact duplicate-span detection (Dedup.duplicateSpans), fully
     * oracle-backed: 8-token windows appearing in ≥2 distinct
     * documents, merged into maximal per-document spans. Spark flags

@@ -403,6 +403,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"doc3's all-identical windows must merge to one full span, got $within")
   }
 
+  test("spanCorruptionMap: spans in range, non-overlapping, budget-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 60L)
+      .map(i => (i, (1L to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.spanCorruptionMap(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    for ((id, spans) <- out.groupBy(_._1)) {
+      val n = spans.head._5
+      val sorted = spans.sortBy(_._3)
+      sorted.foreach { case (_, _, s, e, _) =>
+        assert(s >= 0 && e <= n && s < e, s"doc $id span [$s,$e) outside [0,$n)")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, e1, _), (_, _, s2, _, _)) =>
+          assert(e1 <= s2, s"doc $id spans overlap")
+        case _ =>
+      }
+      // total masked tokens == the integer noise budget
+      val expected = math.max(1L, n * 1500 / 10000)
+      val masked = spans.map(x => x._4 - x._3).sum
+      assert(masked == expected, s"doc $id masked $masked != budget $expected")
+    }
+  }
+
   test("concatChunks: spans partition the token stream; repartition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
