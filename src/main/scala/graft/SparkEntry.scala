@@ -90,6 +90,7 @@ object SparkEntry {
     "q_concat_chunks"  -> (PipelineQueries.qConcatChunks _),
     "q_dedup_spans"    -> (PipelineQueries.qDedupSpans _),
     "q_span_corrupt"   -> (PipelineQueries.qSpanCorrupt _),
+    "q_sft_render"     -> (PipelineQueries.qSftRender _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -565,6 +566,30 @@ object SparkEntry {
          FROM n, (SELECT unnest([0, 2]) AS i)
          WHERE i + 1 <= nt - 1
          ORDER BY doc_id, pair_idx""",
+    // SFT rendering: the oracle rebuilds the rendered text and BOTH
+    // token counts (prefix, full) from the raw conversation formula
+    "q_sft_render" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents
+         ), n AS (
+           SELECT doc_id, t, least(4, len(t) // 4) AS nt FROM toks WHERE len(t) >= 4
+         ), p AS (
+           SELECT doc_id, CAST(i // 2 AS BIGINT) AS pair_idx,
+                  array_to_string(t[i*4+1 : i*4+4], ' ') AS prompt,
+                  array_to_string(t[(i+1)*4+1 : (i+1)*4+4], ' ') AS response
+           FROM n, (SELECT unnest([0, 2]) AS i)
+           WHERE i + 1 <= nt - 1
+         )
+         SELECT doc_id, pair_idx,
+                'user: ' || prompt || ' assistant: ' || response AS text,
+                CAST(len(regexp_split_to_array(
+                  trim(lower('user: ' || prompt || ' assistant: ')), '\s+'))
+                  AS BIGINT) AS loss_start,
+                CAST(len(regexp_split_to_array(
+                  trim(lower('user: ' || prompt || ' assistant: ' || response)), '\s+'))
+                  AS BIGINT) AS n_tokens
+         FROM p ORDER BY doc_id, pair_idx""",
     // random projection: the oracle regenerates the formula-derived
     // matrix and folds in the same ascending-index double order
     "q_embed_project" ->

@@ -45,4 +45,27 @@ object Conversations {
       .select(col(keyCol), (col("turn_idx") / 2).cast("long").as("pair_idx"),
         col("content").as("prompt"), col("__ncontent").as("response"))
   }
+
+  /** Render (prompt, response) pairs into supervised-fine-tuning
+    * examples with a RESPONSE-ONLY loss span — the "mask the prompt,
+    * train on the completion" example construction:
+    *
+    *   text       = userTag + prompt + asstTag + response
+    *   loss span  = [loss_start, n_tokens): loss_start counts the
+    *                tokens of the prefix (userTag+prompt+asstTag),
+    *                n_tokens those of the full rendering.
+    *
+    * Both tags should end in whitespace so the prefix/response token
+    * boundary is a split boundary (the defaults do); the span is then
+    * exactly the response's tokens. Map-side projection, no shuffle. */
+  def sftExamples(pairs: DataFrame, keyCol: String,
+                  userTag: String = "user: ",
+                  asstTag: String = " assistant: "): DataFrame = {
+    val prefix = concat(lit(userTag), col("prompt"), lit(asstTag))
+    pairs.select(col(keyCol), col("pair_idx"),
+      concat(prefix, col("response")).as("text"),
+      TextAnalysis.tokenCount(prefix).cast("long").as("loss_start"))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+  }
 }

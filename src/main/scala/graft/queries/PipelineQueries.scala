@@ -287,6 +287,29 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("pair_idx"))
   }
 
+  /** SFT example rendering (Conversations.sftExamples) over the same
+    * formula-derived conversation fixture as q_conv_pairs: prompt and
+    * response wrapped in role tags, with the response-only loss span
+    * in token positions. DuckDB rebuilds the rendered text AND both
+    * token counts from the raw formula — a tag drift, a glue-token
+    * miscount, or a span off-by-one all fail the hash. */
+  def qSftRender(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(btrim(lower(col("text"))), "\\s+"), w => w =!= "")
+    val nTurns = least(lit(4), floor(size(col("__toks")) / 4).cast("int"))
+    val turns = transform(sequence(lit(0), nTurns - 1), i =>
+      struct(
+        when(i % 2 === 0, "user").otherwise("assistant").as("role"),
+        array_join(slice(col("__toks"), i * 4 + 1, lit(4)), " ").as("content")))
+    val withJson = docs(s, dir)
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= 4)
+      .select(col("doc_id"), to_json(turns).as("convo"))
+    val pairs = Conversations.toPairs(
+      Conversations.extractTurns(withJson, "convo"), "doc_id")
+    Conversations.sftExamples(pairs, "doc_id")
+      .orderBy(col("doc_id"), col("pair_idx"))
+  }
+
   /** Random-projection dimensionality reduction over the embeddings
     * table (Similarity.randomProjection): 64 → 8 dims against the
     * formula-derived projection matrix, exploded to scalar rows. The
