@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_spans"    -> (PipelineQueries.qDedupSpans _),
     "q_span_corrupt"   -> (PipelineQueries.qSpanCorrupt _),
     "q_sft_render"     -> (PipelineQueries.qSftRender _),
+    "q_stream_topk"    -> (StreamQueries.qStreamTopk _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -566,6 +567,13 @@ object SparkEntry {
          FROM n, (SELECT unnest([0, 2]) AS i)
          WHERE i + 1 <= nt - 1
          ORDER BY doc_id, pair_idx""",
+    // streaming heavy hitters: capacity >> cardinality pins the
+    // sketch in its exact regime (locked in-gate), so the drained
+    // top-20 equals the exact batch counts
+    "q_stream_topk" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+         FROM events GROUP BY 1
+         ORDER BY freq DESC, user_id ASC LIMIT 20""",
     // SFT rendering: the oracle rebuilds the rendered text and BOTH
     // token counts (prefix, full) from the raw conversation formula
     "q_sft_render" ->

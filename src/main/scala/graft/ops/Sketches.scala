@@ -123,7 +123,7 @@ object Sketches {
     * vs. the O(capacity) min-scan a flat HashMap needs per eviction
     * (which on high-cardinality data — the exact workload this sketch
     * exists for — made every arrival pay a 4096-entry scan). */
-  private final class StreamSummary(capacity: Int) extends Serializable {
+  private[graft] final class StreamSummary(capacity: Int) extends Serializable {
     private final class Bucket(val count: Long) {
       val keys = new java.util.LinkedHashSet[Row]()
       var prev: Bucket = _
@@ -178,6 +178,31 @@ object Sketches {
         index.put(row, tgt)
         if (head.keys.isEmpty) unlink(head)
       }
+    }
+
+    /** Number of tracked keys (== capacity once full). */
+    private[graft] def size: Int = index.size
+
+    /** Re-insert a key at a known count — state restoration for the
+      * STREAMING heavy-hitters wrapper, which round-trips the summary
+      * through Spark state between micro-batches. Callers restore in
+      * ascending count order (the iterator's order); the cursor makes
+      * that amortized O(1) instead of a head scan per key. */
+    private var restoreCursor: Bucket = _
+    private[graft] def restore(row: Row, c: Long): Unit = {
+      var cur: Bucket =
+        if ((restoreCursor ne null) && restoreCursor.count <= c) restoreCursor
+        else null
+      var nxt = if (cur eq null) head else cur.next
+      while ((nxt ne null) && nxt.count <= c) { cur = nxt; nxt = nxt.next }
+      // reuse CUR on count equality — bucketAfter only reuses the
+      // next bucket, and a duplicate same-count bucket breaks the
+      // list's ascending invariant (head stops being the minimum,
+      // evictions cascade-inherit from the wrong bucket)
+      val tgt = if ((cur ne null) && cur.count == c) cur else bucketAfter(cur, c)
+      tgt.keys.add(row)
+      index.put(row, tgt)
+      restoreCursor = tgt
     }
 
     def iterator: Iterator[(Row, Long)] = new Iterator[(Row, Long)] {

@@ -336,6 +336,36 @@ object StreamQueries {
       .orderBy(col("uid"), col("t"))
   }
 
+  /** Continuous streaming heavy hitters
+    * (StreamOps.heavyHittersStream): per-shard space-saving summaries
+    * maintained across micro-batches, the live "top users right now"
+    * view over an event stream. The capacity (65536/shard) far
+    * exceeds the fixture's key cardinality at EVERY bench scale, so
+    * the sketch runs in its exact regime and the drained top-20 must
+    * hash-match DuckDB's exact counts — the in-gate require locks
+    * that no shard ever reached eviction territory, so a capacity
+    * regression cannot silently degrade the gate to
+    * approximately-right. */
+  def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.loadStream(s, dir, "events").select(col("user_id"))
+    val hh = StreamOps.heavyHittersStream(stream, "user_id",
+      nShards = 8, capacity = 65536)
+    val drained = StreamOps.runToMemory(s, hh, uniq("stream_topk"),
+      OutputMode.Update())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    val latest = drained
+      .withColumn("__mr", max(col("rev")).over(w))
+      .filter(col("rev") === col("__mr"))
+    val perShard = latest.groupBy(col("shard"))
+      .agg(count(lit(1)).as("nkeys")).collect()
+    perShard.foreach(r => require(r.getLong(1) < 65536L,
+      s"q_stream_topk: shard ${r.getInt(0)} at capacity — exact regime lost"))
+    latest
+      .select(col("key").cast("long").as("user_id"), col("freq"))
+      .orderBy(col("freq").desc, col("user_id").asc)
+      .limit(20)
+  }
+
   /** Streaming NEAR-dup dedup at ingest: the corpus arrives as two
     * deterministic micro-batches (split parquet files, one file per
     * trigger) and each batch runs foreachBatch →

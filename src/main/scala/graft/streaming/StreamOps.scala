@@ -105,6 +105,58 @@ object StreamOps {
       case None => stream.dropDuplicates(keyCols)
     }
 
+  /** Round-trippable space-saving state: the summary's (key, count)
+    * pairs in ascending count order plus a monotone revision so
+    * downstream consumers can select each shard's LATEST emission. */
+  final case class HHState(keys: Array[String], counts: Array[Long], rev: Long)
+
+  /** Continuous heavy hitters over an unbounded stream — per-shard
+    * space-saving summaries maintained across micro-batches with
+    * flatMapGroupsWithState, the streaming sibling of
+    * [[graft.ops.Sketches.spaceSavingTopK]]. Keys hash into `nShards`
+    * groups (bounded state: nShards × capacity counters TOTAL, no
+    * matter how many distinct keys the stream carries); each trigger
+    * re-emits the shard's current candidate set tagged with a
+    * revision, so the live top-k at any moment is "latest revision
+    * per shard, merge, take k". A key always hashes to the same
+    * shard, so candidate counts never need cross-shard summing.
+    *
+    * Space-saving guarantees carry over per shard: reported counts
+    * only OVERESTIMATE (by at most the smallest evicted counter), and
+    * any key with shard frequency > N_shard/capacity is present.
+    * While a shard has seen ≤ capacity distinct keys, its counts are
+    * EXACT — the regime the gate locks against a batch oracle.
+    * Output: (shard, rev, key, freq), Update mode. */
+  def heavyHittersStream(stream: DataFrame, keyCol: String,
+                         nShards: Int = 16, capacity: Int = 4096): DataFrame = {
+    require(nShards >= 1 && capacity >= 1, "heavyHittersStream: nShards, capacity >= 1")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val keyed = stream.select(
+        pmod(xxhash64(col(keyCol)), lit(nShards)).cast("int").as("shard"),
+        col(keyCol).cast("string").as("k"))
+      .as[(Int, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[HHState, (Int, Long, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) { (shard, rows, state) =>
+        val summary = new graft.ops.Sketches.StreamSummary(capacity)
+        val prev = state.getOption.getOrElse(
+          HHState(Array.empty[String], Array.empty[Long], 0L))
+        var i = 0
+        while (i < prev.keys.length) {
+          summary.restore(Row(prev.keys(i)), prev.counts(i))
+          i += 1
+        }
+        rows.foreach { case (_, k) => summary.offer(Row(k)) }
+        val snap = summary.iterator.toArray // ascending count
+        val rev = prev.rev + 1
+        state.update(HHState(snap.map(_._1.getString(0)), snap.map(_._2), rev))
+        snap.iterator.map { case (r, c) => (shard, rev, r.getString(0), c) }
+      }
+      .toDF("shard", "rev", "key", "freq")
+  }
+
   /** Exactly-once streaming ingestion into a TableStore: every
     * micro-batch lands via `TableStore.appendOnce(appId, batchId, _)`,
     * which commits the rows AND the (appId, batchId) idempotence

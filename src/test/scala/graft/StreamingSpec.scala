@@ -37,6 +37,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("heavyHittersStream: eviction regime keeps SS bounds across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    // skewed: "hot" 40×, "warm" 20×, 60 singletons = 120 arrivals
+    // across TWO micro-batches so the state round-trip (restore) is
+    // exercised. Survival guarantee threshold = N/capacity = 15, so
+    // hot (40) and warm (20) MUST be present; singletons may churn.
+    mem.addData(Seq.fill(25)("hot") ++ (1 to 30).map(i => s"u$i"): _*)
+    val hh = graft.streaming.StreamOps.heavyHittersStream(
+      mem.toDF().withColumnRenamed("value", "k"), "k",
+      nShards = 1, capacity = 8)
+    val q = hh.writeStream.format("memory").queryName("hh_spec")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Seq.fill(15)("hot") ++ Seq.fill(20)("warm") ++
+        (31 to 60).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+      val all = spark.table("hh_spec")
+        .as[(Int, Long, String, Long)].collect()
+      val lastRev = all.map(_._2).max
+      val fin = all.filter(_._2 == lastRev).map(t => t._3 -> t._4).toMap
+      assert(fin.size == 8, s"candidate set must stay at capacity, got ${fin.size}")
+      // space-saving: any key with freq > N/capacity survives, and
+      // reported counts only OVERESTIMATE true frequency
+      assert(fin.contains("hot") && fin("hot") >= 40L,
+        s"hot must survive with count >= 40, got ${fin.get("hot")}")
+      assert(fin.contains("warm") && fin("warm") >= 20L,
+        s"warm must survive with count >= 20, got ${fin.get("warm")}")
+      // SS invariant: every arrival adds exactly 1 to the tracked
+      // mass (increments and inherit-evictions alike)
+      assert(fin.values.sum == 120L,
+        s"tracked mass ${fin.values.sum} != 120 arrivals")
+    } finally q.stop()
+  }
+
   test("event subscription routes disjoint streams to two subscribers (C8)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TestEvent]
