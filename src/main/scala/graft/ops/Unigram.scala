@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM tokenizer training (Kudo 2018 — the
+  * SentencePiece unigram model), the second tokenizer family next to
+  * [[Bpe]]. The reference has no tokenizer trainer; this is part of
+  * the engine's training-data surface, built Spark-first:
+  *
+  *   - the corpus collapses to the word-frequency dict once (one
+  *     shuffle, shared with BPE); all training then runs over the
+  *     dict — vocabulary-scale, not corpus-scale;
+  *   - seeding: every ≤maxPieceLen code-point substring of every
+  *     word, weighted by word count (one compiled-kernel explode +
+  *     one agg); top `seedSize` by (freq desc, piece asc) plus the
+  *     full single-character alphabet (coverage guarantee);
+  *   - each EM round is hard-EM: a compiled Viterbi kernel segments
+  *     every dict word under the current piece log-probs (map-side,
+  *     graft.functions.UnigramSegment), piece counts aggregate with
+  *     map-side combine (vocab-scale rows), and the driver re-selects
+  *     the top `vocabSize` pieces and recomputes log-probs —
+  *     metadata-scale collect, same shape as the BPE argmax;
+  *   - DETERMINISTIC throughout: counts are exact longs, selection
+  *     orders are total ((count desc, piece asc)), log-probs are
+  *     ln(count/total) of exact integers, and the Viterbi tie-break
+  *     (equal score → longer piece) is fixed — so the fit is
+  *     bit-identical under any partitioning, and `referenceLearn`
+  *     (an independent single-machine implementation of the same
+  *     spec) must reproduce the vocabulary exactly, which the gate
+  *     requires.
+  *
+  * Single-character pieces are never dropped and count at least 1 in
+  * the total (the smoothing that keeps every word segmentable), so
+  * Viterbi's unknown-character escape stays unreachable in training.
+  */
+object Unigram {
+
+  final case class Piece(piece: String, count: Long, logp: Double)
+
+  /** Learn a unigram vocabulary from a (word, wcount) dict (as
+    * produced by [[Bpe.wordFreq]]). Returns pieces sorted by piece
+    * string ascending. */
+  def learn(words: DataFrame, vocabSize: Int = 512, iters: Int = 3,
+            seedSize: Int = 2048, maxPieceLen: Int = 6): Seq[Piece] = {
+    require(vocabSize >= 1 && iters >= 1 && seedSize >= vocabSize && maxPieceLen >= 1,
+      "Unigram.learn: vocabSize >= 1, iters >= 1, seedSize >= vocabSize, maxPieceLen >= 1")
+    val dict = words.select(col("word"), col("wcount").cast("long").as("wcount"))
+      .localCheckpoint(true)
+    try {
+      // --- seeding: substring frequencies ---
+      val sub = dict.select(col("wcount"),
+          explode(concat((1 to maxPieceLen).map(k =>
+            graft.functions.TextHashFunctions.charShingles(
+              col("word"), k, distinct = false)): _*)).as("p"))
+        .groupBy(col("p")).agg(sum(col("wcount")).as("freq"))
+      val top = sub.orderBy(desc("freq"), asc("p")).limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val alphabet = sub.filter(length(col("p")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      var vocab: Seq[(String, Long)] =
+        (top ++ alphabet).distinctBy(_._1).toSeq
+      var logp: Map[String, Double] = toLogp(vocab)
+
+      // --- hard-EM rounds ---
+      var round = 0
+      while (round < iters) {
+        val pieces = vocab.map(_._1).toArray
+        val lps = vocab.map(v => logp(v._1)).toArray
+        val counts = dict.select(col("wcount"),
+            explode(graft.functions.UnigramFunctions.segment(
+              col("word"), pieces, lps, maxPieceLen)).as("p"))
+          .groupBy(col("p")).agg(sum(col("wcount")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val alphaSet = alphabet.map(_._1).toSet
+        val selected = vocab.map(_._1).distinct
+          .map(p => (p, counts.getOrElse(p, 0L)))
+          .filter { case (p, c) => c > 0 || alphaSet.contains(p) }
+          .sortBy { case (p, c) => (-c, p) }
+        val kept = (selected.take(vocabSize) ++
+            selected.filter(s => alphaSet.contains(s._1)))
+          .distinctBy(_._1)
+          .map { case (p, c) => (p, if (alphaSet.contains(p)) math.max(c, 1L) else c) }
+        vocab = kept
+        logp = toLogp(vocab)
+        round += 1
+      }
+      vocab.map { case (p, c) => Piece(p, c, logp(p)) }
+        .sortBy(_.piece).toSeq
+    } finally dict.unpersist()
+  }
+
+  private def toLogp(vocab: Seq[(String, Long)]): Map[String, Double] = {
+    val total = vocab.map(_._2).sum
+    vocab.map { case (p, c) => p -> math.log(c.toDouble / total) }.toMap
+  }
+
+  /** Segment a word under a learned vocabulary — same Viterbi spec as
+    * the kernel (longer piece wins score ties, unknown code points
+    * consume one at the floor). Driver-side; the distributed encode
+    * path is `UnigramFunctions.segment` over a column. */
+  def segmentWord(word: String, logp: Map[String, Double],
+                  maxPieceLen: Int): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    val n = word.codePointCount(0, word.length)
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var p = 0
+    while (p < word.length) {
+      offs(i) = p; p += Character.charCount(word.codePointAt(p)); i += 1
+    }
+    offs(n) = word.length
+    val dp = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    i = 1
+    while (i <= n) {
+      var best = Double.NegativeInfinity
+      var bestL = 0
+      var l = 1
+      while (l <= math.min(maxPieceLen, i)) {
+        logp.get(word.substring(offs(i - l), offs(i))) match {
+          case Some(lp) =>
+            val c = dp(i - l) + lp
+            if (c > best || (c == best && l > bestL)) { best = c; bestL = l }
+          case None =>
+        }
+        l += 1
+      }
+      if (bestL == 0) { best = dp(i - 1) + graft.functions.UnigramKernel.Floor; bestL = 1 }
+      dp(i) = best; back(i) = bestL; i += 1
+    }
+    val out = List.newBuilder[String]
+    val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+    i = n
+    while (i > 0) { rev += word.substring(offs(i - back(i)), offs(i)); i -= back(i) }
+    out ++= rev.reverse
+    out.result()
+  }
+
+  /** Independent driver-side reference implementation (same spec, no
+    * Spark) for the gate's cross-path identity check: same seeding,
+    * same selection orders, same smoothing, same Viterbi tie-breaks,
+    * same ln over exact integers. */
+  def referenceLearn(dict: Seq[(String, Long)], vocabSize: Int = 512,
+                     iters: Int = 3, seedSize: Int = 2048,
+                     maxPieceLen: Int = 6): Seq[Piece] = {
+    // seeding: substring frequencies by plain loops
+    val freq = new java.util.HashMap[String, Long]()
+    dict.foreach { case (w, c) =>
+      val n = w.codePointCount(0, w.length)
+      val offs = new Array[Int](n + 1)
+      var i = 0; var p = 0
+      while (p < w.length) { offs(i) = p; p += Character.charCount(w.codePointAt(p)); i += 1 }
+      offs(n) = w.length
+      var s = 0
+      while (s < n) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, n - s)) {
+          freq.merge(w.substring(offs(s), offs(s + l)), c, (a, b) => a + b)
+          l += 1
+        }
+        s += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val all = freq.asScala.toSeq
+    val top = all.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    val alphabet = all.filter { case (p, _) => p.codePointCount(0, p.length) == 1 }
+    val alphaSet = alphabet.map(_._1).toSet
+    var vocab: Seq[(String, Long)] = (top ++ alphabet).distinctBy(_._1)
+    def toLp(v: Seq[(String, Long)]): Map[String, Double] = {
+      val total = v.map(_._2).sum
+      v.map { case (p, c) => p -> math.log(c.toDouble / total) }.toMap
+    }
+    var lp = toLp(vocab)
+    var round = 0
+    while (round < iters) {
+      val counts = new java.util.HashMap[String, Long]()
+      dict.foreach { case (w, c) =>
+        segmentWord(w, lp, maxPieceLen)
+          .foreach(pc => counts.merge(pc, c, (a, b) => a + b))
+      }
+      val selected = vocab.map(_._1).distinct
+        .map(p => (p, counts.getOrDefault(p, 0L)))
+        .filter { case (p, c) => c > 0 || alphaSet.contains(p) }
+        .sortBy { case (p, c) => (-c, p) }
+      vocab = (selected.take(vocabSize) ++
+          selected.filter(s => alphaSet.contains(s._1)))
+        .distinctBy(_._1)
+        .map { case (p, c) => (p, if (alphaSet.contains(p)) math.max(c, 1L) else c) }
+      lp = toLp(vocab)
+      round += 1
+    }
+    vocab.map { case (p, c) => Piece(p, c, lp(p)) }.sortBy(_.piece)
+  }
+}

@@ -121,6 +121,46 @@ object TimeSeriesQueries {
       .orderBy(col("rank"))
   }
 
+  /** Unigram-LM tokenizer training (ops/Unigram — the SentencePiece
+    * unigram model, the second tokenizer family next to BPE).
+    * SELF-CHECKING twice over: (a) the distributed hard-EM fit
+    * (compiled Viterbi kernel per dict word per round) must be
+    * BIT-IDENTICAL — piece, count, and log-prob — to an independent
+    * driver-side reference replay on the collected dict (guarded to
+    * gate scales, the q_bpe pattern); (b) segmentation is a partition
+    * of each word, so re-joining every dict word's Viterbi pieces
+    * must reproduce the word exactly — one dropped or overlapping
+    * piece anywhere in the dict fails the gate. */
+  def qUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Bpe.wordFreq(t(s, dir, "documents"), "text")
+      .select(col("word"), col("wcount")).localCheckpoint(true)
+    try {
+      val vocab = graft.ops.Unigram.learn(words,
+        vocabSize = 512, iters = 3, seedSize = 2048, maxPieceLen = 6)
+      require(vocab.nonEmpty, "q_unigram: empty vocabulary")
+      // losslessness over the WHOLE dict: segmentation partitions the
+      // word, so the joined pieces must reproduce it byte-for-byte
+      val pieces = vocab.map(_.piece).toArray
+      val lps = vocab.map(_.logp).toArray
+      val broken = words.select(col("word"),
+          array_join(graft.functions.UnigramFunctions.segment(
+            col("word"), pieces, lps, 6), "").as("rejoined"))
+        .filter(col("word") =!= col("rejoined")).count()
+      require(broken == 0L, s"q_unigram: $broken dict words do not rejoin")
+      // cross-path identity, guarded to gate scales (q_bpe pattern)
+      if (words.count() <= 200000L) {
+        val dict = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val ref = graft.ops.Unigram.referenceLearn(dict,
+          vocabSize = 512, iters = 3, seedSize = 2048, maxPieceLen = 6)
+        require(vocab == ref,
+          s"q_unigram: distributed vocab diverges from reference replay\n" +
+            s"  spark: ${vocab.take(3)}\n  ref:   ${ref.take(3)}")
+      }
+      vocab.toDF().orderBy(col("piece"))
+    } finally words.unpersist()
+  }
+
   /** Corpus-scale BPE application (ops/Bpe.encode): the 30 learned
     * merges segment every document map-side; output is the per-source
     * tokenizer-fertility table (BPE tokens per character — the metric
