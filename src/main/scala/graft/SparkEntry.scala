@@ -93,6 +93,7 @@ object SparkEntry {
     "q_sft_render"     -> (PipelineQueries.qSftRender _),
     "q_stream_topk"    -> (StreamQueries.qStreamTopk _),
     "q_unigram"        -> (TimeSeriesQueries.qUnigram _),
+    "q_unigram_encode" -> (TimeSeriesQueries.qUnigramEncode _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),

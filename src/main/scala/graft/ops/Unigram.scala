@@ -95,6 +95,36 @@ object Unigram {
     vocab.map { case (p, c) => p -> math.log(c.toDouble / total) }.toMap
   }
 
+  /** Corpus-scale application of a learned vocabulary — DICTIONARY-
+    * ENCODED like [[Bpe.encode]]: the Viterbi kernel segments each
+    * DISTINCT word once (vocabulary-scale), documents explode to
+    * (doc, pos, word), join the segmented dictionary (broadcast while
+    * broadcast-sized) and reassemble in word order. Output adds
+    * `uni_tokens` (pieces, word order) and `n_uni_tokens`. */
+  def encode(df: DataFrame, textCol: String, vocab: Seq[Piece],
+             maxPieceLen: Int = 6): DataFrame = {
+    val cols = df.columns
+    val pieces = vocab.map(_.piece).toArray
+    val lps = vocab.map(_.logp).toArray
+    val dict = Bpe.wordFreq(df, textCol).select(col("word"))
+      .withColumn("syms", graft.functions.UnigramFunctions.segment(
+        col("word"), pieces, lps, maxPieceLen))
+      .select(col("word"), col("syms"), size(col("syms")).cast("long").as("n"))
+    val exploded = df
+      .withColumn("__words", filter(split(btrim(lower(col(textCol))), "\\s+"),
+        w => w =!= ""))
+      .select(col("*"), posexplode_outer(col("__words")).as(Seq("__pos", "word")))
+      .drop("__words")
+    exploded.join(dict, Seq("word"), "left")
+      .groupBy(cols.map(col).toIndexedSeq: _*)
+      .agg(
+        coalesce(
+          flatten(array_sort(collect_list(struct(col("__pos"), col("syms"))))
+            .getField("syms")),
+          array().cast("array<string>")).as("uni_tokens"),
+        coalesce(sum(col("n")), lit(0L)).as("n_uni_tokens"))
+  }
+
   /** Segment a word under a learned vocabulary — same Viterbi spec as
     * the kernel (longer piece wins score ties, unknown code points
     * consume one at the floor). Driver-side; the distributed encode

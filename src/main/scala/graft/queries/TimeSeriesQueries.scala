@@ -27,6 +27,8 @@ object TimeSeriesQueries {
     * corpus-scale bench cost for identical results). */
   private val mergesCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Seq[Bpe.Merge]]
+  private val unigramCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Seq[graft.ops.Unigram.Piece]]
   private def corpusKey(dir: String): (String, Long, Long) = {
     val f = new java.io.File(s"$dir/documents.parquet")
     (f.getPath, f.lastModified, f.length)
@@ -157,8 +159,42 @@ object TimeSeriesQueries {
           s"q_unigram: distributed vocab diverges from reference replay\n" +
             s"  spark: ${vocab.take(3)}\n  ref:   ${ref.take(3)}")
       }
+      unigramCache.put(corpusKey(dir), vocab)
       vocab.toDF().orderBy(col("piece"))
     } finally words.unpersist()
+  }
+
+  /** Corpus-scale unigram application (ops/Unigram.encode), the
+    * q_bpe_encode shape: the cached learned vocabulary segments every
+    * document via the dictionary-encoded path, and the gate enforces
+    * LOSSLESSNESS over the whole corpus — concatenating each doc's
+    * pieces must reproduce its whitespace-stripped normalized text
+    * exactly (Viterbi segmentation partitions each word, so any drop,
+    * duplicate, or mis-split anywhere fails). Output is the
+    * per-source fertility table. */
+  def qUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = unigramCache.getOrElseUpdate(corpusKey(dir),
+      graft.ops.Unigram.learn(
+        Bpe.wordFreq(docs, "text").select(col("word"), col("wcount")),
+        vocabSize = 512, iters = 3, seedSize = 2048, maxPieceLen = 6))
+    val enc = graft.ops.Unigram.encode(docs, "text", vocab)
+    val rejoined = array_join(col("uni_tokens"), "")
+    val squeezed = regexp_replace(
+      regexp_replace(btrim(lower(col("text"))), "\\s+", " "), " ", "")
+    val per = enc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_uni_tokens")).as("tokens_total"),
+        sum(length(squeezed)).as("chars_squeezed"),
+        sum(when(rejoined =!= squeezed, 1L).otherwise(0L)).as("broken"))
+      .localCheckpoint(true)
+    val broken = per.agg(coalesce(sum(col("broken")), lit(0L))).head.getLong(0)
+    require(broken == 0L,
+      s"q_unigram_encode: $broken documents do not rejoin to their squeezed text")
+    per.select(col("source"), col("n_docs"), col("tokens_total"), col("chars_squeezed"))
+      .withColumn("fertility",
+        round(col("tokens_total").cast("double") / col("chars_squeezed"), 4))
+      .orderBy(col("source"))
   }
 
   /** Corpus-scale BPE application (ops/Bpe.encode): the 30 learned
