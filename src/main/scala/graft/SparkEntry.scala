@@ -94,6 +94,7 @@ object SparkEntry {
     "q_stream_topk"    -> (StreamQueries.qStreamTopk _),
     "q_unigram"        -> (TimeSeriesQueries.qUnigram _),
     "q_unigram_encode" -> (TimeSeriesQueries.qUnigramEncode _),
+    "q_dedup_probe"    -> (PipelineQueries.qDedupProbe _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),

@@ -140,6 +140,41 @@ final class IncrementalDedup private (
     }
   }
 
+  /** READ-ONLY near-dup lookup against the kept corpus — "is this
+    * document already (approximately) in the corpus?" as a query, not
+    * an ingest step: the same band-bucket collision join and
+    * signature-agreement verify as [[dedupBatch]]'s stage 2, with no
+    * within-batch pairing and NOTHING appended. Returns one row per
+    * (probe doc, matching kept doc) with the estimated Jaccard —
+    * the serving-side API of the dedup index (a crawler checking
+    * URLs before fetching, an annotator checking a candidate against
+    * the training set). Snapshot-isolated: reads one committed index
+    * version, concurrent ingests never tear the view. */
+  def probe(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = signed(batch, idCol, textCol).cache()
+    try {
+      val empty = sig.limit(0).select(col("id").as(idCol),
+        col("id").as("kept_id"), lit(1.0).as("est_jaccard"))
+      (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty) match {
+        case None => empty.localCheckpoint(true)
+        case Some(idx) =>
+          banded(sig)
+            .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
+              .select(col("band"), col("bucket"), col("id").as("kept_id")),
+              Seq("band", "bucket"))
+            .select(col("id"), col("kept_id")).distinct()
+            .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
+              Seq("kept_id"))
+            .join(sig.select(col("id"), col("sig")), Seq("id"))
+            .withColumn("est_jaccard",
+              Dedup.estJaccard(col("sig"), col("kept_sig"), numHashes))
+            .filter(col("est_jaccard") >= threshold)
+            .select(col("id").as(idCol), col("kept_id"), col("est_jaccard"))
+            .localCheckpoint(true) // pin before the signature cache drops
+      }
+    } finally { sig.unpersist(); () }
+  }
+
   /** Off-hot-path index maintenance. Every `dedupBatch` commit adds
     * one file set per table, so after B batches the bucket join reads
     * B× more files than it needs; this (1) deletes dangling bucket

@@ -449,6 +449,54 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Read-only dedup-index probe (IncrementalDedup.probe) — the
+    * serving-side "is this already in the corpus?" query. The index
+    * is built from half the corpus; the probe set is 100 EXACT COPIES
+    * of surviving indexed documents (re-keyed) plus 50 synthetic
+    * never-seen documents. SELF-CHECKING: every copy must match its
+    * own source at estimated Jaccard exactly 1.0 (an identical text
+    * has an identical signature — a miss is a recall-zero
+    * regression), the synthetic probes must match NOTHING (a hit is a
+    * precision collapse), and the index must be byte-identical before
+    * and after (probe is read-only — an appending probe corrupts the
+    * corpus it serves). */
+  def qDedupProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalDedup
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    withTempIndexDir("graft_probe_") { idxDir =>
+      val idx = IncrementalDedup.open(s, idxDir)
+      val survivors = idx.dedupBatch(d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      val vAfterBuild = new graft.core.TableStore(s, s"$idxDir/buckets", "id")
+        .versions.size
+      val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+      val copies = survivors.orderBy(col("doc_id")).limit(100)
+        .select((col("doc_id") + maxId + 1L).as("doc_id"), col("text"),
+          col("doc_id").as("src_id"))
+        .localCheckpoint(true)
+      val res = idx.probe(copies.select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      val selfHits = res
+        .join(copies.select(col("doc_id"), col("src_id")), Seq("doc_id"))
+        .filter(col("kept_id") === col("src_id") && col("est_jaccard") === 1.0)
+        .select(col("doc_id")).distinct().count()
+      require(selfHits == copies.count(),
+        s"q_dedup_probe: only $selfHits/100 planted copies matched their source at 1.0")
+      // never-seen probes: hex noise the shingle space cannot contain
+      val noise = d.orderBy(col("doc_id")).limit(50)
+        .select((col("doc_id") + 2L * maxId + 2L).as("doc_id"),
+          md5(concat(lit("nonsense:"), col("doc_id").cast("string"))).as("text"))
+      require(idx.probe(noise, "doc_id", "text").count() == 0L,
+        "q_dedup_probe: a never-seen probe matched the corpus")
+      require(new graft.core.TableStore(s, s"$idxDir/buckets", "id")
+          .versions.size == vAfterBuild,
+        "q_dedup_probe: probing mutated the index")
+      res.orderBy(col("doc_id"), col("kept_id"))
+        .select(col("doc_id"), col("kept_id"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+    }
+  }
+
   /** T5 span-corruption map (TextAnalysis.spanCorruptionMap), fully
     * oracle-backed: DuckDB recomputes every span's segmented placement
     * from the md5 PRF and the integer span-budget arithmetic — a
