@@ -95,6 +95,7 @@ object SparkEntry {
     "q_unigram"        -> (TimeSeriesQueries.qUnigram _),
     "q_unigram_encode" -> (TimeSeriesQueries.qUnigramEncode _),
     "q_dedup_probe"    -> (PipelineQueries.qDedupProbe _),
+    "q_mix_reweight"   -> (PipelineQueries.qMixReweight _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -1904,6 +1905,38 @@ object SparkEntry {
     // √-temperature mixing: all-integer replay — floor∘sqrt is
     // IEEE-stable, allocations/rates are floor division, keep test is
     // a modular hash of doc_id
+    // multiplicative-weights reweighting: weight update, allocation,
+    // rates, and the realized modular-hash sample all replay in
+    // integer arithmetic (losses non-negative by construction — the
+    // div/floor divergence below zero is documented on the op)
+    "q_mix_reweight" ->
+      """WITH sz AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+                     FROM documents GROUP BY source),
+         lo AS (SELECT source,
+                  CAST((ascii(substr(source, 1, 1)) * 7919) % 700000 AS BIGINT)
+                    AS loss_ppm
+                FROM (SELECT DISTINCT source FROM documents)),
+         w AS (SELECT sz.source, sz.n, lo.loss_ppm,
+                 (sz.n * (1000000 + (500000 * lo.loss_ppm) // 1000000)) // 1000000 AS w
+               FROM sz JOIN lo USING (source)),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum,
+                   CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) // 2 AS budget
+                 FROM w),
+         r AS (SELECT w.source, w.n, w.loss_ppm,
+                 least(1000000,
+                   (1000000 * ((tot.budget * w.w) // tot.w_sum)) // w.n) AS rate_ppm
+               FROM w CROSS JOIN tot),
+         k AS (SELECT d.source, d.n_chars
+               FROM documents d JOIN r ON d.source = r.source
+               WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm),
+         ka AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                       CAST(sum(n_chars) AS BIGINT) AS mass_kept
+                FROM k GROUP BY source)
+         SELECT r.source, r.n, CAST(r.loss_ppm AS BIGINT) AS loss_ppm,
+                CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+                COALESCE(ka.n_kept, 0) AS n_kept,
+                COALESCE(ka.mass_kept, 0) AS mass_kept
+         FROM r LEFT JOIN ka USING (source) ORDER BY r.source""",
     "q_mix_sources" ->
       """WITH sz AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
                      FROM documents GROUP BY source),

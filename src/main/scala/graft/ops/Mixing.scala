@@ -44,6 +44,42 @@ object Mixing {
         least(lit(1000000L), expr("(1000000 * alloc) div n")).as("rate_ppm"))
   }
 
+  /** Loss-driven domain reweighting — the multiplicative-weights
+    * update behind DoReMi-style mixture tuning (Xie et al. 2023),
+    * LINEARIZED so it stays integer-exact: a domain whose measured
+    * excess loss is high gets its mass-proportional weight scaled by
+    * (1 + η·loss) before the budget is re-allocated —
+    *
+    *   w_i    = n_i · (10⁶ + (η_ppm · loss_ppm_i) div 10⁶) div 10⁶
+    *   alloc  = (budget · w_i) div Σw
+    *   rate   = min(10⁶, (10⁶ · alloc) div n_i)   [ppm]
+    *
+    * η and losses ride in parts-per-million. Losses must be
+    * NON-NEGATIVE (DoReMi's excess loss is; below zero, Spark's
+    * truncating `div` and other engines' flooring `//` diverge) —
+    * down-weighting of easy domains comes from the renormalization,
+    * as in standard multiplicative weights. Every step is BIGINT
+    * arithmetic — no exp(), whose last-ulp rounding differs across
+    * engines and would make the rates unreplayable. The same
+    * two-phase-aggregate + broadcast shape as [[sqrtMixRates]]; feed
+    * the result to [[sampleByRatePpm]] for the realized sample. */
+  def reweightRates(df: DataFrame, sourceCol: String, massCol: String,
+                    losses: DataFrame, lossCol: String, budget: Long,
+                    etaPpm: Long): DataFrame = {
+    val sz = df.groupBy(col(sourceCol))
+      .agg(sum(col(massCol)).cast("long").as("n"))
+      .join(broadcast(losses.select(col(sourceCol),
+        col(lossCol).cast("long").as("loss_ppm"))), Seq(sourceCol), "left")
+      .withColumn("loss_ppm", coalesce(col("loss_ppm"), lit(0L)))
+      .withColumn("w",
+        expr(s"(n * (1000000 + ($etaPpm * loss_ppm) div 1000000)) div 1000000"))
+    val tot = sz.agg(sum(col("w")).cast("long").as("w_sum"))
+    sz.crossJoin(broadcast(tot))
+      .withColumn("alloc", expr(s"($budget * w) div w_sum"))
+      .select(col(sourceCol), col("n"), col("loss_ppm"),
+        least(lit(1000000L), expr("(1000000 * alloc) div n")).as("rate_ppm"))
+  }
+
   /** Keep each row iff its id's modular hash lands under the source's
     * rate: (id · 2654435761) mod 1e6 < rate_ppm. Deterministic,
     * stateless, map-side (rates broadcast). Computed in the residue

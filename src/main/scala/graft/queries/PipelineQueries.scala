@@ -1265,6 +1265,32 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Loss-driven mixture reweighting (Mixing.reweightRates — the
+    * linearized DoReMi multiplicative-weights update), fully
+    * oracle-backed: per-source excess losses are formula-derived from
+    * the source name (non-negative, ppm), η = 0.5, and DuckDB replays
+    * the weight update, allocation, rates AND the realized modular-
+    * hash sample exactly — all-integer, no exp. */
+  def qMixReweight(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val budget = d.agg(sum(col("n_chars")).cast("long")).head().getLong(0) / 2
+    val losses = d.select(col("source")).distinct()
+      .withColumn("loss_ppm",
+        ((ascii(substring(col("source"), 1, 1)) * 7919L) % 700000L).cast("long"))
+    val rates = Mixing.reweightRates(d, "source", "n_chars", losses, "loss_ppm",
+      budget, etaPpm = 500000L)
+    val kept = Mixing.sampleByRatePpm(d, "source", "doc_id",
+      rates.select(col("source"), col("rate_ppm")))
+    val ka = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("mass_kept"))
+    rates.join(ka, Seq("source"), "left")
+      .select(col("source"), col("n"), col("loss_ppm"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("mass_kept"), lit(0L)).as("mass_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source contamination matrix (ops/Overlap): pairwise
     * Jaccard of the sources' 5-char-shingle sets — the pre-mixing
     * "is crawl B just crawl A again" diagnostic. Distinct
