@@ -96,6 +96,7 @@ object SparkEntry {
     "q_unigram_encode" -> (TimeSeriesQueries.qUnigramEncode _),
     "q_dedup_probe"    -> (PipelineQueries.qDedupProbe _),
     "q_mix_reweight"   -> (PipelineQueries.qMixReweight _),
+    "q_stream_anomaly" -> (StreamQueries.qStreamAnomaly _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),

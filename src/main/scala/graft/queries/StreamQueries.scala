@@ -431,6 +431,56 @@ object StreamQueries {
     }
   }
 
+  /** Streaming z-score anomaly detection (StreamOps.anomalyStream):
+    * per-user Welford state across two time-ordered micro-batches,
+    * each row judged against the statistics of the rows before it.
+    * SELF-CHECKING: the drained flags must be IDENTICAL — key, seq,
+    * value, and the IEEE double z-score — to an independent
+    * driver-side sequential replay of the same fold (the operation
+    * sequence agrees, so the doubles agree bit-for-bit; guarded to
+    * gate scales). */
+  def qStreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("value"))
+    val r = ev.agg(min(col("tsu")), max(col("tsu"))).head
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    PipelineQueries.withTempIndexDir("graft_strm_anom_") { base =>
+      val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+      def writeHalf(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(base, s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime); ()
+      }
+      val t0 = 1600000000000L
+      writeHalf(ev.filter(col("tsu") < mid), "batch0", t0)
+      writeHalf(ev.filter(col("tsu") >= mid), "batch1", t0 + 60000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val flagged = StreamOps.anomalyStream(stream, "user_id", "tsu",
+        "event_id", "value", z = 3.0, minN = 8)
+      val drained = StreamOps.runToMemory(s, flagged,
+        uniq("stream_anomaly"), OutputMode.Append())
+        .orderBy(col("key"), col("seq1"), col("seq2"))
+        .localCheckpoint(true)
+      if (ev.count() <= 2000000L) {
+        val all = ev.collect().map(x =>
+          (x.getLong(0).toString, x.getLong(1), x.getLong(2), x.getDouble(3))).toSeq
+        val ref = StreamOps.anomalyReplay(all, z = 3.0, minN = 8)
+          .sortBy(t => (t._1, t._2, t._3))
+        val got = drained.collect().map(x =>
+          (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toSeq
+        require(got == ref,
+          s"q_stream_anomaly: streamed flags diverge from sequential replay " +
+            s"(${got.size} vs ${ref.size} rows)")
+      }
+      drained
+    }
+  }
+
   /** C5 — PROCESS … WITHIN: callback per matching row, delete-on-true;
     * returns the retained table (ts excluded: sub-microsecond precision
     * is not representable on the Spark side). */

@@ -157,6 +157,84 @@ object StreamOps {
       .toDF("shard", "rev", "key", "freq")
   }
 
+  /** Per-key Welford state for the streaming anomaly monitor. */
+  final case class WelfordState(n: Long, mean: Double, m2: Double)
+
+  /** Streaming z-score anomaly detection — per-key running
+    * mean/variance (Welford) maintained across micro-batches; a row
+    * is flagged against the statistics of the rows BEFORE it (so an
+    * anomaly cannot mask itself), then folded in. The live
+    * "this metric just went weird" monitor over an event stream.
+    *
+    * Order contract: rows fold in ascending (seq1, seq2) WITHIN each
+    * micro-batch (sorted here — flatMapGroupsWithState hands batches
+    * unordered), and batches arrive in source order, so if the
+    * stream's batching respects (seq1, seq2) order the whole fold is
+    * the sequential per-key fold — which is what makes the result
+    * exactly replayable (the gate replays it with an independent
+    * driver-side fold; IEEE doubles agree because the operation
+    * SEQUENCE agrees, regardless of where batch boundaries fall).
+    * State per key is three numbers; flagged rows emit
+    * (key, seq1, seq2, value, zscore). */
+  def anomalyStream(stream: DataFrame, keyCol: String, seq1Col: String,
+                    seq2Col: String, valueCol: String,
+                    z: Double, minN: Int = 8): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream.select(
+        col(keyCol).cast("string").as("k"),
+        col(seq1Col).cast("long").as("s1"),
+        col(seq2Col).cast("long").as("s2"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, Long, Long, Double)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[WelfordState, (String, Long, Long, Double, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Double, Double)]
+        rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, s1, s2, x) =>
+          if (st.n >= minN) {
+            val std = math.sqrt(st.m2 / (st.n - 1))
+            if (std > 0.0 && math.abs(x - st.mean) > z * std)
+              out += ((key, s1, s2, x, (x - st.mean) / std))
+          }
+          val n1 = st.n + 1
+          val d = x - st.mean
+          val mean1 = st.mean + d / n1
+          st = WelfordState(n1, mean1, st.m2 + d * (x - mean1))
+        }
+        state.update(st)
+        out.iterator
+      }
+      .toDF("key", "seq1", "seq2", "value", "zscore")
+  }
+
+  /** Independent sequential replay of [[anomalyStream]]'s fold (same
+    * spec, no Spark) — the gate's cross-path identity check and the
+    * spec's ground truth. Input rows in any order; the fold sorts
+    * per key by (seq1, seq2). */
+  def anomalyReplay(rows: Seq[(String, Long, Long, Double)], z: Double,
+                    minN: Int = 8): Seq[(String, Long, Long, Double, Double)] = {
+    rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (key, rs) =>
+      var n = 0L; var mean = 0.0; var m2 = 0.0
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Double, Double)]
+      rs.sortBy(r => (r._2, r._3)).foreach { case (_, s1, s2, x) =>
+        if (n >= minN) {
+          val std = math.sqrt(m2 / (n - 1))
+          if (std > 0.0 && math.abs(x - mean) > z * std)
+            out += ((key, s1, s2, x, (x - mean) / std))
+        }
+        n += 1
+        val d = x - mean
+        mean += d / n
+        m2 += d * (x - mean)
+      }
+      out
+    }
+  }
+
   /** Exactly-once streaming ingestion into a TableStore: every
     * micro-batch lands via `TableStore.appendOnce(appId, batchId, _)`,
     * which commits the rows AND the (appId, batchId) idempotence

@@ -73,6 +73,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomalyStream: flags match the sequential replay across batch splits") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamOps
+    // one noisy key (values ~10 with a spike), one quiet key — the
+    // spike must flag against PRE-spike statistics; batch boundary
+    // falls inside the noisy key's sequence
+    val base = (1 to 12).map(i => ("a", i.toLong, i.toLong, 10.0 + (i % 3) * 0.1)) ++
+      (1 to 12).map(i => ("b", i.toLong, i.toLong, 5.0))
+    val spike = Seq(("a", 13L, 13L, 50.0), ("a", 14L, 14L, 10.1))
+    val mem = MemoryStream[(String, Long, Long, Double)]
+    mem.addData(base.filter(_._2 <= 8): _*)
+    val df = mem.toDF().toDF("k", "s1", "s2", "v")
+    val q = StreamOps.anomalyStream(df, "k", "s1", "s2", "v", z = 3.0, minN = 4)
+      .writeStream.format("memory").queryName("anom_spec")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(base.filter(_._2 > 8) ++ spike: _*)
+      q.processAllAvailable()
+      val got = spark.table("anom_spec")
+        .as[(String, Long, Long, Double, Double)].collect().toSeq
+        .sortBy(t => (t._1, t._2))
+      val ref = StreamOps.anomalyReplay(base ++ spike, z = 3.0, minN = 4)
+        .sortBy(t => (t._1, t._2))
+      assert(got == ref, s"streamed flags diverge:\n  got $got\n  ref $ref")
+      // the spike itself must be flagged; the quiet key never
+      assert(got.exists(t => t._1 == "a" && t._2 == 13L), "spike not flagged")
+      assert(!got.exists(_._1 == "b"), "zero-variance key flagged")
+    } finally q.stop()
+  }
+
   test("event subscription routes disjoint streams to two subscribers (C8)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TestEvent]
