@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_probe"    -> (PipelineQueries.qDedupProbe _),
     "q_mix_reweight"   -> (PipelineQueries.qMixReweight _),
     "q_stream_anomaly" -> (StreamQueries.qStreamAnomaly _),
+    "q_change_feed"    -> (WarehouseQueries.qChangeFeed _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -1696,6 +1697,34 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(sum(c_acctbal), 2) AS bal_sum
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // change feed: every step's insert/delete set replayed from the
+    // slice formulas (upsert = delete+insert of CHANGED rows only;
+    // unchanged rows sharing a rewritten file must not appear)
+    "q_change_feed" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment
+                       FROM customer WHERE c_custkey % 2 = 0),
+              up AS (SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+                     FROM customer
+                     WHERE c_custkey % 4 = 0
+                        OR (c_custkey % 2 = 1 AND c_custkey % 5 = 0)),
+              t2 AS (SELECT b.c_custkey,
+                            COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+                            b.c_mktsegment
+                     FROM base b LEFT JOIN up u USING (c_custkey)
+                     UNION ALL
+                     SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment
+                     FROM up u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM base))
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step, 'insert' AS _change_type,
+                  c_custkey, c_acctbal, c_mktsegment
+           FROM up
+           UNION ALL
+           SELECT CAST(1 AS BIGINT), 'delete', c_custkey, c_acctbal, c_mktsegment
+           FROM base WHERE c_custkey % 4 = 0
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'delete', c_custkey, c_acctbal, c_mktsegment
+           FROM t2 WHERE c_custkey % 6 = 0
+         ) ORDER BY step, _change_type, c_custkey""",
     // full MERGE INTO: the standard LEFT-JOIN + anti-join expansion of
     // matched-update / matched-delete / not-matched-insert; target =
     // even keys (two range-disjoint appends), source = key%3=0 of the

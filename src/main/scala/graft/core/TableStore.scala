@@ -259,6 +259,44 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
   }
 
+  /** Row-level change feed between two committed snapshots — Delta's
+    * Change Data Feed shape, derived from the version log instead of
+    * stored change files: for every commit step in (fromV, toV], the
+    * rows it added surface as `insert` and the rows it removed as
+    * `delete` (an upsert is its delete + insert pair), each tagged
+    * with `_change_type` and `_commit_version`. Downstream consumers
+    * (a derived-table backfill, an audit trail, an index refresher)
+    * replay exactly the committed history without diffing snapshots
+    * themselves.
+    *
+    * Each step's diff only reads the files that CHANGED in that
+    * commit (diff skips files common to both manifests), so a feed
+    * over appends scans the appended files once, not the table per
+    * version. The plan unions one diff pair per step — fine for the
+    * bounded ranges a consumer processes at a time; checkpoint and
+    * advance `fromV` rather than feeding unbounded history. */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
+    val vs = versions.filter(v => v >= fromV && v <= toV).sorted
+    require(vs.headOption.contains(fromV) && vs.lastOption.contains(toV),
+      s"changes: versions $fromV / $toV not in the log (have ${versions.mkString(",")})")
+    val steps = vs.zip(vs.tail)
+    val parts = steps.map { case (a, b) =>
+      val (added, removed) = diff(a, b)
+      added.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(b))
+        .unionByName(removed.withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(b)))
+    }
+    // allowMissingColumns: a step before an additive schema evolution
+    // has the narrower shape; its rows surface with the new column null
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+      val (a, _) = diff(fromV, toV)
+      a.limit(0).withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+    }
+  }
+
   private def isIntegralId(df: DataFrame): Boolean =
     df.schema.fields.find(_.name == idCol).map(_.dataType).exists {
       case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true

@@ -94,6 +94,33 @@ object WarehouseQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Row-level change feed (TableStore.changes — the Delta CDF
+    * shape): three commits (append evens; upsert that updates %4=0
+    * balances and inserts odd %5=0 rows; delete %6=0), then the feed
+    * over the whole range. Upserts surface as delete+insert pairs;
+    * rows sharing a rewritten file but UNCHANGED must not appear
+    * (the per-step diff cancels them row-wise). DuckDB replays every
+    * step's insert/delete set from the slice formulas. */
+  def qChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val tmp = graft.core.TempDirs.create("graft_cdf_")
+    val store = new graft.core.TableStore(s, tmp, "c_custkey")
+    store.append(cust.filter(col("c_custkey") % 2 === 0))
+    val v1 = store.versions.max
+    store.upsert(cust
+      .filter(col("c_custkey") % 4 === 0 ||
+        (col("c_custkey") % 2 === 1 && col("c_custkey") % 5 === 0))
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0))
+    store.delete(col("c_custkey") % 6 === 0)
+    val v3 = store.versions.max
+    store.changes(v1, v3)
+      .select((col("_commit_version") - lit(v1)).as("step"),
+        col("_change_type"), col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .orderBy(col("step"), col("_change_type"), col("c_custkey"))
+  }
+
   /** Full MERGE INTO (TableStore.merge — matched-update /
     * matched-delete / not-matched-insert in one atomic commit), gated
     * end-to-end:
