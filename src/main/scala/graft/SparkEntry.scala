@@ -98,6 +98,7 @@ object SparkEntry {
     "q_mix_reweight"   -> (PipelineQueries.qMixReweight _),
     "q_stream_anomaly" -> (StreamQueries.qStreamAnomaly _),
     "q_change_feed"    -> (WarehouseQueries.qChangeFeed _),
+    "q_ivm_sync"       -> (WarehouseQueries.qIvmSync _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -1697,6 +1698,25 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(sum(c_acctbal), 2) AS bal_sum
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // store-to-store view sync: the final maintained view must equal
+    // the direct aggregate over the final source state
+    "q_ivm_sync" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
+                       FROM customer WHERE c_custkey % 2 = 0),
+              up AS (SELECT c_custkey, c_nationkey, c_acctbal + 1000.0 AS c_acctbal
+                     FROM customer
+                     WHERE c_custkey % 4 = 0
+                        OR (c_custkey % 2 = 1 AND c_custkey % 5 = 0)),
+              t2 AS (SELECT b.c_custkey, b.c_nationkey,
+                            COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal
+                     FROM base b LEFT JOIN up u USING (c_custkey)
+                     UNION ALL
+                     SELECT u.c_custkey, u.c_nationkey, u.c_acctbal
+                     FROM up u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM base)),
+              fin AS (SELECT * FROM t2 WHERE c_custkey % 6 <> 0)
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS view_n,
+                round(sum(c_acctbal), 2) AS bal_sum
+         FROM fin GROUP BY 1 ORDER BY 1""",
     // change feed: every step's insert/delete set replayed from the
     // slice formulas (upsert = delete+insert of CHANGED rows only;
     // unchanged rows sharing a rewritten file must not appear)

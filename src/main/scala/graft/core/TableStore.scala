@@ -834,6 +834,33 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     applied
   }
 
+  /** EXACTLY-ONCE full-snapshot replacement: the new content and the
+    * (appId, version) idempotence marker commit in one atomic manifest
+    * rename; a replayed version no-ops. The sink primitive for
+    * derived tables maintained as whole small snapshots (aggregate
+    * views — group-cardinality-sized, where a full rewrite per sync
+    * is cheaper than merge bookkeeping); [[upsertOnce]] is the
+    * per-key-merge sibling for views too large to rewrite. */
+  def replaceOnce(appId: String, version: Long, rows: DataFrame): Boolean = {
+    if (lastTxn(appId).exists(_ >= version)) return false
+    if (!exists) return appendOnce(appId, version, rows)
+    val rowsE = enforceSchema(rows)
+    val newFiles = writeFiles(rowsE)
+    var applied = false
+    commit({ prev =>
+      applied = !lastTxn(appId).exists(_ >= version)
+      if (!applied) prev else newFiles
+    }, prevTxn =>
+      if (prevTxn.get(appId).exists(_ >= version)) prevTxn
+      else prevTxn + (appId -> version))
+    if (!applied) {
+      val f = fs
+      newFiles.foreach(e => try f.delete(new Path(s"$filesDir/${e.name}"), false)
+        catch { case _: java.io.IOException => })
+    }
+    applied
+  }
+
   private def upsertExisting(rows0: DataFrame, singleFile: Boolean): Unit = {
     val rows = enforceSchema(rows0)
     val snapshot = currentEntries

@@ -34,6 +34,49 @@ object Ivm {
       .agg(count(lit(1)).as("view_n"),
         sums.map(c => sum(col(c)).as(s"view_sum_$c")): _*)
 
+  /** Exactly-once, resumable store-to-store view maintenance: catch a
+    * PERSISTED aggregate view up to the source store's head, applying
+    * each source commit's diff through [[maintain]] and recording the
+    * applied source version in the target's transaction marker — the
+    * derived-table orchestration loop (cron it, call it after each
+    * ingest, or retry it after a crash; all are safe):
+    *
+    *   - bootstrap: no marker → [[init]] over the source head;
+    *   - catch-up: one [[maintain]] per source commit in
+    *     (applied, head] — cost tracks the commits' diff footprint,
+    *     not the source size (the 100 TB property);
+    *   - commit: the new view snapshot REPLACES the target atomically
+    *     with the head version in the marker (`replaceOnce` — view
+    *     tables are group-cardinality-sized, so a snapshot rewrite
+    *     beats merge bookkeeping, and group-drops become plain row
+    *     absence with no tombstone handling);
+    *   - idempotent: a concurrent/replayed sync sees the marker and
+    *     no-ops; a crash before the commit leaves the marker at the
+    *     old version, so the retry replays the same diffs onto the
+    *     same old view — convergent.
+    *
+    * Returns true when a new snapshot was committed. `keys.head` must
+    * be the target store's id column. */
+  def syncStore(source: graft.core.TableStore, target: graft.core.TableStore,
+                appId: String, keys: Seq[String], sums: Seq[String]): Boolean = {
+    val head = source.versions.max
+    val applied = target.lastTxn(appId)
+    if (applied.exists(_ >= head)) return false
+    val view = applied match {
+      case None => init(source.readVersion(head), keys, sums)
+      case Some(last) =>
+        val steps = source.versions.filter(_ > last).sorted
+        var cur = target.read
+          .select((keys.map(col) ++ stateCols(sums)): _*)
+        (last +: steps).zip(steps).foreach { case (a, b) =>
+          val (add, rem) = source.diff(a, b)
+          cur = maintain(cur, add, rem, keys, sums).localCheckpoint(true)
+        }
+        cur
+    }
+    target.replaceOnce(appId, head, view)
+  }
+
   /** Advance `view` by one commit's row-level delta. `added`/`removed`
     * are row frames (the two sides of `TableStore.diff`); either may be
     * empty. Result has `init`'s schema. */

@@ -94,6 +94,40 @@ object WarehouseQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Exactly-once store-to-store view sync (Ivm.syncStore): a
+    * persisted per-nation aggregate view follows the source store
+    * through append → upsert → delete, catching up via per-commit
+    * diffs, never a source rescan. In-gate requires: bootstrap and
+    * catch-up both commit; a third sync NO-OPS (marker idempotence,
+    * version count unchanged). The final view must equal DuckDB's
+    * direct aggregate over the final source formula. */
+  def qIvmSync(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val base = graft.core.TempDirs.create("graft_ivmsync_")
+    val src = new graft.core.TableStore(s, s"$base/src", "c_custkey")
+    val tgt = new graft.core.TableStore(s, s"$base/view", "c_nationkey")
+    val keys = Seq("c_nationkey"); val sums = Seq("c_acctbal")
+    src.append(cust.filter(col("c_custkey") % 2 === 0))
+    require(Ivm.syncStore(src, tgt, "nation_view", keys, sums),
+      "q_ivm_sync: bootstrap sync did not commit")
+    src.upsert(cust
+      .filter(col("c_custkey") % 4 === 0 ||
+        (col("c_custkey") % 2 === 1 && col("c_custkey") % 5 === 0))
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0))
+    src.delete(col("c_custkey") % 6 === 0)
+    require(Ivm.syncStore(src, tgt, "nation_view", keys, sums),
+      "q_ivm_sync: catch-up sync did not commit")
+    val vAfter = tgt.versions.size
+    require(!Ivm.syncStore(src, tgt, "nation_view", keys, sums) &&
+        tgt.versions.size == vAfter,
+      "q_ivm_sync: an already-applied sync must no-op")
+    tgt.read
+      .select(col("c_nationkey"), col("view_n"),
+        round(col("view_sum_c_acctbal"), 2).as("bal_sum"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Row-level change feed (TableStore.changes — the Delta CDF
     * shape): three commits (append evens; upsert that updates %4=0
     * balances and inserts odd %5=0 rows; delete %6=0), then the feed
