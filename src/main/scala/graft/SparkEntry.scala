@@ -99,6 +99,7 @@ object SparkEntry {
     "q_stream_anomaly" -> (StreamQueries.qStreamAnomaly _),
     "q_change_feed"    -> (WarehouseQueries.qChangeFeed _),
     "q_ivm_sync"       -> (WarehouseQueries.qIvmSync _),
+    "q_funnel_conv"    -> (TimeSeriesQueries.qFunnelConv _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -1698,6 +1699,34 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(sum(c_acctbal), 2) AS bal_sum
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // funnel conversion table: chained correlated mins replay each
+    // step's frontier; strict ordering (ties do not advance) + ppm
+    // floor conversions
+    "q_funnel_conv" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts) AS t
+                     FROM events e JOIN s1 ON e.user_id = s1.user_id
+                     WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(e.ts) AS t
+                     FROM events e JOIN s2 ON e.user_id = s2.user_id
+                     WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+              s4 AS (SELECT e.user_id, min(e.ts) AS t
+                     FROM events e JOIN s3 ON e.user_id = s3.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+              n AS (SELECT 1 AS step_idx, 'signup' AS step,
+                           (SELECT count(*) FROM s1) AS n_entities
+                    UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+                    UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+                    UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+         SELECT CAST(step_idx AS INT) AS step_idx, step,
+                CAST(n_entities AS BIGINT) AS n_entities,
+                CAST(CASE WHEN step_idx = 1 THEN 1000000
+                     WHEN lag(n_entities) OVER (ORDER BY step_idx) = 0 THEN 0
+                     ELSE (1000000 * n_entities) //
+                          lag(n_entities) OVER (ORDER BY step_idx)
+                END AS BIGINT) AS conv_ppm
+         FROM n ORDER BY step_idx""",
     // store-to-store view sync: the final maintained view must equal
     // the direct aggregate over the final source state
     "q_ivm_sync" ->

@@ -177,6 +177,49 @@ object TimeSeries {
     * the distinct-count agg) — the join is on the key, so no row ever
     * leaves its key's partition line. The standard DAU/WAU engagement
     * decay analysis at lake scale. */
+  /** Ordered funnel analysis — "of the users who did step 1, how many
+    * went on to step 2 STRICTLY AFTER it, then step 3 after that…":
+    * per entity, t₁ = its earliest step-1 event, tₖ = its earliest
+    * step-k event with ts > tₖ₋₁ (the standard first-touch funnel;
+    * ties at the exact same timestamp do NOT advance — simultaneous
+    * events can't prove ordering). Returns one row per step with the
+    * entities still in the funnel and the conversion from the
+    * previous step in ppm (floor — integer-exact).
+    *
+    * Scale shape: one aggregate per step over only that step's
+    * events (map-side-combined min), each joined to the previous
+    * step's per-entity frontier on the entity key — #steps keyed
+    * joins whose LEFT side shrinks monotonically, never a
+    * corpus-sized window or cross-step shuffle. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var frontier = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
+    val counts = Seq.newBuilder[(Int, String, Long)]
+    counts += ((1, steps.head, frontier.count()))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val stepEv = df.filter(col(typeCol) === step)
+        .select(col(keyCol), col(tsCol).as("__ts"))
+      frontier = stepEv.join(frontier, Seq(keyCol))
+        .filter(col("__ts") > col("__t"))
+        .groupBy(col(keyCol)).agg(min(col("__ts")).as("__t"))
+      counts += ((i + 1, step, frontier.count()))
+    }
+    val rows = counts.result()
+    val withConv = rows.zip(rows.map(_._3).scanLeft(-1L)((_, n) => n)).map {
+      case ((idx, name, n), prev) =>
+        val conv =
+          if (idx == 1) 1000000L
+          else if (prev == 0) 0L
+          else 1000000L * n / prev
+        (idx, name, n, conv)
+    }
+    withConv.toDF("step_idx", "step", "n_entities", "conv_ppm")
+  }
+
   def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
                       truncUnit: String = "DAY"): DataFrame = {
     val day = date_trunc(truncUnit, col(tsCol))

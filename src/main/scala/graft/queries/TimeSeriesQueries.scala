@@ -123,6 +123,17 @@ object TimeSeriesQueries {
       .orderBy(col("rank"))
   }
 
+  /** First-touch funnel over the event stream
+    * (ops/TimeSeries.funnel): signup → view → click → purchase, each
+    * step strictly after the previous step's first touch. DuckDB
+    * replays the per-step frontiers with chained correlated mins —
+    * the strict-ordering rule (a tie does not advance) and the ppm
+    * floor conversions are what the hash locks. */
+  def qFunnelConv(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("step_idx"))
+
   /** Unigram-LM tokenizer training (ops/Unigram — the SentencePiece
     * unigram model, the second tokenizer family next to BPE).
     * SELF-CHECKING twice over: (a) the distributed hard-EM fit
