@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_probe"    -> (PipelineQueries.qDedupProbe _),
     "q_mix_reweight"   -> (PipelineQueries.qMixReweight _),
     "q_stream_anomaly" -> (StreamQueries.qStreamAnomaly _),
+    "q_stream_throttle" -> (StreamQueries.qStreamThrottle _),
     "q_change_feed"    -> (WarehouseQueries.qChangeFeed _),
     "q_ivm_sync"       -> (WarehouseQueries.qIvmSync _),
     "q_funnel_conv"    -> (TimeSeriesQueries.qFunnelConv _),
@@ -1727,6 +1728,19 @@ object SparkEntry {
                           lag(n_entities) OVER (ORDER BY step_idx)
                 END AS BIGINT) AS conv_ppm
          FROM n ORDER BY step_idx""",
+    // streaming throttle: the accept rule is a row_number over
+    // (user, hour window) in event order — replayable exactly
+    // because the state is all-integer
+    "q_stream_throttle" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+              w AS (SELECT user_id, tsu, event_id,
+                      row_number() OVER (
+                        PARTITION BY user_id, tsu // 3600000000
+                        ORDER BY tsu, event_id) AS nth
+                    FROM e)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_accepted,
+                CAST(max(nth) AS BIGINT) AS max_nth
+         FROM w WHERE nth <= 5 GROUP BY 1 ORDER BY 1""",
     // store-to-store view sync: the final maintained view must equal
     // the direct aggregate over the final source state
     "q_ivm_sync" ->

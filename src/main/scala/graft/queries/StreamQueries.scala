@@ -481,6 +481,58 @@ object StreamQueries {
     }
   }
 
+  /** Streaming per-key rate throttle (StreamOps.throttleStream): at
+    * most 5 events per user per hour, enforced across two
+    * time-ordered micro-batches with the window state carried
+    * between them. SELF-CHECKING: the accepted set must be identical
+    * to the sequential replay (all-integer state ⇒ batch-split
+    * invariance is exact); the result also aggregates per user for a
+    * DuckDB oracle replaying the same accept rule with a row_number
+    * over (window, user). */
+  def qStreamThrottle(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+    val r = ev.agg(min(col("tsu")), max(col("tsu"))).head
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val hourMicros = 3600L * 1000000L
+    PipelineQueries.withTempIndexDir("graft_strm_thr_") { base =>
+      val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+      def writeHalf(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(base, s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime); ()
+      }
+      val t0 = 1600000000000L
+      writeHalf(ev.filter(col("tsu") < mid), "batch0", t0)
+      writeHalf(ev.filter(col("tsu") >= mid), "batch1", t0 + 60000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val accepted = StreamOps.throttleStream(stream, "user_id", "tsu",
+        "event_id", windowSize = hourMicros, maxPerWindow = 5L)
+      val drained = StreamOps.runToMemory(s, accepted,
+        uniq("stream_throttle"), OutputMode.Append())
+        .localCheckpoint(true)
+      if (ev.count() <= 2000000L) {
+        val all = ev.collect().map(x =>
+          (x.getLong(0).toString, x.getLong(1), x.getLong(2))).toSeq
+        val ref = StreamOps.throttleReplay(all, hourMicros, 5L)
+          .sortBy(t => (t._1, t._2, t._3))
+        val got = drained.collect().map(x =>
+          (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+          .toSeq.sortBy(t => (t._1, t._2, t._3))
+        require(got == ref,
+          s"q_stream_throttle: accepted set diverges from sequential replay " +
+            s"(${got.size} vs ${ref.size} rows)")
+      }
+      drained.groupBy(col("key").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n_accepted"), max(col("nth")).as("max_nth"))
+        .orderBy(col("user_id"))
+    }
+  }
+
   /** C5 — PROCESS … WITHIN: callback per matching row, delete-on-true;
     * returns the retained table (ts excluded: sub-microsecond precision
     * is not representable on the Spark side). */

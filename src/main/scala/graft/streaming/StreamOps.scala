@@ -210,6 +210,65 @@ object StreamOps {
       .toDF("key", "seq1", "seq2", "value", "zscore")
   }
 
+  /** Per-key window state for the streaming throttle. */
+  final case class ThrottleState(window: Long, count: Long)
+
+  /** Streaming per-key rate limiting — "at most `maxPerWindow` events
+    * per key per fixed window" enforced AT INGEST (abuse control, API
+    * quota enforcement, the per-source flood guard a crawl pipeline
+    * runs before anything downstream pays for the excess): state per
+    * key is (current window, count); a row in a new window resets the
+    * count, a row at the cap is dropped, accepted rows pass through
+    * as (key, seq1, seq2, window, nth). Same order contract and
+    * replayability argument as [[anomalyStream]] — all-integer state,
+    * so acceptance is exactly batch-split-invariant. */
+  def throttleStream(stream: DataFrame, keyCol: String, seq1Col: String,
+                     seq2Col: String, windowSize: Long,
+                     maxPerWindow: Long): DataFrame = {
+    require(windowSize > 0 && maxPerWindow > 0,
+      "throttleStream: windowSize, maxPerWindow > 0")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream.select(
+        col(keyCol).cast("string").as("k"),
+        col(seq1Col).cast("long").as("s1"),
+        col(seq2Col).cast("long").as("s2"))
+      .as[(String, Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[ThrottleState, (String, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var st = state.getOption.getOrElse(ThrottleState(Long.MinValue, 0L))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Long)]
+        rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, s1, s2) =>
+          val w = Math.floorDiv(s1, windowSize)
+          if (w != st.window) st = ThrottleState(w, 0L)
+          if (st.count < maxPerWindow) {
+            out += ((key, s1, s2, w, st.count + 1))
+            st = ThrottleState(w, st.count + 1)
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
+      .toDF("key", "seq1", "seq2", "window", "nth")
+  }
+
+  /** Independent sequential replay of [[throttleStream]]'s fold. */
+  def throttleReplay(rows: Seq[(String, Long, Long)], windowSize: Long,
+                     maxPerWindow: Long): Seq[(String, Long, Long, Long, Long)] =
+    rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (key, rs) =>
+      var window = Long.MinValue; var count = 0L
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long)]
+      rs.sortBy(r => (r._2, r._3)).foreach { case (_, s1, s2) =>
+        val w = Math.floorDiv(s1, windowSize)
+        if (w != window) { window = w; count = 0L }
+        if (count < maxPerWindow) { count += 1; out += ((key, s1, s2, w, count)) }
+      }
+      out
+    }
+
   /** Independent sequential replay of [[anomalyStream]]'s fold (same
     * spec, no Spark) — the gate's cross-path identity check and the
     * spec's ground truth. Input rows in any order; the fold sorts
