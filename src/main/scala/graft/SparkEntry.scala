@@ -101,6 +101,7 @@ object SparkEntry {
     "q_change_feed"    -> (WarehouseQueries.qChangeFeed _),
     "q_ivm_sync"       -> (WarehouseQueries.qIvmSync _),
     "q_funnel_conv"    -> (TimeSeriesQueries.qFunnelConv _),
+    "q_select_budget"  -> (PipelineQueries.qSelectBudget _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -1998,6 +1999,19 @@ object SparkEntry {
     // √-temperature mixing: all-integer replay — floor∘sqrt is
     // IEEE-stable, allocations/rates are floor division, keep test is
     // a modular hash of doc_id
+    // budget selection: one window cumsum in (quality desc, id) order
+    // replays the distributed two-phase prefix sum exactly
+    "q_select_budget" ->
+      """WITH b AS (SELECT CAST(sum(n_chars) AS BIGINT) // 3 AS budget
+                    FROM documents),
+              c AS (SELECT doc_id, n_chars,
+                      CAST(sum(n_chars) OVER (
+                        ORDER BY n_chars DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_weight
+                    FROM documents)
+         SELECT doc_id, n_chars, cum_weight
+         FROM c, b WHERE cum_weight <= budget ORDER BY doc_id""",
     // multiplicative-weights reweighting: weight update, allocation,
     // rates, and the realized modular-hash sample all replay in
     // integer arithmetic (losses non-negative by construction — the

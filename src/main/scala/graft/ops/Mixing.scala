@@ -80,6 +80,59 @@ object Mixing {
         least(lit(1000000L), expr("(1000000 * alloc) div n")).as("rate_ppm"))
   }
 
+  /** Greedy budget-constrained selection — "the best `budget` tokens
+    * of the corpus": walk documents in (quality desc, id asc) order
+    * and keep each while the running weight total stays within the
+    * budget (a crossing document is excluded — the greedy fill never
+    * overflows). The final assembly step after scoring/filtering,
+    * when the training run has a token budget and the corpus has a
+    * quality ranking.
+    *
+    * The global running total is the same TWO-PHASE prefix sum as
+    * concat-and-chunk, bucketed by a pure VALUE-RANGE projection on
+    * the quality score (descending buckets), so no single-partition
+    * window exists at any scale. Ties across identical qualities
+    * break by id — a total order, so the kept set is unique and any
+    * SQL engine replays it with one window cumsum. A corpus whose
+    * quality column is (nearly) constant degenerates to few buckets —
+    * rank on a higher-resolution score if that is your data. */
+  def selectToBudget(df: DataFrame, idCol: String, qualityCol: String,
+                     weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "selectToBudget: budget >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__id"),
+      col(qualityCol).cast("double").as("__q"),
+      col(weightCol).cast("long").as("__w"))
+    val r = base.agg(min(col("__q")), max(col("__q")), count(lit(1))).head
+    if (r.isNullAt(0)) return df.limit(0)
+      .withColumn("cum_weight", lit(0L))
+    val (qMin, qMax, nRows) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+    val par = spark.sparkContext.defaultParallelism.toLong
+    val buckets = math.max(1L, math.min(par, nRows / 4L)).toInt
+    val span = qMax - qMin
+    // descending-quality bucket id, pure projection (bucket 0 = best)
+    val bCol =
+      if (span <= 0.0) lit(0)
+      else least(lit(buckets - 1),
+        floor((lit(qMax) - col("__q")) / lit(span / buckets)).cast("int"))
+    val wb = base.withColumn("__b", bCol)
+    val wloc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__q").desc, col("__id").asc)
+    val local = wb.withColumn("__cum", sum(col("__w")).over(wloc))
+    val totals = wb.groupBy(col("__b")).agg(sum(col("__w")).as("__t"))
+      .orderBy(col("__b")).collect()
+    var acc = 0L
+    val prefixRows = totals.map { row =>
+      val p = (row.getInt(0), acc); acc += row.getLong(1); p
+    }.toSeq
+    val prefixDf = prefixRows.toDF("__b", "__pfx")
+    val kept = local.join(broadcast(prefixDf), Seq("__b"))
+      .withColumn("cum_weight", col("__pfx") + col("__cum"))
+      .filter(col("cum_weight") <= budget)
+    df.join(kept.select(col("__id").as(idCol), col("cum_weight")), Seq(idCol))
+  }
+
   /** Keep each row iff its id's modular hash lands under the source's
     * rate: (id · 2654435761) mod 1e6 < rate_ppm. Deterministic,
     * stateless, map-side (rates broadcast). Computed in the residue

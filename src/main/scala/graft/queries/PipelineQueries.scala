@@ -1291,6 +1291,21 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Budget-constrained greedy selection (Mixing.selectToBudget):
+    * documents in (quality desc, id) order kept while the running
+    * character total stays within a third of the corpus — the
+    * "best N tokens" assembly step. The two-phase prefix sum is what
+    * the oracle locks: DuckDB computes the same running totals with
+    * ONE window cumsum, so any bucket-boundary error in the
+    * distributed sum shifts the cutoff and fails the hash. */
+  def qSelectBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val budget = d.agg(sum(col("n_chars")).cast("long")).head().getLong(0) / 3
+    Mixing.selectToBudget(d, "doc_id", "n_chars", "n_chars", budget)
+      .select(col("doc_id"), col("n_chars"), col("cum_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-source contamination matrix (ops/Overlap): pairwise
     * Jaccard of the sources' 5-char-shingle sets — the pre-mixing
     * "is crawl B just crawl A again" diagnostic. Distinct
