@@ -353,6 +353,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the island merge must partition by document, never globally:\n$plan")
   }
 
+  test("selectToBudget: the quality-ordered prefix sum avoids SinglePartition") {
+    val df = graft.ops.Mixing.selectToBudget(
+      core.Tables.load(spark, sf, "documents"), "doc_id", "n_chars", "n_chars",
+      budget = 100000L)
+    val plan = finalPlan(df)
+    assert(!plan.contains("SinglePartition"),
+      s"budget selection must never plan a global-order window:\n$plan")
+    assert(plan.contains("Window"), s"expected the per-bucket cumsum window:\n$plan")
+  }
+
   test("funnel frontiers: keyed equi-joins only, no product") {
     val df = graft.ops.TimeSeries.funnel(
       core.Tables.load(spark, sf, "events"), "user_id", "ts", "event_type",
