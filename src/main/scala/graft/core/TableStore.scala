@@ -172,7 +172,11 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     if (entries.nonEmpty) reader.parquet(entries.map(e => s"$filesDir/${e.name}"): _*)
     else if (fs.exists(new Path(schemaDir)))
       reader.parquet(schemaDir) // zero rows, schema preserved
-    else spark.read.parquet(filesDir).limit(0) // legacy committed-empty fallback
+    // legacy committed-empty fallback — the requested schema must
+    // still apply (a post-evolution diff reads an empty FROM side
+    // under the widened TO schema; inferring from files/ here made
+    // that exceptAll a column-count mismatch)
+    else reader.parquet(filesDir).limit(0)
   }
 
   /** Current snapshot. The file list is resolved now; concurrent

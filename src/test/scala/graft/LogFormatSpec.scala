@@ -184,4 +184,26 @@ class LogFormatSpec extends AnyFunSuite {
       assert(st.read.count() == 7L)
     }
   }
+
+  test("change feed: upsert pairs, unchanged-row cancellation, evolution nulls") {
+    val st = new TableStore(spark, TempDirs.create("graft_cdf_spec_"), "id")
+    st.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+    val v1 = st.versions.max
+    // upsert: change 2, leave 1 and 3 byte-identical in the rewrite
+    st.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "tag"))
+    // widening append — the earlier steps must union with null v
+    st.append(Seq((5L, "e", 9.0)).toDF("id", "tag", "v"))
+    val v3 = st.versions.max
+    val ch = st.changes(v1, v3)
+      .select(col("_commit_version") - lit(v1), col("_change_type"),
+        col("id"), col("tag"), col("v"))
+      .as[(Long, String, Long, String, Option[Double])].collect().toSet
+    assert(ch == Set(
+      (1L, "insert", 2L, "B2", None), (1L, "insert", 4L, "d", None),
+      (1L, "delete", 2L, "b", None),
+      (2L, "insert", 5L, "e", Some(9.0))),
+      s"unexpected change set: $ch")
+    // an empty range yields an empty feed with the right columns
+    assert(st.changes(v3, v3).count() == 0L)
+  }
 }
