@@ -102,6 +102,7 @@ object SparkEntry {
     "q_ivm_sync"       -> (WarehouseQueries.qIvmSync _),
     "q_funnel_conv"    -> (TimeSeriesQueries.qFunnelConv _),
     "q_select_budget"  -> (PipelineQueries.qSelectBudget _),
+    "q_pipeline_assemble" -> (PipelineQueries.qPipelineAssemble _),
     "q_decontaminate"  -> (PipelineQueries.qDecontaminate _),
     "q_multimodal_frames" -> (PipelineQueries.qMultimodalFrames _),
     "q_multimodal_features" -> (PipelineQueries.qMultimodalFeatures _),
@@ -1999,6 +2000,58 @@ object SparkEntry {
     // √-temperature mixing: all-integer replay — floor∘sqrt is
     // IEEE-stable, allocations/rates are floor division, keep test is
     // a modular hash of doc_id
+    // assembly DAG composition: filter -> budget cutoff -> offsets ->
+    // spans, replayed end-to-end
+    "q_pipeline_assemble" ->
+      """WITH f AS (
+           SELECT doc_id, text, n_chars,
+                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), g AS (
+           SELECT doc_id, text, n_chars,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS wc,
+                  len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS n_alpha
+           FROM f
+         ), kept AS (
+           SELECT doc_id, text, n_chars FROM g
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND n_words > 0
+             AND CAST(wc AS DOUBLE)/n_words >= 3.0
+             AND CAST(wc AS DOUBLE)/n_words <= 10.0
+             AND CAST(n_alpha AS DOUBLE)/n_words >= 0.8
+         ), b AS (SELECT CAST(COALESCE(sum(n_chars), 0) AS BIGINT) // 2 AS budget
+                  FROM kept),
+         sel AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+                    CAST(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cw
+             FROM kept), b
+           WHERE cw <= budget
+         ), w AS (
+           SELECT doc_id,
+                  (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   END) + 1 AS w
+           FROM sel
+         ), o AS (
+           SELECT doc_id, w,
+                  CAST(COALESCE(sum(w) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS off
+           FROM w
+         ), e AS (
+           SELECT doc_id, w, off,
+                  unnest(generate_series(off // 128, (off + w - 1) // 128)) AS chunk_id
+           FROM o
+         )
+         SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+                CAST(greatest(0, chunk_id * 128 - off) AS BIGINT) AS tok_start,
+                CAST(least(w, (chunk_id + 1) * 128 - off) AS BIGINT) AS tok_end
+         FROM e ORDER BY chunk_id, doc_id""",
     // budget selection: one window cumsum in (quality desc, id) order
     // replays the distributed two-phase prefix sum exactly
     "q_select_budget" ->

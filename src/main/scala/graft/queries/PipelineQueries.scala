@@ -1306,6 +1306,28 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The pretraining ASSEMBLY DAG in one oracle-backed composition
+    * gate: Gopher rule filter (the three content rules — the fixture
+    * has no English stopwords, so the stopword rule is vacuous here)
+    * → greedy budget selection in (length desc, id) order → GPT-style
+    * concat-and-chunk into 128-token training rows. Each stage is
+    * individually gated; THIS gate checks the COMPOSITION — DuckDB
+    * replays filter, cumsum cutoff, offsets, and spans end-to-end, so
+    * any inter-stage contract drift (column, ordering, off-by-one)
+    * fails the hash even while every stage gate stays green. */
+  def qPipelineAssemble(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val g = TextAnalysis.gopherRules(col("text"))
+    val kept = d.filter(g.getField("r_word_count") &&
+      g.getField("r_mean_word_len") && g.getField("r_alpha_words"))
+    val budget = kept.agg(coalesce(sum(col("n_chars")), lit(0L)).cast("long"))
+      .head().getLong(0) / 2
+    val sel = Mixing.selectToBudget(kept, "doc_id", "n_chars", "n_chars", budget)
+    TextAnalysis.concatChunks(sel.select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkLen = 128)
+      .orderBy(col("chunk_id"), col("doc_id"))
+  }
+
   /** Cross-source contamination matrix (ops/Overlap): pairwise
     * Jaccard of the sources' 5-char-shingle sets — the pre-mixing
     * "is crawl B just crawl A again" diagnostic. Distinct
