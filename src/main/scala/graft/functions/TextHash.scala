@@ -177,6 +177,29 @@ object TextHash {
     s
   }
 
+  /** One 64-bit LSH bucket key per band of a MinHash signature:
+    * band b's key = the signature slice [b·rows, (b+1)·rows) folded
+    * through [[combine]], then salted with the band index. Replaces
+    * the interpreted transform that BUILT A STRING per band per row
+    * (concat_ws of the slice, then xxhash64) — pure long arithmetic,
+    * one pass, no allocation beyond the output. Bucket VALUES differ
+    * from the string formulation, so the incremental-dedup params pin
+    * carries a band-format version — a pre-existing index reopens
+    * against the pin and fails loudly instead of silently
+    * mis-bucketing. */
+  def bandHashes(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = sig.getLong(b * rows)
+      var j = 1
+      while (j < rows) { h = combine(h, sig.getLong(b * rows + j)); j += 1 }
+      out(b) = combine(h, b.toLong)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of agreeing positions between two long-array MinHash
     * signatures (the estimated-Jaccard numerator). The zip_with→
     * filter→size HOF chain this replaces walked an interpreted lambda

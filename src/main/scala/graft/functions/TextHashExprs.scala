@@ -162,6 +162,24 @@ case class CharShingles(child: Expression, k: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Per-band LSH bucket keys of a MinHash signature as one compiled
+  * pass (long-fold per band — no per-band string building). */
+case class BandHashes(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<bigint> column")
+  }
+  override def prettyName: String = "graft_band_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.bandHashes(input.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bandHashes($c, $bands, $rows)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
 /** Fixed-width token-window lines of a document as one compiled
   * pass (tokenize → window → join). */
 case class TokenWindowLines(child: Expression, width: Int)
@@ -254,6 +272,8 @@ object TextHashFunctions {
     CatalystBridge.column(BowScoreBuckets(CatalystBridge.expression(buckets), weights, bias))
   def sigAgree(a: Column, b: Column): Column =
     CatalystBridge.column(SigAgree(CatalystBridge.expression(a), CatalystBridge.expression(b)))
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    CatalystBridge.column(BandHashes(CatalystBridge.expression(sig), bands, rows))
   def tokenWindowLines(text: Column, width: Int): Column =
     CatalystBridge.column(TokenWindowLines(CatalystBridge.expression(text), width))
   def deletionNeighborhood(text: Column, k: Int): Column =

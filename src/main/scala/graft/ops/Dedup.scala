@@ -37,12 +37,14 @@ object Dedup {
   def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 64): Column =
     graft.functions.TextHashFunctions.minhashSignature(text, k, numHashes)
 
-  /** One 64-bit bucket key per LSH band: hash of the band's slice of
-    * the signature, salted by the band index. Shared by the one-shot
-    * and incremental dedup paths. */
+  /** One 64-bit bucket key per LSH band: the band's signature slice
+    * folded through the combine chain, salted by the band index —
+    * a compiled kernel (graft.functions.BandHashes; the transform it
+    * replaces built a comma-joined STRING per band per row before
+    * hashing it). Shared by the one-shot and incremental dedup paths;
+    * the incremental index's params pin versions this format. */
   private[ops] def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), lit(b)))
+    graft.functions.TextHashFunctions.bandHashes(sig, bands, rowsPerBand)
 
   /** Estimated Jaccard = fraction of agreeing signature positions.
     * The numerator is a compiled kernel (graft.functions.SigAgree) —

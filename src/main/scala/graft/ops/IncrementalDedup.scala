@@ -232,7 +232,11 @@ object IncrementalDedup {
     val hdir = new Path(dir)
     val fs = hdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paramsPath = new Path(hdir, "_dedup_params")
-    val want = s"k=$k,numHashes=$numHashes,bands=$bands"
+    // bandfmt versions the band-hash FORMULA (round 8: string-concat
+    // → long-fold kernel): an index persisted under the old formula
+    // must fail loudly on reopen, not silently stop bucketing
+    // like-with-like
+    val want = s"k=$k,numHashes=$numHashes,bands=$bands,bandfmt=2"
     def readPin(): String = {
       val in = fs.open(paramsPath)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
