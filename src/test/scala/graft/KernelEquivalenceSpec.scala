@@ -130,6 +130,32 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("bandHashes: locality — only the touched band's key changes") {
+    val rnd = new scala.util.Random(11)
+    val sig = (1 to 64).map(_ => rnd.nextLong())
+    val sigs = Seq(("base", sig)) ++ (0 until 16).map { b =>
+      (s"mut$b", sig.updated(b * 4 + 1, sig(b * 4 + 1) + 1L))
+    }
+    val rows = sigs.toDF("name", "sig")
+      .select(col("name"),
+        TextHashFunctions.bandHashes(col("sig"), 16, 4).as("bh"))
+      .as[(String, Seq[Long])].collect().toMap
+    val base = rows("base")
+    assert(base.length == 16 && base.distinct.length == 16,
+      "16 distinct band keys expected")
+    for (b <- 0 until 16) {
+      val mut = rows(s"mut$b")
+      assert(mut(b) != base(b), s"band $b key must change with its slice")
+      for (o <- 0 until 16 if o != b)
+        assert(mut(o) == base(o), s"band $o key changed when band $b mutated")
+    }
+    // determinism across evaluation
+    val again = Seq(("x", sig)).toDF("name", "sig")
+      .select(TextHashFunctions.bandHashes(col("sig"), 16, 4))
+      .as[Seq[Long]].head()
+    assert(again == base, "band keys must be deterministic")
+  }
+
   test("gopher kernel == the original column formula on generated docs") {
     val docs = gen(250, 4).toDF("text")
     val g = graft.ops.TextAnalysis.gopherRules(col("text"), minWords = 2, maxWords = 10)
