@@ -44,11 +44,21 @@ def main():
                 continue
             diffs = []
             for c in got.columns:
-                a, b = got[c], want[c].astype(got[c].dtype) if got[c].dtype != want[c].dtype else want[c]
-                if pd.api.types.is_float_dtype(a):
-                    bad = ~((a == b) | (a.isna() & b.isna()))
-                else:
-                    bad = ~((a == b) | (a.isna() & b.isna()))
+                a, b = got[c], want[c]
+                # The driver hashes RENDERED values: int64 58580 vs
+                # DuckDB-HUGEINT-as-float64 58580.0 is a driver FAIL
+                # (round-8 q_expectations lesson), while same-kind width
+                # differences (int32/int64, datetime ns/us) render
+                # identically and pass. Mirror that: cross-KIND dtype
+                # mismatch fails here too; never coerce across kinds.
+                if a.dtype.kind != b.dtype.kind:
+                    diffs.append(f"col {c}: dtype {a.dtype} != {b.dtype} "
+                                 "(kinds differ — the driver's value hash will diverge; "
+                                 "CAST in the oracle SQL)")
+                    continue
+                if a.dtype != b.dtype:  # same kind, different width: benign
+                    b = b.astype(a.dtype)
+                bad = ~((a == b) | (a.isna() & b.isna()))
                 if bad.any():
                     i = bad.idxmax()
                     diffs.append(f"col {c}: {bad.sum()} mismatches, first at row {i}: {a[i]!r} != {b[i]!r}")

@@ -15,6 +15,14 @@ GATE_SF="${SPARK_GRAFT_GATE_SF:-/root/testdata/sf0.01}"
 echo "# GATE — $(date -u +%Y-%m-%dT%H:%M:%SZ) @ $(git rev-parse --short HEAD 2>/dev/null || echo nogit)"
 echo
 
+echo "## check.py dtype-strictness self-test"
+if python3 scripts/check_selftest.py; then
+  selftest_ok=1
+else
+  selftest_ok=0
+fi
+echo
+
 echo "## sbt test"
 if sbt -batch test > /tmp/gate_test.log 2>&1; then
   grep -E "^\[info\] (Tests:|Suites:)" /tmp/gate_test.log | tail -2
@@ -56,10 +64,10 @@ print(f\"queries={len(d.get('queries',{}))} total={d.get('value')}s ingest={d.ge
 fi
 echo
 
-if [ "$tests_ok" = 1 ] && [ "$bench_ok" = 1 ]; then
+if [ "$tests_ok" = 1 ] && [ "$bench_ok" = 1 ] && [ "$selftest_ok" = 1 ]; then
   echo "GATE: PASS"
   exit 0
 else
-  echo "GATE: FAIL (tests_ok=$tests_ok bench_ok=$bench_ok)"
+  echo "GATE: FAIL (tests_ok=$tests_ok bench_ok=$bench_ok selftest_ok=$selftest_ok)"
   exit 1
 fi

@@ -1913,18 +1913,21 @@ object SparkEntry {
            FROM documents)
          WHERE rk <= 3 ORDER BY source, rk""",
     // expectations: each check's violation count recomputed as an
-    // independent conditional sum; NULL predicate = violation
+    // independent conditional sum; NULL predicate = violation.
+    // Each count is CAST to BIGINT: DuckDB's sum(CASE…) is HUGEINT,
+    // which pandas renders as float64 and the driver's hash then sees
+    // 58580.0 != 58580 against Spark's int64.
     "q_expectations" ->
       """WITH t AS (
            SELECT count(*) AS total,
-                  sum(CASE WHEN NOT coalesce(o_totalprice > 0.0, false) THEN 1 ELSE 0 END) AS v_price,
-                  sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), false) THEN 1 ELSE 0 END) AS v_status,
-                  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v_prio,
-                  sum(CASE WHEN NOT coalesce(o_orderdate BETWEEN '1992-01-01' AND '1998-12-31', false) THEN 1 ELSE 0 END) AS v_date,
-                  sum(CASE WHEN NOT coalesce(o_totalprice < 100000.0, false) THEN 1 ELSE 0 END) AS v_cap,
+                  CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0.0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+                  CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), false) THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_prio,
+                  CAST(sum(CASE WHEN NOT coalesce(o_orderdate BETWEEN '1992-01-01' AND '1998-12-31', false) THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+                  CAST(sum(CASE WHEN NOT coalesce(o_totalprice < 100000.0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_cap,
                   count(DISTINCT o_orderkey) AS d
            FROM orders)
-         SELECT check_name, n_violations,
+         SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
                 CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass
          FROM (
            SELECT 'totalprice_positive' AS check_name, v_price AS n_violations FROM t

@@ -399,6 +399,12 @@ class GraftSession(val spark: SparkSession,
     name => {
       val pruned = for {
         store <- stores.get(name.toLowerCase)
+        // Self-join guard: Lowering resolves each FROM entry by NAME, so
+        // the same scan backs every occurrence of the table. Bounds
+        // derived from one alias's predicates (a.id >= 100) are NOT
+        // valid for the other alias — pruning here would silently drop
+        // b-side files. One occurrence only, or no pruning.
+        if stmt.tables.count(_.name.equalsIgnoreCase(name)) == 1
         tref <- stmt.tables.find(_.name.equalsIgnoreCase(name))
       } yield {
         val single = stmt.tables.size == 1
