@@ -57,6 +57,8 @@ object TableStore {
 final class TableStore(val spark: SparkSession, val path: String, val idCol: String,
                        format: LogFormat = NativeManifestLog) {
   private val filesDir = s"$path/files"
+  // commit-time mirror of files/ for streaming readers — see readStream
+  private val streamedDir = s"$path/streamed"
   /** A table's on-disk log format is fixed at creation: reopening an
     * existing table resolves whatever log directory is already there;
     * the constructor's `format` applies only to fresh tables. */
@@ -195,7 +197,21 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
   /** Streaming scan of the store: backlog (files already committed)
     * then tail (each append's new files arrive as a micro-batch) —
     * the reference's table-is-a-queue duality (SELECT STREAM on a
-    * mutable table) rendered as a file stream source over files/.
+    * mutable table) rendered as a file stream source.
+    *
+    * The source streams `streamed/`, a commit-time mirror of files/:
+    * writeFiles renames data into files/ BEFORE the manifest commit,
+    * so a file source pointed straight at files/ could deliver rows
+    * from files that never commit — a crashed append, or the orphans
+    * appendOnce/upsertOnce/replaceOnce delete after losing the
+    * idempotence race. streamed/ is populated (hardlink, or copy on
+    * non-local filesystems) only INSIDE commit, after the manifest
+    * rename succeeds, so only committed files are ever visible to a
+    * streaming reader. Commits from any graft process reconcile the
+    * mirror (shared storage), and readStream itself reconciles the
+    * backlog at attach, which also repairs a crash between manifest
+    * rename and link.
+    *
     * CONTRACT: append-only while a streaming reader is attached —
     * compact/upsert/delete rewrite rows into NEW file names, which a
     * file source would re-deliver (the same caveat that makes Delta
@@ -203,10 +219,35 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * the committed schema, so evolved appends surface uniformly. */
   def readStream: DataFrame = {
     val schema = committedSchema.getOrElse(read.schema)
-    fs.mkdirs(new Path(filesDir)) // a fresh store streams an empty backlog
+    val f = fs
+    f.mkdirs(new Path(filesDir)) // a fresh store streams an empty backlog
+    f.mkdirs(new Path(streamedDir))
+    TableStore.commitLock(path).synchronized {
+      reconcileStreamed(f, currentEntries)
+    }
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(filesDir)
+      .parquet(streamedDir)
+  }
+
+  /** Mirror every committed file into streamed/ (no-op until a stream
+    * reader has created the directory). Hardlinks on local FS — zero
+    * data movement; byte copy elsewhere. Idempotent: an existing link
+    * is left alone. */
+  private def reconcileStreamed(f: FileSystem, entries: Seq[FileEntry]): Unit = {
+    val sd = new Path(streamedDir)
+    if (!f.exists(sd)) return
+    val present = f.listStatus(sd).map(_.getPath.getName).toSet
+    entries.filterNot(e => present.contains(e.name)).foreach { e =>
+      val src = new Path(s"$filesDir/${e.name}")
+      val dst = new Path(s"$streamedDir/${e.name}")
+      if (f.getScheme == "file")
+        try java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      else org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, f.getConf)
+    }
   }
 
   /** Committed version numbers still present, oldest first — the
@@ -458,6 +499,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     f.mkdirs(new Path(versionsDir))
     var attempts = 0
     var done = false
+    var committedEntries: Seq[FileEntry] = Seq.empty
     while (!done) {
       val (prevVer, prevContent) = listVersions(f).lastOption
         .map { case (v, p) => (v, Some(readUtf8(f, p))) }.getOrElse((-1L, None))
@@ -488,6 +530,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       // someone else, and renaming anyway would clobber their manifest
       done = claimed && ownsClaim(f, claimPath, token) &&
         f.rename(tmp, new Path(s"$versionsDir/${log.fileName(prevVer + 1)}"))
+      if (done) committedEntries = entries
       if (!done) {
         f.delete(tmp, false)
         if (claimed) {
@@ -513,7 +556,16 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
         Thread.sleep(math.min(2000L, 50L * attempts)) // let the claim holder finish its rename
       }
     }
-    pendingColStats.clear() // committed (or filtered out) — never re-attach
+    // the commit point has passed — surface this version's files to any
+    // attached streaming reader (no-op unless streamed/ exists)
+    reconcileStreamed(f, committedEntries)
+    // drop ONLY the stats this version committed: with two concurrent
+    // writers on one store, a blanket clear() here would discard the
+    // other writer's pending per-file stats before its commit, leaving
+    // its files permanently stat-less (read conservatively forever).
+    // Orphaned entries from losing once-writers are purged at their
+    // own file-delete sites.
+    committedEntries.foreach(e => pendingColStats.remove(e.name))
   }
 
   private def currentEntries: Seq[FileEntry] =
@@ -765,8 +817,11 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
         else prevTxn + (appId -> version))
     if (!applied) { // lost the race — drop the orphaned files
       val f = fs
-      added.foreach(e => try f.delete(new Path(s"$filesDir/${e.name}"), false)
-        catch { case _: java.io.IOException => })
+      added.foreach{ e =>
+        pendingColStats.remove(e.name) // never let an orphan's stats linger
+        try f.delete(new Path(s"$filesDir/${e.name}"), false)
+        catch { case _: java.io.IOException => }
+      }
     }
     applied
   }
@@ -832,8 +887,11 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       else prevTxn + (appId -> version))
     if (!applied) {
       val f = fs
-      newFiles.foreach(e => try f.delete(new Path(s"$filesDir/${e.name}"), false)
-        catch { case _: java.io.IOException => })
+      newFiles.foreach{ e =>
+        pendingColStats.remove(e.name) // never let an orphan's stats linger
+        try f.delete(new Path(s"$filesDir/${e.name}"), false)
+        catch { case _: java.io.IOException => }
+      }
     }
     applied
   }
@@ -859,8 +917,11 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       else prevTxn + (appId -> version))
     if (!applied) {
       val f = fs
-      newFiles.foreach(e => try f.delete(new Path(s"$filesDir/${e.name}"), false)
-        catch { case _: java.io.IOException => })
+      newFiles.foreach{ e =>
+        pendingColStats.remove(e.name) // never let an orphan's stats linger
+        try f.delete(new Path(s"$filesDir/${e.name}"), false)
+        catch { case _: java.io.IOException => }
+      }
     }
     applied
   }
@@ -916,7 +977,12 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
         "merge: duplicate source keys — a target row would match twice")
       val snapshot = currentEntries
       val (affected, _) = pruneByKeys(snapshot, src.select(col(idCol)))
-      val targetCols = committedSchema.getOrElse(src.schema).fieldNames.toSeq
+      // the ENFORCED source's schema = committed ++ new nullable
+      // columns, so merge participates in additive evolution exactly
+      // like append/upsert (target-side reads surface the new columns
+      // as null; a source batch's added columns are persisted, not
+      // silently dropped)
+      val targetCols = src.schema.fieldNames.toSeq
       val outFiles =
         if (affected.isEmpty) {
           if (!insertNotMatched) return
@@ -1178,6 +1244,12 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
         f.listStatus(new Path(filesDir)).toSeq
           .filterNot(s => live.contains(s.getPath.getName))
           .filter(_.getModificationTime <= cutoff) // inclusive: graceMs=0 means clean everything dead
+          .foreach(s => f.delete(s.getPath, false))
+      // streamed/ mirror entries dead in every retained manifest go
+      // too, or a FRESH stream reader's backlog would include them
+      if (f.exists(new Path(streamedDir)))
+        f.listStatus(new Path(streamedDir)).toSeq
+          .filterNot(s => live.contains(s.getPath.getName))
           .foreach(s => f.delete(s.getPath, false))
     }
 }

@@ -213,4 +213,21 @@ class WarehouseOpsSpec extends AnyFunSuite {
         matchedUpdate = Map("id" -> (col("s.id") + 1)))
     }
   }
+
+  test("merge participates in additive schema evolution like append/upsert") {
+    val tmp = graft.core.TempDirs.create("graft_mergeevo_")
+    val store = new graft.core.TableStore(spark, tmp, "id")
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    // source adds a column: matched rows keep it null unless assigned,
+    // inserted rows carry it — it must NOT be silently dropped
+    store.merge(
+      Seq((2L, "B", "new2"), (3L, "c", "new3")).toDF("id", "tag", "extra"),
+      matchedUpdate = Map("tag" -> col("s.tag"), "extra" -> col("s.extra")))
+    assert(store.read.columns.toSeq == Seq("id", "tag", "extra"),
+      s"merge dropped the added column: ${store.read.columns.toSeq}")
+    val rows = store.read.orderBy("id")
+      .as[(Long, String, Option[String])].collect().toList
+    assert(rows == List((1L, "a", None), (2L, "B", Some("new2")),
+      (3L, "c", Some("new3"))), s"got $rows")
+  }
 }
