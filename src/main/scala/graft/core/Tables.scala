@@ -37,12 +37,55 @@ object Tables {
   }
 
   /** Drop all cached schemas (next load re-infers from footers). */
-  def invalidateSchemaCache(): Unit = schemaCache.clear()
+  def invalidateSchemaCache(): Unit = {
+    schemaCache.clear()
+    nanosCache.clear()
+  }
+
+  /** Top-level INT64 columns annotated TIMESTAMP(NANOS) in the parquet
+    * FOOTER — the columns Spark surfaces as raw longs under
+    * nanosAsLong. Driven by file metadata, not table/column names, so
+    * a nanos column in ANY table converts (the r8 version keyed on
+    * `events.ts` and would have passed other tables' nanos columns
+    * through as bare longs). One footer read per file footprint,
+    * cached like the schema; for a directory of part files the first
+    * footer speaks for the table (Spark's nanosAsLong read is likewise
+    * uniform per column — mixed per-file nanos/micros in ONE column is
+    * not a shape parquet writers produce). */
+  private val nanosCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Set[String]]
+  private[core] def nanosLongCols(spark: SparkSession, path: String): Set[String] = {
+    val f = new java.io.File(path)
+    nanosCache.getOrElseUpdate((path, f.lastModified, f.length), {
+      val file =
+        if (f.isDirectory)
+          f.listFiles().find(c => c.getName.endsWith(".parquet") && !c.getName.startsWith("_"))
+            .orElse(f.listFiles().find(c => c.isFile && !c.getName.startsWith("_") && !c.getName.startsWith(".")))
+            .map(_.getPath)
+        else Some(path)
+      file.fold(Set.empty[String]) { p =>
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), spark.sparkContext.hadoopConfiguration)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+          case fld if fld.isPrimitive &&
+            (fld.asPrimitiveType.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }) => fld.getName
+        }.toSet
+        finally reader.close()
+      }
+    })
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureNanosConf(spark)
     val p = s"$dir/$name.parquet"
-    fixup(name, spark.read.schema(schemaOf(spark, p)).parquet(p))
+    fixup(nanosLongCols(spark, p), spark.read.schema(schemaOf(spark, p)).parquet(p))
   }
 
   /** Streaming scan of the same table (backlog + tail — the reference's
@@ -51,10 +94,11 @@ object Tables {
     ensureNanosConf(spark)
     // file stream sources need a directory basePath; select the single
     // table file with a glob filter
-    fixup(name, spark.readStream.schema(schemaOf(spark, s"$dir/$name.parquet"))
-      .option("basePath", dir)
-      .option("pathGlobFilter", s"$name.parquet")
-      .parquet(dir))
+    fixup(nanosLongCols(spark, s"$dir/$name.parquet"),
+      spark.readStream.schema(schemaOf(spark, s"$dir/$name.parquet"))
+        .option("basePath", dir)
+        .option("pathGlobFilter", s"$name.parquet")
+        .parquet(dir))
   }
 
   /** Canonicalize every parquet timestamp flavor the lake can carry to
@@ -70,12 +114,12 @@ object Tables {
     * timestamp columns — a 100 TB lake mixes flavors file-by-file, so the
     * registry, not each query, owns normalization (TimestampFlavorSpec
     * locks the contract). */
-  private[core] def fixup(name: String, df: DataFrame): DataFrame = {
+  private[core] def fixup(nanosCols: Set[String], df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
-        case LongType if name == "events" && f.name == "ts" =>
+        case LongType if nanosCols.contains(f.name) =>
           d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` DIV 1000")))
         case TimestampNTZType =>
           d.withColumn(f.name, col(f.name).cast(TimestampType))

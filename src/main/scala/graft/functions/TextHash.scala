@@ -262,6 +262,49 @@ object TextHash {
     }
   }
 
+  /** 64-bit hashes of the k-CHAR shingles (FNV-1a over each shingle's
+    * UTF-8 bytes, avalanche-finalized), optionally DISTINCT within the
+    * document. The hashed sibling of [[charShingles]] for pipelines
+    * that only compare shingles for EQUALITY (overlap counting,
+    * blocking): downstream shuffles carry fixed 8-byte longs instead
+    * of raw k-char strings — the count is exact unless two distinct
+    * shingles collide in 64 bits (≈2⁻⁶⁴ per pair; a corpus would need
+    * ~10⁹ unique shingles for even a 3% chance of ONE collision). */
+  def charShingleHashes(u: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val n = u.numChars()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val bytes = u.getBytes
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var p = 0
+    while (i < n) {
+      offs(i) = p
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+      i += 1
+    }
+    offs(n) = p
+    val count = n - k + 1
+    val out = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      var h = 0xcbf29ce484222325L
+      var b = offs(i)
+      val end = offs(i + k)
+      while (b < end) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+      out(i) = mix64(h)
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(out)
+    java.util.Arrays.sort(out) // sort+dedup: no boxing, no hash set
+    var m = 0
+    i = 0
+    while (i < count) {
+      if (m == 0 || out(i) != out(m - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   /** Symmetric-delete neighborhood (SymSpell blocking keys) of a
     * string: the string itself plus every variant with up to `k`
     * (1..2) characters deleted, DISTINCT. Byte-identical to the

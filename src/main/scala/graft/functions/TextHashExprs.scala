@@ -162,6 +162,24 @@ case class CharShingles(child: Expression, k: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** 64-bit hashes of the k-char shingles (hashed sibling of
+  * [[CharShingles]]): equality-only consumers shuffle 8-byte longs
+  * instead of raw shingle strings. */
+case class CharShingleHashes(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+  override def prettyName: String = "graft_char_shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.charShingleHashes(input.asInstanceOf[UTF8String], k, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.charShingleHashes($c, $k, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
+    copy(child = newChild)
+}
+
 /** Per-band LSH bucket keys of a MinHash signature as one compiled
   * pass (long-fold per band — no per-band string building). */
 case class BandHashes(child: Expression, bands: Int, rows: Int)
@@ -282,6 +300,8 @@ object TextHashFunctions {
     CatalystBridge.column(LongPairCombos(CatalystBridge.expression(ids)))
   def charShingles(text: Column, k: Int, distinct: Boolean): Column =
     CatalystBridge.column(CharShingles(CatalystBridge.expression(text), k, distinct))
+  def charShingleHashes(text: Column, k: Int, distinct: Boolean): Column =
+    CatalystBridge.column(CharShingleHashes(CatalystBridge.expression(text), k, distinct))
   def jaccardDistinct(a: Column, b: Column): Column =
     CatalystBridge.column(JaccardDistinct(CatalystBridge.expression(a), CatalystBridge.expression(b)))
 }

@@ -18,9 +18,18 @@ import org.apache.spark.sql.functions._
   * shingle contributes at most (sources it appears in choose 2)
   * pairs, so the join output is bounded by #sources², not corpus
   * size; with tens-to-hundreds of sources this is metadata-scale.
-  * Shingles travel as raw k-char strings (no hashing), so pair
-  * counts are exact — a hash would make the matrix only
-  * almost-surely right, which a byte-compare gate can't tolerate.
+  *
+  * Shingles travel as 64-bit HASHES by default (compiled
+  * charShingleHashes kernel): the distinct and the self-join each
+  * shuffle fixed 8-byte longs instead of raw k-char strings — the
+  * unique-shingle volume grows near-linearly with the corpus, so the
+  * per-row shuffle width IS this query's scale constant (its 10×
+  * ratio was 11.5×, the round-8 bench's worst). Counts are exact
+  * unless two distinct shingles collide in 64 bits — ≈2⁻⁶⁴ per pair,
+  * ~10⁹ unique shingles for a 3% chance of a single collision
+  * anywhere; the DuckDB oracle replays raw strings and stays
+  * byte-equal short of that event. `exact = true` restores the
+  * raw-string shuffle for callers that cannot tolerate it.
   *
   * Measured negative result (keep this formulation): collapsing to
   * ONE shuffle via groupBy(shingle).agg(collect_set(source)) + map-
@@ -37,15 +46,16 @@ object Overlap {
     * distinct-shingle counts, n_ab the intersection, jaccard rounded
     * to 6 decimals. Rows shorter than k contribute nothing. */
   def shingleOverlapMatrix(df: DataFrame, groupCol: String, textCol: String,
-                           k: Int = 5): DataFrame = {
+                           k: Int = 5, exact: Boolean = false): DataFrame = {
     require(k >= 1, "k >= 1")
     // compiled shingle kernel, per-document DISTINCT before the
     // explode: the global distinct's shuffle carries each (g, shingle)
     // once per document instead of once per occurrence
+    val shingleArr =
+      if (exact) graft.functions.TextHashFunctions.charShingles(col(textCol), k, distinct = true)
+      else graft.functions.TextHashFunctions.charShingleHashes(col(textCol), k, distinct = true)
     val sh = df.filter(length(col(textCol)) >= k)
-      .select(col(groupCol).as("g"),
-        explode(graft.functions.TextHashFunctions.charShingles(
-          col(textCol), k, distinct = true)).as("s"))
+      .select(col(groupCol).as("g"), explode(shingleArr).as("s"))
       .distinct()
     val per = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("g").as("g1"), col("s"))

@@ -21,8 +21,38 @@ class TimestampFlavorSpec extends AnyFunSuite {
   // three distinct instants, micro precision
   private val micros = Seq(1700000000000001L, 1700000123456789L, 1712345678901234L)
 
-  private def writeFlavor(flavor: String): String = {
+  /** A GENUINE TIMESTAMP(NANOS)-annotated parquet file, written with
+    * parquet-mr directly (Spark cannot write nanos). This is what the
+    * driver fixture shipped in earlier rounds; the registry detects the
+    * footer annotation and converts the raw long Spark surfaces. */
+  private def writeNanosParquet(file: String, rows: Seq[(Long, Long)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .named("m")
+    val w = ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(file))
+      .withType(schema)
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, ns) =>
+      w.write(gf.newGroup().append("event_id", id).append("ts", ns))
+    } finally w.close()
+  }
+
+  private def writeFlavor(flavor: String, name: String = "events"): String = {
     val dir = TempDirs.create(s"graft_tsflavor_${flavor}_")
+    if (flavor == "nanoslong") {
+      writeNanosParquet(s"$dir/$name.parquet",
+        micros.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L) })
+      return dir
+    }
     val base = micros.zipWithIndex
       .map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
     val df = flavor match {
@@ -33,14 +63,12 @@ class TimestampFlavorSpec extends AnyFunSuite {
           timestamp_micros($"us").cast("timestamp_ntz").as("ts"))
       case "int96" =>
         base.select($"event_id", timestamp_micros($"us").as("ts"))
-      case "nanoslong" => // TIMESTAMP(NANOS) read back as long under nanosAsLong
-        base.select($"event_id", ($"us" * 1000L).as("ts"))
     }
     val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     try {
       if (flavor == "int96")
         spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
-      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
       case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
@@ -62,6 +90,25 @@ class TimestampFlavorSpec extends AnyFunSuite {
       assert(tpe == TimestampType, s"flavor=$flavor surfaced $tpe")
       assert(vals == micros.toList, s"flavor=$flavor instants drifted: $vals")
     }
+  }
+
+  test("nanos detection is footer-driven, not name-pinned: any table, any column") {
+    // a nanos column in a table that is NOT events converts identically
+    val dir = writeFlavor("nanoslong", name = "orders")
+    val df = Tables.load(spark, dir, "orders")
+    assert(df.schema("ts").dataType == TimestampType)
+    val vals = df.orderBy("event_id").select(unix_micros($"ts")).as[Long].collect().toList
+    assert(vals == micros.toList, s"non-events nanos instants drifted: $vals")
+  }
+
+  test("a PLAIN int64 column named ts is left alone (no false conversion)") {
+    val dir = TempDirs.create("graft_tsflavor_plainlong_")
+    micros.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L) }
+      .toDF("event_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType == LongType,
+      s"un-annotated long wrongly converted: ${df.schema("ts").dataType}")
   }
 
   test("canonicalized NTZ column supports event-time ops that reject NTZ") {

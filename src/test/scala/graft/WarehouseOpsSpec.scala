@@ -154,6 +154,16 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 0.125) // 1 / (4 + 5 - 1)
   }
 
+  test("overlap matrix: hashed path is byte-identical to the exact-string path") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("text"))
+    val hashed = graft.ops.Overlap.shingleOverlapMatrix(docs, "source", "text")
+    val exact = graft.ops.Overlap.shingleOverlapMatrix(docs, "source", "text", exact = true)
+    assert(hashed.exceptAll(exact).isEmpty && exact.exceptAll(hashed).isEmpty,
+      "hashed shingle overlap diverged from exact strings")
+    assert(hashed.count() > 0)
+  }
+
   test("pagerank: partition-invariant, floor-exact, mass-bounded") {
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select(col("doc_id"))
