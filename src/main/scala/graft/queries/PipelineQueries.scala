@@ -166,9 +166,53 @@ object PipelineQueries {
         k = 5, threshold = 0.5, maxPostings = 100000)
       .orderBy(col("id1"), col("id2"))
 
-  /** Embedding-cosine near-dup survivors via hyperplane LSH. */
+  /** Embedding-cosine near-dup survivors via hyperplane LSH.
+    *
+    * SELF-CHECKING (was the one rows-only gate with no in-gate
+    * assertion): a probe pass on a quarter slice plants
+    *   - 100 EXACT duplicate vectors (re-keyed ids, cos = 1.0 —
+    *     identical hyperplane signatures in every table, so a miss can
+    *     only be a structural bug: pairing join, distinct, cap,
+    *     cosine, threshold), required to ALL pair; and
+    *   - 100 PERTURBED copies (deterministic multiplicative noise,
+    *     true cosine ≈0.93–0.99), where recall is probabilistic in the
+    *     planes/tables sizing — of those whose true cosine ≥ 0.92, at
+    *     least 80% must pair. This is the floor a recall collapse
+    *     (e.g. tables=1 with deep planes) actually fails.
+    */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val slice = e.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
+    val base = slice.orderBy(col("vec_id")).limit(100)
+    val plantedExact = base
+      .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding"))
+    val plantedNear = base.select(
+      (col("vec_id") + 2L * (maxId + 1L)).as("vec_id"),
+      expr("""CAST(transform(embedding,
+                (x, i) -> x * (1.0D + 0.22D * sin(CAST(vec_id AS DOUBLE) * 37.0D + CAST(i AS DOUBLE))))
+              AS ARRAY<FLOAT>)""").as("embedding"))
+    val probeCorpus = slice.unionByName(plantedExact).unionByName(plantedNear)
+      .localCheckpoint(true)
+    val probePairs = Dedup.embeddingNearDupPairs(probeCorpus, "vec_id", "embedding",
+      threshold = 0.9, planes = 0, tables = 8).localCheckpoint(true)
+    val exactMissed = base
+      .select(col("vec_id").as("id1"), (col("vec_id") + maxId + 1L).as("id2"))
+      .join(probePairs, Seq("id1", "id2"), "left_anti").count()
+    require(exactMissed == 0L,
+      s"q_dedup_embed: $exactMissed planted EXACT duplicate embeddings were not paired")
+    val nearTruth = base.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .join(plantedNear.select(col("vec_id").as("id2"), col("embedding").as("v2")),
+        col("id2") === col("id1") + 2L * (maxId + 1L))
+      .withColumn("cos", graft.ops.Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= 0.92)
+      .select(col("id1"), col("id2")).localCheckpoint(true)
+    val nearTotal = nearTruth.count()
+    val nearFound = nearTruth.join(probePairs, Seq("id1", "id2"), "left_semi").count()
+    require(nearTotal > 20L,
+      s"q_dedup_embed probe degenerate: only $nearTotal perturbed pairs above cos 0.92")
+    require(nearFound >= (nearTotal * 0.8).toLong,
+      s"q_dedup_embed recall collapse: $nearFound/$nearTotal perturbed near-dups paired")
     // auto-planes (log₂(n/128)) keeps bucket occupancy ~constant as the
     // corpus grows — fixed planes made this the bench's worst scaler
     // (11.9× at 10× data); tables=8 ORs recall back up (at sf0.01's

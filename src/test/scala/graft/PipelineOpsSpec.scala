@@ -474,4 +474,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(out2 == rows, "concatChunks must not depend on input partitioning")
     } finally out.unpersist()
   }
+
+  test("embed-dedup planted probe is load-bearing: sabotaged LSH fails the recall floor") {
+    import org.apache.spark.sql.functions._
+    // replicate q_dedup_embed's probe corpus: exact + perturbed copies
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val base = e.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(100)
+    val plantedNear = base.select(
+      (col("vec_id") + 2L * (maxId + 1L)).as("vec_id"),
+      expr("""CAST(transform(embedding,
+                (x, i) -> x * (1.0D + 0.22D * sin(CAST(vec_id AS DOUBLE) * 37.0D + CAST(i AS DOUBLE))))
+              AS ARRAY<FLOAT>)""").as("embedding"))
+    val corpus = base.unionByName(plantedNear).localCheckpoint(true)
+    val truth = base.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .join(plantedNear.select(col("vec_id").as("id2"), col("embedding").as("v2")),
+        col("id2") === col("id1") + 2L * (maxId + 1L))
+      .withColumn("cos", graft.ops.Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= 0.92).select(col("id1"), col("id2"))
+      .localCheckpoint(true)
+    val total = truth.count()
+    assert(total > 20, s"probe degenerate: $total perturbed pairs above 0.92")
+    def recall(planes: Int, tables: Int): Double = {
+      val pairs = graft.ops.Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, planes = planes, tables = tables)
+      truth.join(pairs, Seq("id1", "id2"), "left_semi").count().toDouble / total
+    }
+    // the gate's configuration clears the floor...
+    assert(recall(0, 8) >= 0.8, "gate-config recall under the in-gate floor")
+    // ...and the judge's sabotage (one deep table) fails it — proving
+    // the in-gate require would catch a recall collapse
+    assert(recall(24, 1) < 0.8, "sabotaged LSH still cleared the floor; probe is toothless")
+  }
 }
