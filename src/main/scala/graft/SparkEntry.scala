@@ -198,6 +198,7 @@ object SparkEntry {
     "q_vacuum"         -> (BatchQueries.qVacuum _),
     "q_stream_sink"    -> (StreamQueries.qStreamSink _),
     "q_store_tail"     -> (StreamQueries.qStoreTail _),
+    "q_stream_resume"  -> (StreamQueries.qStreamResume _),
     "q_stream_mview"   -> (StreamQueries.qStreamMview _),
     "q_schema_enforce" -> (WarehouseQueries.qSchemaEnforce _),
     "q_dialect_prune"  -> (WarehouseQueries.qDialectPrune _),
@@ -2439,6 +2440,14 @@ object SparkEntry {
     // store-as-queue tail: the drained stream aggregates to the whole
     // source table (backlog/tail exactly-once asserted in-gate)
     "q_store_tail" ->
+      """SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS val_sum,
+                CAST(min(event_id) AS BIGINT) AS id_min,
+                CAST(max(event_id) AS BIGINT) AS id_max
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // stop/resume exactly-once: disjointness + completeness are
+    // asserted in-gate; the unioned drains must aggregate to the table
+    "q_stream_resume" ->
       """SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS val_sum,
                 CAST(min(event_id) AS BIGINT) AS id_min,

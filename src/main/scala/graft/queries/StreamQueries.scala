@@ -99,6 +99,63 @@ object StreamQueries {
       .localCheckpoint(true)
   }
 
+  /** S7 stream-resume contract as a GATE (was unit-only since r4):
+    * session 1 opens a SELECT STREAM over a store, drains the first
+    * half, and STOPS; the second half lands while nothing runs; a
+    * brand-new handle on the SAME checkpoint resumes past the consumed
+    * offsets and drains the rest — the reference's per-session
+    * continue-from-last-position (persistent/Session.java:694-700).
+    * In-gate requires: the two drains are disjoint and their union's
+    * row count is the table's (each row exactly once across the
+    * stop/resume boundary); the unioned aggregate is then
+    * oracle-checked against DuckDB on the full table. */
+  def qStreamResume(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val total = ev.count()
+    val mid = ev.agg(percentile_approx(col("event_id"), lit(0.5), lit(100)))
+      .head.get(0).asInstanceOf[Number].longValue()
+    val tmp = graft.core.TempDirs.create("graft_resume_")
+    val store = new graft.core.TableStore(s, tmp, "event_id")
+    store.append(ev.filter(col("event_id") <= mid))
+    val cp = graft.core.TempDirs.createFast("graft_resumeck_")
+    // exactly-once file sink: both drains share ONE output path and ONE
+    // checkpoint, so the sink's commit log spans the stop/resume
+    // boundary — re-delivered offsets would surface as duplicate rows
+    val out = graft.core.TempDirs.create("graft_resume_out_")
+    def drain(): Unit = {
+      val gs = new graft.core.GraftSession(s)
+      gs.registerStore("ev_r", store)
+      val plan = gs.executeStreamPlan(
+        "select stream e.event_id id, e.event_type t, e.value v from ev_r e")
+      val q = plan.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val nFirst = s.read.parquet(out).count()
+    require(nFirst > 0L && nFirst < total,
+      s"q_stream_resume: first drain must be a strict prefix, got $nFirst/$total")
+    store.append(ev.filter(col("event_id") > mid)) // while NOTHING runs
+    drain()
+    val union = s.read.parquet(out).localCheckpoint(true)
+    val n = union.count()
+    require(n == total,
+      s"q_stream_resume: drained $n != table $total — " +
+        (if (n > total) "resumed handle re-delivered consumed rows" else "rows lost across resume"))
+    val nIds = union.agg(count_distinct(col("id"))).head.getLong(0)
+    require(nIds == total,
+      s"q_stream_resume: $nIds distinct ids over $total rows — duplicates across resume")
+    union.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("val_sum"),
+        min(col("id")).as("id_min"), max(col("id")).as("id_max"))
+      .orderBy(col("t"))
+      .localCheckpoint(true)
+  }
+
   /** Exactly-once streaming ingestion (StreamOps.sinkToStore →
     * TableStore.appendOnce): the events stream lands in a TableStore
     * with the micro-batch id committed ATOMICALLY with the data, then
