@@ -36,6 +36,8 @@ object SparkEntry {
     "q_set_ops"        -> (BatchQueries.qSetOps _),
     "q_scalar_funcs"   -> (BatchQueries.qScalarFuncs _),
     "q_persist_find"   -> (BatchQueries.qPersistFind _),
+    "q_threshold_retention" -> (BatchQueries.qThresholdRetention _),
+    "q_join_skew_aqe"  -> (BatchQueries.qJoinSkewAqe _),
     "q_time_travel"    -> (BatchQueries.qTimeTravel _),
     "q_join_salted"    -> (BatchQueries.qJoinSalted _),
     "q_window_sliding" -> (BatchQueries.qWindowSliding _),
@@ -321,6 +323,25 @@ object SparkEntry {
          strftime(o_orderdate, '%Y-%m-%d') AS to_char_date,
          strftime(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS to_date_rt
          FROM orders ORDER BY o_orderkey""",
+    // AQE skew join: the hot-key mapping is replayed relationally;
+    // skew-split + wall-time bounds are asserted in-gate
+    "q_join_skew_aqe" ->
+      """SELECT w, CAST(count(*) AS BIGINT) AS n,
+                sum(l_quantity) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM (SELECT CASE WHEN l_orderkey % 5 = 0 THEN 0
+                           ELSE l_orderkey % 1000 END AS k,
+                      l_quantity, l_extendedprice
+               FROM lineitem) f
+         JOIN (SELECT r AS k, CAST(r % 7 AS BIGINT) AS w
+               FROM (SELECT unnest(range(0, 1000)) AS r)) d USING (k)
+         GROUP BY w ORDER BY w""",
+    // @Threshold(500) keeps the newest 500 ids across all persists
+    "q_threshold_retention" ->
+      """SELECT k, price, st FROM (
+           SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
+           FROM orders ORDER BY o_orderkey DESC LIMIT 500)
+         ORDER BY k""",
     "q_persist_find" ->
       """WITH st AS (
            SELECT o_orderkey AS k,

@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
+/** Retention-bounded entity for the @Threshold gate: the newest 500
+  * rows by id survive each persist (reference annotation documented in
+  * its manual, core/Threshold.java:38 — dead there, implemented here).
+  * @Id (not @DistributedId): the gate supplies real order keys so the
+  * surviving set is oracle-expressible. */
+@graft.annotations.Threshold(500)
+case class RetainedOrder(
+  @(graft.annotations.Id @scala.annotation.meta.field) o_orderkey: Long,
+  price: Double, st: String)
+
 /** Batch operator surface re-expressed Spark-first.
   *
   * Each method is one operator/capability from SURVEY.md §2 (reference
@@ -330,6 +340,70 @@ object BatchQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** AQE skew-join stress (the runtime sibling of qJoinSalted's
+    * explicit salting): one synthetic hot key owns ~20% of the fact
+    * rows, the dim side is too big to broadcast (forced), and AQE's
+    * skew-split must kick in — the executed plan must carry
+    * `skew=true` — with the skewed join's wall time within 2× of an
+    * identically-sized uniform join (+2 s absolute slack for
+    * micro-noise at small SFs). Skew thresholds are lowered for the
+    * gate's data volume (production defaults are 256 MB partitions;
+    * the mechanism is identical). Confs are restored afterwards —
+    * the gate session is shared. */
+  def qJoinSkewAqe(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // round-robin upstream repartition: AQE splits a skewed partition
+      // at MAPPER granularity, and the gate fixtures are single-row-group
+      // parquet files (one real mapper — physically unsplittable). A
+      // 100 TB fact arrives from thousands of map tasks; 16 stands in
+      // for that shape at gate scale.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartition(16)
+      val dim = s.range(0, 1000)
+        .select(col("id").as("k"), (col("id") % 7).cast("long").as("w"))
+      def agg(keyExpr: org.apache.spark.sql.Column): DataFrame =
+        li.select(keyExpr.as("k"), col("l_quantity"), col("l_extendedprice"))
+          .join(dim, Seq("k"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("w"))
+      // collect() (7 rows) drives THIS DataFrame's QueryExecution, so
+      // the adaptive plan we inspect afterwards is the finalized one —
+      // df.write would execute a fresh QueryExecution and leave
+      // df.queryExecution.executedPlan isFinalPlan=false
+      def timed(df: DataFrame): (DataFrame, Long) = {
+        val t0 = System.nanoTime()
+        df.collect()
+        (df, (System.nanoTime() - t0) / 1000000L)
+      }
+      // ~20% of rows collapse onto key 0; the rest spread over 1..999
+      val (skewed, tSkew) = timed(agg(
+        when(col("l_orderkey") % 5 === 0, 0L).otherwise(pmod(col("l_orderkey"), lit(1000)))))
+      val (_, tUniform) = timed(agg(pmod(col("l_orderkey"), lit(1000))))
+      val plan = skewed.queryExecution.executedPlan.toString
+      require(plan.contains("skew=true"),
+        s"q_join_skew_aqe: AQE did not split the hot partition — no skew=true in:\n$plan")
+      require(tSkew <= 2 * tUniform + 2000,
+        s"q_join_skew_aqe: skewed join ${tSkew}ms vs uniform ${tUniform}ms — skew handling ineffective")
+      skewed.localCheckpoint(true)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Time travel (§2.10 / TableStore.readVersion): three committed
     * versions — clicks, +purchases, then a delete — each snapshot
     * read back AS OF its version in one result. DuckDB recomputes
@@ -570,6 +644,37 @@ object BatchQueries {
     }
     leg("v1_v2", v1, v2).unionAll(leg("v2_v3", v2, v3))
       .orderBy(col("leg"))
+  }
+
+  /** @Threshold retention driven THROUGH the annotation (SURVEY §1.4):
+    * three out-of-order persist batches through the typed registry; the
+    * entity keeps only its newest 500 rows by id after each persist
+    * (keep-largest-n is monotone, so the final state is the top-500 of
+    * everything persisted — oracle-expressible as ORDER BY key DESC
+    * LIMIT 500). In-gate: the table never exceeds the threshold, and a
+    * mid-stream batch of already-below-cutoff ids is truncated away on
+    * the spot. */
+  def qThresholdRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("st")).as[RetainedOrder]
+    val gs = new graft.core.GraftSession(s)
+    val tt = gs.registerEntity[RetainedOrder]("retained_order",
+      graft.core.TempDirs.create("graft_thresh_"))
+    val third = base.count() / 3
+    // batches arrive id-interleaved (mod-3 stripes), not sorted
+    (0L until 3L).foreach { r =>
+      tt.persistDs(base.filter(col("o_orderkey") % 3 === r))
+      val n = tt.store.read.count()
+      require(n <= 500L,
+        s"@Threshold(500) table holds $n rows after persist ${r + 1}")
+      require(r == 0 || n == 500L,
+        s"@Threshold(500) table under-filled ($n) once 2 stripes (~${2 * third}) persisted")
+    }
+    tt.ds.toDF()
+      .select(col("o_orderkey").as("k"), col("price"), col("st"))
+      .orderBy(col("k"))
   }
 
   def qPersistFind(s: SparkSession, dir: String): DataFrame = {
