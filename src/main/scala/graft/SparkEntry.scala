@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_ngram"    -> (PipelineQueries.qDedupNgram _),
     "q_dedup_incremental" -> (PipelineQueries.qDedupIncremental _),
     "q_dedup_embed"    -> (PipelineQueries.qDedupEmbed _),
+    "q_dedup_kmeans"   -> (PipelineQueries.qDedupKmeans _),
     "q_text_stats"     -> (PipelineQueries.qTextStats _),
     "q_text_quality"   -> (PipelineQueries.qTextQuality _),
     "q_gopher_rules"   -> (PipelineQueries.qGopherRules _),

@@ -337,6 +337,66 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs at scale (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means-cluster the embedding space
+    * (the IVF codebook trainer, [[Similarity.kmeansCentroids]]), then
+    * compare vectors ONLY within their cluster — candidate volume is
+    * Σ|cell|² instead of n², with `maxCell` capping a degenerate cell
+    * (capBuckets, like every other candidate family). Complements
+    * [[embeddingNearDupPairs]]: k-means cells adapt to the corpus's
+    * density structure (the published SemDeDup formulation), while
+    * hyperplane LSH gives distribution-free collision probabilities.
+    * The quadratic q_dedup_semantic spelling remains the SPEC; this is
+    * its scale path — assignment is a map-only codebook projection, so
+    * the only shuffles are the per-cell self-join (vectors keyed by
+    * cell) and the trainer's k×d-row means. Emitted pairs carry exact
+    * cosine ≥ threshold; misses can only be cross-cell pairs, the
+    * recall trade SemDeDup makes by design (gated by a planted-probe
+    * floor in q_dedup_kmeans).
+    *
+    * `probes` > 1 is IVF-style multi-probe: each vector joins its
+    * `probes` nearest cells, so a pair is a candidate when ANY probed
+    * cell is shared — the standard recall dial for near-boundary
+    * pairs, at `probes`× candidate volume. */
+  /** Corpus-sized cell count: ~256 vectors per cell (pre-probe), the
+    * same keep-bucket-occupancy-constant sizing auto-planes uses —
+    * fixed k would make Σ|cell|² quadratic again as the corpus grows. */
+  private[graft] def sizeCells(n: Long): Int =
+    math.max(16L, math.min(4096L, n / 256L)).toInt
+
+  def clusteredSemanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double = 0.9, k: Int = 0,
+                             iters: Int = 5, maxCell: Int = 5000,
+                             probes: Int = 2): DataFrame = {
+    val kk = if (k > 0) k else sizeCells(df.count())
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, kk, iters,
+      targetSample = math.max(4000, 250 * kk))
+    clusteredSemanticPairsWith(df, idCol, vecCol, cents, threshold, maxCell, probes)
+  }
+
+  /** The pairing half with a PRECOMPUTED codebook — the seam the gate
+    * uses to assert codebook quality (cell-volume split) without
+    * training twice. */
+  private[graft] def clusteredSemanticPairsWith(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], threshold: Double,
+      maxCell: Int, probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= cents.length, "probes must be in [1, k]")
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(graft.functions.VectorFunctions.nearestCells(
+          col(vecCol), cents, probes)).as("cell"))
+    val capped = capBuckets(assigned, Seq("cell"), maxCell)
+    capped.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+      .join(capped.select(col("cell"), col("id").as("id2"), col("v").as("v2")),
+        Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Similarity.cosine(col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct() // a pair sharing several probed cells emits once
+  }
+
   /** Connected components over a near-dup pair graph — the cluster
     * resolution step a production dedup runs after candidate pairing
     * (A~B, B~C must land in ONE group even when A~C was never

@@ -1153,6 +1153,68 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup — the SCALE PATH for q_dedup_semantic's quadratic spec
+    * (Dedup.clusteredSemanticPairs: k-means cells, intra-cell cosine).
+    * SELF-CHECKING on three axes:
+    *   1. sub-quadratic candidate volume — Σ|cell|² must be under
+    *      n²/4, i.e. the clustering genuinely splits the space (a
+    *      degenerate all-one-cell codebook fails);
+    *   2. planted EXACT duplicates (identical vectors land in the
+    *      same cell deterministically, cos = 1.0) must ALL pair;
+    *   3. planted PERTURBED near-dups (deterministic noise, true
+    *      cosine ≈0.93–0.99): of those above cos 0.92, ≥80% must
+    *      pair — genuine near-duplicates are what SemDeDup promises
+    *      recall on (the fixture's own cos-0.4 pairs are
+    *      near-threshold noise, adversarial for ANY clustering; the
+    *      0.4 output threshold just keeps the result non-degenerate).
+    */
+  def qDedupKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val planted = e.orderBy(col("vec_id")).limit(100)
+      .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding"))
+    val plantedNear = e.orderBy(col("vec_id")).limit(100).select(
+      (col("vec_id") + 2L * (maxId + 1L)).as("vec_id"),
+      expr("""CAST(transform(embedding,
+                (x, i) -> x * (1.0D + 0.22D * sin(CAST(vec_id AS DOUBLE) * 41.0D + CAST(i AS DOUBLE))))
+              AS ARRAY<FLOAT>)""").as("embedding"))
+    val corpus = e.unionByName(planted).unionByName(plantedNear).localCheckpoint(true)
+    val n = corpus.count()
+    // axis 1: the codebook must split the space (trained ONCE, shared
+    // with the pairing pass via the -With seam)
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = graft.ops.Dedup.sizeCells(n))
+    val cellSizes = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head.getLong(0)
+    require(cellSizes < n * n / 4,
+      s"q_dedup_kmeans: candidate volume $cellSizes !< ${n * n / 4} — clustering is degenerate")
+    val pairs = Dedup.clusteredSemanticPairsWith(corpus, "vec_id", "embedding",
+      cents, threshold = 0.4, maxCell = 5000, probes = 2).localCheckpoint(true)
+    // axis 2: planted exact copies cannot be missed
+    val plantedMissed = e.orderBy(col("vec_id")).limit(100)
+      .select(col("vec_id").as("id1"), (col("vec_id") + maxId + 1L).as("id2"))
+      .join(pairs, Seq("id1", "id2"), "left_anti").count()
+    require(plantedMissed == 0L,
+      s"q_dedup_kmeans: $plantedMissed planted exact duplicates were not paired")
+    // axis 3: recall floor on planted perturbed near-dups above 0.92
+    val nearTruth = e.orderBy(col("vec_id")).limit(100)
+      .select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .join(plantedNear.select(col("vec_id").as("id2"), col("embedding").as("v2")),
+        col("id2") === col("id1") + 2L * (maxId + 1L))
+      .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.92)
+      .select(col("id1"), col("id2")).localCheckpoint(true)
+    val nTruth = nearTruth.count()
+    require(nTruth > 20L,
+      s"q_dedup_kmeans probe degenerate: only $nTruth perturbed pairs above cos 0.92")
+    val found = nearTruth.join(pairs, Seq("id1", "id2"), "left_semi").count()
+    require(found >= (nTruth * 0.8).toLong,
+      s"q_dedup_kmeans: recall collapse — $found/$nTruth planted near-dups recovered")
+    pairs.filter(col("id1") <= maxId && col("id2") <= maxId)
+      .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Bigram language-model scoring (ops/LanguageModel): the corpus
     * trains add-α bigram statistics, every document gets its mean
     * negative log-likelihood — the CCNet-style "how unlike the corpus

@@ -507,4 +507,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the in-gate require would catch a recall collapse
     assert(recall(24, 1) < 0.8, "sabotaged LSH still cleared the floor; probe is toothless")
   }
+
+  test("SemDeDup planted probe is load-bearing: degenerate codebook fails the floor") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val base = e.orderBy(col("vec_id")).limit(100)
+    val near = base.select((col("vec_id") + maxId + 1L).as("vec_id"),
+      expr("""CAST(transform(embedding,
+                (x, i) -> x * (1.0D + 0.22D * sin(CAST(vec_id AS DOUBLE) * 41.0D + CAST(i AS DOUBLE))))
+              AS ARRAY<FLOAT>)""").as("embedding"))
+    val corpus = e.unionByName(near).localCheckpoint(true)
+    val truth = base.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .join(near.select(col("vec_id").as("id2"), col("embedding").as("v2")),
+        col("id2") === col("id1") + maxId + 1L)
+      .filter(graft.ops.Similarity.cosine(col("v1"), col("v2")) >= 0.92)
+      .select(col("id1"), col("id2")).localCheckpoint(true)
+    val total = truth.count()
+    assert(total > 20)
+    def recall(cents: Array[Array[Double]]): Double = {
+      val pairs = graft.ops.Dedup.clusteredSemanticPairsWith(corpus, "vec_id", "embedding",
+        cents, threshold = 0.4, maxCell = 5000, probes = 2)
+      truth.join(pairs, Seq("id1", "id2"), "left_semi").count().toDouble / total
+    }
+    def cellVolume(cents: Array[Array[Double]]): Long =
+      graft.ops.Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c"))).head.getLong(0)
+    val n = corpus.count()
+    // the trained codebook clears BOTH in-gate axes...
+    val good = graft.ops.Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k = 16)
+    assert(recall(good) >= 0.8, "trained codebook under the in-gate recall floor")
+    assert(cellVolume(good) < n * n / 4, "trained codebook fails the volume split")
+    // ...a degenerate all-identical codebook collapses every vector
+    // into one cell: recall looks perfect (it is brute force), but the
+    // candidate volume is quadratic — the gate's axis-1 require is
+    // what catches this sabotage
+    val dim = good.head.length
+    val degenerate = Array.fill(16)(Array.fill(dim)(0.5))
+    assert(cellVolume(degenerate) >= n * n / 4,
+      "degenerate codebook still passed the volume split; axis-1 require is toothless")
+    // and a codebook that shatters the space while capping cells can
+    // only fail through the RECALL floor: pathological cells that chop
+    // each planted pair apart would show here (trained codebooks do
+    // not — this documents which axis guards which failure)
+    assert(recall(degenerate) >= 0.8,
+      "one-cell codebook is brute force within the cap; recall is not its failure mode")
+  }
 }
