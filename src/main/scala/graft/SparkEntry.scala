@@ -38,6 +38,7 @@ object SparkEntry {
     "q_persist_find"   -> (BatchQueries.qPersistFind _),
     "q_threshold_retention" -> (BatchQueries.qThresholdRetention _),
     "q_join_skew_aqe"  -> (BatchQueries.qJoinSkewAqe _),
+    "q_clone"          -> (BatchQueries.qClone _),
     "q_time_travel"    -> (BatchQueries.qTimeTravel _),
     "q_join_salted"    -> (BatchQueries.qJoinSalted _),
     "q_window_sliding" -> (BatchQueries.qWindowSliding _),
@@ -324,6 +325,20 @@ object SparkEntry {
          strftime(o_orderdate, '%Y-%m-%d') AS to_char_date,
          strftime(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS to_date_rt
          FROM orders ORDER BY o_orderkey""",
+    // shallow clone: both divergent states replayed from orders
+    // (clone deleted status F at ORIGINAL prices; source doubled
+    // prices for keys <= 100)
+    "q_clone" ->
+      """SELECT side, CAST(n AS BIGINT) AS n, price_sum FROM (
+           SELECT 'clone' AS side, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS price_sum
+           FROM orders WHERE o_orderstatus <> 'F'
+           UNION ALL
+           SELECT 'source', count(*),
+                  round(sum(CASE WHEN o_orderkey <= 100
+                            THEN o_totalprice * 2 ELSE o_totalprice END), 2)
+           FROM orders)
+         ORDER BY side""",
     // AQE skew join: the hot-key mapping is replayed relationally;
     // skew-split + wall-time bounds are asserted in-gate
     "q_join_skew_aqe" ->

@@ -404,6 +404,48 @@ object BatchQueries {
     }
   }
 
+  /** Zero-copy shallow clone (TableStore.cloneTo): the clone starts
+    * as an exact snapshot (hardlinked data, inherited schema + stats)
+    * and the two tables then DIVERGE — the clone deletes a status
+    * class while the source doubles a key range via upsert — without
+    * either side seeing the other's writes. In-gate: a clone data
+    * file's link count is ≥2 (zero bytes copied, physically proven),
+    * and the clone still holds exactly the pre-divergence row count
+    * after the source's upsert. DuckDB replays both divergent states
+    * from the orders table. */
+  def qClone(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val src = new graft.core.TableStore(s,
+      graft.core.TempDirs.create("graft_clone_src_"), "o_orderkey")
+    src.append(ev)
+    val cloneDir = graft.core.TempDirs.create("graft_clone_dst_") + "/t"
+    val cl = src.cloneTo(cloneDir)
+    val total = ev.count()
+    require(cl.read.count() == total, "q_clone: clone snapshot incomplete")
+    val firstFile = new java.io.File(s"$cloneDir/files").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val nlink = java.nio.file.Files.getAttribute(firstFile.toPath, "unix:nlink")
+      .asInstanceOf[Number].longValue()
+    require(nlink >= 2L,
+      s"q_clone: clone file has link count $nlink — data was copied, not linked")
+    // diverge both sides
+    cl.delete(col("o_orderstatus") === "F")
+    src.upsert(ev.filter(col("o_orderkey") <= 100)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    require(src.read.count() == total,
+      "q_clone: source row count changed by its own key-preserving upsert?")
+    val cloneAfterSrcWrite = cl.read.count()
+    def side(tag: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
+        .select(lit(tag).as("side"), col("n"), col("price_sum"))
+    val out = side("clone", cl.read).unionAll(side("source", src.read))
+      .orderBy(col("side")).localCheckpoint(true)
+    require(cloneAfterSrcWrite == cl.read.count(),
+      "q_clone: source upsert leaked into the clone")
+    out
+  }
+
   /** Time travel (§2.10 / TableStore.readVersion): three committed
     * versions — clicks, +purchases, then a delete — each snapshot
     * read back AS OF its version in one result. DuckDB recomputes
