@@ -39,6 +39,7 @@ object SparkEntry {
     "q_threshold_retention" -> (BatchQueries.qThresholdRetention _),
     "q_join_skew_aqe"  -> (BatchQueries.qJoinSkewAqe _),
     "q_clone"          -> (BatchQueries.qClone _),
+    "q_join_runtime_filter" -> (BatchQueries.qJoinRuntimeFilter _),
     "q_time_travel"    -> (BatchQueries.qTimeTravel _),
     "q_join_salted"    -> (BatchQueries.qJoinSalted _),
     "q_window_sliding" -> (BatchQueries.qWindowSliding _),
@@ -325,6 +326,15 @@ object SparkEntry {
          strftime(o_orderdate, '%Y-%m-%d') AS to_char_date,
          strftime(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS to_date_rt
          FROM orders ORDER BY o_orderkey""",
+    // runtime bloom filter: join content replayed relationally;
+    // might_contain injection asserted in-gate on the physical plan
+    "q_join_runtime_filter" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                sum(l_quantity) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // shallow clone: both divergent states replayed from orders
     // (clone deleted status F at ORIGINAL prices; source doubled
     // prices for keys <= 100)

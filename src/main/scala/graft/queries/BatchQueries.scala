@@ -404,6 +404,47 @@ object BatchQueries {
     }
   }
 
+  /** Runtime Bloom-filter pushdown (Catalyst InjectRuntimeFilter —
+    * the 100 TB pattern where a selective dim predicate prunes the
+    * FACT scan at runtime): joining lineitem to a filtered orders
+    * slice with broadcast barred must inject `might_contain(bloom)`
+    * into the fact side's scan filter, so most fact rows die before
+    * the shuffle instead of after it. Thresholds are lowered to gate
+    * data volume (production default only fires past 10 GB scans);
+    * the mechanism — bloom built from the creation side's join keys,
+    * evaluated inside the fact scan's codegen — is scale-independent.
+    * Asserted on the finalized adaptive plan; confs restored after. */
+  def qJoinRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+      j.collect() // finalize THIS QueryExecution's adaptive plan
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.contains("might_contain"),
+        s"q_join_runtime_filter: no runtime bloom filter on the fact scan:\n$plan")
+      j.localCheckpoint(true)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Zero-copy shallow clone (TableStore.cloneTo): the clone starts
     * as an exact snapshot (hardlinked data, inherited schema + stats)
     * and the two tables then DIVERGE — the clone deletes a status
