@@ -212,6 +212,7 @@ object SparkEntry {
     "q_append_checked" -> (WarehouseQueries.qAppendChecked _),
     "q_merge_store" -> (WarehouseQueries.qMergeStore _),
     "q_partition_prune" -> (SourceQueries.qPartitionPrune _),
+    "q_dpp_join"       -> (SourceQueries.qDppJoin _),
     "q_split_leakfree" -> (PipelineQueries.qSplitLeakfree _),
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
   )
@@ -2549,6 +2550,13 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS val_sum,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1 ORDER BY 1""",
+    // dynamic partition pruning: the dim's predicate decides the fact
+    // partitions at runtime (injection asserted on the plan in-gate)
+    "q_dpp_join" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS val_sum
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY 1 ORDER BY 1""",
     // leak-free split: the q_dedup_cc transitive-closure replay, then

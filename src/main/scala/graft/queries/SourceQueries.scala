@@ -114,6 +114,42 @@ object SourceQueries {
     }
   }
 
+  /** DYNAMIC partition pruning (the runtime sibling of
+    * q_partition_prune's static PartitionFilters): the fact's
+    * partition filter is not known at plan time — it comes from a
+    * joined dimension's own predicate — so Catalyst injects a
+    * `dynamicpruning` subquery that evaluates the dim side first and
+    * prunes fact DIRECTORIES at runtime (reusing the join's broadcast,
+    * so the dim is read once). At 100 TB this is the star-schema
+    * pattern: `fact JOIN dim ON part_key WHERE dim.attr = …` reads
+    * only the partitions the dim selects. The gate asserts the
+    * injected filter on the physical plan, then oracle-checks the
+    * join aggregate. */
+  def qDppJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    PipelineQueries.withTempIndexDir("graft_dpp_gate_") { path =>
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$path/fact")
+      // the dim carries WHICH types are conversions — the fact filter
+      // only exists after the dim's predicate is evaluated
+      val s2 = s
+      import s2.implicits._
+      Seq(("click", 1), ("purchase", 1), ("view", 0), ("signup", 0), ("error", 0))
+        .toDF("event_type", "is_conversion")
+        .write.mode("overwrite").parquet(s"$path/dim")
+      val fact = s.read.parquet(s"$path/fact")
+      val dim = s.read.parquet(s"$path/dim").filter(col("is_conversion") === 1)
+      val j = fact.join(dim, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"))
+        .orderBy(col("event_type"))
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        s"q_dpp_join: no dynamicpruning expression in the fact's PartitionFilters:\n$plan")
+      j.localCheckpoint(true)
+    }
+  }
+
   /** CSV ingest round-trip: the documents metadata columns travel
     * through headered CSV and back, then aggregate per source. The
     * gate deliberately ships only FLAT columns — free text with
