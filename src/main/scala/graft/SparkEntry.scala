@@ -40,6 +40,7 @@ object SparkEntry {
     "q_join_skew_aqe"  -> (BatchQueries.qJoinSkewAqe _),
     "q_clone"          -> (BatchQueries.qClone _),
     "q_join_runtime_filter" -> (BatchQueries.qJoinRuntimeFilter _),
+    "q_quarantine"     -> (BatchQueries.qQuarantine _),
     "q_time_travel"    -> (BatchQueries.qTimeTravel _),
     "q_join_salted"    -> (BatchQueries.qJoinSalted _),
     "q_window_sliding" -> (BatchQueries.qWindowSliding _),
@@ -327,6 +328,20 @@ object SparkEntry {
          strftime(o_orderdate, '%Y-%m-%d') AS to_char_date,
          strftime(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS to_date_rt
          FROM orders ORDER BY o_orderkey""",
+    // quarantine ingest: the split + per-violation-combo rollup
+    // replayed (concat_ws skips NULLs = array_join over filtered nulls;
+    // check order matches the Spark checks Seq)
+    "q_quarantine" ->
+      """SELECT violated, CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS price_sum
+         FROM (SELECT o_totalprice,
+                 concat_ws(',',
+                   CASE WHEN NOT coalesce(o_totalprice < 100000.0, false)
+                        THEN 'price_under_100k' END,
+                   CASE WHEN NOT coalesce(o_orderdate BETWEEN '1992-01-01' AND '1998-12-31', false)
+                        THEN 'date_in_range' END) AS violated
+               FROM orders)
+         GROUP BY violated ORDER BY violated""",
     // runtime bloom filter: join content replayed relationally;
     // might_contain injection asserted in-gate on the physical plan
     "q_join_runtime_filter" ->

@@ -822,6 +822,41 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     } finally pinned.unpersist()
   }
 
+  /** Quarantine ingest — the routing sibling of [[appendChecked]]'s
+    * abort: rows passing EVERY row-level check commit here, violating
+    * rows commit to `quarantine` with `_violated` (comma-joined names
+    * of the checks they failed) and `_quarantined_at` (the batch's
+    * wall-clock, one value per batch) — nothing is dropped silently,
+    * and the quarantine table is itself queryable/re-ingestable after
+    * repair (the badRecordsPath pattern, but transactional on both
+    * sides). A NULL check result counts as a violation, matching
+    * appendChecked/expectations. One evaluation pass over the pinned
+    * batch; the split is a map-side filter each way. Returns
+    * (accepted, quarantined) row counts. Unlike appendChecked there is
+    * no uniqueness option: uniqueness is a batch-level property with
+    * no single guilty row to route. */
+  def appendQuarantine(rows: DataFrame, checks: Seq[(String, Column)],
+                       quarantine: TableStore): (Long, Long) = {
+    require(checks.nonEmpty, "appendQuarantine: no checks")
+    val pinned = rows.localCheckpoint(true)
+    try {
+      val violated = array(checks.map { case (name, pred) =>
+        when(coalesce(pred, lit(false)), lit(null).cast("string"))
+          .otherwise(lit(name))
+      }: _*)
+      val tagged = pinned.withColumn("_violated",
+        array_join(filter(violated, c => c.isNotNull), ","))
+      val good = tagged.filter(col("_violated") === "").drop("_violated")
+      val bad = tagged.filter(col("_violated") =!= "")
+        .withColumn("_quarantined_at", lit(System.currentTimeMillis()))
+      val nBad = bad.count()
+      val nGood = pinned.count() - nBad
+      if (nGood > 0) append(good)
+      if (nBad > 0) quarantine.append(bad)
+      (nGood, nBad)
+    } finally pinned.unpersist()
+  }
+
   /** Last applied idempotence version for `appId` (a streaming sink's
     * micro-batch id), from the LATEST version file only — the state is
     * cumulative per version, never a chain replay. */

@@ -404,6 +404,40 @@ object BatchQueries {
     }
   }
 
+  /** Quarantine ingest (TableStore.appendQuarantine — the routing
+    * sibling of q_append_checked's abort): one pass splits the batch,
+    * passing rows commit to the main store, each violating row lands
+    * in a quarantine store tagged with the comma-joined names of the
+    * checks it failed — nothing silently dropped, the quarantine is
+    * queryable/re-ingestable after repair. In-gate: counts partition
+    * the batch exactly and each store commits exactly one version.
+    * DuckDB replays the split and the per-violation-combo rollup. */
+  def qQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val main = new graft.core.TableStore(s,
+      graft.core.TempDirs.create("graft_quar_main_"), "o_orderkey")
+    val quar = new graft.core.TableStore(s,
+      graft.core.TempDirs.create("graft_quar_bad_"), "o_orderkey")
+    val checks = Seq(
+      "price_under_100k" -> (col("o_totalprice") < 100000.0),
+      "date_in_range" -> col("o_orderdate").between("1992-01-01", "1998-12-31"))
+    val (nGood, nBad) = main.appendQuarantine(orders, checks, quar)
+    val total = orders.count()
+    require(nGood + nBad == total && nBad > 0L,
+      s"q_quarantine: split $nGood + $nBad does not partition $total (or no violations in fixture)")
+    require(main.read.count() == nGood && quar.read.count() == nBad,
+      "q_quarantine: store contents disagree with the reported split")
+    require(main.versions.size == 1 && quar.versions.size == 1,
+      "q_quarantine: each side must commit exactly one version")
+    main.read.select(lit("").as("violated"), col("o_totalprice"))
+      .unionByName(quar.read.select(col("_violated").as("violated"), col("o_totalprice")))
+      .groupBy(col("violated"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
+      .orderBy(col("violated"))
+      .localCheckpoint(true)
+  }
+
   /** Runtime Bloom-filter pushdown (Catalyst InjectRuntimeFilter —
     * the 100 TB pattern where a selective dim predicate prunes the
     * FACT scan at runtime): joining lineitem to a filtered orders

@@ -136,7 +136,10 @@ class PlanAuditSpec extends AnyFunSuite {
           graft.ops.Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding"),
         "lshTopK(auto planes)" -> graft.ops.Similarity.lshTopK(
           embs, "vec_id", "embedding", embs.filter(col("vec_id") < 50),
-          "vec_id", "embedding", k = 2, planes = 0))) {
+          "vec_id", "embedding", k = 2, planes = 0),
+        "clusteredSemanticPairs" ->
+          graft.ops.Dedup.clusteredSemanticPairs(embs, "vec_id", "embedding",
+            threshold = 0.4, k = 8))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
         s"$name must pair through equi bucket joins, not a product:\n$plan")
