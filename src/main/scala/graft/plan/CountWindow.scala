@@ -29,13 +29,15 @@ import org.apache.spark.sql.functions._
   *
   * Non-numeric order columns bucket through a MONOTONE NUMERIC PROXY
   * (strings: first 8 UTF-8 bytes as an unsigned integer — byte order
-  * IS code-point order; timestamps/dates: epoch seconds). The proxy
+  * IS code-point order; timestamps/dates: epoch seconds; arrays and
+  * structs: the proxy of their FIRST element/field — lexicographic
+  * ordering is dominated by the head, ties merely collide). The proxy
   * only has to be order-preserving, never exact: proxy(a) < proxy(b)
   * ⇒ a < b, so bucket boundaries can't interleave true order, and
-  * rows whose proxies collide (same 8-byte prefix) merely share a
-  * bucket, where the true column orders them. Double rounding and
-  * prefix truncation are monotone coarsenings — they move cut points,
-  * not correctness.
+  * rows whose proxies collide (same 8-byte prefix / equal heads)
+  * merely share a bucket, where the true column orders them. Double
+  * rounding and prefix truncation are monotone coarsenings — they
+  * move cut points, not correctness.
   */
 object CountWindow {
   import org.apache.spark.sql.types._
@@ -43,9 +45,13 @@ object CountWindow {
 
   /** Order-column types the bucketed global window can range-partition
     * (via [[orderProxy]]). Lowering falls back to the reference's
-    * single-partition shape for anything else. */
+    * single-partition shape for anything else — with head-of-container
+    * recursion (r9) that residue is only containers whose HEAD is
+    * itself unorderable-by-proxy (maps, empty structs, binary). */
   def canBucket(dt: DataType): Boolean = dt match {
     case _: NumericType | _: TimestampType | _: DateType | _: StringType => true
+    case a: ArrayType => canBucket(a.elementType)
+    case s: StructType => s.fields.nonEmpty && canBucket(s.fields.head.dataType)
     case _ => false
   }
 
@@ -67,6 +73,18 @@ object CountWindow {
         conv(hex(bin), 16, 10).cast("double") *
           pow(lit(256.0), lit(8) - least(octet_length(bin), lit(8))),
         lit(0.0)) // empty string → 0, the minimum proxy
+    case a: ArrayType =>
+      // lexicographic array order is dominated by the first element;
+      // an EMPTY array (or null head) sorts before every non-empty
+      // one → -∞, the minimum proxy. `get` (not element_at) so an
+      // out-of-bounds index is null, not an ANSI error.
+      coalesce(orderProxy(a.elementType, get(c, lit(0))),
+        lit(Double.NegativeInfinity))
+    case s: StructType =>
+      // struct order compares field-by-field; the head field decides
+      // except on ties (collisions — shared bucket, true order within)
+      coalesce(orderProxy(s.fields.head.dataType, c.getField(s.fields.head.name)),
+        lit(Double.NegativeInfinity))
     case other => throw new IllegalArgumentException(
       s"CountWindow: cannot bucket order column of type $other")
   }

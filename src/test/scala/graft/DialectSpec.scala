@@ -266,10 +266,17 @@ class LoweringSpec extends AnyFunSuite {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "bucketed string window diverged from the single-partition reference result")
-    // un-bucketable order type (array) still falls back — and warns
+    // arrays bucket since r9 (head-element proxy) — no warning
     g.register("wa", Seq((Seq(1), 1.0), (Seq(2), 2.0), (Seq(3), 3.0)).toDF("s", "v"))
     Lowering.lastWindowFallbackWarning.set(null)
     g.execute("select count(t.v) c from wa t window by t.s interval = 2")
+    assert(Lowering.lastWindowFallbackWarning.get() == null,
+      "array order column must take the bucketed path since r9")
+    // a MAP order column is genuinely un-proxyable — falls back, warns
+    g.register("wm", Seq((Map(1 -> 1), 1.0), (Map(2 -> 2), 2.0)).toDF("s", "v"))
+    Lowering.lastWindowFallbackWarning.set(null)
+    try g.execute("select count(t.v) c from wm t window by t.s interval = 2")
+    catch { case _: Exception => () } // maps may not even be orderable; the warn fires at lowering
     assert(Option(Lowering.lastWindowFallbackWarning.get())
       .exists(_.contains("SINGLE-partition")), "un-bucketable fallback must warn")
     // numeric order column: bucketed scale path, no warning
@@ -377,5 +384,41 @@ class LoweringSpec extends AnyFunSuite {
     // still coalesce the tiny test output, so assert on the plan)
     val plan = scalable.queryExecution.executedPlan.toString
     assert(plan.contains("__pid"), s"expected __pid-partitioned windows:\n$plan")
+  }
+
+  test("global count window buckets ARRAY and STRUCT order columns (head proxy)") {
+    // r9: the last single-partition fallback residue — containers —
+    // buckets via the head element/field's monotone proxy. Arrays of
+    // varying length (incl. shared heads = proxy collisions) and
+    // structs ordered by (grp, seq) must match the one-task window.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val n = 7
+    val base = spark.range(0, 500).toDF("i")
+      .withColumn("k", when(col("i") % 7 === 0, array(col("i") / 7))
+        .otherwise(array(col("i") / 7, col("i") % 7, lit(99L))))
+      .withColumn("v", (col("i") % 13).cast("double"))
+    def run(df: org.apache.spark.sql.DataFrame, ord: String) = {
+      val naiveW = Window.orderBy(col(ord)).rowsBetween(-(n - 1), Window.currentRow)
+      val naive = df
+        .select(col("i"), sum(col("v")).over(naiveW).as("s"),
+          row_number().over(Window.orderBy(col(ord))).as("rn"))
+        .filter(col("rn") >= n).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(graft.plan.CountWindow.canBucket(df.schema(ord).dataType), s"$ord not bucketable")
+      val fast = graft.plan.CountWindow.global(df, ord, n,
+          w => Seq(col("i"), sum(col("v")).over(w).as("s")))
+      val plan = fast.queryExecution.executedPlan.toString
+      assert(plan.contains("__pid"), s"container order column fell back to one task:\n$plan")
+      assert(naive == fast.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet,
+        s"bucketed container window diverged for $ord")
+    }
+    run(base, "k")
+    run(base.withColumn("k",
+      struct((col("i") % 5).as("grp"), col("i").as("seq"))), "k")
+    // maps stay un-bucketable (no defined head) — honest fallback
+    assert(!graft.plan.CountWindow.canBucket(
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)))
   }
 }
