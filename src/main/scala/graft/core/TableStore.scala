@@ -721,7 +721,10 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     val (_, content) = latestContent(f).getOrElse(
       throw new IllegalStateException(s"clone: no committed version at $path"))
     val entries = log.decode(content)
-    val target = new TableStore(spark, targetPath, idCol, format)
+    // the DETECTED format, not the constructor arg: a reopened table
+    // (format auto-detected from disk) must clone into the same
+    // on-disk log format it actually uses
+    val target = new TableStore(spark, targetPath, idCol, log)
     require(!target.exists, s"clone: target $targetPath already has versions")
     f.mkdirs(new Path(target.filesDir))
     entries.foreach { e =>
