@@ -5,6 +5,7 @@ DuckDB on the same tables. Usage: check.py <outDir> <sfDir>
 """
 import sys, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -56,8 +57,12 @@ def main():
                                  "(kinds differ — the driver's value hash will diverge; "
                                  "CAST in the oracle SQL)")
                     continue
-                if a.dtype != b.dtype:  # same kind, different width: benign
-                    b = b.astype(a.dtype)
+                if a.dtype != b.dtype:  # same kind, different width: benign —
+                    # but compare at the PROMOTED width: downcasting the wider
+                    # side (old b.astype(a.dtype)) silently wraps an int64
+                    # oracle value outside int32 range into a fake match/diff
+                    common = np.promote_types(a.dtype, b.dtype)
+                    a, b = a.astype(common), b.astype(common)
                 bad = ~((a == b) | (a.isna() & b.isna()))
                 if bad.any():
                     i = bad.idxmax()

@@ -216,7 +216,15 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * compact/upsert/delete rewrite rows into NEW file names, which a
     * file source would re-deliver (the same caveat that makes Delta
     * route CDC readers through the commit log instead). Reads under
-    * the committed schema, so evolved appends surface uniformly. */
+    * the committed schema, so evolved appends surface uniformly.
+    *
+    * CHECKPOINT COMPATIBILITY: the source path moved from files/ to
+    * streamed/ in round 9. A file-source checkpoint records consumed
+    * paths VERBATIM, so a durable checkpoint created against the old
+    * files/ path does not cover streamed/ — resuming it re-delivers
+    * the entire backlog as "new" files (duplicates downstream). Any
+    * checkpoint predating the mirror must be discarded and the query
+    * restarted fresh (or the sink deduplicated by key for one run). */
   def readStream: DataFrame = {
     val schema = committedSchema.getOrElse(read.schema)
     val f = fs
@@ -837,7 +845,19 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * batch; the split is a map-side filter each way. Returns
     * (accepted, quarantined) row counts. Unlike appendChecked there is
     * no uniqueness option: uniqueness is a batch-level property with
-    * no single guilty row to route. */
+    * no single guilty row to route.
+    *
+    * Crash ordering: the QUARANTINE side commits FIRST. The two sides
+    * are separate stores, so a crash between the commits is possible —
+    * the ordering picks which half survives alone. Quarantine-first
+    * means a crash can only leave violations preserved with the
+    * accepted half missing, which the caller repairs by re-running the
+    * batch (the retry re-quarantines the same violations — duplicate
+    * quarantine rows are diagnostic records, not data); the opposite
+    * order could durably accept rows while silently losing the
+    * violations, the exact failure this API exists to prevent. Callers
+    * needing a fully idempotent retry should route the accepted half
+    * through [[appendOnce]] semantics at their batch id. */
   def appendQuarantine(rows: DataFrame, checks: Seq[(String, Column)],
                        quarantine: TableStore): (Long, Long) = {
     require(checks.nonEmpty, "appendQuarantine: no checks")
@@ -854,8 +874,8 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
         .withColumn("_quarantined_at", lit(System.currentTimeMillis()))
       val nBad = bad.count()
       val nGood = pinned.count() - nBad
+      if (nBad > 0) quarantine.append(bad) // violations first — see crash ordering above
       if (nGood > 0) append(good)
-      if (nBad > 0) quarantine.append(bad)
       (nGood, nBad)
     } finally pinned.unpersist()
   }

@@ -343,10 +343,14 @@ object BatchQueries {
   /** AQE skew-join stress (the runtime sibling of qJoinSalted's
     * explicit salting): one synthetic hot key owns ~20% of the fact
     * rows, the dim side is too big to broadcast (forced), and AQE's
-    * skew-split must kick in — the executed plan must carry
-    * `skew=true` — with the skewed join's wall time within 2× of an
-    * identically-sized uniform join (+2 s absolute slack for
-    * micro-noise at small SFs). Skew thresholds are lowered for the
+    * skew-split must kick in. Asserted STRUCTURALLY on the finalized
+    * adaptive plan: `skew=true` on the join node AND ≥2
+    * PartialReducerPartitionSpec entries in an AQEShuffleRead (the
+    * hot partition really was split into parallel partial reads).
+    * Wall-clock is LOGGED, never required — the round-9 bench proved
+    * a timing require flakes under concurrent two-scale load (16–47 s
+    * GC/page-cache spreads on 2–10 s queries turned one bench pass
+    * into a spurious gate FAIL). Skew thresholds are lowered for the
     * gate's data volume (production defaults are 256 MB partitions;
     * the mechanism is identical). Confs are restored afterwards —
     * the gate session is shared. */
@@ -392,11 +396,40 @@ object BatchQueries {
       val (skewed, tSkew) = timed(agg(
         when(col("l_orderkey") % 5 === 0, 0L).otherwise(pmod(col("l_orderkey"), lit(1000)))))
       val (_, tUniform) = timed(agg(pmod(col("l_orderkey"), lit(1000))))
-      val plan = skewed.queryExecution.executedPlan.toString
+      val exec = skewed.queryExecution.executedPlan
+      val plan = exec.toString
       require(plan.contains("skew=true"),
         s"q_join_skew_aqe: AQE did not split the hot partition — no skew=true in:\n$plan")
-      require(tSkew <= 2 * tUniform + 2000,
-        s"q_join_skew_aqe: skewed join ${tSkew}ms vs uniform ${tUniform}ms — skew handling ineffective")
+      // structural evidence of the split itself: the skewed shuffle's
+      // AQEShuffleRead must carry ≥2 partial-reducer specs (one hot
+      // reducer partition fanned out into parallel partial reads)
+      val finalPlan = exec.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }.getOrElse(exec)
+      // QueryStageExec is a LEAF to TreeNode traversal — its materialized
+      // subtree hangs off .plan, not .children — so collect() alone never
+      // sees the AQEShuffleReads; descend stages explicitly
+      def partialSplits(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val here = p match {
+          case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+            r.partitionSpecs.count(
+              _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+          case _ => 0
+        }
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(partialSplits).sum
+      }
+      val partialReads = partialSplits(finalPlan)
+      require(partialReads >= 2,
+        s"q_join_skew_aqe: skew=true but no partial-reducer split in the read specs:\n$plan")
+      // timing is diagnostic only — never a gate verdict (bench noise)
+      if (tSkew > 2 * tUniform + 2000)
+        org.slf4j.LoggerFactory.getLogger("graft.queries.BatchQueries").warn(
+          s"q_join_skew_aqe: skewed ${tSkew}ms vs uniform ${tUniform}ms under load — timing noise, split verified structurally")
       skewed.localCheckpoint(true)
     } finally saved.foreach {
       case (k, Some(v)) => s.conf.set(k, v)

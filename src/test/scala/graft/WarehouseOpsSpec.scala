@@ -164,6 +164,39 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(hashed.count() > 0)
   }
 
+  test("overlap matrix: null groups contribute no pairs, both shapes agree") {
+    val df = Seq(
+      (Some("A"), "abcdefgh"),
+      (Some("B"), "abcdexyzw"),
+      (None: Option[String], "abcdefgh") // null source: ingest defect, never a corpus
+    ).toDF("src", "text")
+    val masked = graft.ops.Overlap.shingleOverlapMatrix(df, "src", "text", k = 5)
+    val joined = graft.ops.Overlap.shingleOverlapMatrix(df, "src", "text", k = 5, exact = true)
+    assert(masked.exceptAll(joined).isEmpty && joined.exceptAll(masked).isEmpty,
+      "mask and join shapes disagree in the presence of a null group")
+    val rows = masked.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "A" && rows.head.getString(1) == "B",
+      s"null group leaked into the pair matrix: ${rows.mkString(", ")}")
+    // the null doc's shingles must not inflate A's count either
+    assert(rows.head.getLong(2) == 4, s"n_a inflated by null-group shingles: ${rows.head}")
+  }
+
+  test("overlap matrix: >63 groups takes the join fallback via the capped probe") {
+    // 70 groups — the limit-64 probe must route to joinMatrix without
+    // ever enumerating all groups on the driver
+    val df = (0 until 70).flatMap { g =>
+      val Seq(a, b) = f"$g%02d".toSeq // digits interleaved with a fixed
+      // letter skeleton: every 5-shingle of this doc carries both
+      // digits, so no two groups share any of its shingles
+      Seq((f"s$g%02d", "abcdefgh"), (f"s$g%02d", s"x${a}y${b}z${a}w${b}v"))
+    }.toDF("src", "text")
+    val m = graft.ops.Overlap.shingleOverlapMatrix(df, "src", "text", k = 5)
+    // every pair shares the 4 'abcdefgh' shingles: 70*69/2 pairs, n_ab=4
+    assert(m.count() == 70L * 69 / 2)
+    val r = m.filter(col("g1") === "s00" && col("g2") === "s01").collect().head
+    assert(r.getLong(4) == 4, s"shared-shingle intersection wrong: $r")
+  }
+
   test("pagerank: partition-invariant, floor-exact, mass-bounded") {
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select(col("doc_id"))
