@@ -39,8 +39,10 @@ echo "## bench smoke ($GATE_SF, single scale)"
 SPARK_GRAFT_SF_DIR="$GATE_SF" SPARK_GRAFT_SF2_DIR=off \
   sbt -batch "runMain graft.Bench" > /tmp/gate_bench.log 2>&1
 # sbt may prefix run stdout with "[info] " — extract the JSON payload
-# wherever it starts on the line
-bench_line=$(grep -o '{"metric".*' /tmp/gate_bench.log | tail -1)
+# wherever it starts on the line. Bench prints TWO json lines since r11
+# (full per-query line, then a compact tail-window summary); the gate's
+# error check needs the FULL line — the one carrying "queries":{...}.
+bench_line=$(grep -o '{"metric".*"queries":{.*' /tmp/gate_bench.log | tail -1)
 if [ -z "$bench_line" ]; then
   echo "BENCH: RED — no JSON line produced (full log: /tmp/gate_bench.log)"
   grep -iE "failed|exception" /tmp/gate_bench.log | head -20

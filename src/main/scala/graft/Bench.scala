@@ -76,9 +76,11 @@ object Bench {
         -1.0
       }
     }
-    // two full passes, per-query min; a query must fail BOTH passes to
-    // report as failed (a one-off hiccup shouldn't redden the bench,
-    // but its time must not come from a half-crashed run either)
+    // two full passes, per-query min, plus an adaptive tie-break pass
+    // for queries whose passes disagree by more than the min (see
+    // below); a query must fail ALL its passes to report as failed (a
+    // one-off hiccup shouldn't redden the bench, but its time must not
+    // come from a half-crashed run either)
     // SPARK_GRAFT_ONLY=q_a,q_b: iterate on a comma-named subset (dev
     // loop; the driver never sets it, so round benches stay complete)
     val only: Option[Set[String]] =
@@ -94,11 +96,28 @@ object Bench {
         .filter(q => only.forall(_.contains(q._1)))
       val p1 = qs.map { case (n, fn) => n -> runOnce(n, fn, dir) }.toMap
       val p2 = qs.map { case (n, fn) => n -> runOnce(n, fn, dir) }.toMap
-      qs.map { case (n, _) =>
+      // adaptive third pass (r10 verdict #1): when the two passes
+      // disagree by more than the min itself (spread > min — ambient
+      // load hit at least one pass) or one failed, a tie-break pass
+      // settles which number is real. Only the noisy queries re-run, so
+      // a quiet bench costs two passes and a contended one converges
+      // instead of shipping a contaminated min. spread reported =
+      // distance from the min to its closest corroborating pass.
+      val retry = qs.filter { case (n, _) =>
         val (a, b) = (p1(n), p2(n))
-        val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
-        val spread = if (a < 0 || b < 0) -1.0 else math.abs(a - b)
-        (n, best, spread)
+        a < 0 || b < 0 || math.abs(a - b) > math.min(a, b)
+      }
+      if (retry.nonEmpty)
+        System.err.println(s"[bench] tie-break pass for ${retry.size} high-spread queries: " +
+          retry.map(_._1).mkString(", "))
+      val p3 = retry.map { case (n, fn) => n -> runOnce(n, fn, dir) }.toMap
+      qs.map { case (n, _) =>
+        val times = (Seq(p1(n), p2(n)) ++ p3.get(n)).filter(_ >= 0).sorted
+        times match {
+          case Seq() => (n, -1.0, -1.0)
+          case Seq(only1) => (n, only1, -1.0) // some pass failed: flagged
+          case best +: rest => (n, best, rest.head - best)
+        }
       }
     }
     def toJson(results: Seq[(String, Double, Double)]): (String, String, Double, String) = {
@@ -251,6 +270,22 @@ object Bench {
     } else System.err.println(
       "[bench] single-scale run: BENCH.json not rewritten (stdout only)")
     println(line)
+    // The driver parses only the LAST ~2000 chars of this process's
+    // output, and the full per-query line above is ~18k — it can never
+    // fit, so the driver's tail parse came back null every round (r9,
+    // r10) and it fell back to reading BENCH.json. Emit a compact
+    // headline summary as the true FINAL line: small enough to survive
+    // the tail window whole, truthful (same numbers as the full line),
+    // and pointing at BENCH.json for the per-query detail.
+    val sf2Total = """"value_sf2":([0-9.]+)""".r
+      .findFirstMatchIn(sf2Json).map(_.group(1))
+    val nErr = errs.count(_ == '"') / 2
+    val nErr2 = """"errors_sf2":\[([^\]]*)\]""".r.findFirstMatchIn(sf2Json)
+      .map(m => m.group(1).count(_ == '"') / 2).getOrElse(0)
+    val nQueries = results.size
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"n_errors":$nErr,"ingest_rows_per_sec":$ingestRate%.0f${sf2Total.map(t => s""","value_sf2":$t,"n_errors_sf2":$nErr2""").getOrElse("")},"runner":"$runner","sf":"$sfDir","queries_detail":"BENCH.json"}"""
+    println(compact)
     System.out.flush()
   }
 }

@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_exact"    -> (PipelineQueries.qDedupExact _),
     "q_dedup_minhash"  -> (PipelineQueries.qDedupMinhash _),
     "q_dedup_simhash"  -> (PipelineQueries.qDedupSimhash _),
+    "q_dedup_image"    -> (PipelineQueries.qDedupImage _),
     "q_dedup_ngram"    -> (PipelineQueries.qDedupNgram _),
     "q_dedup_incremental" -> (PipelineQueries.qDedupIncremental _),
     "q_dedup_embed"    -> (PipelineQueries.qDedupEmbed _),

@@ -224,18 +224,70 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * files/ path does not cover streamed/ — resuming it re-delivers
     * the entire backlog as "new" files (duplicates downstream). Any
     * checkpoint predating the mirror must be discarded and the query
-    * restarted fresh (or the sink deduplicated by key for one run). */
-  def readStream: DataFrame = {
+    * restarted fresh (or the sink deduplicated by key for one run).
+    * Pass the query's checkpoint dir to [[readStream(checkpointLocation*]]
+    * and the hazard fails LOUDLY up front instead of duplicating:
+    * [[validateStreamCheckpoint]] refuses any checkpoint whose source
+    * log references this store's files/ path. readStream stamps
+    * `streamed/_source_v2` as the layout-generation marker. */
+  def readStream: DataFrame = readStream(None)
+
+  /** [[readStream]] with the resuming query's checkpoint directory:
+    * validates the checkpoint against the current source layout before
+    * handing out the source (see CHECKPOINT COMPATIBILITY above). */
+  def readStream(checkpointLocation: Option[String]): DataFrame = {
+    checkpointLocation.foreach(validateStreamCheckpoint)
     val schema = committedSchema.getOrElse(read.schema)
     val f = fs
     f.mkdirs(new Path(filesDir)) // a fresh store streams an empty backlog
     f.mkdirs(new Path(streamedDir))
+    // generation marker: names the layout this source reads (pre-r9
+    // checkpoints recorded files/ paths). pathGlobFilter keeps it out
+    // of the data stream.
+    val marker = new Path(s"$streamedDir/_source_v2")
+    if (!f.exists(marker)) f.create(marker, true).close()
     TableStore.commitLock(path).synchronized {
       reconcileStreamed(f, currentEntries)
     }
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(streamedDir)
+  }
+
+  /** Refuse a stream checkpoint created against the pre-mirror files/
+    * source layout. A FileStreamSource checkpoint records consumed
+    * paths VERBATIM under `<ckpt>/sources/<i>/`; if any recorded path
+    * points into this store's files/ directory the checkpoint predates
+    * the streamed/ mirror and a resume would re-deliver the whole
+    * backlog as "new" files. Fail loudly with the remediation instead. */
+  def validateStreamCheckpoint(checkpointDir: String): Unit = {
+    val f = fs
+    val srcRoot = new Path(s"$checkpointDir/sources")
+    if (!f.exists(srcRoot)) return // fresh checkpoint: nothing recorded yet
+    val filesAbs = new Path(filesDir).toUri.getPath
+    val stale = new scala.collection.mutable.ArrayBuffer[String]()
+    val it = f.listFiles(srcRoot, true)
+    while (it.hasNext && stale.isEmpty) {
+      val st = it.next()
+      if (st.isFile) {
+        val in = f.open(st.getPath)
+        val text =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+            bos.toString("UTF-8")
+          } finally in.close()
+        if (text.contains(s"$filesAbs/")) stale += st.getPath.toString
+      }
+    }
+    if (stale.nonEmpty)
+      throw new IllegalStateException(
+        s"stream checkpoint at $checkpointDir was created against this " +
+        s"store's OLD files/ source layout (recorded path under $filesAbs " +
+        s"in ${stale.head}); the source moved to streamed/ — resuming " +
+        "would re-deliver the entire backlog as duplicates. Discard the " +
+        "checkpoint and restart the query fresh (or deduplicate the sink " +
+        "by key for one run).")
   }
 
   /** Mirror every committed file into streamed/ (no-op until a stream
@@ -1348,6 +1400,7 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       if (f.exists(new Path(streamedDir)))
         f.listStatus(new Path(streamedDir)).toSeq
           .filterNot(s => live.contains(s.getPath.getName))
+          .filterNot(_.getPath.getName == "_source_v2") // layout marker, not data
           .foreach(s => f.delete(s.getPath, false))
     }
 }

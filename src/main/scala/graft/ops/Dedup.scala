@@ -296,6 +296,40 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Perceptual image near-dup pairs (LAION-style pre-encoder dedup):
+    * 64-bit dHash per payload (graft.functions.DHash64 — one compiled
+    * kernel call inside codegen, null for corrupt bytes), then the same
+    * 4×16-bit band machinery as [[simhashPairs]]: candidates must agree
+    * on ≥1 band (guaranteed for Hamming ≤ 3; near-certain beyond that
+    * because codec/brightness noise flips spatially clustered bits, not
+    * uniform ones), verified with `bit_count(xor)`. Shuffles carry
+    * (id, hash) — 16 bytes/image; payloads never leave their scan
+    * partition. Corrupt/undecodable payloads drop out before banding —
+    * they can pair with nothing. */
+  def imageDHashPairs(df: DataFrame, idCol: String, binCol: String,
+                      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
+    val dh = df.select(col(idCol).as("id"),
+        graft.functions.ImageHashFunctions.dhash64(col(binCol)).as("dh"))
+      .filter(col("dh").isNotNull)
+    val banded = dh.select(col("id"), col("dh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("dh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("id"), col("dh"), col("pos").as("band"), col("col").as("bucket"))
+    // skew guard: exact-duplicate image floods (one frame re-posted
+    // millions of times) share all four bands — cap before pairing,
+    // same rationale as simhashPairs
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id1"), col("dh").as("dh1"))
+    val r = capped.select(col("band"), col("bucket"), col("id").as("id2"), col("dh").as("dh2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("dh1"), col("dh2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("dh1").bitwiseXOR(col("dh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Embedding near-dup pairs: multi-table random-hyperplane LSH
     * (candidates = same sign-bit bucket in ANY of `tables` independent
     * hyperplane families — OR-ing tables is what lifts recall:

@@ -99,6 +99,93 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic "tile" image for perceptual-hash gates: gray levels
+    * form a ±12 random walk (seeded per row) across the 9-column ×
+    * 8-row dHash pooling grid, so the image's dHash is a uniformly
+    * random 64-bit function of `seed` — distinct seeds collide within
+    * Hamming 6 with probability ~1e-11 — while every hash bit carries a
+    * 12-gray-level margin (codec re-encode noise cannot flip it) and
+    * levels stay in [68, 164] (a ±16 brightness shift never clips, so
+    * the shift leaves all cell-mean DIFFERENCES — hence the dHash —
+    * exactly unchanged). */
+  private[graft] def renderTileImage(width: Int, height: Int, format: String,
+      seed: Long): Array[Byte] = {
+    val levels = Array.ofDim[Int](8, 9)
+    var r = 0
+    while (r < 8) {
+      // splitmix64 finalizer on (seed, row) — the row's 8 walk bits
+      var z = seed * 0x9E3779B97F4A7C15L + r * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      levels(r)(0) = 116
+      var c = 1
+      while (c < 9) {
+        val bit = (z >>> (c - 1)) & 1L
+        levels(r)(c) = levels(r)(c - 1) + (if (bit == 1L) 12 else -12)
+        c += 1
+      }
+      r += 1
+    }
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var y = 0
+    while (y < height) {
+      val row = levels(y * 8 / height)
+      val rowBase = y * width
+      var x = 0
+      while (x < width) {
+        val v = row(x * 9 / width)
+        px(rowBase + x) = (v << 16) | (v << 8) | v
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
+  /** Decode + re-encode an image payload with `format` — the gate-side
+    * "same picture, different codec" transform (JPEG round-trips add
+    * real DCT noise). */
+  private[graft] def reencodeImage(bytes: Array[Byte], format: String): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "reencodeImage: undecodable fixture payload")
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
+  /** Add `delta` to every RGB channel (clamped to [0,255]) and
+    * re-encode with `format` — the gate-side global-brightness-shift
+    * transform a perceptual hash must be invariant to. */
+  private[graft] def shiftBrightness(bytes: Array[Byte], delta: Int,
+      format: String): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "shiftBrightness: undecodable fixture payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) {
+      val v = px(i)
+      def clamp(ch: Int): Int = math.max(0, math.min(255, ch + delta))
+      px(i) = (clamp((v >>> 16) & 0xFF) << 16) |
+        (clamp((v >>> 8) & 0xFF) << 8) | clamp(v & 0xFF)
+      i += 1
+    }
+    out.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(out, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
   /** Decode image metadata for a binary column. Batched per-partition
     * transform (mapPartitions): one decoder instance per partition, the
     * iterator shape a native codec wants. Output schema = input cols +

@@ -69,8 +69,29 @@ object Overlap {
         .filter(col("g").isNotNull).distinct().limit(64)
         .collect().map(_.getString(0))
     if (!exact && probe.nonEmpty && probe.length <= 63)
-      maskMatrix(df, groupCol, textCol, k, probe.sorted)
+      maskMatrix(df, groupCol, textCol, k, probe.sorted(utf8Ordering))
     else joinMatrix(df, groupCol, textCol, k, exact)
+  }
+
+  /** Spark's string ordering is UTF-8 BINARY (code-point order), not
+    * Java's UTF-16 code-unit order — they disagree on supplementary
+    * characters (U+10000+ sort below U+E000..U+FFFF in UTF-16). The
+    * mask shape's (g1, g2) orientation comes from this sort while the
+    * join shape's comes from Spark's `g1 < g2`, so the sort MUST use
+    * Spark's ordering or the shapes can emit opposite orientations. */
+  private val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
   }
 
   /** One-shuffle bitmask shape (≤63 sources). The popcount pair
@@ -91,6 +112,12 @@ object Overlap {
           col(textCol), k, distinct = true)).as("s"))
       .groupBy(col("s")).agg(expr("bit_or(m)").as("mask"))
       .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      // pin: this subtree feeds pairIdx AND both perIdx broadcast
+      // branches — without the pin, computing the corpus-sized bit_or
+      // once instead of three times silently depends on AQE exchange
+      // reuse. After the aggregate it is metadata-scale (≤ distinct
+      // observed masks, ≪ 2^n in practice), so pinning is cheap.
+      .localCheckpoint(true)
     // mask → its set-bit indexes, evaluated where the masks live
     val bits = maskCounts.select(col("cnt"),
       expr(s"filter(sequence(0, ${n - 1}), i -> (shiftright(mask, i) & 1) = 1)")

@@ -159,6 +159,84 @@ object PipelineQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Perceptual image near-dup pairs (dHash 64-bit + Hamming banding,
+    * the LAION-style pre-encoder image dedup) over a BOUNDED fixture
+    * corpus of 500 synthetic tile images — corpus-scale pairing
+    * behavior is exercised by the text dedup gates; this gate asserts
+    * the image-specific kernel end-to-end. SELF-CHECKING with planted
+    * TRANSFORMED duplicates: for the first 200 base images, a JPEG
+    * re-encode (real DCT noise) and a +16 global brightness shift are
+    * unioned in under offset ids, and every planted (base, transformed)
+    * pair MUST surface at Hamming ≤ 6 — dHash is invariant to both by
+    * construction (the fixture's 12-gray-level bit margin survives
+    * codec noise; brightness shifts cancel in cell-mean differences).
+    * Three planted CORRUPT payloads must pair with nothing (null-hash
+    * skip contract). Distinct base images carry uniformly random hashes
+    * (Multimodal.renderTileImage), so a spurious base pair means the
+    * kernel broke. Emitted result = the verified planted pairs
+    * (id1, id2, transform, hamming) — deterministic. */
+  def qDedupImage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    def dims(id: Long): (Int, Int) =
+      ((18 + math.floorMod(id * 7, 46)).toInt, (18 + math.floorMod(id * 13, 46)).toInt)
+    val ids = docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(500)
+      .repartition(s.sparkContext.defaultParallelism)
+    val off = ids.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val base = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = dims(id)
+        Row(id, Multimodal.renderTileImage(w, h, "png", seed = id))
+      }
+    }
+    val sample = ids.orderBy(col("doc_id")).limit(200)
+    val jpegCopies = sample.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = dims(id)
+        val png = Multimodal.renderTileImage(w, h, "png", seed = id)
+        Row(id + off, Multimodal.reencodeImage(png, "jpeg"))
+      }
+    }
+    val brightCopies = sample.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = dims(id)
+        val png = Multimodal.renderTileImage(w, h, "png", seed = id)
+        Row(id + 2L * off, Multimodal.shiftBrightness(png, 16, "png"))
+      }
+    }
+    val corrupt = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row(3L * off, Array[Byte](1, 2, 3, 4)),
+        Row(3L * off + 1L, "not an image".getBytes("UTF-8")),
+        Row(3L * off + 2L, Array.empty[Byte])),
+      paySchema)
+    val corpus = base.unionByName(jpegCopies).unionByName(brightCopies)
+      .unionByName(corrupt)
+    val pairs = Dedup.imageDHashPairs(corpus, "doc_id", "payload", maxHamming = 6)
+      .localCheckpoint(true)
+    val expected = sample
+      .select(col("doc_id").as("id1"), (col("doc_id") + off).as("id2"),
+        lit("jpeg_reencode").as("transform"))
+      .unionByName(sample.select(col("doc_id").as("id1"),
+        (col("doc_id") + 2L * off).as("id2"), lit("brightness_shift").as("transform")))
+    val missed = expected.join(pairs, Seq("id1", "id2"), "left_anti").count()
+    require(missed == 0L,
+      s"q_dedup_image: $missed planted transformed duplicates were not paired")
+    val corruptHits = pairs.filter(col("id2") >= 3L * off).count()
+    require(corruptHits == 0L,
+      s"q_dedup_image: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
+    expected.join(pairs, Seq("id1", "id2"))
+      .select(col("id1"), col("id2"), col("transform"), col("hamming"))
+      .orderBy(col("id1"), col("transform"))
+  }
+
   /** True n-gram Jaccard near-dup pairs — exact verification over
     * 5-token shingle sets, oracle-checked against DuckDB all-pairs. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =

@@ -199,4 +199,33 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("DHash64: codegen column path == interpreted eval, incl. nulls") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    import graft.functions.{DHash64, ImageHashFunctions}
+    val payloads: Seq[Array[Byte]] =
+      (0L until 12L).map(s =>
+        graft.ops.Multimodal.renderTileImage(30 + s.toInt, 24, "png", s)) ++
+      (0L until 4L).map(s =>
+        graft.ops.Multimodal.renderTileImage(24, 30 + s.toInt, "jpeg", 100L + s)) ++
+      Seq(null, Array.empty[Byte], Array[Byte](9, 9, 9), "plaintext".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(schema)
+    val javaRows = new java.util.ArrayList[Row]()
+    payloads.foreach(p => javaRows.add(Row(p)))
+    // repartition keeps it off the LocalRelation constant-fold path so
+    // the projection actually runs through whole-stage codegen
+    val df = spark.createDataFrame(javaRows, schema).repartition(4)
+    val viaColumn = df.select(ImageHashFunctions.dhash64(col("payload")).as("h"))
+      .collect().map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    val viaInterp = payloads.map(p =>
+      DHash64(Literal(p, BinaryType)).eval(null).asInstanceOf[java.lang.Long])
+    assert(viaColumn.filter(_ == null).length == viaInterp.filter(_ == null).length,
+      "null counts diverge between codegen and interpreted dHash")
+    assert(viaColumn.filter(_ != null).map(_.longValue).sorted.toSeq ==
+      viaInterp.filter(_ != null).map(_.longValue).sorted.toSeq,
+      "dHash values diverge between codegen and interpreted paths")
+  }
 }

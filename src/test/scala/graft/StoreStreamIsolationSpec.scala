@@ -45,4 +45,40 @@ class StoreStreamIsolationSpec extends AnyFunSuite {
       assert(all.toSeq == Seq(1L, 2L, 3L), s"tail wrong: ${all.toSeq}")
     } finally q.stop()
   }
+
+  test("readStream refuses a checkpoint created against the old files/ layout") {
+    val dir = TempDirs.create("graft_ckpt_gen_")
+    val st = new TableStore(spark, dir, "id")
+    st.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+
+    // fabricate a pre-r9 checkpoint: FileStreamSource's consumed-paths
+    // log referencing the store's files/ directory verbatim
+    val oldCkpt = TempDirs.create("graft_ckpt_gen_old_")
+    val srcDir = java.nio.file.Paths.get(s"$oldCkpt/sources/0")
+    java.nio.file.Files.createDirectories(srcDir)
+    val dataFile = new java.io.File(s"$dir/files").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.write(srcDir.resolve("0"),
+      ("v1\n" +
+        s"""{"path":"file://${dataFile.getAbsolutePath}","timestamp":1000,"batchId":0}"""
+      ).getBytes("UTF-8"))
+    val refused = intercept[IllegalStateException] {
+      st.readStream(Some(oldCkpt))
+    }
+    assert(refused.getMessage.contains("files/ source layout") &&
+      refused.getMessage.contains("Discard the checkpoint"),
+      s"refusal lacks the remediation message: ${refused.getMessage}")
+
+    // a checkpoint created against the CURRENT streamed/ layout passes
+    // validation on resume, and the layout marker is stamped
+    val newCkpt = TempDirs.create("graft_ckpt_gen_new_")
+    val q = st.readStream(Some(newCkpt)).writeStream.format("memory")
+      .queryName("ckpt_gen_t").option("checkpointLocation", newCkpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(new java.io.File(s"$dir/streamed/_source_v2").exists(),
+      "readStream did not stamp the streamed/_source_v2 layout marker")
+    st.readStream(Some(newCkpt)) // must not throw
+    // an empty/fresh checkpoint dir is also fine
+    st.readStream(Some(TempDirs.create("graft_ckpt_gen_fresh_")))
+  }
 }

@@ -181,6 +181,29 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) == 4, s"n_a inflated by null-group shingles: ${rows.head}")
   }
 
+  test("overlap matrix: supplementary-char group names orient the same in both shapes") {
+    // U+E000 (private use) vs U+1D11E (musical G clef): UTF-16
+    // code-unit order puts the clef (lead surrogate 0xD834) FIRST,
+    // Spark's UTF-8 binary order puts U+E000 (0xEE.. < 0xF0..) first —
+    // the exact disagreement that flips (g1, g2) orientation if the
+    // mask shape sorts its probe with Java's default String ordering
+    val gPrivate = "\uE000src"
+    val gClef = new String(Character.toChars(0x1D11E)) + "src"
+    assert(gClef < gPrivate && gPrivate.getBytes("UTF-8")(0) == 0xEE.toByte)
+    val df = Seq(
+      (gPrivate, "abcdefgh"),
+      (gClef, "abcdexyzw")
+    ).toDF("src", "text")
+    val masked = graft.ops.Overlap.shingleOverlapMatrix(df, "src", "text", k = 5)
+    val joined = graft.ops.Overlap.shingleOverlapMatrix(df, "src", "text", k = 5, exact = true)
+    assert(masked.exceptAll(joined).isEmpty && joined.exceptAll(masked).isEmpty,
+      "mask and join shapes disagree on supplementary-char group orientation")
+    val r = masked.collect()
+    assert(r.length == 1 && r.head.getString(0) == gPrivate,
+      s"pair orientation does not follow Spark's UTF-8 binary order: ${r.mkString(", ")}")
+  }
+
+
   test("overlap matrix: >63 groups takes the join fallback via the capped probe") {
     // 70 groups — the limit-64 probe must route to joinMatrix without
     // ever enumerating all groups on the driver
