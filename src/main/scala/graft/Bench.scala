@@ -34,10 +34,13 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       // single-file tables (the driver's layout) must not become
-      // single-split scans as data grows: 8 MB splits keep a 113 MB
-      // sf1 file on ~14 cores; AQE re-coalesces small ones. On a real
-      // cluster the input is many files and this matters less.
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      // single-split scans as data grows: 1 MB splits (r11, was 8 MB —
+      // the ~8 MB 10× documents table was ONE split, so its kernel
+      // scans ran single-task) paired with ScaleUp's 1 MB row groups
+      // keep every derived table's scan on all cores; AQE re-coalesces
+      // small partitions downstream. On a real cluster the input is
+      // many files and this matters less.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -46,10 +46,12 @@ object CountWindow {
   /** Order-column types the bucketed global window can range-partition
     * (via [[orderProxy]]). Lowering falls back to the reference's
     * single-partition shape for anything else — with head-of-container
-    * recursion (r9) that residue is only containers whose HEAD is
-    * itself unorderable-by-proxy (maps, empty structs, binary). */
+    * recursion (r9) and the binary byte-prefix proxy (r11) that
+    * residue is only maps, empty structs, and containers whose HEAD
+    * is one of those. */
   def canBucket(dt: DataType): Boolean = dt match {
     case _: NumericType | _: TimestampType | _: DateType | _: StringType => true
+    case BinaryType => true // unsigned byte order = the prefix proxy's order
     case a: ArrayType => canBucket(a.elementType)
     case s: StructType => s.fields.nonEmpty && canBucket(s.fields.head.dataType)
     case _ => false
@@ -68,11 +70,12 @@ object CountWindow {
       // compare as if padded with 0x00 — exactly byte-wise string
       // order. conv() yields the unsigned value as a decimal string;
       // the double cast may round but rounding is monotone.
-      val bin = substring(encode(c, "UTF-8"), 1, 8)
-      coalesce(
-        conv(hex(bin), 16, 10).cast("double") *
-          pow(lit(256.0), lit(8) - least(octet_length(bin), lit(8))),
-        lit(0.0)) // empty string → 0, the minimum proxy
+      bytePrefixProxy(substring(encode(c, "UTF-8"), 1, 8))
+    case BinaryType =>
+      // Spark compares BinaryType by unsigned byte-wise lexicographic
+      // order — exactly what the 8-byte prefix proxy encodes (r11;
+      // was a single-partition fallback)
+      bytePrefixProxy(substring(c, 1, 8))
     case a: ArrayType =>
       // lexicographic array order is dominated by the first element;
       // an EMPTY array (or null head) sorts before every non-empty
@@ -88,6 +91,16 @@ object CountWindow {
     case other => throw new IllegalArgumentException(
       s"CountWindow: cannot bucket order column of type $other")
   }
+
+  /** Unsigned big-endian value of an ≤8-byte prefix, zero-padded to 8
+    * bytes arithmetically (v·256^(8−len)) so shorter inputs compare as
+    * if padded with 0x00 — byte-wise lexicographic order preserved.
+    * Empty/null prefix → 0, the minimum proxy. */
+  private def bytePrefixProxy(bin: Column): Column =
+    coalesce(
+      conv(hex(bin), 16, 10).cast("double") *
+        pow(lit(256.0), lit(8) - least(octet_length(bin), lit(8))),
+      lit(0.0))
 
   /** @param aggs given the full-frame WindowSpec, produce the final
     *   named output columns (aggregates over the spec + plain cols). */

@@ -247,10 +247,11 @@ object Lowering {
           // keyed count window: per-key frames, sort parallelizes by
           // key. Empty keys = compat fallback for order-column types
           // the range-bucketing can't proxy — since r9's
-          // head-of-container recursion that residue is only maps,
-          // binary, empty structs, and containers whose HEAD is one of
-          // those (arrays/structs of orderable types bucket through
-          // the head proxy; CountWindow.canBucket is the source of
+          // head-of-container recursion and r11's binary byte-prefix
+          // proxy that residue is only maps, empty structs, and
+          // containers whose HEAD is one of those (arrays/structs of
+          // orderable types bucket through the head proxy;
+          // CountWindow.canBucket is the source of
           // truth). Exotic for an ordered window; single-partition is
           // the reference's own shape — warn loudly so the shape
           // can't silently surprise at scale.

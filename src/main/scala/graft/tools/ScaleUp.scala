@@ -151,9 +151,15 @@ object ScaleUp {
     val tmp = new File(dstDir, s".${table}_tmp")
     // small row groups: a single-file table is only scan-parallel up
     // to its row-group count (maxPartitionBytes splits are assigned by
-    // row-group midpoint), and this corpus exists to measure scaling
+    // row-group midpoint), and this corpus exists to measure scaling.
+    // 1 MB row groups (r11, was 8 MB): the 10× documents table is only
+    // ~8 MB total, so 8 MB groups left its kernel scans effectively
+    // SINGLE-TASK on a 32-core box — the mechanism behind the text
+    // kernels' ~9× wall ratios at 10× data. A real 100 TB table is
+    // thousands of files/row-groups; the fixture must be splittable
+    // too or it measures the fixture, not the engine.
     df.coalesce(1).write.mode("overwrite")
-      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(tmp.toString)
     val part = tmp.listFiles().find(f => f.getName.startsWith("part-") &&
       f.getName.endsWith(".parquet")).getOrElse(
@@ -175,12 +181,17 @@ object ScaleUp {
     * path-only check a stale or tampered dir could satisfy. */
   def completeMarker(dstDir: String): File = new File(dstDir, "_GRAFT_SCALE_COMPLETE")
 
+  /** Row-group size for derived corpora — part of the fingerprint, so
+    * changing it regenerates existing dirs instead of silently reusing
+    * a corpus with different scan parallelism. */
+  val rowGroupBytes: Int = 1024 * 1024
+
   def fingerprint(srcDir: String, factor: Int): String = {
     val sig = Tables.names.map { t =>
       val f = new File(srcDir, s"$t.parquet")
       s"$t:${f.length()}:${f.lastModified()}"
     }.mkString(",")
-    s"src=$srcDir|factor=$factor|tables=$sig"
+    s"src=$srcDir|factor=$factor|rg=$rowGroupBytes|tables=$sig"
   }
 
   /** Short stable digest of [[fingerprint]] — used to key the derived

@@ -416,6 +416,13 @@ class LoweringSpec extends AnyFunSuite {
     run(base, "k")
     run(base.withColumn("k",
       struct((col("i") % 5).as("grp"), col("i").as("seq"))), "k")
+    // binary buckets through the byte-prefix proxy (r11): variable
+    // lengths, shared prefixes, and an empty payload all order
+    // identically to Spark's unsigned byte-wise comparison
+    run(base.withColumn("k",
+      when(col("i") === 0, lit(Array.empty[Byte]))
+        .otherwise(encode(concat(lpad(conv(col("i"), 10, 16), 3, "0"),
+          when(col("i") % 3 === 0, lit("x")).otherwise(lit(""))), "UTF-8"))), "k")
     // maps stay un-bucketable (no defined head) — honest fallback
     assert(!graft.plan.CountWindow.canBucket(
       org.apache.spark.sql.types.MapType(
