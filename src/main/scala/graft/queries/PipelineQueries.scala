@@ -652,8 +652,10 @@ object PipelineQueries {
   def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
+    // range-partitioned by the leading sort key; trailing sort is
+    // within-partition only (see qMultimodalMeta for the mechanism)
     val ids = docs(s, dir).select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
     val paySchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType)))
@@ -681,7 +683,7 @@ object PipelineQueries {
       col("frame_idx"),
       col("meta.width").as("fw"),
       col("meta.height").as("fh"))
-      .orderBy(col("doc_id"), col("frame_idx"))
+      .sortWithinPartitions(col("doc_id"), col("frame_idx"))
   }
 
   /** Pixel-derived feature extraction, fully oracle-backed over the
@@ -694,8 +696,10 @@ object PipelineQueries {
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
+    // range-partitioned by the leading sort key; trailing sort is
+    // within-partition only (see qMultimodalMeta for the mechanism)
     val ids = docs(s, dir).select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
     val paySchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType)))
@@ -711,7 +715,7 @@ object PipelineQueries {
     Multimodal.extractFeatures(withBin, "payload", grid = 4)
       .select(col("doc_id"), posexplode(col("features")).as(Seq("idx", "val")))
       .select(col("doc_id"), col("idx"), col("val").cast("double").as("val"))
-      .orderBy(col("doc_id"), col("idx"))
+      .sortWithinPartitions(col("doc_id"), col("idx"))
   }
 
   /** Language ID + quality score — fully oracle-backed (the heuristics
@@ -854,9 +858,12 @@ object PipelineQueries {
     // the codec chain is CPU-bound per row; a single-file documents
     // table is one input split, which would serialize 3 decodes + 2
     // encodes per doc onto one task — spread it across the session's
-    // parallelism first (cheap: ids only)
+    // parallelism first (cheap: ids only). RANGE-partitioned by the
+    // final sort key so the trailing sort is within-partition only:
+    // a global orderBy's range-sampling job would re-execute the
+    // whole codec lineage a second time (measured ~2× kernel cost).
     val ids = docs(s, dir).select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
     val paySchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType)))
@@ -882,7 +889,7 @@ object PipelineQueries {
       col("meta0.width").as("w"), col("meta0.height").as("h"),
       col("meta0.format").as("fmt"),
       col("meta.width").as("rw"), col("meta.height").as("rh"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** Audio counterpart of [[qMultimodalMeta]]: synthesize a REAL WAV
@@ -893,8 +900,14 @@ object PipelineQueries {
   def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
+    // range-partition the CHEAP ids by doc_id up front, then sort
+    // within partitions at the end: a trailing global orderBy would
+    // range-sample its input — re-executing the whole render+decode
+    // lineage a second time (measured 2× the kernel cost at 10×
+    // scale). Here the sampling job re-reads only the id scan; the
+    // ordered ranges + per-partition sort give the same total order.
     val ids = docs(s, dir).select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
     val paySchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType)))
@@ -914,7 +927,7 @@ object PipelineQueries {
         col("ameta.channels").as("ch"),
         col("ameta.n_frames").as("frames"),
         floor(col("ameta.n_frames") * 1000 / col("ameta.sample_rate")).as("dur_ms"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** Per-source quota cap: keep at most `cap` documents per source,
