@@ -388,4 +388,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"funnel steps must join on the entity key:\n$plan")
     assert(df.count() == 3L, "funnel emits one row per step")
   }
+
+  test("multimodal kernels: no global sort after the codec chain") {
+    // a trailing global orderBy plans Sort(global=true) over the
+    // render/decode lineage; its RangePartitioner SAMPLING job then
+    // re-executes the whole codec chain a second time (measured 2× the
+    // kernel cost at 10× scale). The queries instead range-partition
+    // the cheap id scan up front and sort WITHIN partitions — assert
+    // every Sort in the plan is non-global (printed "Sort [...], false")
+    // and the one range exchange sits over the id scan, not the kernel.
+    for ((name, df) <- Seq(
+        "q_multimodal_meta" -> queries.PipelineQueries.qMultimodalMeta(spark, sf),
+        "q_multimodal_audio" -> queries.PipelineQueries.qMultimodalAudio(spark, sf),
+        "q_multimodal_frames" -> queries.PipelineQueries.qMultimodalFrames(spark, sf),
+        "q_multimodal_features" -> queries.PipelineQueries.qMultimodalFeatures(spark, sf))) {
+      val plan = finalPlan(df)
+      val globalSorts = plan.linesIterator.filter(l =>
+        l.contains("Sort [") && l.contains("], true")).toList
+      assert(globalSorts.isEmpty,
+        s"$name plans a global sort (its sampling job re-runs the codec chain):\n$plan")
+      // the range exchange must partition doc_ids BEFORE the kernel:
+      // downstream of it the plan holds the mapPartitions chain, so the
+      // exchange itself must not have one upstream of it
+      val exchangeIdx = plan.indexOf("Exchange rangepartitioning")
+      assert(exchangeIdx >= 0, s"$name: expected an up-front range exchange:\n$plan")
+      // the plan prints root-first, so the exchange's input subtree is
+      // the text after it: it must hold only the id scan, never the
+      // codec-chain MapPartitions operators
+      assert(!plan.substring(exchangeIdx).contains("MapPartitions"),
+        s"$name: the range exchange must sit over the id scan, not the kernel:\n$plan")
+    }
+  }
 }
