@@ -121,6 +121,7 @@ object SparkEntry {
     "q_sim_ivf_append" -> (PipelineQueries.qSimIvfAppend _),
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
     "q_multimodal_audio" -> (PipelineQueries.qMultimodalAudio _),
+    "q_audio_stats"    -> (PipelineQueries.qAudioStats _),
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
     "q_split_hash"     -> (PipelineQueries.qSplitHash _),
     "q_pipeline_curate" -> (PipelineQueries.qPipelineCurate _),
@@ -1049,6 +1050,29 @@ object SparkEntry {
     // audio round-trip: real WAVs whose frame count / sample rate are
     // pure functions of doc_id; JDK decode reports them back, DuckDB
     // recomputes independently (floor + BIGINT casts per convention)
+    "q_audio_stats" ->
+      """WITH f AS (
+           SELECT doc_id, CAST(800 + (doc_id * 11) % 1600 AS BIGINT) AS frames
+           FROM documents
+         ), s AS (
+           SELECT doc_id, unnest(generate_series(0, frames - 1)) AS i FROM f
+         ), v AS (
+           SELECT doc_id, i,
+                  (doc_id * 31 + i * 7919 + (i * i) % 97) % 65536 - 32768 AS v
+           FROM s
+         ), c AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM v
+         )
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(max(abs(v)) AS INT) AS peak,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+                CAST(sum(CASE WHEN abs(v) >= 32767 THEN 1 ELSE 0 END) AS BIGINT) AS clip_count
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_multimodal_audio" ->
       """SELECT doc_id,
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INT) AS rate,

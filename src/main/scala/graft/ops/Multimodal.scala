@@ -326,6 +326,19 @@ object Multimodal {
     * stream-copy overhead per call — measured 3 s/5 000 docs, pure
     * fixture cost). DECODING still goes through the real JDK reader. */
   private[graft] def renderWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    var s = seed
+    renderWavWith(nFrames, sampleRate, { _ =>
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s % 32768).toShort
+    })
+  }
+
+  /** [[renderWav]] with a caller-supplied sample function `i → s_i` —
+    * lets a gate plant a waveform BOTH sides can compute exactly (the
+    * engine by decoding these real bytes, an external oracle by
+    * replaying the integer formula). */
+  private[graft] def renderWavWith(nFrames: Int, sampleRate: Int,
+      sample: Int => Short): Array[Byte] = {
     val dataLen = nFrames * 2 // 16-bit mono
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -339,15 +352,98 @@ object Multimodal {
       .putShort(2)                       // block align
       .putShort(16)                      // bits per sample
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var s = seed
     var i = 0
     while (i < nFrames) {
-      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-      buf.putShort((s % 32768).toShort)
+      buf.putShort(sample(i))
       i += 1
     }
     buf.array()
   }
+
+  val audioStatsType: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("peak", IntegerType),
+    StructField("sum_sq", LongType),
+    StructField("zero_crossings", LongType),
+    StructField("clip_count", LongType)))
+
+  /** Sample-level audio quality statistics over a binary column — the
+    * filters an audio-training curation pass runs before any model:
+    * silence detection (`sum_sq`/`n_samples` → energy), clipping
+    * (`clip_count`: samples at full scale, |s| ≥ 32767), signal
+    * activity (`zero_crossings`: sign changes between consecutive
+    * samples, the classic voiced/unvoiced + noisiness proxy), and
+    * `peak`. All counters are EXACT integers, so an external oracle
+    * that can regenerate the waveform replays them bit-for-bit — no
+    * float rounding contract needed.
+    *
+    * The payload is REALLY decoded: the cached JDK reader (see
+    * [[audioReaders]]) parses the container and
+    * `AudioFileReader.getAudioInputStream` yields the PCM stream —
+    * 16-bit signed PCM (either endianness, any channel count; samples
+    * interleave across channels and all contribute). Null or
+    * undecodable payloads, and non-16-bit-PCM encodings, yield a null
+    * stats struct — corrupt bytes must not kill a corpus-scale job.
+    * Zero-crossing sign convention: s ≥ 0 is non-negative; a crossing
+    * is counted whenever consecutive samples' (s < 0) disagree. */
+  def audioStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("astats", audioStatsType))
+    implicit val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val stats = if (bytes == null) null else decodePcm16Stats(bytes)
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }
+  }
+
+  private def decodePcm16Stats(bytes: Array[Byte]): Row = {
+    var rs = audioReaders
+    while (rs.nonEmpty) {
+      try {
+        val ais = rs.head.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16)
+            return null
+          val big = fmt.isBigEndian
+          // payloads are per-row bounded (one clip), so materializing
+          // the decoded PCM of ONE payload is fine at any corpus scale
+          val pcm = ais.readAllBytes()
+          var n = 0L; var peak = 0; var sumSq = 0L; var zc = 0L; var clip = 0L
+          var prevNeg = false
+          var off = 0
+          while (off + 1 < pcm.length) {
+            val s = sampleOf(pcm(off), pcm(off + 1), big)
+            val neg = s < 0
+            if (n > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            if (a >= 32767) clip += 1
+            sumSq += s.toLong * s.toLong
+            n += 1
+            off += 2
+          }
+          return Row(n, peak, sumSq, zc, clip)
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        case _: java.io.IOException => ()
+      }
+      rs = rs.tail
+    }
+    null
+  }
+
+  @inline private def sampleOf(b0: Byte, b1: Byte, bigEndian: Boolean): Int =
+    if (bigEndian) (b0.toInt << 8) | (b1 & 0xff)
+    else (b1.toInt << 8) | (b0 & 0xff)
 
   /** Decode audio metadata for a binary column (batched per-partition,
     * like [[decodeImageMeta]]); null meta for null/undecodable rows. */

@@ -930,6 +930,48 @@ object PipelineQueries {
       .sortWithinPartitions(col("doc_id"))
   }
 
+  /** Sample-level audio quality stats ([[Multimodal.audioStats]]),
+    * fully oracle-backed: each document carries a REAL 16-bit PCM WAV
+    * whose samples follow an integer formula of (doc_id, i) — the
+    * engine decodes the bytes through the JDK audio reader and
+    * accumulates exact integer counters (energy, peak, zero
+    * crossings, clipping); DuckDB regenerates the same samples with
+    * generate_series and replays every counter bit-for-bit. A wrong
+    * encode, a wrong decode, endianness confusion, or an off-by-one
+    * in any counter fails the hash. These are the filters an
+    * audio-training curation pass runs before any model: silence
+    * (energy), clipping, and signal-activity (zero-crossing) gating. */
+  def qAudioStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // range-partitioned by the sort key; trailing sort is
+    // within-partition only (see qMultimodalAudio for the mechanism)
+    val ids = docs(s, dir).select(col("doc_id"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    val withBin = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = (800 + math.floorMod(id * 11, 1600)).toInt
+        Row(id, Multimodal.renderWavWith(frames, 8000, { i =>
+          ((id * 31 + i.toLong * 7919 + (i.toLong * i) % 97) % 65536 - 32768).toShort
+        }))
+      }
+    }
+    Multimodal.audioStats(withBin, "payload")
+      .select(
+        col("doc_id"),
+        col("astats.n_samples").as("n_samples"),
+        col("astats.peak").as("peak"),
+        col("astats.sum_sq").as("sum_sq"),
+        col("astats.zero_crossings").as("zero_crossings"),
+        col("astats.clip_count").as("clip_count"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
   /** Per-source quota cap: keep at most `cap` documents per source,
     * preferring longer documents (quality proxy), doc_id as the
     * deterministic tiebreak — the per-domain cap every large corpus

@@ -227,6 +227,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(metas(2L).isEmpty, "undecodable audio must yield null meta")
   }
 
+  test("audioStats: exact integer counters, endianness, and corrupt payloads") {
+    // silence, a full-scale alternating square, and a short known ramp
+    val silence = Multimodal.renderWavWith(100, 8000, _ => 0)
+    val square = Multimodal.renderWavWith(64, 8000,
+      i => if (i % 2 == 0) 32767 else -32768)
+    val rampSamples = Array[Short](-3, -1, 0, 2, -5, 7)
+    val ramp = Multimodal.renderWavWith(rampSamples.length, 8000, rampSamples(_))
+    // the same square samples through a BIG-ENDIAN container (AIFF via
+    // the real JDK writer) must produce identical stats — catches a
+    // byte-order confusion the all-LE WAV gate can't see
+    val aiff = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val pcm = new java.io.ByteArrayOutputStream()
+      (0 until 64).foreach { i =>
+        val s = if (i % 2 == 0) 32767 else -32768
+        pcm.write((s >> 8) & 0xff); pcm.write(s & 0xff)
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.toByteArray), fmt, 64)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, silence), (2L, square), (3L, ramp), (4L, aiff),
+      (5L, "not audio".getBytes("UTF-8")), (6L, null: Array[Byte]))
+      .toDF("id", "payload")
+    val stats = Multimodal.audioStats(df, "payload")
+      .select(col("id"), col("astats")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    def tup(id: Long) = {
+      val s = stats(id).get
+      (s.getLong(0), s.getInt(1), s.getLong(2), s.getLong(3), s.getLong(4))
+    }
+    assert(tup(1L) == ((100L, 0, 0L, 0L, 0L)), s"silence: ${tup(1L)}")
+    val sqSumSq = 32L * (32767L * 32767L + 32768L * 32768L)
+    assert(tup(2L) == ((64L, 32768, sqSumSq, 63L, 64L)), s"square: ${tup(2L)}")
+    // ramp signs: - - 0+ + - +  → crossings at (-1,0), (2,-5), (-5,7)
+    assert(tup(3L) == ((6L, 7, 9L + 1L + 0L + 4L + 25L + 49L, 3L, 0L)),
+      s"ramp: ${tup(3L)}")
+    assert(tup(4L) == tup(2L), s"AIFF big-endian must match WAV: ${tup(4L)}")
+    assert(stats(5L).isEmpty, "garbage must yield null stats")
+    assert(stats(6L).isEmpty, "null payload must yield null stats")
+  }
+
   test("AVI demux: real container, real frame chunks, JPEG frames decode") {
     // 5-frame MJPEG AVI; null and garbage payloads must contribute 0 rows
     val avi = Multimodal.renderAvi(5, 20, 12, usPerFrame = 40000, seed = 7L)
