@@ -122,6 +122,7 @@ object SparkEntry {
     "q_multimodal_meta"-> (PipelineQueries.qMultimodalMeta _),
     "q_multimodal_audio" -> (PipelineQueries.qMultimodalAudio _),
     "q_audio_stats"    -> (PipelineQueries.qAudioStats _),
+    "q_image_stats"    -> (PipelineQueries.qImageStats _),
     "q_source_cap"     -> ((s, dir) => PipelineQueries.qSourceCap(s, dir)),
     "q_split_hash"     -> (PipelineQueries.qSplitHash _),
     "q_pipeline_curate" -> (PipelineQueries.qPipelineCurate _),
@@ -1050,6 +1051,41 @@ object SparkEntry {
     // audio round-trip: real WAVs whose frame count / sample rate are
     // pure functions of doc_id; JDK decode reports them back, DuckDB
     // recomputes independently (floor + BIGINT casts per convention)
+    "q_image_stats" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS w,
+                  CAST(16 + (doc_id * 13) % 64 AS BIGINT) AS h
+           FROM documents
+         ), px AS (
+           SELECT doc_id, w, h, y.y AS y, x.x AS x,
+                  (doc_id * 31 + y.y * 13 + x.x * 7) % 16777216 AS v
+           FROM dims,
+                unnest(generate_series(0, h - 1)) AS y(y),
+                unnest(generate_series(0, w - 1)) AS x(x)
+         ), l AS (
+           SELECT doc_id, w, h, x, y,
+                  299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS l
+           FROM px
+         ), n AS (
+           SELECT doc_id, w, h, x, y, l,
+                  lag(l)  OVER wx AS lxm, lead(l) OVER wx AS lxp,
+                  lag(l)  OVER wy AS lym, lead(l) OVER wy AS lyp
+           FROM l
+           WINDOW wx AS (PARTITION BY doc_id, y ORDER BY x),
+                  wy AS (PARTITION BY doc_id, x ORDER BY y)
+         )
+         SELECT doc_id,
+                CAST(max(w) AS INT) AS w,
+                CAST(max(h) AS INT) AS h,
+                CAST(sum(l) AS BIGINT) AS sum_luma,
+                CAST(sum(l * l) AS BIGINT) AS sum_luma_sq,
+                CAST(sum(CASE WHEN x > 0 AND x < w - 1 AND y > 0 AND y < h - 1
+                         THEN (4*l - lxm - lxp - lym - lyp) * (4*l - lxm - lxp - lym - lyp)
+                         ELSE 0 END) AS BIGINT) AS lap_sq,
+                CAST(sum(CASE WHEN l >= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+                CAST(sum(CASE WHEN l <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_under
+         FROM n GROUP BY doc_id ORDER BY doc_id""",
     "q_audio_stats" ->
       """WITH f AS (
            SELECT doc_id, CAST(800 + (doc_id * 11) % 1600 AS BIGINT) AS frames

@@ -532,6 +532,80 @@ object Multimodal {
     }
   }
 
+  val imageStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_luma", LongType),
+    StructField("sum_luma_sq", LongType),
+    StructField("lap_sq", LongType),
+    StructField("n_over", LongType),
+    StructField("n_under", LongType)))
+
+  /** Pixel-level image quality statistics over a binary column — the
+    * exposure + sharpness filters an image-training curation pass runs
+    * before any model: brightness (`sum_luma`/pixels), contrast
+    * (`sum_luma_sq` → variance), blur (`lap_sq`: 4-neighbor Laplacian
+    * energy over interior pixels — the classic variance-of-Laplacian
+    * focus measure, kept as a raw sum), over-/under-exposure counts.
+    * Luma is the EXACT integer 299·R + 587·G + 114·B (the Rec.601
+    * weights ×1000 — no division, no floats), so every counter is an
+    * exact integer an external oracle can replay bit-for-bit on a
+    * lossless payload. Thresholds: over ≥ 250·1000, under ≤ 5·1000.
+    * Fits in longs to ≥100-megapixel images. Null/undecodable
+    * payloads yield a null struct — corrupt bytes must not kill a
+    * corpus-scale job. */
+  def imageStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("istats", imageStatsType))
+    implicit val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val stats: Row =
+          if (bytes == null) null
+          else {
+            val img = try ImageIO.read(new ByteArrayInputStream(bytes))
+                      catch { case _: java.io.IOException => null }
+            if (img == null) null
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val lum = new Array[Int](w * h)
+              var sumL = 0L; var sumLsq = 0L; var over = 0L; var under = 0L
+              var i = 0
+              while (i < px.length) {
+                val v = px(i)
+                val l = 299 * ((v >>> 16) & 0xFF) +
+                        587 * ((v >>> 8) & 0xFF) + 114 * (v & 0xFF)
+                lum(i) = l
+                sumL += l; sumLsq += l.toLong * l
+                if (l >= 250000) over += 1
+                if (l <= 5000) under += 1
+                i += 1
+              }
+              var lapSq = 0L
+              var y = 1
+              while (y < h - 1) {
+                val base = y * w
+                var x = 1
+                while (x < w - 1) {
+                  val d = (4L * lum(base + x) - lum(base + x - 1) -
+                    lum(base + x + 1) - lum(base - w + x) - lum(base + w + x))
+                  lapSq += d * d
+                  x += 1
+                }
+                y += 1
+              }
+              Row(w, h, sumL, sumLsq, lapSq, over, under)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }
+  }
+
   // ---- video: MJPEG-in-AVI container (REAL RIFF demux) ----------------
 
   val videoMetaType: StructType = StructType(Seq(

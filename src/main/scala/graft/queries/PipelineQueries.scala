@@ -972,6 +972,47 @@ object PipelineQueries {
       .sortWithinPartitions(col("doc_id"))
   }
 
+  /** Pixel-level image quality stats ([[Multimodal.imageStats]]),
+    * fully oracle-backed: each document carries a REAL PNG (lossless,
+    * so decoded pixels equal the render formula) whose RGB at (x, y)
+    * is an integer formula of doc_id — the engine decodes the bytes
+    * through ImageIO and accumulates exact integer counters
+    * (brightness, contrast, Laplacian blur energy, exposure counts);
+    * DuckDB regenerates every pixel with generate_series and replays
+    * all counters bit-for-bit. These are the exposure/sharpness
+    * filters an image-training curation pass gates on. */
+  def qImageStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // range-partitioned by the sort key; trailing sort is
+    // within-partition only (see qMultimodalAudio for the mechanism)
+    val ids = docs(s, dir).select(col("doc_id"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    val withBin = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (16 + math.floorMod(id * 7, 64)).toInt
+        val h = (16 + math.floorMod(id * 13, 64)).toInt
+        Row(id, Multimodal.renderImage(w, h, "png", seed = id))
+      }
+    }
+    Multimodal.imageStats(withBin, "payload")
+      .select(
+        col("doc_id"),
+        col("istats.width").as("w"),
+        col("istats.height").as("h"),
+        col("istats.sum_luma").as("sum_luma"),
+        col("istats.sum_luma_sq").as("sum_luma_sq"),
+        col("istats.lap_sq").as("lap_sq"),
+        col("istats.n_over").as("n_over"),
+        col("istats.n_under").as("n_under"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
   /** Per-source quota cap: keep at most `cap` documents per source,
     * preferring longer documents (quality proxy), doc_id as the
     * deterministic tiebreak — the per-domain cap every large corpus

@@ -273,6 +273,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stats(6L).isEmpty, "null payload must yield null stats")
   }
 
+  test("imageStats: exact luma/Laplacian counters and exposure counts") {
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // flat mid-gray: zero Laplacian, zero exposure hits
+    val flat = png(8, 8)((_, _) => 0x808080)       // luma = 1000*128
+    // white: every pixel over-exposed (luma 255000 ≥ 250000)
+    val white = png(4, 4)((_, _) => 0xFFFFFF)
+    // black-white column stripes: interior Laplacian is ±2·255000
+    // (left+right neighbors flip, up+down agree with the center)
+    val stripes = png(6, 4)((x, _) => if (x % 2 == 0) 0 else 0xFFFFFF)
+    val df = Seq(
+      (1L, flat), (2L, white), (3L, stripes),
+      (4L, "not an image".getBytes("UTF-8")), (5L, null: Array[Byte]))
+      .toDF("id", "payload")
+    val stats = Multimodal.imageStats(df, "payload")
+      .select(col("id"), col("istats")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    def tup(id: Long) = {
+      val s = stats(id).get
+      (s.getInt(0), s.getInt(1), s.getLong(2), s.getLong(3), s.getLong(4),
+        s.getLong(5), s.getLong(6))
+    }
+    val gl = 1000L * 128
+    assert(tup(1L) == ((8, 8, 64 * gl, 64 * gl * gl, 0L, 0L, 0L)),
+      s"flat gray: ${tup(1L)}")
+    val wl = 255000L
+    assert(tup(2L) == ((4, 4, 16 * wl, 16 * wl * wl, 0L, 16L, 0L)),
+      s"white: ${tup(2L)}")
+    // stripes: 4×2 interior pixels; center black → d = -2·255000,
+    // center white → d = +2·255000; either way d² = 4·255000²
+    val st = tup(3L)
+    assert((st._1, st._2, st._3) == ((6, 4, 12 * wl)), s"stripes dims/luma: $st")
+    assert(st._5 == 8L * 4L * wl * wl, s"stripes Laplacian energy: $st")
+    assert((st._6, st._7) == ((12L, 12L)), s"stripes exposure counts: $st")
+    assert(stats(4L).isEmpty, "garbage must yield null stats")
+    assert(stats(5L).isEmpty, "null payload must yield null stats")
+  }
+
   test("AVI demux: real container, real frame chunks, JPEG frames decode") {
     // 5-frame MJPEG AVI; null and garbage payloads must contribute 0 rows
     val avi = Multimodal.renderAvi(5, 20, 12, usPerFrame = 40000, seed = 7L)
