@@ -77,6 +77,8 @@ object SparkEntry {
     "q_dedup_minhash"  -> (PipelineQueries.qDedupMinhash _),
     "q_dedup_simhash"  -> (PipelineQueries.qDedupSimhash _),
     "q_dedup_image"    -> (PipelineQueries.qDedupImage _),
+    "q_dedup_audio"    -> (PipelineQueries.qDedupAudio _),
+    "q_dedup_video"    -> (PipelineQueries.qDedupVideo _),
     "q_dedup_ngram"    -> (PipelineQueries.qDedupNgram _),
     "q_dedup_incremental" -> (PipelineQueries.qDedupIncremental _),
     "q_dedup_embed"    -> (PipelineQueries.qDedupEmbed _),

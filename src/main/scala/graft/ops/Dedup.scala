@@ -268,67 +268,91 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.TextHashFunctions.simhash(text)
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+  /** Shared Hamming-band pairing over a 64-bit LSH-family hash — the
+    * candidate+verify machinery behind [[simhashPairs]] (text),
+    * [[imageDHashPairs]] (image dHash), [[audioFpPairs]] (audio energy
+    * fingerprint) and [[videoDHashPairs]] (frame-majority video hash).
+    * Input: an ("id", "h") frame with null hashes already dropped.
     * Candidates via 4×16-bit band buckets (a pair within distance 3
-    * must agree on ≥1 band), verified with bit_count(xor). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val banded = sh.select(col("id"), col("sh"),
+    * must agree on ≥1 band; near-certain beyond that for perceptual
+    * hashes because codec/brightness noise flips CLUSTERED bits, not
+    * uniform ones), skew-capped, then verified with `bit_count(xor)`.
+    * Shuffles carry (id, hash) — 16 bytes/row; payloads/text never
+    * leave their scan partition.
+    *
+    * Skew guard rationale: a band bucket holding > maxBucket rows
+    * (boilerplate text, one image re-posted millions of times —
+    * exact duplicates share ALL bands) would pair quadratically; it is
+    * dropped before pairing. Measured: without this, a corpus where
+    * each doc has 9 near-copies paired at ~50× the 10×-data cost
+    * (SCALE.md "Scaling study"). */
+  private[ops] def hammingBand64Pairs(hashed: DataFrame, maxHamming: Int,
+                                      maxBucket: Int): DataFrame = {
+    val banded = hashed.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .select(col("id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
-    // skew guard: a band bucket holding > maxBucket docs (boilerplate
-    // or exact-duplicate floods — identical token bags share a full
-    // signature, so a hot bucket would pair quadratically) is dropped
-    // before pairing. Measured: without this, a corpus where each doc
-    // has 9 near-copies paired at ~50× the 10×-data cost (SCALE.md
-    // "Scaling study").
+        shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("id"), col("h"), col("pos").as("band"), col("col").as("bucket"))
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-    val l = capped.select(col("band"), col("bucket"), col("id").as("id1"), col("sh").as("sh1"))
-    val r = capped.select(col("band"), col("bucket"), col("id").as("id2"), col("sh").as("sh2"))
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id1"), col("h").as("h1"))
+    val r = capped.select(col("band"), col("bucket"), col("id").as("id2"), col("h").as("h2"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+      .select(col("id1"), col("id2"), col("h1"), col("h2"))
       .dropDuplicates("id1", "id2")
-      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via
+    * [[hammingBand64Pairs]]. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingBand64Pairs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("h")),
+      maxHamming, maxBucket)
+
   /** Perceptual image near-dup pairs (LAION-style pre-encoder dedup):
     * 64-bit dHash per payload (graft.functions.DHash64 — one compiled
-    * kernel call inside codegen, null for corrupt bytes), then the same
-    * 4×16-bit band machinery as [[simhashPairs]]: candidates must agree
-    * on ≥1 band (guaranteed for Hamming ≤ 3; near-certain beyond that
-    * because codec/brightness noise flips spatially clustered bits, not
-    * uniform ones), verified with `bit_count(xor)`. Shuffles carry
-    * (id, hash) — 16 bytes/image; payloads never leave their scan
-    * partition. Corrupt/undecodable payloads drop out before banding —
-    * they can pair with nothing. */
+    * kernel call inside codegen, null for corrupt bytes), paired via
+    * [[hammingBand64Pairs]]. Corrupt/undecodable payloads drop out
+    * before banding — they can pair with nothing. */
   def imageDHashPairs(df: DataFrame, idCol: String, binCol: String,
-                      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
-    val dh = df.select(col(idCol).as("id"),
-        graft.functions.ImageHashFunctions.dhash64(col(binCol)).as("dh"))
-      .filter(col("dh").isNotNull)
-    val banded = dh.select(col("id"), col("dh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("dh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .select(col("id"), col("dh"), col("pos").as("band"), col("col").as("bucket"))
-    // skew guard: exact-duplicate image floods (one frame re-posted
-    // millions of times) share all four bands — cap before pairing,
-    // same rationale as simhashPairs
-    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-    val l = capped.select(col("band"), col("bucket"), col("id").as("id1"), col("dh").as("dh1"))
-    val r = capped.select(col("band"), col("bucket"), col("id").as("id2"), col("dh").as("dh2"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("dh1"), col("dh2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("hamming", bit_count(col("dh1").bitwiseXOR(col("dh2"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
-  }
+                      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame =
+    hammingBand64Pairs(
+      df.select(col(idCol).as("id"),
+          graft.functions.ImageHashFunctions.dhash64(col(binCol)).as("h"))
+        .filter(col("h").isNotNull),
+      maxHamming, maxBucket)
+
+  /** Perceptual audio near-dup pairs: 64-bit energy-difference
+    * fingerprint per payload (graft.functions.AudioFp64 — one compiled
+    * kernel call inside codegen; invariant to gain change and
+    * resampling, stable under dither — see
+    * graft.functions.AudioFingerprint), paired via
+    * [[hammingBand64Pairs]]. Corrupt/undecodable/too-short payloads
+    * hash to null and drop out before banding. */
+  def audioFpPairs(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame =
+    hammingBand64Pairs(
+      df.select(col(idCol).as("id"),
+          graft.functions.MediaHashFunctions.audioFp64(col(binCol)).as("h"))
+        .filter(col("h").isNotNull),
+      maxHamming, maxBucket)
+
+  /** Perceptual video near-dup pairs: per-bit majority over evenly
+    * sampled frame dHashes (graft.functions.VideoDHash64 — real AVI
+    * demux + per-frame decode in one compiled kernel call; re-encoded
+    * and brightness-shifted clips land within small Hamming distance),
+    * paired via [[hammingBand64Pairs]]. Non-AVI/frameless payloads
+    * hash to null and drop out before banding. */
+  def videoDHashPairs(df: DataFrame, idCol: String, binCol: String,
+                      maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame =
+    hammingBand64Pairs(
+      df.select(col(idCol).as("id"),
+          graft.functions.MediaHashFunctions.videoDHash64(col(binCol)).as("h"))
+        .filter(col("h").isNotNull),
+      maxHamming, maxBucket)
 
   /** Embedding near-dup pairs: multi-table random-hyperplane LSH
     * (candidates = same sign-bit bucket in ANY of `tables` independent

@@ -285,7 +285,7 @@ object Multimodal {
     * semantics are unchanged: container magics are disjoint (RIFF /
     * FORM / .snd / MThd), so reader order never changes which one
     * accepts a given payload — only how many reject it first. */
-  private lazy val audioReaders
+  private[graft] lazy val audioReaders
       : List[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
     java.util.ServiceLoader
@@ -358,6 +358,66 @@ object Multimodal {
       i += 1
     }
     buf.array()
+  }
+
+  /** 65 per-frame mean-|sample| levels as a seeded ±2000 random walk in
+    * [2000, 30000] (reflecting at the bounds, all levels even) — the
+    * audio counterpart of [[renderTileImage]]'s gray-level walk: the
+    * energy-difference fingerprint ([[graft.functions.AudioFingerprint]])
+    * of a waveform realizing these levels is the walk's comparison bits
+    * EXACTLY, and every bit carries a 2000-level margin, so gain
+    * halving (exact: levels are even), 2× sample duplication (exact:
+    * frame boundaries scale), and ±8 dither (≪ margin) cannot flip it. */
+  private[graft] def fpWalkLevels(seed: Long): Array[Int] = {
+    def splitmix(s: Long, r: Int): Long = {
+      var z = s * 0x9E3779B97F4A7C15L + r * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val levels = new Array[Int](65)
+    levels(0) = 16000
+    var f = 1
+    while (f < 65) {
+      val up = (splitmix(seed, f) & 1L) == 1L
+      val next = levels(f - 1) + (if (up) 2000 else -2000)
+      levels(f) =
+        if (next > 30000) levels(f - 1) - 2000
+        else if (next < 2000) levels(f - 1) + 2000
+        else next
+      f += 1
+    }
+    levels
+  }
+
+  /** Deterministic fingerprint-fixture WAV realizing [[fpWalkLevels]]:
+    * each of the 65 fingerprint frames holds `samplesPerFrame` samples
+    * alternating +level/−level (mean |s| = level exactly, since
+    * |±A| = A), optionally gain-scaled by `gainNum/gainDen` (levels are
+    * even, so /2 is exact), per-sample dithered by a seeded value in
+    * [−dither, +dither], and with each sample emitted `repeat` times
+    * (exact 2× "resample": frame boundaries scale with n). A REAL WAV
+    * container the JDK reader decodes — the transforms a gate plants
+    * are independently RENDERED copies, not byte edits. */
+  private[graft] def renderWalkWav(samplesPerFrame: Int, sampleRate: Int,
+      seed: Long, gainNum: Int = 1, gainDen: Int = 1, dither: Int = 0,
+      repeat: Int = 1): Array[Byte] = {
+    require(samplesPerFrame > 0 && repeat > 0 && gainNum > 0 && gainDen > 0)
+    val levels = fpWalkLevels(seed)
+    val n = 65 * samplesPerFrame * repeat
+    renderWavWith(n, sampleRate, { i =>
+      val j = i / repeat
+      val f = j / samplesPerFrame
+      val base = levels(f) * gainNum / gainDen
+      val d =
+        if (dither == 0) 0
+        else {
+          var z = seed * 0x9E3779B97F4A7C15L + j * 0x2545F4914F6CDD1DL
+          z ^= z >>> 33
+          (math.floorMod(z, 2L * dither + 1L) - dither).toInt
+        }
+      ((if (j % 2 == 0) base else -base) + d).toShort
+    })
   }
 
   val audioStatsType: StructType = StructType(Seq(
@@ -617,7 +677,7 @@ object Multimodal {
 
   /** Parsed AVI: header fields + the REAL frame index — (offset, length)
     * of every video chunk ('##dc'/'##db') in the movi list. */
-  private[ops] final case class AviInfo(width: Int, height: Int,
+  private[graft] final case class AviInfo(width: Int, height: Int,
       usPerFrame: Int, frames: IndexedSeq[(Int, Int)])
 
   /** Minimal RIFF/AVI parser (the video counterpart of the WAV header
@@ -627,7 +687,7 @@ object Multimodal {
     * comes from the container's real chunk index, never from a size
     * heuristic. Returns None for null/truncated/non-AVI payloads
     * (corrupt bytes must not kill a corpus-scale job). */
-  private[ops] def parseAvi(b: Array[Byte]): Option[AviInfo] = {
+  private[graft] def parseAvi(b: Array[Byte]): Option[AviInfo] = {
     if (b == null || b.length < 24) return None
     def u32(off: Int): Int =
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
@@ -671,10 +731,19 @@ object Multimodal {
     * count, dimensions and timing are known from the arguments while
     * the payload is a REAL container holding REAL codec output. */
   private[graft] def renderAvi(nFrames: Int, width: Int, height: Int,
-      usPerFrame: Int, seed: Long): Array[Byte] = {
-    require(nFrames > 0, "renderAvi: need at least one frame")
-    val jpegs = (0 until nFrames).map(i =>
-      renderImage(width, height, "jpeg", seed * 1000003L + i))
+      usPerFrame: Int, seed: Long): Array[Byte] =
+    muxAvi((0 until nFrames).map(i =>
+      renderImage(width, height, "jpeg", seed * 1000003L + i)),
+      width, height, usPerFrame)
+
+  /** The container half of [[renderAvi]]: mux CALLER-SUPPLIED JPEG
+    * frames into the same RIFF AVI layout — lets a gate build clips
+    * from any frame source (tile images, re-encoded or
+    * brightness-shifted copies) while the container stays identical. */
+  private[graft] def muxAvi(jpegs: Seq[Array[Byte]], width: Int, height: Int,
+      usPerFrame: Int): Array[Byte] = {
+    require(jpegs.nonEmpty, "muxAvi: need at least one frame")
+    val nFrames = jpegs.length
     val maxFrame = jpegs.map(_.length).max
     def padded(n: Int) = n + (n & 1)
     val moviSize = 4 + jpegs.map(j => 8 + padded(j.length)).sum

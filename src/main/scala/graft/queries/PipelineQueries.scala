@@ -237,6 +237,146 @@ object PipelineQueries {
       .orderBy(col("id1"), col("transform"))
   }
 
+  /** Perceptual audio dedup ([[Dedup.audioFpPairs]]), SELF-CHECKING
+    * with planted transformed duplicates: 500 REAL WAVs whose
+    * energy-difference fingerprint realizes a seeded walk with
+    * 2000-level bit margins ([[Multimodal.renderWalkWav]]), plus — for
+    * a 200-doc sample — a gain-halved render, a ±8-dithered render and
+    * a 2×-sample-duplicated ("resampled") render, each an independently
+    * RENDERED real WAV. The margins make all three fingerprint-exact,
+    * so every planted pair MUST pair (a miss is a structural bug in the
+    * kernel or the band join, never fixture luck); corrupt / too-short
+    * payloads hash to null and must pair with nothing. */
+  def qDedupAudio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    def spf(id: Long): Int = (24 + math.floorMod(id * 5, 17)).toInt
+    val ids = docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(500)
+      .repartition(s.sparkContext.defaultParallelism)
+    val off = ids.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val base = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Multimodal.renderWalkWav(spf(id), 8000, seed = id))
+      }
+    }
+    val sample = ids.orderBy(col("doc_id")).limit(200)
+    def copies(k: Long, render: Long => Array[Byte]) =
+      sample.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + k * off, render(id))
+        }
+      }
+    val gain = copies(1L, id =>
+      Multimodal.renderWalkWav(spf(id), 8000, seed = id, gainDen = 2))
+    val dithered = copies(2L, id =>
+      Multimodal.renderWalkWav(spf(id), 8000, seed = id, dither = 8))
+    val resampled = copies(3L, id =>
+      Multimodal.renderWalkWav(spf(id), 16000, seed = id, repeat = 2))
+    val corrupt = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row(4L * off, Array[Byte](1, 2, 3, 4)),
+        Row(4L * off + 1L, "not audio".getBytes("UTF-8")),
+        Row(4L * off + 2L, Array.empty[Byte]),
+        // real WAV but < 65 samples: too short to fingerprint
+        Row(4L * off + 3L, Multimodal.renderWav(32, 8000, seed = 1L))),
+      paySchema)
+    val corpus = base.unionByName(gain).unionByName(dithered)
+      .unionByName(resampled).unionByName(corrupt)
+    val pairs = Dedup.audioFpPairs(corpus, "doc_id", "payload", maxHamming = 6)
+      .localCheckpoint(true)
+    val expected = Seq(("gain_half", 1L), ("dither", 2L), ("resample_2x", 3L))
+      .map { case (name, k) =>
+        sample.select(col("doc_id").as("id1"),
+          (col("doc_id") + k * off).as("id2"), lit(name).as("transform"))
+      }.reduce(_ unionByName _)
+    val missed = expected.join(pairs, Seq("id1", "id2"), "left_anti").count()
+    require(missed == 0L,
+      s"q_dedup_audio: $missed planted transformed duplicates were not paired")
+    val corruptHits = pairs.filter(col("id2") >= 4L * off).count()
+    require(corruptHits == 0L,
+      s"q_dedup_audio: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
+    expected.join(pairs, Seq("id1", "id2"))
+      .select(col("id1"), col("id2"), col("transform"), col("hamming"))
+      .orderBy(col("id1"), col("transform"))
+  }
+
+  /** Perceptual video dedup ([[Dedup.videoDHashPairs]]), SELF-CHECKING
+    * with planted transformed duplicates: 250 REAL MJPEG AVIs — each a
+    * 5-frame "static scene" clip (one seeded tile image under a small
+    * per-frame brightness ramp, so frames are visually correlated the
+    * way real consecutive frames are, and the per-bit majority hash
+    * realizes the tile's walk bits) — plus, for a 100-doc sample, a
+    * per-frame JPEG re-encoded copy and a globally brightness-shifted
+    * copy, each re-muxed through the same real RIFF container. All
+    * planted pairs must pair within Hamming 6 (per-frame codec noise
+    * is ≤3 bits at the tile fixture's margins and the 5-frame majority
+    * absorbs it); non-AVI / corrupt payloads hash to null and must
+    * pair with nothing. */
+  def qDedupVideo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    def dims(id: Long): (Int, Int) =
+      ((24 + math.floorMod(id * 7, 40)).toInt, (20 + math.floorMod(id * 13, 32)).toInt)
+    def clip(id: Long, extraDelta: Int, reencode: Boolean): Array[Byte] = {
+      val (w, h) = dims(id)
+      val png = Multimodal.renderTileImage(w, h, "png", seed = id)
+      val frames = (0 until 5).map { f =>
+        val jpeg = Multimodal.shiftBrightness(png, extraDelta + 2 * f, "jpeg")
+        if (reencode) Multimodal.reencodeImage(jpeg, "jpeg") else jpeg
+      }
+      Multimodal.muxAvi(frames, w, h, usPerFrame = 40000)
+    }
+    val ids = docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(250)
+      .repartition(s.sparkContext.defaultParallelism)
+    val off = ids.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val base = ids.mapPartitions { rows =>
+      rows.map { r => Row(r.getLong(0), clip(r.getLong(0), 0, reencode = false)) }
+    }
+    val sample = ids.orderBy(col("doc_id")).limit(100)
+    val reencoded = sample.mapPartitions { rows =>
+      rows.map { r => Row(r.getLong(0) + off, clip(r.getLong(0), 0, reencode = true)) }
+    }
+    val brightened = sample.mapPartitions { rows =>
+      rows.map { r => Row(r.getLong(0) + 2L * off, clip(r.getLong(0), 16, reencode = false)) }
+    }
+    val corrupt = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row(3L * off, Array[Byte](1, 2, 3, 4)),
+        Row(3L * off + 1L, "not a video".getBytes("UTF-8")),
+        Row(3L * off + 2L, Array.empty[Byte]),
+        // real WAV: a decodable container of the WRONG modality
+        Row(3L * off + 3L, Multimodal.renderWav(100, 8000, seed = 1L))),
+      paySchema)
+    val corpus = base.unionByName(reencoded).unionByName(brightened)
+      .unionByName(corrupt)
+    val pairs = Dedup.videoDHashPairs(corpus, "doc_id", "payload", maxHamming = 6)
+      .localCheckpoint(true)
+    val expected = sample
+      .select(col("doc_id").as("id1"), (col("doc_id") + off).as("id2"),
+        lit("frame_reencode").as("transform"))
+      .unionByName(sample.select(col("doc_id").as("id1"),
+        (col("doc_id") + 2L * off).as("id2"), lit("brightness_shift").as("transform")))
+    val missed = expected.join(pairs, Seq("id1", "id2"), "left_anti").count()
+    require(missed == 0L,
+      s"q_dedup_video: $missed planted transformed duplicates were not paired")
+    val corruptHits = pairs.filter(col("id2") >= 3L * off).count()
+    require(corruptHits == 0L,
+      s"q_dedup_video: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
+    expected.join(pairs, Seq("id1", "id2"))
+      .select(col("id1"), col("id2"), col("transform"), col("hamming"))
+      .orderBy(col("id1"), col("transform"))
+  }
+
   /** True n-gram Jaccard near-dup pairs — exact verification over
     * 5-token shingle sets, oracle-checked against DuckDB all-pairs. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =

@@ -228,4 +228,38 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       viaInterp.filter(_ != null).map(_.longValue).sorted.toSeq,
       "dHash values diverge between codegen and interpreted paths")
   }
+
+  test("AudioFp64 / VideoDHash64: codegen column path == interpreted eval, incl. nulls") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    import graft.functions.{AudioFp64, MediaHashFunctions, VideoDHash64}
+    val audio: Seq[Array[Byte]] =
+      (0L until 8L).map(s => graft.ops.Multimodal.renderWalkWav(25 + s.toInt, 8000, s)) ++
+      Seq(null, Array.empty[Byte], Array[Byte](9, 9, 9),
+        graft.ops.Multimodal.renderWav(32, 8000, 1L)) // too short → null
+    val video: Seq[Array[Byte]] =
+      (0L until 4L).map(s => graft.ops.Multimodal.renderAvi(3, 32, 24, 40000, s)) ++
+      Seq(null, Array.empty[Byte], "plaintext".getBytes("UTF-8"))
+    def check(payloads: Seq[Array[Byte]], viaCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+              interp: Array[Byte] => java.lang.Long, what: String): Unit = {
+      val schema = StructType(Seq(StructField("payload", BinaryType)))
+      implicit val enc = Encoders.row(schema)
+      val javaRows = new java.util.ArrayList[Row]()
+      payloads.foreach(p => javaRows.add(Row(p)))
+      val df = spark.createDataFrame(javaRows, schema).repartition(4)
+      val viaColumn = df.select(viaCol(col("payload")).as("h"))
+        .collect().map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+      val viaInterp = payloads.map(interp)
+      assert(viaColumn.count(_ == null) == viaInterp.count(_ == null),
+        s"$what: null counts diverge between codegen and interpreted")
+      assert(viaColumn.filter(_ != null).map(_.longValue).sorted.toSeq ==
+        viaInterp.filter(_ != null).map(_.longValue).sorted.toSeq,
+        s"$what: values diverge between codegen and interpreted paths")
+    }
+    check(audio, MediaHashFunctions.audioFp64,
+      p => AudioFp64(Literal(p, BinaryType)).eval(null).asInstanceOf[java.lang.Long], "AudioFp64")
+    check(video, MediaHashFunctions.videoDHash64,
+      p => VideoDHash64(Literal(p, BinaryType)).eval(null).asInstanceOf[java.lang.Long], "VideoDHash64")
+  }
 }
