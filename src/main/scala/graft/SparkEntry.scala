@@ -79,6 +79,7 @@ object SparkEntry {
     "q_dedup_image"    -> (PipelineQueries.qDedupImage _),
     "q_dedup_audio"    -> (PipelineQueries.qDedupAudio _),
     "q_dedup_video"    -> (PipelineQueries.qDedupVideo _),
+    "q_dedup_media_incremental" -> (PipelineQueries.qDedupMediaIncremental _),
     "q_dedup_ngram"    -> (PipelineQueries.qDedupNgram _),
     "q_dedup_incremental" -> (PipelineQueries.qDedupIncremental _),
     "q_dedup_embed"    -> (PipelineQueries.qDedupEmbed _),

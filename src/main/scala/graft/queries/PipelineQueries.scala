@@ -377,6 +377,117 @@ object PipelineQueries {
       .orderBy(col("id1"), col("transform"))
   }
 
+  /** Incremental PERCEPTUAL dedup against the persistent media index
+    * ([[graft.ops.PerceptualDedupIndex]]) — the ingest-loop shape for
+    * images: each batch dedups against every payload KEPT so far.
+    * SELF-CHECKING on five axes: (1) batch 1's fresh images all
+    * survive; (2) cross-batch re-encoded copies of KEPT images all
+    * drop while batch 2's fresh images survive; (3) a within-batch
+    * brightness copy drops and its (smaller-id) base survives;
+    * (4) corrupt payloads PASS THROUGH (null hash never indexes, never
+    * drops); (5) incremental survivors ⊇ one-shot greedy survivors
+    * (the [[IncrementalDedup]] superset contract, perceptual edition),
+    * and a read-only [[graft.ops.PerceptualDedupIndex.probe]] of kept
+    * content hits while unseen content misses. */
+  def qDedupMediaIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    implicit val enc = Encoders.row(paySchema)
+    def dims(id: Long): (Int, Int) =
+      ((24 + math.floorMod(id * 7, 40)).toInt, (20 + math.floorMod(id * 13, 32)).toInt)
+    def tile(seed: Long, fmt: String = "png"): Array[Byte] = {
+      val (w, h) = dims(seed)
+      Multimodal.renderTileImage(w, h, fmt, seed)
+    }
+    def rendered(ids: DataFrame, newId: Long => Long, pay: Long => Array[Byte]) =
+      ids.mapPartitions { rows =>
+        rows.map { r => Row(newId(r.getLong(0)), pay(r.getLong(0))) }
+      }
+    val ids = docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(240)
+      .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
+    val off = ids.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val mid = ids.agg(percentile_approx(col("doc_id"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val ids1 = ids.filter(col("doc_id") < mid)
+    val ids2 = ids.filter(col("doc_id") >= mid)
+    val sample1 = ids1.orderBy(col("doc_id")).limit(60).localCheckpoint(true)
+    val sample2 = ids2.orderBy(col("doc_id")).limit(30).localCheckpoint(true)
+
+    val batch1 = rendered(ids1, identity, tile(_))
+    val batch2 = rendered(ids2, identity, tile(_))
+      // cross-batch: JPEG re-encodes of images KEPT in batch 1 → drop
+      .unionByName(rendered(sample1, _ + off,
+        id => Multimodal.reencodeImage(tile(id), "jpeg")))
+      // within-batch: brightness copies of batch 2's OWN fresh images →
+      // the larger-id copy drops, the base survives
+      .unionByName(rendered(sample2, _ + 2L * off, id => {
+        val (w, h) = dims(id)
+        Multimodal.shiftBrightness(Multimodal.renderTileImage(w, h, "png", id), 16, "png")
+      }))
+      .unionByName(s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(5L * off, Array[Byte](1, 2, 3, 4)),
+          Row(5L * off + 1L, "not an image".getBytes("UTF-8"))),
+        paySchema))
+
+    withTempIndexDir("graft_pidx_gate_") { idxDir =>
+      // unbounded cap for the same reason as q_dedup_incremental: the
+      // superset check needs identical skew-cap decisions on both sides
+      val idx = graft.ops.PerceptualDedupIndex.open(s, idxDir, "image",
+        maxHamming = 6, maxBucket = Int.MaxValue)
+      val s1 = idx.dedupBatch(batch1, "doc_id", "payload")
+      val s2 = idx.dedupBatch(batch2, "doc_id", "payload")
+      val survivors = s1.select(col("doc_id"), lit(1).as("batch"))
+        .unionByName(s2.select(col("doc_id"), lit(2).as("batch")))
+        .localCheckpoint(true)
+
+      val n1 = s1.count()
+      val nIds1 = ids1.count()
+      require(n1 == nIds1,
+        s"q_dedup_media_incremental: batch 1 kept $n1 of $nIds1 fresh images")
+      val droppedCopies = sample1.select((col("doc_id") + off).as("doc_id"))
+        .unionByName(sample2.select((col("doc_id") + 2L * off).as("doc_id")))
+      val leaked = droppedCopies.join(survivors, Seq("doc_id"), "left_semi").count()
+      require(leaked == 0L,
+        s"q_dedup_media_incremental: $leaked planted copies survived the index")
+      val freshLost = ids2.join(survivors, Seq("doc_id"), "left_anti").count()
+      require(freshLost == 0L,
+        s"q_dedup_media_incremental: $freshLost fresh batch-2 images were dropped")
+      val corruptKept = survivors.filter(col("doc_id") >= 5L * off).count()
+      require(corruptKept == 2L,
+        s"q_dedup_media_incremental: corrupt payloads must pass through (kept $corruptKept of 2)")
+
+      // superset vs one-shot greedy over the union, same (un)cap
+      val corpus = batch1.unionByName(batch2)
+      val oneShotDropped = Dedup.imageDHashPairs(corpus, "doc_id", "payload",
+          maxHamming = 6, maxBucket = Int.MaxValue)
+        .select(col("id2").as("doc_id")).distinct()
+      val oneShot = corpus.select(col("doc_id"))
+        .join(oneShotDropped, Seq("doc_id"), "left_anti")
+      require(oneShot.join(survivors, Seq("doc_id"), "left_anti").isEmpty,
+        "q_dedup_media_incremental: a one-shot survivor was dropped incrementally")
+
+      // read-only probe: kept content hits, unseen content misses
+      val probeHits = idx.probe(
+        rendered(sample1, _ + 6L * off, id => tile(id)), "doc_id", "payload")
+      val probeMissing = sample1.count() - probeHits
+        .select((col("doc_id") - 6L * off).as("doc_id")).distinct()
+        .join(sample1, Seq("doc_id"), "left_semi").count()
+      require(probeMissing == 0L,
+        s"q_dedup_media_incremental: probe missed $probeMissing kept images")
+      val unseenHits = idx.probe(
+        rendered(sample2, _ + 7L * off, id => tile(id + 7L * off)),
+        "doc_id", "payload").count()
+      require(unseenHits == 0L,
+        s"q_dedup_media_incremental: probe matched $unseenHits unseen images")
+
+      survivors.orderBy(col("doc_id"))
+    }
+  }
+
   /** True n-gram Jaccard near-dup pairs — exact verification over
     * 5-token shingle sets, oracle-checked against DuckDB all-pairs. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.types._
+import graft.ops.{Multimodal, PerceptualDedupIndex}
+
+/** PerceptualDedupIndex contract, beyond what the q_dedup_media_incremental
+  * gate asserts: the modality pin refuses a mismatched reopen, a missing/
+  * empty index probes to zero rows, survivors match across compact, and
+  * null payloads pass through without ever entering the index. */
+class PerceptualDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val paySchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("payload", BinaryType)))
+
+  private def df(rows: Seq[Row]) = {
+    val l = new java.util.ArrayList[Row]()
+    rows.foreach(l.add)
+    spark.createDataFrame(l, paySchema)
+  }
+  private def tile(seed: Long) = Multimodal.renderTileImage(40, 32, "png", seed)
+
+  private def withDir[A](body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx_spec_").toString
+    try body(dir)
+    finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("cross-batch drop, within-batch drop, null pass-through, probe") {
+    withDir { dir =>
+      val idx = PerceptualDedupIndex.open(spark, dir, "image", maxHamming = 6)
+      // batch 1: 10 fresh images + a null payload (passes through)
+      val s1 = idx.dedupBatch(
+        df((0L until 10L).map(i => Row(i, tile(i))) :+ Row(90L, null)),
+        "id", "payload").select("id").collect().map(_.getLong(0)).toSet
+      assert(s1 == ((0L until 10L).toSet + 90L), s"batch 1 survivors: $s1")
+      // batch 2: re-encodes of kept 0..4 drop; fresh 20..24 survive;
+      // within-batch brightness copy of 20 (id 50) drops
+      val s2 = idx.dedupBatch(df(
+        (0L until 5L).map(i => Row(30L + i, Multimodal.reencodeImage(tile(i), "jpeg"))) ++
+        (20L until 25L).map(i => Row(i, tile(i))) :+
+        Row(50L, Multimodal.shiftBrightness(tile(20L), 16, "png"))),
+        "id", "payload").select("id").collect().map(_.getLong(0)).toSet
+      assert(s2 == (20L until 25L).toSet, s"batch 2 survivors: $s2")
+      // the null payload never entered the index: another null-alike
+      // (corrupt) row cannot be dropped by it
+      val s3 = idx.dedupBatch(df(Seq(Row(91L, Array[Byte](1, 2, 3)))),
+        "id", "payload").count()
+      assert(s3 == 1L, "corrupt payload must pass through")
+      // probe: kept content hits with hamming, unseen misses; compact
+      // must not change either answer
+      def probeIds() = idx.probe(
+        df(Seq(Row(900L, tile(3L)), Row(901L, tile(777L)))), "id", "payload")
+        .select("id", "kept_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probeIds() == Set((900L, 3L)), s"probe before compact: ${probeIds()}")
+      idx.compact(targetFiles = 2)
+      assert(probeIds() == Set((900L, 3L)), s"probe after compact: ${probeIds()}")
+    }
+  }
+
+  test("modality pin: reopening under a different kernel refuses") {
+    withDir { dir =>
+      PerceptualDedupIndex.open(spark, dir, "image")
+      val e = intercept[IllegalArgumentException] {
+        PerceptualDedupIndex.open(spark, dir, "audio")
+      }
+      assert(e.getMessage.contains("modality=image"), e.getMessage)
+      // same modality reopens fine and still probes empty-safe
+      val idx = PerceptualDedupIndex.open(spark, dir, "image")
+      assert(idx.probe(df(Seq(Row(1L, tile(1L)))), "id", "payload").count() == 0L)
+    }
+  }
+
+  test("unknown modality refuses up front") {
+    withDir { dir =>
+      val e = intercept[IllegalArgumentException] {
+        PerceptualDedupIndex.open(spark, dir, "text")
+      }
+      assert(e.getMessage.contains("unknown modality"), e.getMessage)
+    }
+  }
+}
