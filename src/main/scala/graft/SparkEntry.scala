@@ -101,6 +101,7 @@ object SparkEntry {
     "q_dedup_spans"    -> (PipelineQueries.qDedupSpans _),
     "q_span_corrupt"   -> (PipelineQueries.qSpanCorrupt _),
     "q_sft_render"     -> (PipelineQueries.qSftRender _),
+    "q_pref_pairs"     -> (PipelineQueries.qPrefPairs _),
     "q_stream_topk"    -> (StreamQueries.qStreamTopk _),
     "q_unigram"        -> (TimeSeriesQueries.qUnigram _),
     "q_unigram_encode" -> (TimeSeriesQueries.qUnigramEncode _),
@@ -679,6 +680,30 @@ object SparkEntry {
                   trim(lower('user: ' || prompt || ' assistant: ' || response)), '\s+'))
                   AS BIGINT) AS n_tokens
          FROM p ORDER BY doc_id, pair_idx""",
+    // preference pairs: rank windows rebuild chosen (score DESC, id ASC)
+    // and rejected (score ASC, id DESC) — the deterministic tiebreaks
+    // the max_by/min_by struct ordering encodes
+    "q_pref_pairs" ->
+      """WITH cand AS (
+           SELECT doc_id // 4 AS prompt_id, doc_id AS resp_id, text AS response,
+                  CAST(length(text) % 997 AS BIGINT) AS score
+           FROM documents
+         ), ranked AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY prompt_id
+                                     ORDER BY score DESC, resp_id ASC) AS rc,
+                  row_number() OVER (PARTITION BY prompt_id
+                                     ORDER BY score ASC, resp_id DESC) AS rr,
+                  count(*) OVER (PARTITION BY prompt_id) AS n_candidates
+           FROM cand
+         )
+         SELECT c.prompt_id, c.response AS chosen, r.response AS rejected,
+                c.resp_id AS chosen_id, r.resp_id AS rejected_id,
+                c.score - r.score AS margin,
+                CAST(c.n_candidates AS BIGINT) AS n_candidates
+         FROM ranked c JOIN ranked r ON c.prompt_id = r.prompt_id
+         WHERE c.rc = 1 AND r.rr = 1 AND c.score - r.score >= 1
+         ORDER BY c.prompt_id""",
     // random projection: the oracle regenerates the formula-derived
     // matrix and folds in the same ascending-index double order
     "q_embed_project" ->

@@ -68,4 +68,40 @@ object Conversations {
       .withColumn("n_tokens",
         TextAnalysis.tokenCount(col("text")).cast("long"))
   }
+
+  /** Preference-pair assembly — the DPO/RLHF reward-model example
+    * construction: from scored candidate responses per prompt, emit
+    * one (chosen, rejected) pair per prompt where chosen is the
+    * highest-scoring candidate, rejected the lowest, and the score
+    * margin clears `minMargin` (strictly positive always — a pair
+    * where chosen isn't actually preferred teaches nothing).
+    * Tiebreaks are deterministic: equal scores resolve to the
+    * SMALLEST id for chosen and the LARGEST for rejected, so reruns
+    * and engines agree bit-for-bit.
+    *
+    * Scale shape: ONE hash aggregation on the prompt key with
+    * map-side partial combine — `max_by`/`min_by` over a
+    * (score, −id) struct ordering, no window, no sort, no self-join;
+    * shuffle volume is two candidate structs per prompt regardless of
+    * candidates per prompt. Output: (promptCol, chosen, rejected,
+    * chosen_id, rejected_id, margin, n_candidates). */
+  def preferencePairs(df: DataFrame, promptCol: String, responseCol: String,
+                      idCol: String, scoreCol: String,
+                      minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 1L, "preferencePairs: minMargin must be >= 1 " +
+      "(a zero-margin pair has no preference signal)")
+    val pick = struct(col(scoreCol), -col(idCol))
+    df.groupBy(col(promptCol))
+      .agg(
+        max_by(struct(col(responseCol).as("resp"), col(idCol).as("id"),
+          col(scoreCol).as("score")), pick).as("__c"),
+        min_by(struct(col(responseCol).as("resp"), col(idCol).as("id"),
+          col(scoreCol).as("score")), pick).as("__r"),
+        count(lit(1)).as("n_candidates"))
+      .withColumn("margin", col("__c.score") - col("__r.score"))
+      .filter(col("margin") >= minMargin)
+      .select(col(promptCol), col("__c.resp").as("chosen"),
+        col("__r.resp").as("rejected"), col("__c.id").as("chosen_id"),
+        col("__r.id").as("rejected_id"), col("margin"), col("n_candidates"))
+  }
 }

@@ -685,6 +685,24 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("pair_idx"))
   }
 
+  /** DPO/RLHF preference-pair assembly ([[Conversations.preferencePairs]]),
+    * fully oracle-backed: documents group into ~4-candidate prompts
+    * (prompt_id = doc_id div 4), score is a deterministic integer
+    * quality proxy (length mod 997 — collisions exercise BOTH
+    * tiebreaks), and DuckDB rebuilds chosen/rejected per prompt with
+    * rank windows. One hash aggregation Spark-side — no window, no
+    * self-join. */
+  def qPrefPairs(s: SparkSession, dir: String): DataFrame = {
+    val cand = docs(s, dir).select(
+      expr("doc_id div 4").as("prompt_id"),
+      col("doc_id").as("resp_id"),
+      col("text").as("response"),
+      (length(col("text")) % 997).cast("long").as("score"))
+    Conversations.preferencePairs(cand, "prompt_id", "response", "resp_id",
+        "score", minMargin = 1L)
+      .orderBy(col("prompt_id"))
+  }
+
   /** Random-projection dimensionality reduction over the embeddings
     * table (Similarity.randomProjection): 64 → 8 dims against the
     * formula-derived projection matrix, exploded to scalar rows. The

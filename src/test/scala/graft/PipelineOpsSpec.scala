@@ -463,6 +463,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"temp index dir $seen leaked on the failure path")
   }
 
+  test("preferencePairs: extremes picked, tiebreaks deterministic, margins filtered") {
+    import graft.ops.Conversations
+    val cand = Seq(
+      // prompt 0: clear margin — 30 beats 10
+      (0L, 1L, "a", 10L), (0L, 2L, "b", 30L), (0L, 3L, "c", 20L),
+      // prompt 1: all scores tie → margin 0 → excluded
+      (1L, 4L, "d", 5L), (1L, 5L, "e", 5L),
+      // prompt 2: single candidate → chosen == rejected, margin 0 → excluded
+      (2L, 6L, "f", 9L),
+      // prompt 3: ties at BOTH extremes — chosen = smallest id of the
+      // top score, rejected = largest id of the bottom score
+      (3L, 7L, "g", 50L), (3L, 8L, "h", 50L), (3L, 9L, "i", 1L), (3L, 10L, "j", 1L))
+      .toDF("prompt_id", "resp_id", "response", "score")
+    val got = Conversations.preferencePairs(cand, "prompt_id", "response",
+        "resp_id", "score", minMargin = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == Set(0L, 3L), s"prompts emitted: ${got.keySet}")
+    assert(got(0L) == (("b", "a", 2L, 1L, 20L, 3L)), s"prompt 0: ${got(0L)}")
+    assert(got(3L) == (("g", "j", 7L, 10L, 49L, 4L)), s"prompt 3: ${got(3L)}")
+    // minMargin raises the floor: prompt 0's margin 20 dies at 21
+    val strict = Conversations.preferencePairs(cand, "prompt_id", "response",
+      "resp_id", "score", minMargin = 21L).collect()
+    assert(strict.map(_.getLong(0)).toSet == Set(3L), "minMargin=21 must keep only prompt 3")
+    intercept[IllegalArgumentException] {
+      Conversations.preferencePairs(cand, "prompt_id", "response", "resp_id",
+        "score", minMargin = 0L)
+    }
+  }
+
   test("duplicateSpans: overlap merge, minDocs isolation, short-doc exclusion") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
