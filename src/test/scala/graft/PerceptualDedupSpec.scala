@@ -74,6 +74,34 @@ class PerceptualDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming composition: foreachBatch dedups media micro-batches against the index") {
+    withDir { dir =>
+      val idx = PerceptualDedupIndex.open(spark, dir, "image", maxHamming = 6)
+      val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      import spark.implicits._
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Byte])](spark)
+      val q = source.toDF().toDF("id", "payload")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          idx.dedupBatch(batch, "id", "payload")
+            .select("id").collect().foreach(r => kept.add(r.getLong(0)))
+        }
+        .start()
+      try {
+        source.addData((1L, tile(7L)))
+        q.processAllAvailable()
+        source.addData(
+          (2L, Multimodal.reencodeImage(tile(7L), "jpeg")), // perceptual dup of 1
+          (3L, tile(8L)))                                   // fresh
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(scala.jdk.CollectionConverters.IteratorHasAsScala(kept.iterator).asScala.toSet
+        == Set(1L, 3L))
+    }
+  }
+
   test("unknown modality refuses up front") {
     withDir { dir =>
       val e = intercept[IllegalArgumentException] {
