@@ -1096,9 +1096,9 @@ object SparkEntry {
                   299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS l
            FROM px
          ), n AS (
-           SELECT doc_id, w, h, x, y, l,
-                  lag(l)  OVER wx AS lxm, lead(l) OVER wx AS lxp,
-                  lag(l)  OVER wy AS lym, lead(l) OVER wy AS lyp
+           SELECT doc_id, w, h, x, y, l, l // 1000 AS l8,
+                  lag(l // 1000)  OVER wx AS lxm, lead(l // 1000) OVER wx AS lxp,
+                  lag(l // 1000)  OVER wy AS lym, lead(l // 1000) OVER wy AS lyp
            FROM l
            WINDOW wx AS (PARTITION BY doc_id, y ORDER BY x),
                   wy AS (PARTITION BY doc_id, x ORDER BY y)
@@ -1109,7 +1109,7 @@ object SparkEntry {
                 CAST(sum(l) AS BIGINT) AS sum_luma,
                 CAST(sum(l * l) AS BIGINT) AS sum_luma_sq,
                 CAST(sum(CASE WHEN x > 0 AND x < w - 1 AND y > 0 AND y < h - 1
-                         THEN (4*l - lxm - lxp - lym - lyp) * (4*l - lxm - lxp - lym - lyp)
+                         THEN (4*l8 - lxm - lxp - lym - lyp) * (4*l8 - lxm - lxp - lym - lyp)
                          ELSE 0 END) AS BIGINT) AS lap_sq,
                 CAST(sum(CASE WHEN l >= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
                 CAST(sum(CASE WHEN l <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_under

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.io.ByteArrayInputStream
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -45,52 +43,32 @@ object AudioFingerprint {
     * E_{f+1}·n_f > E_f·n_{f+1} — the mean-energy comparison as an
     * exact integer cross-multiply, no division anywhere. */
   def fp64(bytes: Array[Byte]): java.lang.Long = {
-    if (bytes == null) return null
-    var rs = graft.ops.Multimodal.audioReaders
-    while (rs.nonEmpty) {
-      try {
-        val ais = rs.head.getAudioInputStream(new ByteArrayInputStream(bytes))
-        try {
-          val fmt = ais.getFormat
-          if (fmt.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-              fmt.getSampleSizeInBits != 16)
-            return null
-          val big = fmt.isBigEndian
-          // payloads are per-row bounded (one clip): materializing one
-          // clip's PCM is fine at any corpus scale
-          val pcm = ais.readAllBytes()
-          val n = pcm.length / 2
-          if (n < 65) return null
-          val sums = new Array[Long](65)
-          val counts = new Array[Long](65)
-          var i = 0
-          while (i < n) {
-            val off = i * 2
-            val s =
-              if (big) (pcm(off).toInt << 8) | (pcm(off + 1) & 0xff)
-              else (pcm(off + 1).toInt << 8) | (pcm(off) & 0xff)
-            val f = (i.toLong * 65L / n).toInt
-            sums(f) += math.abs(s)
-            counts(f) += 1
-            i += 1
-          }
-          var hash = 0L
-          var f = 0
-          while (f < 64) {
-            if (sums(f + 1) * counts(f) > sums(f) * counts(f + 1))
-              hash |= 1L << f
-            f += 1
-          }
-          return java.lang.Long.valueOf(hash)
-        } finally ais.close()
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
-        case _: java.io.IOException => ()
-      }
-      rs = rs.tail
+    // shared container decode (reader chain, PCM16 validation,
+    // unchecked-exception skip-crud): graft.ops.Multimodal.readPcm16
+    val decoded = graft.ops.Multimodal.readPcm16(bytes)
+    if (decoded == null) return null
+    val (pcm, big) = decoded
+    val n = pcm.length / 2
+    if (n < 65) return null
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val off = i * 2
+      val s = graft.ops.Multimodal.sampleOf(pcm(off), pcm(off + 1), big)
+      val f = (i.toLong * 65L / n).toInt
+      sums(f) += math.abs(s)
+      counts(f) += 1
+      i += 1
     }
-    null
+    var hash = 0L
+    var f = 0
+    while (f < 64) {
+      if (sums(f + 1) * counts(f) > sums(f) * counts(f + 1))
+        hash |= 1L << f
+      f += 1
+    }
+    java.lang.Long.valueOf(hash)
   }
 }
 

@@ -102,17 +102,26 @@ final class IncrementalDedup private (
       // stage 2 — collisions vs the KEPT corpus: equi-join on the
       // 20-byte bucket rows, cap crowded buckets (same skew guard as
       // the batch operators), then verify only collided pairs by
-      // signature agreement. One snapshot resolution serves both the
-      // emptiness probe and the join.
+      // signature agreement. One snapshot resolution serves the
+      // emptiness probe, the join, and the append exclusion.
+      // Self-matches (kept_id == id) never drop: a doc is a duplicate
+      // of a DIFFERENT kept doc, not of its own identity — this is
+      // what makes a replayed foreachBatch micro-batch idempotent
+      // instead of colliding with its own first-attempt index entries
+      // and silently vanishing (see the replay spec).
+      val keptSigs = (if (sigs.exists) Some(sigs.read) else None).filterNot(_.isEmpty)
+      val keptBands = (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty)
       val indexDropped: DataFrame =
-        (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty) match {
+        keptBands match {
           case None => sig.limit(0).select(col("id"))
           case Some(idx) => batchBands
             .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
               .select(col("band"), col("bucket"), col("id").as("kept_id")),
               Seq("band", "bucket"))
+            .filter(col("kept_id") =!= col("id"))
             .select(col("id"), col("kept_id")).distinct()
-            .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
+            .join(keptSigs.map(_.select(col("id").as("kept_id"), col("sig").as("kept_sig")))
+              .getOrElse(sig.limit(0).select(col("id").as("kept_id"), col("sig").as("kept_sig"))),
               Seq("kept_id"))
             .join(sig.select(col("id"), col("sig")), Seq("id"))
             .filter(Dedup.estJaccard(col("sig"), col("kept_sig"), numHashes) >= threshold)
@@ -128,13 +137,23 @@ final class IncrementalDedup private (
       // stage 3 — commit the survivors to the index (bands first, sigs
       // second: a crash between the two can only leave bucket rows
       // whose signatures are missing, which the verify join ignores).
-      // The survivor join is cached across the two appends so the
-      // semi-join executes once, not once per table.
-      val survivorSig = sig.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      // Each table's append excludes ids it ALREADY holds (replay
+      // idempotence — a retried micro-batch leaves the index
+      // unchanged; and a crash between the two appends replays to
+      // exactly the missing half, never duplicate rows). The survivor
+      // join is cached across the two appends so the semi-join
+      // executes once, not once per table.
+      val survivorSig = sig
+        .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
         .cache()
+      def excluding(df: DataFrame, kept: Option[DataFrame]): DataFrame =
+        kept match {
+          case None => df
+          case Some(k) => df.join(k.select(col("id")).distinct(), Seq("id"), "left_anti")
+        }
       try {
-        buckets.append(banded(survivorSig))
-        sigs.append(survivorSig)
+        buckets.append(banded(excluding(survivorSig, keptBands)))
+        sigs.append(excluding(survivorSig, keptSigs))
       } finally { survivorSig.unpersist(); () }
       survivors
     }

@@ -312,10 +312,47 @@ object Multimodal {
       } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException => ()
         case _: java.io.IOException => ()
+        // the JDK audio stack throws UNCHECKED exceptions on crafted
+        // headers (division by a zero frame size, negative chunk
+        // lengths — the javax.sound fuzz-bug class); same skip-crud
+        // contract as the image decoders
+        case _: RuntimeException => ()
       }
       rs = rs.tail
     }
     None
+  }
+
+  /** Shared PCM extraction behind [[audioStats]], [[decodePcm16Stats]]
+    * and the fingerprint kernel (graft.functions.AudioFingerprint):
+    * run the cached reader chain, demand 16-bit signed PCM, and return
+    * (rawPcmBytes, isBigEndian) — null for null/undecodable/other-
+    * encoding payloads. Catches the unchecked javax.sound fuzz-bug
+    * class like [[decodeAudioHeader]]: corrupt bytes must not kill a
+    * corpus-scale job. Payloads are per-row bounded (one clip), so
+    * materializing one clip's PCM is fine at any corpus scale. */
+  private[graft] def readPcm16(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+    if (bytes == null) return null
+    var rs = audioReaders
+    while (rs.nonEmpty) {
+      try {
+        val ais = rs.head.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16)
+            return null
+          return (ais.readAllBytes(), fmt.isBigEndian)
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        case _: java.io.IOException => ()
+        case _: RuntimeException => () // unchecked fuzz-bug class, as above
+      }
+      rs = rs.tail
+    }
+    null
   }
 
   /** Deterministic synthetic WAV: `nFrames` of 16-bit mono PCM (a
@@ -461,47 +498,28 @@ object Multimodal {
   }
 
   private def decodePcm16Stats(bytes: Array[Byte]): Row = {
-    var rs = audioReaders
-    while (rs.nonEmpty) {
-      try {
-        val ais = rs.head.getAudioInputStream(new ByteArrayInputStream(bytes))
-        try {
-          val fmt = ais.getFormat
-          if (fmt.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-              fmt.getSampleSizeInBits != 16)
-            return null
-          val big = fmt.isBigEndian
-          // payloads are per-row bounded (one clip), so materializing
-          // the decoded PCM of ONE payload is fine at any corpus scale
-          val pcm = ais.readAllBytes()
-          var n = 0L; var peak = 0; var sumSq = 0L; var zc = 0L; var clip = 0L
-          var prevNeg = false
-          var off = 0
-          while (off + 1 < pcm.length) {
-            val s = sampleOf(pcm(off), pcm(off + 1), big)
-            val neg = s < 0
-            if (n > 0 && neg != prevNeg) zc += 1
-            prevNeg = neg
-            val a = math.abs(s)
-            if (a > peak) peak = a
-            if (a >= 32767) clip += 1
-            sumSq += s.toLong * s.toLong
-            n += 1
-            off += 2
-          }
-          return Row(n, peak, sumSq, zc, clip)
-        } finally ais.close()
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
-        case _: java.io.IOException => ()
-      }
-      rs = rs.tail
+    val decoded = readPcm16(bytes)
+    if (decoded == null) return null
+    val (pcm, big) = decoded
+    var n = 0L; var peak = 0; var sumSq = 0L; var zc = 0L; var clip = 0L
+    var prevNeg = false
+    var off = 0
+    while (off + 1 < pcm.length) {
+      val s = sampleOf(pcm(off), pcm(off + 1), big)
+      val neg = s < 0
+      if (n > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      if (a >= 32767) clip += 1
+      sumSq += s.toLong * s.toLong
+      n += 1
+      off += 2
     }
-    null
+    Row(n, peak, sumSq, zc, clip)
   }
 
-  @inline private def sampleOf(b0: Byte, b1: Byte, bigEndian: Boolean): Int =
+  @inline private[graft] def sampleOf(b0: Byte, b1: Byte, bigEndian: Boolean): Int =
     if (bigEndian) (b0.toInt << 8) | (b1 & 0xff)
     else (b1.toInt << 8) | (b0 & 0xff)
 
@@ -611,9 +629,14 @@ object Multimodal {
     * weights ×1000 — no division, no floats), so every counter is an
     * exact integer an external oracle can replay bit-for-bit on a
     * lossless payload. Thresholds: over ≥ 250·1000, under ≤ 5·1000.
-    * Fits in longs to ≥100-megapixel images. Null/undecodable
-    * payloads yield a null struct — corrupt bytes must not kill a
-    * corpus-scale job. */
+    * The Laplacian runs on the 8-bit-scale luma (floor ÷1000, still
+    * exact): on the ×1000 scale d² reaches ~1.04e12 per pixel and the
+    * sum would wrap Long from ~9 megapixels of checkerboard-contrast
+    * content — on the 8-bit scale the same worst case wraps only past
+    * ~8.9 terapixels. All counters fit in longs to ≥100-megapixel
+    * images (the binding constraint is sum_luma_sq at ~140 MP).
+    * Null/undecodable payloads yield a null struct — corrupt bytes
+    * must not kill a corpus-scale job. */
   def imageStats(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("istats", imageStatsType))
@@ -626,7 +649,14 @@ object Multimodal {
           if (bytes == null) null
           else {
             val img = try ImageIO.read(new ByteArrayInputStream(bytes))
-                      catch { case _: java.io.IOException => null }
+                      catch {
+                        case _: java.io.IOException => null
+                        // JDK image readers throw UNCHECKED exceptions
+                        // on corrupt/exotic payloads (CMYK CMMException,
+                        // truncated-body AIOOBE) — same skip-crud
+                        // contract as decodeImageHeader
+                        case _: RuntimeException => null
+                      }
             if (img == null) null
             else {
               val w = img.getWidth
@@ -639,7 +669,7 @@ object Multimodal {
                 val v = px(i)
                 val l = 299 * ((v >>> 16) & 0xFF) +
                         587 * ((v >>> 8) & 0xFF) + 114 * (v & 0xFF)
-                lum(i) = l
+                lum(i) = l / 1000 // 8-bit scale for the Laplacian (see doc)
                 sumL += l; sumLsq += l.toLong * l
                 if (l >= 250000) over += 1
                 if (l <= 5000) under += 1

@@ -115,9 +115,14 @@ object Overlap {
       // pin: this subtree feeds pairIdx AND both perIdx broadcast
       // branches — without the pin, computing the corpus-sized bit_or
       // once instead of three times silently depends on AQE exchange
-      // reuse. After the aggregate it is metadata-scale (≤ distinct
-      // observed masks, ≪ 2^n in practice), so pinning is cheap.
-      .localCheckpoint(true)
+      // reuse. LAZY persist, not an eager localCheckpoint: building
+      // the DataFrame must stay free (callers compose/inspect plans
+      // before acting); the cache materializes at the first action and
+      // all three consumers then share the one InMemoryRelation. After
+      // the aggregate it is metadata-scale (≤ distinct observed masks,
+      // ≪ 2^n in practice), so the cached footprint is tiny and LRU
+      // eviction merely falls back to recompute.
+      .persist()
     // mask → its set-bit indexes, evaluated where the masks live
     val bits = maskCounts.select(col("cnt"),
       expr(s"filter(sequence(0, ${n - 1}), i -> (shiftright(mask, i) & 1) = 1)")

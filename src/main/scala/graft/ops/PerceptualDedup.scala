@@ -59,27 +59,46 @@ final class PerceptualDedupIndex private (
     * survivors' band rows; return the surviving rows of `batch` with
     * all original columns, MATERIALIZED (localCheckpoint — the append
     * already executed the lineage; a lazy recompute would re-decode
-    * every payload and re-read index snapshots that have since moved). */
+    * every payload and re-read index snapshots that have since moved).
+    *
+    * IDEMPOTENT under at-least-once re-delivery (the foreachBatch
+    * retry contract): a kept payload matches only its OWN index entry
+    * on replay, and self-matches (same id) never drop — a payload is a
+    * duplicate of a DIFFERENT kept payload, not of its own identity —
+    * while the append excludes ids already indexed, so re-running the
+    * same batch returns the same survivors and leaves the index
+    * byte-identical. Without the self-exclusion, a micro-batch retried
+    * after its index append would collide with itself at Hamming 0 and
+    * silently vanish. */
   def dedupBatch(batch: DataFrame, idCol: String, binCol: String): DataFrame = {
     val h = hashed(batch, idCol, binCol).cache()
     try {
+      // ONE snapshot serves collision check and append exclusion —
+      // concurrent commits can't tear the view
+      val idxOpt = (if (buckets.exists) Some(buckets.read) else None)
+        .filterNot(_.isEmpty)
+
       // stage 1 — within-batch greedy min-id drop: id2 of any pair
       // within maxHamming drops (same rule as the one-shot pair ops)
       val withinDropped = Dedup.hammingBand64Pairs(h, maxHamming, maxBucket)
         .select(col("id2").as("id")).distinct()
 
       // stage 2 — collisions vs the KEPT corpus: band equi-join with
-      // the Hamming verify INLINE (the index row carries the hash)
-      val indexDropped: DataFrame =
-        (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty) match {
-          case None => h.limit(0).select(col("id"))
-          case Some(idx) => banded(h)
+      // the Hamming verify INLINE (the index row carries the hash).
+      // Skew-capped on BOTH sides: a duplicate-flood batch would
+      // otherwise join its hot buckets quadratically against the index
+      val indexDropped: DataFrame = idxOpt match {
+        case None => h.limit(0).select(col("id"))
+        case Some(idx) =>
+          Dedup.capBuckets(banded(h), Seq("band", "bucket"), maxBucket)
             .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
-              .select(col("band"), col("bucket"), col("h").as("kept_h")),
+              .select(col("band"), col("bucket"), col("id").as("kept_id"),
+                col("h").as("kept_h")),
               Seq("band", "bucket"))
-            .filter(bit_count(col("h").bitwiseXOR(col("kept_h"))) <= maxHamming)
+            .filter(col("kept_id") =!= col("id") &&
+              bit_count(col("h").bitwiseXOR(col("kept_h"))) <= maxHamming)
             .select(col("id")).distinct()
-        }
+      }
 
       val survivors = batch.join(
           withinDropped.unionByName(indexDropped).distinct()
@@ -87,8 +106,13 @@ final class PerceptualDedupIndex private (
           Seq(idCol), "left_anti")
         .localCheckpoint(true) // pin: the caller must not re-run the pass
 
-      buckets.append(banded(
-        h.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")))
+      val survivorBands = banded(
+        h.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"))
+      buckets.append(idxOpt match {
+        case None => survivorBands
+        case Some(idx) => // replay: already-indexed ids re-append nothing
+          survivorBands.join(idx.select(col("id")).distinct(), Seq("id"), "left_anti")
+      })
       survivors
     } finally { h.unpersist(); () }
   }

@@ -232,6 +232,12 @@ object PipelineQueries {
     val corruptHits = pairs.filter(col("id2") >= 3L * off).count()
     require(corruptHits == 0L,
       s"q_dedup_image: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
+    // PRECISION side: every legitimate pair relates copies of ONE base
+    // seed (ids congruent mod off); a cross-seed pair means distinct
+    // random walks collided — a degenerate/constant-biased hash
+    val cross = pairs.filter(pmod(col("id1"), lit(off)) =!= pmod(col("id2"), lit(off))).count()
+    require(cross == 0L,
+      s"q_dedup_image: $cross spurious cross-image pairs (hash precision collapsed)")
     expected.join(pairs, Seq("id1", "id2"))
       .select(col("id1"), col("id2"), col("transform"), col("hamming"))
       .orderBy(col("id1"), col("transform"))
@@ -301,6 +307,12 @@ object PipelineQueries {
     val corruptHits = pairs.filter(col("id2") >= 4L * off).count()
     require(corruptHits == 0L,
       s"q_dedup_audio: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
+    // PRECISION side: legitimate pairs relate renders of ONE walk seed
+    // (ids congruent mod off); cross-seed pairs mean the fingerprint
+    // lost its discrimination
+    val cross = pairs.filter(pmod(col("id1"), lit(off)) =!= pmod(col("id2"), lit(off))).count()
+    require(cross == 0L,
+      s"q_dedup_audio: $cross spurious cross-clip pairs (fingerprint precision collapsed)")
     expected.join(pairs, Seq("id1", "id2"))
       .select(col("id1"), col("id2"), col("transform"), col("hamming"))
       .orderBy(col("id1"), col("transform"))
@@ -372,6 +384,12 @@ object PipelineQueries {
     val corruptHits = pairs.filter(col("id2") >= 3L * off).count()
     require(corruptHits == 0L,
       s"q_dedup_video: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
+    // PRECISION side: legitimate pairs relate copies of ONE clip seed
+    // (ids congruent mod off); cross-seed pairs mean the majority hash
+    // lost its discrimination
+    val cross = pairs.filter(pmod(col("id1"), lit(off)) =!= pmod(col("id2"), lit(off))).count()
+    require(cross == 0L,
+      s"q_dedup_video: $cross spurious cross-clip pairs (hash precision collapsed)")
     expected.join(pairs, Seq("id1", "id2"))
       .select(col("id1"), col("id2"), col("transform"), col("hamming"))
       .orderBy(col("id1"), col("transform"))

@@ -34,6 +34,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(idx.sigs.read.count() == 3)
   }
 
+  test("replay idempotence: re-running a batch returns the same survivors, index unchanged") {
+    val idx = IncrementalDedup.open(spark, tmp(), threshold = 0.9)
+    idx.dedupBatch(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different document about spark execution plans"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    // batch 2: one dup of kept doc 1 + one fresh doc
+    val b2 = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"),
+                 (11L, "yet another unrelated document mentioning catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val first = idx.dedupBatch(b2, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(11L), s"first run survivors: $first")
+    val (nb, ns) = (idx.buckets.read.count(), idx.sigs.read.count())
+    // at-least-once re-delivery: the SAME batch replays after its
+    // append — survivors must not vanish by colliding with their own
+    // first-attempt index entries, and neither table may grow
+    val replay = idx.dedupBatch(b2, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == first, s"replay survivors diverged: $replay vs $first")
+    assert(idx.buckets.read.count() == nb && idx.sigs.read.count() == ns,
+      "replay must leave both index tables unchanged")
+  }
+
   test("incremental survivors ⊇ one-shot survivors; every drop names a kept near-dup") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     val oneShot = Dedup.minhashDedup(docs, "doc_id", "text",

@@ -74,6 +74,28 @@ class PerceptualDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("replay idempotence: re-running a batch returns the same survivors, index unchanged") {
+    withDir { dir =>
+      val idx = PerceptualDedupIndex.open(spark, dir, "image", maxHamming = 6)
+      idx.dedupBatch(df((0L until 8L).map(i => Row(i, tile(i)))), "id", "payload")
+      // batch 2: one fresh image + one dup of kept image 0
+      val batch2 = df(Seq(Row(20L, tile(20L)),
+        Row(21L, Multimodal.reencodeImage(tile(0L), "jpeg"))))
+      val first = idx.dedupBatch(batch2, "id", "payload")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(first == Set(20L), s"first run survivors: $first")
+      val indexRows = idx.buckets.read.count()
+      // at-least-once re-delivery: the SAME batch replays after its
+      // append — survivors must not vanish by colliding with their own
+      // first-attempt entries, and the index must not grow
+      val replay = idx.dedupBatch(batch2, "id", "payload")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(replay == first, s"replay survivors diverged: $replay vs $first")
+      assert(idx.buckets.read.count() == indexRows,
+        "replay must leave the index unchanged")
+    }
+  }
+
   test("streaming composition: foreachBatch dedups media micro-batches against the index") {
     withDir { dir =>
       val idx = PerceptualDedupIndex.open(spark, dir, "image", maxHamming = 6)

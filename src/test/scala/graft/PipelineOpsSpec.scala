@@ -286,8 +286,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val flat = png(8, 8)((_, _) => 0x808080)       // luma = 1000*128
     // white: every pixel over-exposed (luma 255000 ≥ 250000)
     val white = png(4, 4)((_, _) => 0xFFFFFF)
-    // black-white column stripes: interior Laplacian is ±2·255000
-    // (left+right neighbors flip, up+down agree with the center)
+    // black-white column stripes: interior Laplacian (8-bit luma
+    // scale) is ±2·255 — left+right neighbors flip, up+down agree
     val stripes = png(6, 4)((x, _) => if (x % 2 == 0) 0 else 0xFFFFFF)
     val df = Seq(
       (1L, flat), (2L, white), (3L, stripes),
@@ -307,11 +307,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val wl = 255000L
     assert(tup(2L) == ((4, 4, 16 * wl, 16 * wl * wl, 0L, 16L, 0L)),
       s"white: ${tup(2L)}")
-    // stripes: 4×2 interior pixels; center black → d = -2·255000,
-    // center white → d = +2·255000; either way d² = 4·255000²
+    // stripes: 4×2 interior pixels; center black → d = -2·255,
+    // center white → d = +2·255 (8-bit scale); either way d² = 4·255²
     val st = tup(3L)
     assert((st._1, st._2, st._3) == ((6, 4, 12 * wl)), s"stripes dims/luma: $st")
-    assert(st._5 == 8L * 4L * wl * wl, s"stripes Laplacian energy: $st")
+    assert(st._5 == 8L * 4L * 255L * 255L, s"stripes Laplacian energy: $st")
     assert((st._6, st._7) == ((12L, 12L)), s"stripes exposure counts: $st")
     assert(stats(4L).isEmpty, "garbage must yield null stats")
     assert(stats(5L).isEmpty, "null payload must yield null stats")
