@@ -66,10 +66,24 @@ final class IncrementalDedup private (
     * pass would double every cost — and worse, re-read index snapshots
     * that have since moved. Signatures are computed exactly once per
     * batch (one cached (id, sig) pass feeds the within-batch pairing,
-    * the index verify, and the index append). */
-  def dedupBatch(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * the index verify, and the index append).
+    *
+    * IDEMPOTENT under at-least-once re-delivery (the foreachBatch
+    * retry contract): survivors never vanish on replay — a kept doc
+    * matches only OTHER kept docs, never its own first-attempt index
+    * entry (self-matches are excluded in the collision join; a doc is
+    * a duplicate of a DIFFERENT kept doc, not of its own identity).
+    * Pass `txn = Some((appId, batchId))` — foreachBatch hands you the
+    * batchId — to ALSO make the index appends exactly-once through the
+    * store's atomic txn markers (O(1) metadata, no data scan): a
+    * replayed batch then leaves the index byte-identical. Without a
+    * token, a replayed batch re-appends its survivors' rows (harmless
+    * to correctness — candidate pairs are distinct()ed — but index
+    * storage grows until compact()). */
+  def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
+                 txn: Option[(String, Long)] = None): DataFrame = {
     val sig = signed(batch, idCol, textCol).cache()
-    try dedupBatchSigned(batch, idCol, sig)
+    try dedupBatchSigned(batch, idCol, sig, txn)
     finally { sig.unpersist(); () }
   }
 
@@ -79,7 +93,8 @@ final class IncrementalDedup private (
     * the same corpus) avoid a second signature pass. The caller owns
     * `sig`'s persistence: cache it — the plan consumes it in the
     * within-batch pairing, the index verify, and the index append. */
-  def dedupBatchSigned(batch: DataFrame, idCol: String, sig: DataFrame): DataFrame = {
+  def dedupBatchSigned(batch: DataFrame, idCol: String, sig: DataFrame,
+                       txn: Option[(String, Long)] = None): DataFrame = {
     {
       val batchBands = banded(sig)
 
@@ -109,10 +124,8 @@ final class IncrementalDedup private (
       // what makes a replayed foreachBatch micro-batch idempotent
       // instead of colliding with its own first-attempt index entries
       // and silently vanishing (see the replay spec).
-      val keptSigs = (if (sigs.exists) Some(sigs.read) else None).filterNot(_.isEmpty)
-      val keptBands = (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty)
       val indexDropped: DataFrame =
-        keptBands match {
+        (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty) match {
           case None => sig.limit(0).select(col("id"))
           case Some(idx) => batchBands
             .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
@@ -120,8 +133,7 @@ final class IncrementalDedup private (
               Seq("band", "bucket"))
             .filter(col("kept_id") =!= col("id"))
             .select(col("id"), col("kept_id")).distinct()
-            .join(keptSigs.map(_.select(col("id").as("kept_id"), col("sig").as("kept_sig")))
-              .getOrElse(sig.limit(0).select(col("id").as("kept_id"), col("sig").as("kept_sig"))),
+            .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
               Seq("kept_id"))
             .join(sig.select(col("id"), col("sig")), Seq("id"))
             .filter(Dedup.estJaccard(col("sig"), col("kept_sig"), numHashes) >= threshold)
@@ -137,23 +149,25 @@ final class IncrementalDedup private (
       // stage 3 — commit the survivors to the index (bands first, sigs
       // second: a crash between the two can only leave bucket rows
       // whose signatures are missing, which the verify join ignores).
-      // Each table's append excludes ids it ALREADY holds (replay
-      // idempotence — a retried micro-batch leaves the index
-      // unchanged; and a crash between the two appends replays to
-      // exactly the missing half, never duplicate rows). The survivor
-      // join is cached across the two appends so the semi-join
-      // executes once, not once per table.
+      // With a `txn` token the appends are O(1)-idempotent through the
+      // store's atomic (appId → batchId) markers — a replayed
+      // micro-batch re-appends NOTHING, and a crash between the two
+      // appends replays to exactly the missing table (each table
+      // tracks its own marker). No per-row anti-join: exactly-once is
+      // a metadata question, not a data scan. The survivor join is
+      // cached across the two appends so the semi-join executes once,
+      // not once per table.
       val survivorSig = sig
         .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
         .cache()
-      def excluding(df: DataFrame, kept: Option[DataFrame]): DataFrame =
-        kept match {
-          case None => df
-          case Some(k) => df.join(k.select(col("id")).distinct(), Seq("id"), "left_anti")
-        }
-      try {
-        buckets.append(banded(excluding(survivorSig, keptBands)))
-        sigs.append(excluding(survivorSig, keptSigs))
+      try txn match {
+        case None =>
+          buckets.append(banded(survivorSig))
+          sigs.append(survivorSig)
+        case Some((appId, batchId)) =>
+          buckets.appendOnce(appId, batchId, banded(survivorSig))
+          sigs.appendOnce(appId, batchId, survivorSig)
+          ()
       } finally { survivorSig.unpersist(); () }
       survivors
     }

@@ -62,15 +62,21 @@ final class PerceptualDedupIndex private (
     * every payload and re-read index snapshots that have since moved).
     *
     * IDEMPOTENT under at-least-once re-delivery (the foreachBatch
-    * retry contract): a kept payload matches only its OWN index entry
-    * on replay, and self-matches (same id) never drop — a payload is a
-    * duplicate of a DIFFERENT kept payload, not of its own identity —
-    * while the append excludes ids already indexed, so re-running the
-    * same batch returns the same survivors and leaves the index
-    * byte-identical. Without the self-exclusion, a micro-batch retried
-    * after its index append would collide with itself at Hamming 0 and
-    * silently vanish. */
-  def dedupBatch(batch: DataFrame, idCol: String, binCol: String): DataFrame = {
+    * retry contract): survivors never vanish on replay — a kept
+    * payload matches only OTHER kept payloads, never its own
+    * first-attempt index entry (self-matches are excluded in the
+    * collision join; a payload is a duplicate of a DIFFERENT kept
+    * payload, not of its own identity — without this, a retried
+    * micro-batch would collide with itself at Hamming 0 and silently
+    * vanish). Pass `txn = Some((appId, batchId))` — foreachBatch hands
+    * you the batchId — to ALSO make the index append exactly-once
+    * through the store's atomic txn marker (O(1) metadata, no data
+    * scan): a replayed batch then leaves the index byte-identical.
+    * Without a token, a replayed batch re-appends its survivors' band
+    * rows (harmless to correctness — pairs are distinct()ed — but
+    * index storage grows until compact()). */
+  def dedupBatch(batch: DataFrame, idCol: String, binCol: String,
+                 txn: Option[(String, Long)] = None): DataFrame = {
     val h = hashed(batch, idCol, binCol).cache()
     try {
       // ONE snapshot serves collision check and append exclusion —
@@ -108,11 +114,11 @@ final class PerceptualDedupIndex private (
 
       val survivorBands = banded(
         h.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"))
-      buckets.append(idxOpt match {
-        case None => survivorBands
-        case Some(idx) => // replay: already-indexed ids re-append nothing
-          survivorBands.join(idx.select(col("id")).distinct(), Seq("id"), "left_anti")
-      })
+      txn match {
+        case None => buckets.append(survivorBands)
+        case Some((appId, batchId)) => // replay re-appends NOTHING: O(1) marker check
+          buckets.appendOnce(appId, batchId, survivorBands); ()
+      }
       survivors
     } finally { h.unpersist(); () }
   }

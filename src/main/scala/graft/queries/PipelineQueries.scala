@@ -434,7 +434,10 @@ object PipelineQueries {
     val sample1 = ids1.orderBy(col("doc_id")).limit(60).localCheckpoint(true)
     val sample2 = ids2.orderBy(col("doc_id")).limit(30).localCheckpoint(true)
 
-    val batch1 = rendered(ids1, identity, tile(_))
+    // pinned: the gate's many assertion actions (survivor counts, the
+    // one-shot superset pass, probes) must not re-run the codec chain
+    // per action — payloads render exactly once
+    val batch1 = rendered(ids1, identity, tile(_)).localCheckpoint(true)
     val batch2 = rendered(ids2, identity, tile(_))
       // cross-batch: JPEG re-encodes of images KEPT in batch 1 → drop
       .unionByName(rendered(sample1, _ + off,
@@ -450,6 +453,7 @@ object PipelineQueries {
           Row(5L * off, Array[Byte](1, 2, 3, 4)),
           Row(5L * off + 1L, "not an image".getBytes("UTF-8"))),
         paySchema))
+      .localCheckpoint(true)
 
     withTempIndexDir("graft_pidx_gate_") { idxDir =>
       // unbounded cap for the same reason as q_dedup_incremental: the

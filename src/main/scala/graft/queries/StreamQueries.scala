@@ -464,8 +464,11 @@ object StreamQueries {
         .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          streamed.dedupBatch(batch, "doc_id", "text")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batchId token: index appends are exactly-once under
+          // foreachBatch's at-least-once replay
+          streamed.dedupBatch(batch, "doc_id", "text",
+              txn = Some(("q_stream_neardup", batchId)))
             .write.mode("append").parquet(outDir)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -44,18 +44,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val b2 = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"),
                  (11L, "yet another unrelated document mentioning catalyst optimizer rules"))
       .toDF("doc_id", "text")
-    val first = idx.dedupBatch(b2, "doc_id", "text")
+    val txn = Some(("replay-spec", 2L))
+    val first = idx.dedupBatch(b2, "doc_id", "text", txn)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(first == Set(11L), s"first run survivors: $first")
     val (nb, ns) = (idx.buckets.read.count(), idx.sigs.read.count())
     // at-least-once re-delivery: the SAME batch replays after its
     // append — survivors must not vanish by colliding with their own
-    // first-attempt index entries, and neither table may grow
-    val replay = idx.dedupBatch(b2, "doc_id", "text")
+    // first-attempt index entries (self-exclusion), and with the txn
+    // token neither table may grow (O(1) markers, no re-append)
+    val replay = idx.dedupBatch(b2, "doc_id", "text", txn)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(replay == first, s"replay survivors diverged: $replay vs $first")
     assert(idx.buckets.read.count() == nb && idx.sigs.read.count() == ns,
-      "replay must leave both index tables unchanged")
+      "replay with txn must leave both index tables unchanged")
+    // without a token the SURVIVOR set still replays correctly
+    // (self-exclusion is unconditional); only storage may grow
+    val replayNoTxn = idx.dedupBatch(b2, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayNoTxn == first, s"tokenless replay survivors diverged: $replayNoTxn")
   }
 
   test("incremental survivors ⊇ one-shot survivors; every drop names a kept near-dup") {
@@ -126,8 +133,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val q = source.toDF().toDF("doc_id", "text")
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        idx.dedupBatch(batch, "doc_id", "text")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the batchId token makes the index appends exactly-once
+        // under foreachBatch's at-least-once replay
+        idx.dedupBatch(batch, "doc_id", "text", txn = Some(("dedup-stream", batchId)))
           .select("doc_id").collect().foreach(r => kept.add(r.getLong(0)))
       }
       .start()

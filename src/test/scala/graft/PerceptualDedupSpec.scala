@@ -81,18 +81,25 @@ class PerceptualDedupSpec extends AnyFunSuite {
       // batch 2: one fresh image + one dup of kept image 0
       val batch2 = df(Seq(Row(20L, tile(20L)),
         Row(21L, Multimodal.reencodeImage(tile(0L), "jpeg"))))
-      val first = idx.dedupBatch(batch2, "id", "payload")
+      val txn = Some(("replay-spec", 2L))
+      val first = idx.dedupBatch(batch2, "id", "payload", txn)
         .select("id").collect().map(_.getLong(0)).toSet
       assert(first == Set(20L), s"first run survivors: $first")
       val indexRows = idx.buckets.read.count()
       // at-least-once re-delivery: the SAME batch replays after its
       // append — survivors must not vanish by colliding with their own
-      // first-attempt entries, and the index must not grow
-      val replay = idx.dedupBatch(batch2, "id", "payload")
+      // first-attempt entries (self-exclusion), and with the txn token
+      // the index must not grow (O(1) marker, no re-append)
+      val replay = idx.dedupBatch(batch2, "id", "payload", txn)
         .select("id").collect().map(_.getLong(0)).toSet
       assert(replay == first, s"replay survivors diverged: $replay vs $first")
       assert(idx.buckets.read.count() == indexRows,
-        "replay must leave the index unchanged")
+        "replay with txn must leave the index unchanged")
+      // without a token the SURVIVOR set still replays correctly
+      // (self-exclusion is unconditional); only storage may grow
+      val replayNoTxn = idx.dedupBatch(batch2, "id", "payload")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(replayNoTxn == first, s"tokenless replay survivors diverged: $replayNoTxn")
     }
   }
 
@@ -106,8 +113,10 @@ class PerceptualDedupSpec extends AnyFunSuite {
       val q = source.toDF().toDF("id", "payload")
         .writeStream
         .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          idx.dedupBatch(batch, "id", "payload")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // the batchId token makes the index append exactly-once
+          // under foreachBatch's at-least-once replay
+          idx.dedupBatch(batch, "id", "payload", txn = Some(("media-stream", batchId)))
             .select("id").collect().foreach(r => kept.add(r.getLong(0)))
         }
         .start()
