@@ -77,9 +77,15 @@ final class IncrementalDedup private (
     * batchId — to ALSO make the index appends exactly-once through the
     * store's atomic txn markers (O(1) metadata, no data scan): a
     * replayed batch then leaves the index byte-identical. Without a
-    * token, a replayed batch re-appends its survivors' rows (harmless
-    * to correctness — candidate pairs are distinct()ed — but index
-    * storage grows until compact()). */
+    * token, a replayed batch re-appends its survivors' rows
+    * PERMANENTLY (compact() rewrites files, it does not deduplicate
+    * rows) and the duplicates inflate bucket-occupancy counts toward
+    * the `maxBucket` cutoff — any source that can replay should pass
+    * the token. One corner is inherently non-idempotent either way:
+    * if the first attempt's own appends push an index bucket past
+    * `maxBucket`, the replay's collision join no longer sees that
+    * bucket and a doc dropped on attempt one can survive the replay —
+    * keep `maxBucket` well above real bucket occupancy. */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
                  txn: Option[(String, Long)] = None): DataFrame = {
     val sig = signed(batch, idCol, textCol).cache()
@@ -117,8 +123,8 @@ final class IncrementalDedup private (
       // stage 2 — collisions vs the KEPT corpus: equi-join on the
       // 20-byte bucket rows, cap crowded buckets (same skew guard as
       // the batch operators), then verify only collided pairs by
-      // signature agreement. One snapshot resolution serves the
-      // emptiness probe, the join, and the append exclusion.
+      // signature agreement. One snapshot resolution serves both the
+      // emptiness probe and the join.
       // Self-matches (kept_id == id) never drop: a doc is a duplicate
       // of a DIFFERENT kept doc, not of its own identity — this is
       // what makes a replayed foreachBatch micro-batch idempotent

@@ -115,14 +115,17 @@ object Overlap {
       // pin: this subtree feeds pairIdx AND both perIdx broadcast
       // branches — without the pin, computing the corpus-sized bit_or
       // once instead of three times silently depends on AQE exchange
-      // reuse. LAZY persist, not an eager localCheckpoint: building
-      // the DataFrame must stay free (callers compose/inspect plans
-      // before acting); the cache materializes at the first action and
-      // all three consumers then share the one InMemoryRelation. After
-      // the aggregate it is metadata-scale (≤ distinct observed masks,
-      // ≪ 2^n in practice), so the cached footprint is tiny and LRU
-      // eviction merely falls back to recompute.
-      .persist()
+      // reuse. Eager localCheckpoint, NOT .persist(): a persist() here
+      // would register one CacheManager entry per matrix call that
+      // nothing can ever unpersist (callers only see the derived
+      // result), pinning plans+blocks for the session lifetime;
+      // localCheckpoint blocks are reclaimed by the ContextCleaner
+      // once the RDD is unreferenced. The price is that CONSTRUCTING
+      // the matrix runs the aggregation eagerly — acceptable for an
+      // analytics entry point whose result is always consumed. After
+      // the aggregate it is metadata-scale (≤ distinct observed
+      // masks, ≪ 2^n in practice), so the pinned footprint is tiny.
+      .localCheckpoint(true)
     // mask → its set-bit indexes, evaluated where the masks live
     val bits = maskCounts.select(col("cnt"),
       expr(s"filter(sequence(0, ${n - 1}), i -> (shiftright(mask, i) & 1) = 1)")

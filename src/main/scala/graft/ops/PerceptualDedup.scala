@@ -21,15 +21,24 @@ import graft.core.TableStore
   *
   * Per batch: hash once (cached), within-batch greedy min-id drop via
   * the shared [[Dedup.hammingBand64Pairs]] machinery, then a
-  * band-bucket equi-join against the index (skew-capped both sides)
-  * with the Hamming verify inline; survivors' band rows append to the
-  * index and the surviving input rows return MATERIALIZED. Cost per
-  * batch is O(batch × 4 bands) + collided buckets — independent of
-  * corpus size except through bucket occupancy, which `maxBucket`
-  * caps. Payloads that fail to decode hash to null and PASS THROUGH
-  * un-indexed (can't dedup what can't be decoded; same skip-crud
-  * contract as the pair operators — they also never enter the index,
-  * so they can never drop a future payload).
+  * band-bucket equi-join against the index (index side skew-capped:
+  * each batch row joins at most `maxBucket` kept rows — linear in the
+  * batch) with the Hamming verify inline; survivors' band rows append
+  * to the index and the surviving input rows return MATERIALIZED.
+  * Cost per batch is O(batch × 4 bands) + collided buckets —
+  * independent of corpus size except through bucket occupancy, which
+  * `maxBucket` caps. Payloads that fail to decode hash to null and
+  * PASS THROUGH un-indexed (can't dedup what can't be decoded; same
+  * skip-crud contract as the pair operators — they also never enter
+  * the index, so they can never drop a future payload).
+  *
+  * Known hot-bucket limitation (shared with [[IncrementalDedup]]): a
+  * single NOVEL content family larger than `maxBucket` saturates its
+  * index bucket, after which `capBuckets` excludes that bucket from
+  * future collision joins and later copies leak. Run the standard
+  * upstream exact-dedup pass first (identical payloads share ALL
+  * bands) and size `maxBucket` above the largest expected legitimate
+  * near-dup family.
   *
   * Cross-batch semantics mirror [[IncrementalDedup]], spec-locked the
   * same way: a doc drops only for a KEPT near-dup, so with batches in
@@ -73,14 +82,21 @@ final class PerceptualDedupIndex private (
     * through the store's atomic txn marker (O(1) metadata, no data
     * scan): a replayed batch then leaves the index byte-identical.
     * Without a token, a replayed batch re-appends its survivors' band
-    * rows (harmless to correctness — pairs are distinct()ed — but
-    * index storage grows until compact()). */
+    * rows PERMANENTLY (compact() rewrites files, it does not
+    * deduplicate rows) and the duplicates inflate bucket-occupancy
+    * counts toward the `maxBucket` cutoff — any source that can
+    * replay should pass the token. One corner is inherently
+    * non-idempotent either way: if the first attempt's own appends
+    * push an index bucket past `maxBucket`, the replay's collision
+    * join no longer sees that bucket and a payload dropped on attempt
+    * one can survive the replay — keep `maxBucket` well above real
+    * bucket occupancy (see the class doc's hot-bucket note). */
   def dedupBatch(batch: DataFrame, idCol: String, binCol: String,
                  txn: Option[(String, Long)] = None): DataFrame = {
     val h = hashed(batch, idCol, binCol).cache()
     try {
-      // ONE snapshot serves collision check and append exclusion —
-      // concurrent commits can't tear the view
+      // ONE committed snapshot serves the emptiness probe and the
+      // collision join — concurrent commits can't tear the view
       val idxOpt = (if (buckets.exists) Some(buckets.read) else None)
         .filterNot(_.isEmpty)
 
@@ -91,12 +107,16 @@ final class PerceptualDedupIndex private (
 
       // stage 2 — collisions vs the KEPT corpus: band equi-join with
       // the Hamming verify INLINE (the index row carries the hash).
-      // Skew-capped on BOTH sides: a duplicate-flood batch would
-      // otherwise join its hot buckets quadratically against the index
+      // Skew cap on the INDEX side only: each batch row then joins at
+      // most maxBucket kept rows — linear in the batch, no quadratic
+      // term. The batch side must stay UNCAPPED: capping it would drop
+      // a duplicate-flood batch's hot buckets from the comparison
+      // entirely, letting the whole flood bypass the index check and
+      // poison the index with >maxBucket copies of kept content.
       val indexDropped: DataFrame = idxOpt match {
         case None => h.limit(0).select(col("id"))
         case Some(idx) =>
-          Dedup.capBuckets(banded(h), Seq("band", "bucket"), maxBucket)
+          banded(h)
             .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
               .select(col("band"), col("bucket"), col("id").as("kept_id"),
                 col("h").as("kept_h")),

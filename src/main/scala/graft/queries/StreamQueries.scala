@@ -465,8 +465,12 @@ object StreamQueries {
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // batchId token: index appends are exactly-once under
-          // foreachBatch's at-least-once replay
+          // batchId token: the INDEX appends are exactly-once under
+          // foreachBatch's at-least-once replay. The parquet sink
+          // below stays at-least-once (a production pipeline would
+          // write to a batchId-keyed path or an appendOnce store);
+          // the gate's drained stream never replays, so the
+          // equivalence check is unaffected.
           streamed.dedupBatch(batch, "doc_id", "text",
               txn = Some(("q_stream_neardup", batchId)))
             .write.mode("append").parquet(outDir)
