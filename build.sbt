@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two sbt default behaviors broke that contract
+// for three rounds (BENCH_r{9,10,11}.json all "parsed": null):
+//  1. forked run output is routed through the logger with an "[info] "
+//     prefix (LoggedOutput) — StdoutOutput forwards the child's streams
+//     verbatim instead;
+//  2. sbt prints "[success] Total time: …" AFTER the run completes,
+//     displacing Bench's compact-JSON final line — showSuccess=false
+//     suppresses exactly that trailer (test/compile summaries keep
+//     their [info] lines, which scripts/gate.sh greps).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev knob: point scratch dirs (gate temp indexes, stream
+  // checkpoints, shuffle spill) at another filesystem — used to
+  // separate sync-IO-bound floor from compute when adjudicating
+  // bench outliers (SCALE.md "Bench variance")
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq
