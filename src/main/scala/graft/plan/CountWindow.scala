@@ -44,17 +44,48 @@ object CountWindow {
   import org.apache.spark.sql.Column
 
   /** Order-column types the bucketed global window can range-partition
-    * (via [[orderProxy]]). Lowering falls back to the reference's
-    * single-partition shape for anything else — with head-of-container
-    * recursion (r9) and the binary byte-prefix proxy (r11) that
-    * residue is only maps, empty structs, and containers whose HEAD
-    * is one of those. */
+    * (via [[orderProxy]] over [[orderExpr]]). With maps (canonical
+    * sorted-entries order, r12) and degenerate constant orders (empty
+    * struct / null column, r12) covered, the only residue is types
+    * Spark itself cannot order at all (maps nested inside containers,
+    * intervals, variants) — Lowering rejects those with a clear error
+    * instead of an incidental Catalyst one. */
   def canBucket(dt: DataType): Boolean = dt match {
     case _: NumericType | _: TimestampType | _: DateType | _: StringType => true
     case BinaryType => true // unsigned byte order = the prefix proxy's order
-    case a: ArrayType => canBucket(a.elementType)
-    case s: StructType => s.fields.nonEmpty && canBucket(s.fields.head.dataType)
+    case BooleanType => true // false < true = 0.0 < 1.0
+    case NullType => true // all-null column: every row ties — constant proxy
+    case s: StructType if s.fields.isEmpty => true // ditto: constant order
+    case m: MapType =>
+      // canonical order = key-sorted entries array ([[orderExpr]]);
+      // buckets by the head entry's key, Spark orders the entries
+      // array within buckets — so key must proxy and value must be
+      // natively orderable
+      canBucket(m.keyType) && sparkOrderable(m.valueType)
+    case a: ArrayType => sparkOrderable(a) && canBucket(a.elementType)
+    case s: StructType => sparkOrderable(s) && canBucket(s.fields.head.dataType)
     case _ => false
+  }
+
+  /** Whether Spark's own row ordering can sort the type — required of
+    * containers (bucketing only coarsens by the head; the TRUE column
+    * orders rows within a bucket, which Catalyst must support). */
+  private def sparkOrderable(dt: DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+
+  /** Spark-orderable canonicalization of the order column — identity
+    * for natively orderable types. Maps become their key-sorted
+    * entries array (the canonical total order on maps: compare entries
+    * lexicographically by key then value — Spark refuses to ORDER BY a
+    * raw map, so this also serves the keyed window path). An empty
+    * struct compares equal on every row — any consistent order is a
+    * valid tie-break, so a constant stands in. Both the within-bucket
+    * sort and (via [[orderProxy]]) bucket assignment go through this,
+    * so the two can never disagree. */
+  def orderExpr(dt: DataType, c: Column): Column = dt match {
+    case _: MapType => array_sort(map_entries(c))
+    case s: StructType if s.fields.isEmpty => lit(0)
+    case _ => c
   }
 
   /** Monotone numeric proxy of the order column, used ONLY for bucket
@@ -83,11 +114,22 @@ object CountWindow {
       // out-of-bounds index is null, not an ANSI error.
       coalesce(orderProxy(a.elementType, get(c, lit(0))),
         lit(Double.NegativeInfinity))
-    case s: StructType =>
+    case s: StructType if s.fields.nonEmpty =>
       // struct order compares field-by-field; the head field decides
       // except on ties (collisions — shared bucket, true order within)
       coalesce(orderProxy(s.fields.head.dataType, c.getField(s.fields.head.name)),
         lit(Double.NegativeInfinity))
+    case m: MapType =>
+      // proxy of the canonical sorted-entries array = proxy of the
+      // head (smallest-key) entry = proxy of its key; empty map → -∞
+      orderProxy(
+        ArrayType(StructType(Seq(
+          StructField("key", m.keyType, nullable = false),
+          StructField("value", m.valueType, m.valueContainsNull)))),
+        orderExpr(m, c))
+    case BooleanType => c.cast("double") // false→0.0 < true→1.0
+    case NullType => lit(0.0) // every row ties — constant proxy
+    case _: StructType => lit(0.0) // empty struct: ditto
     case other => throw new IllegalArgumentException(
       s"CountWindow: cannot bucket order column of type $other")
   }
@@ -121,7 +163,11 @@ object CountWindow {
       .flatMap(_.toIntOption).getOrElse(32))
     val fracs = (1 until maxPar).map(_.toDouble / maxPar)
     val accuracy = math.max(10000, 16 * maxPar)
-    val proxy = orderProxy(df.schema(orderCol).dataType, col(orderCol))
+    val orderDt = df.schema(orderCol).dataType
+    // canonicalized order (maps → sorted entries; constant orders →
+    // literal) — what the within-bucket sorts below actually order by
+    val ord = orderExpr(orderDt, col(orderCol))
+    val proxy = orderProxy(orderDt, col(orderCol))
     val probe = df.select(
       count(col(orderCol)).as("n"),
       percentile_approx(proxy, typedLit(fracs), lit(accuracy)).as("qs")).head
@@ -143,13 +189,13 @@ object CountWindow {
     }
     val base = df.withColumn("__pid", pid).withColumn("__carry", lit(false))
     // each bucket's last n-1 rows, replayed into the following bucket
-    val wTail = Window.partitionBy(col("__pid")).orderBy(col(orderCol).desc)
+    val wTail = Window.partitionBy(col("__pid")).orderBy(ord.desc)
     val carry = base.withColumn("__rrn", row_number().over(wTail))
       .filter(col("__rrn") < n).drop("__rrn")
       .withColumn("__pid", col("__pid") + 1)
       .withColumn("__carry", lit(true))
     val aug = base.unionByName(carry)
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__pid")).orderBy(ord)
       .rowsBetween(-(n - 1), Window.currentRow)
     aug.select(aggs(w) :+ col("__carry") :+ count(lit(1)).over(w).as("__wn"): _*)
       .filter(!col("__carry") && col("__wn") === n)

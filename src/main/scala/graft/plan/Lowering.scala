@@ -39,13 +39,6 @@ object Lowering {
 
   final case class AnalysisException2(msg: String) extends RuntimeException(msg)
 
-  private val log = org.slf4j.LoggerFactory.getLogger("graft.plan.Lowering")
-
-  /** Last single-task window-fallback warning (sticky test hook —
-    * unit tests clear it, run a lowering, and assert). */
-  private[graft] val lastWindowFallbackWarning =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
-
   def lower(stmt: SelectStmt, resolve: String => DataFrame,
             compat: Compat = Compat(),
             customAggs: Map[String, Column => Column] = Map.empty): DataFrame = {
@@ -235,34 +228,33 @@ object Lowering {
               e.as(outName(sc))
             } else scalarExpr(sc)
           }
-        val order = resolveRef(wcol)
-        val bucketable = colType(inName(wcol)).exists(CountWindow.canBucket)
-        if (stmt.windowPartition.isEmpty && bucketable) {
+        val orderDt = colType(inName(wcol)).getOrElse(
+          throw AnalysisException2(s"WINDOW BY ${inName(wcol)}: unknown column"))
+        val bucketable = CountWindow.canBucket(orderDt)
+        // every bucketable type is also canBucket-orderable through
+        // CountWindow.orderExpr (maps via their key-sorted entries
+        // array, constant orders via a literal); what's left is types
+        // Spark itself cannot define an order for (maps nested inside
+        // containers, intervals, variants) — reject those up front
+        // with the real reason instead of an incidental Catalyst
+        // "not an orderable data type" buried in the window sort.
+        if (!bucketable)
+          throw AnalysisException2(s"WINDOW BY ${inName(wcol)}: order column type " +
+            s"$orderDt has no defined ordering (Spark cannot sort it); order by an " +
+            "orderable column instead")
+        val order = CountWindow.orderExpr(orderDt, resolveRef(wcol))
+        if (stmt.windowPartition.isEmpty) {
           // reference-compatible global window, lowered scalably
           // (range buckets + carry-over instead of a one-task sort).
-          // Numeric, timestamp, date AND string order columns all
-          // bucket (strings through the monotone byte-prefix proxy).
+          // Numeric, timestamp, date, string, binary, container AND
+          // (since r12) map/constant order columns all bucket — the
+          // single-partition fallback path is gone.
           CountWindow.global(filtered, inName(wcol), n, outCols)
         } else {
           // keyed count window: per-key frames, sort parallelizes by
-          // key. Empty keys = compat fallback for order-column types
-          // the range-bucketing can't proxy — since r9's
-          // head-of-container recursion and r11's binary byte-prefix
-          // proxy that residue is only maps, empty structs, and
-          // containers whose HEAD is one of those (arrays/structs of
-          // orderable types bucket through the head proxy;
-          // CountWindow.canBucket is the source of
-          // truth). Exotic for an ordered window; single-partition is
-          // the reference's own shape — warn loudly so the shape
-          // can't silently surprise at scale.
+          // key (the reference's WINDOW BY has no PARTITION BY — this
+          // is the documented extension)
           val keys = stmt.windowPartition.map(resolveRef)
-          if (keys.isEmpty) {
-            val msg = s"WINDOW BY ${inName(wcol)}: un-bucketable order column type with " +
-              "no PARTITION BY lowers to a SINGLE-partition window (reference-compatible " +
-              "shape, not the scale path) — add PARTITION BY <key> to distribute state"
-            lastWindowFallbackWarning.set(msg)
-            log.warn(msg)
-          }
           val w = Window.partitionBy(keys: _*).orderBy(order)
             .rowsBetween(-(n - 1), Window.currentRow)
           val rn = row_number().over(Window.partitionBy(keys: _*).orderBy(order))

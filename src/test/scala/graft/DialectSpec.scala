@@ -242,7 +242,7 @@ class LoweringSpec extends AnyFunSuite {
     assert(lt.count() == ltExpect && ltExpect > 0)
   }
 
-  test("global WINDOW BY buckets string order columns; warns only for un-bucketable types") {
+  test("global WINDOW BY buckets string, array AND map order columns (no fallback left)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
@@ -252,11 +252,8 @@ class LoweringSpec extends AnyFunSuite {
     // single-partition reference computation row-for-row
     val data = (1 to 500).map(i => (f"k${(i * 7919) % 997}%04d-$i", (i * 3).toLong))
     g.register("wt", data.toDF("s", "v"))
-    Lowering.lastWindowFallbackWarning.set(null)
     val got = g.execute(
       "select t.s k, count(t.v) c, sum(t.v) sv from wt t window by t.s interval = 20")
-    assert(Lowering.lastWindowFallbackWarning.get() == null,
-      "string order column must take the bucketed path, not the fallback")
     val w = Window.orderBy(col("s")).rowsBetween(-19, Window.currentRow)
     val want = data.toDF("s", "v")
       .select(col("s").as("k"), count(col("v")).over(w).as("c"),
@@ -266,23 +263,30 @@ class LoweringSpec extends AnyFunSuite {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "bucketed string window diverged from the single-partition reference result")
-    // arrays bucket since r9 (head-element proxy) — no warning
+    // arrays bucket since r9 (head-element proxy)
     g.register("wa", Seq((Seq(1), 1.0), (Seq(2), 2.0), (Seq(3), 3.0)).toDF("s", "v"))
-    Lowering.lastWindowFallbackWarning.set(null)
-    g.execute("select count(t.v) c from wa t window by t.s interval = 2")
-    assert(Lowering.lastWindowFallbackWarning.get() == null,
-      "array order column must take the bucketed path since r9")
-    // a MAP order column is genuinely un-proxyable — falls back, warns
-    g.register("wm", Seq((Map(1 -> 1), 1.0), (Map(2 -> 2), 2.0)).toDF("s", "v"))
-    Lowering.lastWindowFallbackWarning.set(null)
-    try g.execute("select count(t.v) c from wm t window by t.s interval = 2")
-    catch { case _: Exception => () } // maps may not even be orderable; the warn fires at lowering
-    assert(Option(Lowering.lastWindowFallbackWarning.get())
-      .exists(_.contains("SINGLE-partition")), "un-bucketable fallback must warn")
-    // numeric order column: bucketed scale path, no warning
-    Lowering.lastWindowFallbackWarning.set(null)
-    gs.execute("select count(e.value) c from events e window by e.event_id interval = 10")
-    assert(Lowering.lastWindowFallbackWarning.get() == null)
+    assert(g.execute("select count(t.v) c from wa t window by t.s interval = 2").count() == 2)
+    // maps bucket since r12 through the canonical sorted-entries order
+    // (Spark can't ORDER BY a raw map, so this path is the only one):
+    // sum over the key-sorted window must match the hand-ordered answer
+    val maps = (1 to 60).map(i => (Map((i * 37) % 61 -> i.toLong), i.toLong))
+    g.register("wm", maps.toDF("s", "v"))
+    val gotM = g.execute("select sum(t.v) sv from wm t window by t.s interval = 5")
+      .collect().map(_.getLong(0)).sorted
+    val ordered = maps.sortBy(_._1.head._1).map(_._2)
+    val wantM = ordered.sliding(5).map(_.sum).toArray.sorted
+    assert(gotM.sameElements(wantM),
+      s"map-ordered window diverged: got ${gotM.take(5).mkString(",")}…")
+    // a genuinely Spark-unorderable order column (array of maps) is
+    // rejected up front with the real reason, not a Catalyst error
+    g.register("wu", Seq((Seq(Map(1 -> 1)), 1.0)).toDF("s", "v"))
+    val err = intercept[Lowering.AnalysisException2] {
+      g.execute("select count(t.v) c from wu t window by t.s interval = 2")
+    }
+    assert(err.getMessage.contains("no defined ordering"))
+    // numeric order column: bucketed scale path
+    assert(gs.execute(
+      "select count(e.value) c from events e window by e.event_id interval = 10").count() > 0)
   }
 
   test("quoted empty string is NULL (reference quirk)") {
@@ -423,9 +427,27 @@ class LoweringSpec extends AnyFunSuite {
       when(col("i") === 0, lit(Array.empty[Byte]))
         .otherwise(encode(concat(lpad(conv(col("i"), 10, 16), 3, "0"),
           when(col("i") % 3 === 0, lit("x")).otherwise(lit(""))), "UTF-8"))), "k")
-    // maps stay un-bucketable (no defined head) — honest fallback
-    assert(!graft.plan.CountWindow.canBucket(
+    // maps bucket since r12 (canonical sorted-entries order, proxied
+    // by the smallest key); full row-for-row correctness is asserted
+    // in the WINDOW BY dialect test above — here just the predicate
+    assert(graft.plan.CountWindow.canBucket(
       org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)))
+    // …but a map with a Spark-unorderable VALUE cannot sort within
+    // buckets — stays out
+    assert(!graft.plan.CountWindow.canBucket(
+      org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType))))
+    // empty struct = constant order: every row ties, so any consistent
+    // order is valid — assert the degenerate invariants (row count,
+    // every window exactly full) rather than one arbitrary tie-break
+    val es = base.withColumn("k", struct())
+    assert(graft.plan.CountWindow.canBucket(es.schema("k").dataType))
+    val win = graft.plan.CountWindow.global(es, "k", n,
+      w => Seq(count(col("v")).over(w).as("c"), sum(col("v")).over(w).as("s")))
+    val rows = win.collect()
+    assert(rows.length == 500 - (n - 1), s"expected ${500 - (n - 1)} full windows")
+    assert(rows.forall(_.getLong(0) == n), "every emitted window must be exactly full")
   }
 }
