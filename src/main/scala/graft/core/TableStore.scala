@@ -146,6 +146,19 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
 
   def exists: Boolean = latestManifest(fs).isDefined
 
+  /** Committed row count resolved from manifest METADATA — O(1), no
+    * Spark job (manifests carry per-file rowCounts). None when the
+    * table doesn't exist or a legacy pre-rowCount manifest entry makes
+    * the metadata count unknown (callers fall back to a probe job).
+    * Lets hot per-batch paths (the dedup indexes' emptiness and
+    * saturation checks) skip whole Spark jobs: on a long sequential
+    * chain of small actions, every removed action is wall time. */
+  def committedRowCount: Option[Long] =
+    latestManifest(fs).flatMap { case (_, entries) =>
+      val counts = entries.map(_.rows)
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    }
+
   private val schemaDir = s"$path/_schema"
 
   /** Commit an empty version with a zero-row schema anchor, so reads

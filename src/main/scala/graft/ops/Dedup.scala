@@ -68,6 +68,39 @@ object Dedup {
     df.join(small, keys, "left_semi")
   }
 
+  /** Observability for the [[capBuckets]] skew guard on a PERSISTENT
+    * dedup index (VERDICT r11 #4): a saturated bucket (occupancy >
+    * maxBucket) is excluded from every future collision join, so later
+    * copies of that content family leak through — real, documented,
+    * and previously invisible at runtime. This counts the saturated
+    * buckets and the kept rows inside them and bumps the engine
+    * counters `<prefix>SaturatedBuckets` / `<prefix>CappedRows`
+    * (core.Metrics → JMX + Bench's metrics block). Cost: one extra
+    * column-pruned aggregate over just the bucket-key columns per
+    * batch — a small constant factor on top of the collision join's
+    * own index scan, the price of making the recall leak observable.
+    * When the caller knows the index's TOTAL committed row count
+    * (manifest metadata, O(1)) and it is ≤ maxBucket, no single bucket
+    * can exceed the cap and the job is skipped outright — small/young
+    * indexes then pay nothing. Returns (saturatedBuckets, cappedRows). */
+  private[ops] def observeSaturation(idx: DataFrame, keys: Seq[String],
+                                     maxBucket: Int, counterPrefix: String,
+                                     totalRows: Option[Long] = None): (Long, Long) = {
+    val (nb, nr) =
+      if (totalRows.exists(_ <= maxBucket)) (0L, 0L)
+      else {
+        val row = idx.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBucket)
+          .agg(count(lit(1)).as("nb"), coalesce(sum(col("bsz")), lit(0L)).as("nr"))
+          .head()
+        (row.getLong(0), row.getLong(1))
+      }
+    graft.core.Metrics.counter(s"${counterPrefix}SaturatedBuckets").add(nb)
+    graft.core.Metrics.counter(s"${counterPrefix}CappedRows").add(nr)
+    (nb, nr)
+  }
+
   /** LSH candidate pairs from banded MinHash signatures.
     * bands × rowsPerBand must equal numHashes. Two docs are candidates
     * if any band of their signatures collides. The band-bucket join is
@@ -268,17 +301,51 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.TextHashFunctions.simhash(text)
 
+  /** Band decomposition of a 64-bit hash for Hamming-≤`maxHamming`
+    * candidate generation, recall GUARANTEED by pigeonhole (r12 —
+    * closes the r11 advice gap where the 4×16 layout only guaranteed
+    * distance 3 while the media APIs promised 6):
+    *
+    *  - maxHamming ≤ 3 → the classic 4 single 16-bit blocks: ≤3
+    *    flipped bits leave ≥1 of 4 blocks untouched;
+    *  - 3 < maxHamming ≤ 6 → all C(8,2)=28 ordered PAIRS of 8-bit
+    *    blocks, each pair concatenated into a 16-bit key (Manku et
+    *    al., WWW'07 §3 block-permutation scheme): ≤6 flipped bits
+    *    touch ≤6 of 8 blocks, leaving ≥2 untouched — so some pair
+    *    survives intact and the true pair shares that band.
+    *
+    * Both layouts keep 16-BIT bucket selectivity (expected occupancy
+    * n/65536 per band). The naive alternative — 8 single 8-bit bands —
+    * would guarantee distance 7 but put n/256 of the corpus in EVERY
+    * bucket, tripping the maxBucket skew guard corpus-wide right when
+    * the data gets big; the pair scheme trades 7× band rows (28 vs 4,
+    * still 16 bytes each) for selectivity that survives scale. */
+  private[ops] def hammingBands(h: Column, maxHamming: Int): Column = {
+    require(maxHamming <= 6,
+      s"maxHamming=$maxHamming: banded candidate generation guarantees recall only to 6")
+    if (maxHamming <= 3)
+      array((0 until 4).map(b =>
+        shiftrightunsigned(h, b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    else {
+      def blk(i: Int) = shiftrightunsigned(h, i * 8).bitwiseAND(lit(0xFFL))
+      array((for { i <- 0 until 8; j <- (i + 1) until 8 } yield
+        shiftleft(blk(i), 8).bitwiseOR(blk(j))): _*)
+    }
+  }
+
+  /** Number of bands [[hammingBands]] emits per hash. */
+  private[ops] def hammingBandCount(maxHamming: Int): Int =
+    if (maxHamming <= 3) 4 else 28
+
   /** Shared Hamming-band pairing over a 64-bit LSH-family hash — the
     * candidate+verify machinery behind [[simhashPairs]] (text),
     * [[imageDHashPairs]] (image dHash), [[audioFpPairs]] (audio energy
     * fingerprint) and [[videoDHashPairs]] (frame-majority video hash).
     * Input: an ("id", "h") frame with null hashes already dropped.
-    * Candidates via 4×16-bit band buckets (a pair within distance 3
-    * must agree on ≥1 band; near-certain beyond that for perceptual
-    * hashes because codec/brightness noise flips CLUSTERED bits, not
-    * uniform ones), skew-capped, then verified with `bit_count(xor)`.
-    * Shuffles carry (id, hash) — 16 bytes/row; payloads/text never
-    * leave their scan partition.
+    * Candidates via [[hammingBands]] buckets — recall GUARANTEED for
+    * pairs within `maxHamming` (≤ 6) — skew-capped, then verified with
+    * `bit_count(xor)`. Shuffles carry (id, hash) — 16 bytes/row;
+    * payloads/text never leave their scan partition.
     *
     * Skew guard rationale: a band bucket holding > maxBucket rows
     * (boilerplate text, one image re-posted millions of times —
@@ -289,8 +356,7 @@ object Dedup {
   private[ops] def hammingBand64Pairs(hashed: DataFrame, maxHamming: Int,
                                       maxBucket: Int): DataFrame = {
     val banded = hashed.select(col("id"), col("h"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(hammingBands(col("h"), maxHamming)))
       .select(col("id"), col("h"), col("pos").as("band"), col("col").as("bucket"))
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
     val l = capped.select(col("band"), col("bucket"), col("id").as("id1"), col("h").as("h1"))

@@ -85,7 +85,11 @@ final class IncrementalDedup private (
     * if the first attempt's own appends push an index bucket past
     * `maxBucket`, the replay's collision join no longer sees that
     * bucket and a doc dropped on attempt one can survive the replay —
-    * keep `maxBucket` well above real bucket occupancy. */
+    * keep `maxBucket` well above real bucket occupancy. Saturation is
+    * OBSERVABLE (r12): every batch bumps the engine counters
+    * `minhashIndexSaturatedBuckets` / `minhashIndexCappedRows`
+    * (core.Metrics → JMX) — nonzero means the hot-bucket recall leak
+    * is live; raise `maxBucket` or tighten the upstream exact pass. */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
                  txn: Option[(String, Long)] = None): DataFrame = {
     val sig = signed(batch, idCol, textCol).cache()
@@ -130,10 +134,26 @@ final class IncrementalDedup private (
       // what makes a replayed foreachBatch micro-batch idempotent
       // instead of colliding with its own first-attempt index entries
       // and silently vanishing (see the replay spec).
+      // emptiness from manifest metadata (O(1)) instead of an isEmpty
+      // JOB — this operator is a long sequential chain of small
+      // actions, and every removed action is wall time at any scale
+      // (legacy stat-less manifests fall back to the probe job)
+      val keptRows = buckets.committedRowCount
       val indexDropped: DataFrame =
-        (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty) match {
+        (keptRows match {
+          case Some(0L) => None
+          case Some(_) => Some(buckets.read)
+          case None => (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty)
+        }) match {
           case None => sig.limit(0).select(col("id"))
-          case Some(idx) => batchBands
+          case Some(idx) =>
+            // make the documented maxBucket recall leak VISIBLE: count
+            // the index buckets this batch's collision join will skip
+            // (counters minhashIndexSaturatedBuckets/…CappedRows);
+            // skipped for free while the whole index fits one bucket
+            Dedup.observeSaturation(idx, Seq("band", "bucket"), maxBucket,
+              "minhashIndex", keptRows)
+            batchBands
             .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
               .select(col("band"), col("bucket"), col("id").as("kept_id")),
               Seq("band", "bucket"))
@@ -194,7 +214,11 @@ final class IncrementalDedup private (
     try {
       val empty = sig.limit(0).select(col("id").as(idCol),
         col("id").as("kept_id"), lit(1.0).as("est_jaccard"))
-      (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty) match {
+      (buckets.committedRowCount match {
+        case Some(0L) => None
+        case Some(_) => Some(buckets.read)
+        case None => (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty)
+      }) match {
         case None => empty.localCheckpoint(true)
         case Some(idx) =>
           banded(sig)

@@ -25,7 +25,7 @@ import graft.core.TableStore
   * each batch row joins at most `maxBucket` kept rows — linear in the
   * batch) with the Hamming verify inline; survivors' band rows append
   * to the index and the surviving input rows return MATERIALIZED.
-  * Cost per batch is O(batch × 4 bands) + collided buckets —
+  * Cost per batch is O(batch × 28 bands) + collided buckets —
   * independent of corpus size except through bucket occupancy, which
   * `maxBucket` caps. Payloads that fail to decode hash to null and
   * PASS THROUGH un-indexed (can't dedup what can't be decoded; same
@@ -38,7 +38,11 @@ import graft.core.TableStore
   * future collision joins and later copies leak. Run the standard
   * upstream exact-dedup pass first (identical payloads share ALL
   * bands) and size `maxBucket` above the largest expected legitimate
-  * near-dup family.
+  * near-dup family. Since r12 saturation is OBSERVABLE, not silent:
+  * every [[dedupBatch]] bumps the engine counters
+  * `perceptualIndexSaturatedBuckets` / `perceptualIndexCappedRows`
+  * (core.Metrics → JMX) — nonzero means this leak is live and the
+  * operator should raise `maxBucket` or tighten the upstream pass.
   *
   * Cross-batch semantics mirror [[IncrementalDedup]], spec-locked the
   * same way: a doc drops only for a KEPT near-dup, so with batches in
@@ -57,11 +61,15 @@ final class PerceptualDedupIndex private (
     batch.select(col(idCol).as("id"), hash(col(binCol)).as("h"))
       .filter(col("h").isNotNull)
 
-  /** (band, bucket, id, h) rows — 4 per hashed payload. */
+  /** (band, bucket, id, h) rows — 28 per hashed payload (the pinned
+    * hashfmt=2 pair-of-8-bit-blocks layout, [[Dedup.hammingBands]]:
+    * recall guaranteed for any Hamming ≤ 6, 16-bit bucket selectivity;
+    * the layout is pinned — NOT derived from this open's `maxHamming`
+    * dial — because index rows written under one layout would never
+    * collide with probes banded under another). */
   private def banded(h: DataFrame): DataFrame =
     h.select(col("id"), col("h"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        posexplode(Dedup.hammingBands(col("h"), maxHamming = 6)))
       .select(col("pos").as("band"), col("col").as("bucket"), col("id"), col("h"))
 
   /** Dedup one ingest batch against the index (and itself); append the
@@ -95,10 +103,16 @@ final class PerceptualDedupIndex private (
                  txn: Option[(String, Long)] = None): DataFrame = {
     val h = hashed(batch, idCol, binCol).cache()
     try {
-      // ONE committed snapshot serves the emptiness probe and the
-      // collision join — concurrent commits can't tear the view
-      val idxOpt = (if (buckets.exists) Some(buckets.read) else None)
-        .filterNot(_.isEmpty)
+      // emptiness from manifest metadata (O(1)) instead of an isEmpty
+      // JOB (legacy stat-less manifests fall back to the probe job);
+      // the collision join still reads ONE committed snapshot
+      val keptRows = buckets.committedRowCount
+      val idxOpt = keptRows match {
+        case Some(0L) => None
+        case Some(_) => Some(buckets.read)
+        case None => (if (buckets.exists) Some(buckets.read) else None)
+          .filterNot(_.isEmpty)
+      }
 
       // stage 1 — within-batch greedy min-id drop: id2 of any pair
       // within maxHamming drops (same rule as the one-shot pair ops)
@@ -116,6 +130,12 @@ final class PerceptualDedupIndex private (
       val indexDropped: DataFrame = idxOpt match {
         case None => h.limit(0).select(col("id"))
         case Some(idx) =>
+          // make the documented maxBucket recall leak VISIBLE: count
+          // the index buckets this batch's collision join will skip
+          // (counters perceptualIndexSaturatedBuckets/…CappedRows);
+          // skipped for free while the whole index fits one bucket
+          Dedup.observeSaturation(idx, Seq("band", "bucket"), maxBucket,
+            "perceptualIndex", keptRows)
           banded(h)
             .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
               .select(col("band"), col("bucket"), col("id").as("kept_id"),
@@ -153,7 +173,11 @@ final class PerceptualDedupIndex private (
     try {
       val empty = h.limit(0).select(col("id").as(idCol),
         col("id").as("kept_id"), lit(0).as("hamming"))
-      (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty) match {
+      (buckets.committedRowCount match {
+        case Some(0L) => None
+        case Some(_) => Some(buckets.read)
+        case None => (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty)
+      }) match {
         case None => empty.localCheckpoint(true)
         case Some(idx) => banded(h)
           .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
@@ -209,11 +233,18 @@ object PerceptualDedupIndex {
     val kernel = kernels.getOrElse(modality,
       throw new IllegalArgumentException(
         s"unknown modality '$modality' (expected one of ${kernels.keys.mkString("/")})"))
+    require(maxHamming <= 6,
+      s"maxHamming=$maxHamming: the hashfmt=2 band layout guarantees recall only to 6")
     import org.apache.hadoop.fs.Path
     val hdir = new Path(dir)
     val fs = hdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paramsPath = new Path(hdir, "_dedup_params")
-    val want = s"modality=$modality,hashfmt=1"
+    // hashfmt versions the BAND LAYOUT (2 = r12's C(8,2) pair-of-8-bit-
+    // blocks scheme, recall guaranteed to Hamming 6; 1 was 4×16 single
+    // blocks, guaranteed only to 3): an index persisted under the old
+    // layout must fail loudly on reopen — its rows would silently never
+    // collide with pair-banded probes
+    val want = s"modality=$modality,hashfmt=2"
     def readPin(): String = {
       val in = fs.open(paramsPath)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim

@@ -96,6 +96,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"dropped docs without a kept near-dup: $violations")
   }
 
+  test("bucket saturation is observable: counters fire exactly when the recall leak is live") {
+    val idx = IncrementalDedup.open(spark, tmp(), threshold = 0.9, maxBucket = 3)
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    // un-tokened replays re-append the survivor's 16 band rows
+    // PERMANENTLY (the documented occupancy inflation) — drives every
+    // band bucket of this doc past maxBucket
+    (1 to 5).foreach(_ => idx.dedupBatch(Seq((1L, doc)).toDF("doc_id", "text"),
+      "doc_id", "text"))
+    def c(name: String) = graft.core.Metrics.snapshot
+      .get(s"counter.$name").map(_.count).getOrElse(0L)
+    val (b0, r0) = (c("minhashIndexSaturatedBuckets"), c("minhashIndexCappedRows"))
+    // the next batch's collision join skips the saturated buckets, so a
+    // VERBATIM copy of the kept doc leaks through — and the counters
+    // must say so: 16 saturated (band, bucket) keys x 5 copies each
+    val leaked = idx.dedupBatch(Seq((2L, doc)).toDF("doc_id", "text"), "doc_id", "text")
+      .count()
+    assert(leaked == 1L,
+      "a saturated bucket must leak the duplicate (the hazard the counter flags)")
+    assert(c("minhashIndexSaturatedBuckets") - b0 == 16L,
+      "all 16 band buckets of the replayed doc must count as saturated")
+    assert(c("minhashIndexCappedRows") - r0 == 80L,
+      "5 replayed copies x 16 bands must count as capped rows")
+  }
+
   test("compact: drops dangling bucket rows, shrinks files, preserves behavior") {
     val dir = tmp()
     val idx = IncrementalDedup.open(spark, dir, threshold = 0.6)

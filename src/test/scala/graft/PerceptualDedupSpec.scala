@@ -103,6 +103,32 @@ class PerceptualDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket saturation is observable: counters fire exactly when the recall leak is live") {
+    withDir { dir =>
+      val idx = PerceptualDedupIndex.open(spark, dir, "image", maxHamming = 6, maxBucket = 3)
+      val img = tile(5L)
+      // un-tokened replays re-append the survivor's band rows
+      // PERMANENTLY (the documented occupancy inflation) — the cheapest
+      // way to drive all 28 of one image's band buckets past maxBucket
+      (1 to 5).foreach(_ => idx.dedupBatch(df(Seq(Row(1L, img))), "id", "payload"))
+      def c(name: String) = graft.core.Metrics.snapshot
+        .get(s"counter.$name").map(_.count).getOrElse(0L)
+      val (b0, r0) = (c("perceptualIndexSaturatedBuckets"), c("perceptualIndexCappedRows"))
+      // the next batch's collision join skips the saturated buckets, so
+      // a TRUE near-dup of the kept image leaks through — and the
+      // counters must say so: 28 saturated (band, bucket) keys holding
+      // 5 copies each = 140 capped index rows
+      val leaked = idx.dedupBatch(
+        df(Seq(Row(2L, Multimodal.reencodeImage(img, "jpeg")))), "id", "payload").count()
+      assert(leaked == 1L,
+        "a saturated bucket must leak the duplicate (the hazard the counter flags)")
+      assert(c("perceptualIndexSaturatedBuckets") - b0 == 28L,
+        "all 28 band buckets of the replayed image must count as saturated")
+      assert(c("perceptualIndexCappedRows") - r0 == 140L,
+        "5 replayed copies x 28 bands must count as capped rows")
+    }
+  }
+
   test("streaming composition: foreachBatch dedups media micro-batches against the index") {
     withDir { dir =>
       val idx = PerceptualDedupIndex.open(spark, dir, "image", maxHamming = 6)
