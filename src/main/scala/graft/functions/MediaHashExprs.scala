@@ -64,11 +64,27 @@ object AudioFingerprint {
     var hash = 0L
     var f = 0
     while (f < 64) {
-      if (sums(f + 1) * counts(f) > sums(f) * counts(f + 1))
+      if (mulGt(sums(f + 1), counts(f), sums(f), counts(f + 1)))
         hash |= 1L << f
       f += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  /** Exact 128-bit `a·b > c·d` for NONNEGATIVE longs (high words via
+    * Math.multiplyHigh, low words unsigned). The naive 64-bit
+    * cross-multiply peaked around 8.9e18 for a maximum-size (~2 GiB,
+    * ~1.07e9-sample) 16-bit clip — under Long.MaxValue but with only
+    * ~4% headroom, so any widening of the sample domain (24-bit PCM)
+    * or frame-count change would have overflowed silently and
+    * corrupted hashes; this removes the constraint. Identical results
+    * in the non-overflowing domain — persisted fingerprints are
+    * unchanged. */
+  private def mulGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
   }
 }
 

@@ -105,9 +105,11 @@ object Multimodal {
     * random 64-bit function of `seed` — distinct seeds collide within
     * Hamming 6 with probability ~1e-11 — while every hash bit carries a
     * 12-gray-level margin (codec re-encode noise cannot flip it) and
-    * levels stay in [68, 164] (a ±16 brightness shift never clips, so
-    * the shift leaves all cell-mean DIFFERENCES — hence the dHash —
-    * exactly unchanged). */
+    * levels stay in [20, 212] (8 steps of ±12 from 116; a ±16
+    * brightness shift never clips — 212+16=228 ≤ 255, 20−16=4 ≥ 0 —
+    * so the shift leaves all cell-mean DIFFERENCES — hence the dHash —
+    * exactly unchanged; a LARGER shift or walk step would clip and
+    * break that invariance, so change both together or not at all). */
   private[graft] def renderTileImage(width: Int, height: Int, format: String,
       seed: Long): Array[Byte] = {
     val levels = Array.ofDim[Int](8, 9)
@@ -454,6 +456,45 @@ object Multimodal {
           (math.floorMod(z, 2L * dither + 1L) - dither).toInt
         }
       ((if (j % 2 == 0) base else -base) + d).toShort
+    })
+  }
+
+  /** [[renderWalkWav]] variant sitting at Hamming distance EXACTLY
+    * `flips` from the base render's fingerprint (VERDICT r11 #5: the
+    * gain/dither/resample transforms are fingerprint-exact by
+    * construction — 2000-level margins — so they only ever exercise
+    * the Hamming-0 path; this is the LOW-MARGIN family that proves the
+    * banded pairing at nonzero distances). Deterministic: picks the
+    * first `flips` SET comparison bits spaced ≥ 2 apart and flattens
+    * frame f+1's level to frame f's. That inverts comparison f (equal
+    * means are "not greater") and provably leaves every other bit
+    * unchanged: frame f+1 only enters comparisons f and f+1, and for
+    * f+1 the original successor level is level(f) or level(f)+4000
+    * (walk step ± reflection), which compares identically against the
+    * original level(f)+2000 and the flattened level(f). Spacing ≥ 2
+    * keeps any comparison from seeing two modified frames. A real,
+    * independently rendered WAV — the audio analogue of a lossy
+    * re-encode that nudges a few frame energies. */
+  private[graft] def renderWalkWavFlipped(samplesPerFrame: Int, sampleRate: Int,
+      seed: Long, flips: Int): Array[Byte] = {
+    require(flips >= 1 && flips <= 6, s"flips=$flips out of the banded guarantee range")
+    val levels = fpWalkLevels(seed)
+    var chosen = 0
+    var f = 0
+    var last = -2
+    while (f < 64 && chosen < flips) {
+      if (levels(f + 1) > levels(f) && f - last >= 2) {
+        levels(f + 1) = levels(f)
+        last = f
+        chosen += 1
+      }
+      f += 1
+    }
+    require(chosen == flips,
+      s"walk for seed $seed has only $chosen spaced set bits (< $flips)")
+    renderWavWith(65 * samplesPerFrame, sampleRate, { i =>
+      val base = levels(i / samplesPerFrame)
+      (if (i % 2 == 0) base else -base).toShort
     })
   }
 

@@ -251,7 +251,14 @@ object PipelineQueries {
     * a 2×-sample-duplicated ("resampled") render, each an independently
     * RENDERED real WAV. The margins make all three fingerprint-exact,
     * so every planted pair MUST pair (a miss is a structural bug in the
-    * kernel or the band join, never fixture luck); corrupt / too-short
+    * kernel or the band join, never fixture luck). The margins also
+    * mean those three only ever exercise the Hamming-0 path, so (r12,
+    * VERDICT r11 #5) a fourth LOW-MARGIN family is planted:
+    * [[Multimodal.renderWalkWavFlipped]] renders sit at Hamming
+    * EXACTLY 1 + (id mod 6) from their base — the gate asserts each
+    * pairs AND that the measured distance equals the planted one, with
+    * all six distances 1..6 realized, proving the banded candidate
+    * generation at every distance it guarantees. Corrupt / too-short
     * payloads hash to null and must pair with nothing. */
   def qDedupAudio(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -284,19 +291,25 @@ object PipelineQueries {
       Multimodal.renderWalkWav(spf(id), 8000, seed = id, dither = 8))
     val resampled = copies(3L, id =>
       Multimodal.renderWalkWav(spf(id), 16000, seed = id, repeat = 2))
+    // low-margin family: fingerprint at Hamming EXACTLY 1 + (id mod 6)
+    // from the base — the nonzero-distance probe of the band scheme
+    val flipped = copies(4L, id =>
+      Multimodal.renderWalkWavFlipped(spf(id), 8000, seed = id,
+        flips = 1 + math.floorMod(id, 6L).toInt))
     val corrupt = s.createDataFrame(
       java.util.Arrays.asList(
-        Row(4L * off, Array[Byte](1, 2, 3, 4)),
-        Row(4L * off + 1L, "not audio".getBytes("UTF-8")),
-        Row(4L * off + 2L, Array.empty[Byte]),
+        Row(5L * off, Array[Byte](1, 2, 3, 4)),
+        Row(5L * off + 1L, "not audio".getBytes("UTF-8")),
+        Row(5L * off + 2L, Array.empty[Byte]),
         // real WAV but < 65 samples: too short to fingerprint
-        Row(4L * off + 3L, Multimodal.renderWav(32, 8000, seed = 1L))),
+        Row(5L * off + 3L, Multimodal.renderWav(32, 8000, seed = 1L))),
       paySchema)
     val corpus = base.unionByName(gain).unionByName(dithered)
-      .unionByName(resampled).unionByName(corrupt)
+      .unionByName(resampled).unionByName(flipped).unionByName(corrupt)
     val pairs = Dedup.audioFpPairs(corpus, "doc_id", "payload", maxHamming = 6)
       .localCheckpoint(true)
-    val expected = Seq(("gain_half", 1L), ("dither", 2L), ("resample_2x", 3L))
+    val expected = Seq(("gain_half", 1L), ("dither", 2L), ("resample_2x", 3L),
+        ("low_margin", 4L))
       .map { case (name, k) =>
         sample.select(col("doc_id").as("id1"),
           (col("doc_id") + k * off).as("id2"), lit(name).as("transform"))
@@ -304,7 +317,20 @@ object PipelineQueries {
     val missed = expected.join(pairs, Seq("id1", "id2"), "left_anti").count()
     require(missed == 0L,
       s"q_dedup_audio: $missed planted transformed duplicates were not paired")
-    val corruptHits = pairs.filter(col("id2") >= 4L * off).count()
+    // the low-margin family's measured Hamming must equal the planted
+    // flip count — and realize every distance 1..6 the banding
+    // guarantees (nonzero spread: this is NOT the Hamming-0 path)
+    val flipMeasured = pairs.join(
+      sample.select(col("doc_id").as("id1"), (col("doc_id") + 4L * off).as("id2"),
+        (lit(1) + pmod(col("doc_id"), lit(6L)).cast("int")).as("want_h")),
+      Seq("id1", "id2")).localCheckpoint(true)
+    val hBad = flipMeasured.filter(col("hamming") =!= col("want_h")).count()
+    require(hBad == 0L,
+      s"q_dedup_audio: $hBad low-margin pairs measured a Hamming distance != planted flips")
+    val hDistinct = flipMeasured.select(col("want_h")).distinct().count()
+    require(hDistinct == 6L,
+      s"q_dedup_audio: planted low-margin distances cover $hDistinct of 6")
+    val corruptHits = pairs.filter(col("id2") >= 5L * off).count()
     require(corruptHits == 0L,
       s"q_dedup_audio: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
     // PRECISION side: legitimate pairs relate renders of ONE walk seed

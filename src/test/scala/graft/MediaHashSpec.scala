@@ -50,6 +50,19 @@ class MediaHashSpec extends AnyFunSuite {
     }
   }
 
+  test("low-margin render sits at EXACTLY the planted Hamming distance (1..6)") {
+    // the flatten-one-frame construction's whole-kernel proof: every
+    // chosen comparison bit flips, no other bit moves (r12, the
+    // nonzero-distance counterpart of the invariance test above)
+    for (seed <- 0L until 20L; flips <- 1 to 6) {
+      val base = AudioFingerprint.fp64(Multimodal.renderWalkWav(28, 8000, seed)).longValue
+      val flip = AudioFingerprint.fp64(
+        Multimodal.renderWalkWavFlipped(28, 8000, seed, flips)).longValue
+      assert(java.lang.Long.bitCount(base ^ flip) == flips,
+        s"seed $seed flips=$flips: measured ${java.lang.Long.bitCount(base ^ flip)}")
+    }
+  }
+
   test("audio fp: corrupt / null / short / wrong-modality payloads hash to null") {
     assert(AudioFingerprint.fp64(null) == null)
     assert(AudioFingerprint.fp64(Array.empty[Byte]) == null)
