@@ -171,6 +171,7 @@ object SparkEntry {
     "q_rank_analytics" -> (AnalyticsQueries.qRankAnalytics _),
     "q_freq_topk"      -> (AnalyticsQueries.qFreqTopk _),
     "q_sketch_distinct"  -> (AnalyticsQueries.qSketchDistinct _),
+    "q_sketch_distinct_exact" -> (AnalyticsQueries.qSketchDistinctExact _),
     "q_sketch_cms"       -> (AnalyticsQueries.qSketchCms _),
     "q_sketch_quantiles" -> (AnalyticsQueries.qSketchQuantiles _),
     "q_profile"        -> (WarehouseQueries.qProfile _),
@@ -1827,6 +1828,13 @@ object SparkEntry {
       """SELECT p_brand, p_type, count(*) AS freq
          FROM part GROUP BY 1, 2
          ORDER BY freq DESC, p_brand ASC, p_type ASC LIMIT 10""",
+    // the sketch family's oracle row (r12): exact distinct counts are
+    // plain SQL; the HLL 2×rsd accuracy check rides the query as an
+    // in-gate require (DuckDB count(DISTINCT) is already BIGINT — no
+    // HUGEINT cast needed)
+    "q_sketch_distinct_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_d
+         FROM events GROUP BY 1 ORDER BY event_type""",
     // one-pass column profile: numeric stats null for strings & vice
     // versa; avg rounded on both engines
     "q_profile" -> Seq(

@@ -341,6 +341,27 @@ object AnalyticsQueries {
     approx.orderBy(col("event_type"))
   }
 
+  /** Oracle-backed companion of [[qSketchDistinct]] (VERDICT r11 #8):
+    * the HLL ESTIMATE can never hash-match an external oracle, but the
+    * exact distinct side it is judged against is plain SQL — so this
+    * row RETURNS the exact counts (DuckDB-replayable → a green oracle
+    * row for the sketch family) while still carrying the sketch's
+    * error-bound self-check: the require re-runs the HLL pass and
+    * fails the gate if any group's estimate leaves the 2×rsd band.
+    * Accuracy now rides an oracle-backed row, not a rows-only one. */
+  def qSketchDistinctExact(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_d"))
+    val approx = Sketches.approxDistinct(ev, Seq("event_type"), "user_id")
+    val offBound = approx.join(exact, Seq("event_type"))
+      .filter(abs(col("approx_distinct") - col("exact_d")) >
+        col("exact_d") * 0.04) // rsd 0.02, 2σ bound
+    require(offBound.isEmpty,
+      "q_sketch_distinct_exact: HLL estimate outside the 2*rsd bound of exact")
+    exact.orderBy(col("event_type"))
+  }
+
   /** Count-min sketch frequency estimates for every distinct user —
     * rows-only gate made SELF-CHECKING like the other sketches: the
     * fundamental one-sided guarantee (est >= exact, always) is a hard
