@@ -173,7 +173,9 @@ object SparkEntry {
     "q_sketch_distinct"  -> (AnalyticsQueries.qSketchDistinct _),
     "q_sketch_distinct_exact" -> (AnalyticsQueries.qSketchDistinctExact _),
     "q_sketch_cms"       -> (AnalyticsQueries.qSketchCms _),
+    "q_sketch_cms_exact" -> (AnalyticsQueries.qSketchCmsExact _),
     "q_sketch_quantiles" -> (AnalyticsQueries.qSketchQuantiles _),
+    "q_sketch_quantiles_exact" -> (AnalyticsQueries.qSketchQuantilesExact _),
     "q_profile"        -> (WarehouseQueries.qProfile _),
     "q_scd2"           -> (WarehouseQueries.qScd2 _),
     "q_pagerank"       -> (WarehouseQueries.qPageRank _),
@@ -1835,6 +1837,26 @@ object SparkEntry {
     "q_sketch_distinct_exact" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_d
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // exact quantiles by rank selection: the value AT rank ceil(p*n)
+    // is tie-order-independent and passes through unrounded; ceil(p*n)
+    // is the same IEEE double product on both engines
+    "q_sketch_quantiles_exact" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL)
+         SELECT event_type,
+                max(CASE WHEN rk = CAST(least(ceil(0.5 * n), n) AS BIGINT)
+                    THEN value END) AS p50_exact,
+                max(CASE WHEN rk = CAST(least(ceil(0.95 * n), n) AS BIGINT)
+                    THEN value END) AS p95_exact,
+                max(CASE WHEN rk = CAST(least(ceil(0.99 * n), n) AS BIGINT)
+                    THEN value END) AS p99_exact
+         FROM ranked GROUP BY 1 ORDER BY event_type""",
+    "q_sketch_cms_exact" ->
+      """SELECT user_id, count(*) AS exact_n
+         FROM events GROUP BY 1 ORDER BY user_id""",
     // one-pass column profile: numeric stats null for strings & vice
     // versa; avg rounded on both engines
     "q_profile" -> Seq(

@@ -387,6 +387,28 @@ object AnalyticsQueries {
     est.orderBy(col("user_id"))
   }
 
+  /** Oracle-backed companion of [[qSketchCms]] (the
+    * q_sketch_distinct_exact pattern): the exact per-key frequencies
+    * the sketch is judged against are plain SQL — returned as the
+    * oracle row, with BOTH sketch guarantees asserted in-gate (never
+    * under-estimates; over-estimate bounded by 4N/width per the
+    * Markov bound on each of the 4 independent sketch rows). */
+  def qSketchCmsExact(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val depth = 4; val width = 256
+    val sketch = Sketches.countMinSketch(ev, "user_id", depth, width)
+    val users = ev.select(col("user_id")).distinct()
+    val est = Sketches.cmsEstimate(sketch, users, "user_id", depth, width)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val n = ev.count()
+    val joined = est.join(exact, Seq("user_id"))
+    require(joined.filter(col("est") < col("exact_n")).isEmpty,
+      "q_sketch_cms_exact: count-min UNDER-estimated a key")
+    require(joined.filter(col("est") - col("exact_n") > lit(4.0 * n / width)).isEmpty,
+      s"q_sketch_cms_exact: overestimate beyond 4N/width (N=$n, width=$width)")
+    exact.orderBy(col("user_id"))
+  }
+
   /** Greenwald-Khanna p50/p95/p99 of event value per type. Rows-only
     * gate made SELF-CHECKING: each reported quantile's exact rank must
     * sit within 2% of its target probability. */
@@ -408,6 +430,46 @@ object AnalyticsQueries {
     require(offBound.isEmpty,
       "q_sketch_quantiles: GK quantile rank outside the 2% tolerance")
     q.orderBy(col("event_type"))
+  }
+
+  /** Oracle-backed companion of [[qSketchQuantiles]] (the
+    * q_sketch_distinct_exact pattern): EXACT per-group quantiles by
+    * explicit rank selection — the value at row_number ceil(p·n) in
+    * the sorted multiset, a definition both engines replay
+    * bit-for-bit (the selected value passes through, no interpolation
+    * arithmetic; ceil(p·n) is the same IEEE double product on both
+    * sides; ties don't matter because the value AT a rank is
+    * order-independent). The sketch's rank contract rides the gate:
+    * each approx quantile must lie between the exact values at ranks
+    * ceil((p−ε)n) and ceil((p+ε)n), ε = 0.02 — the GK guarantee
+    * stated in value space. The window-sorted exact pass is the
+    * gate-sized spec; the one-pass sketch remains the corpus path. */
+  def qSketchQuantilesExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+    val ranked = ev.select(col("event_type"), col("value"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def at(p: Double) = max(when(
+      col("rk") === least(ceil(lit(p) * col("n")), col("n")), col("value")))
+    val exact = ranked.groupBy(col("event_type")).agg(
+      at(0.5).as("p50_exact"), at(0.95).as("p95_exact"), at(0.99).as("p99_exact"),
+      at(0.48).as("lo50"), at(0.52).as("hi50"),
+      at(0.93).as("lo95"), at(0.97).as("hi95"),
+      at(0.97).as("lo99"), at(1.0).as("hi99"))
+    val approx = Sketches.approxQuantiles(ev, Seq("event_type"), "value",
+        Seq(0.5, 0.95, 0.99))
+      .select(col("event_type"), col("quantiles")(0).as("p50"),
+        col("quantiles")(1).as("p95"), col("quantiles")(2).as("p99"))
+    val offBound = approx.join(exact, Seq("event_type")).filter(
+      col("p50") < col("lo50") || col("p50") > col("hi50") ||
+      col("p95") < col("lo95") || col("p95") > col("hi95") ||
+      col("p99") < col("lo99") || col("p99") > col("hi99"))
+    require(offBound.isEmpty,
+      "q_sketch_quantiles_exact: GK estimate outside the ±2% rank band of exact")
+    exact.select(col("event_type"), col("p50_exact"), col("p95_exact"), col("p99_exact"))
+      .orderBy(col("event_type"))
   }
 
   /** Recency-value Pareto frontier (ops/Frontier.skyline2d): events
