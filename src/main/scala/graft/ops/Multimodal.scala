@@ -111,7 +111,12 @@ object Multimodal {
     * exactly unchanged; a LARGER shift or walk step would clip and
     * break that invariance, so change both together or not at all). */
   private[graft] def renderTileImage(width: Int, height: Int, format: String,
-      seed: Long): Array[Byte] = {
+      seed: Long): Array[Byte] =
+    rasterizeTile(tileLevels(seed), width, height, format)
+
+  /** The 8×9 gray-level grid behind [[renderTileImage]] (one walk row
+    * per dHash pooling row). */
+  private def tileLevels(seed: Long): Array[Array[Int]] = {
     val levels = Array.ofDim[Int](8, 9)
     var r = 0
     while (r < 8) {
@@ -129,6 +134,47 @@ object Multimodal {
       }
       r += 1
     }
+    levels
+  }
+
+  /** [[renderTileImage]] variant at Hamming distance EXACTLY `flips`
+    * from the base tile's dHash — the image analogue of
+    * [[renderWalkWavFlipped]]: pick `flips` SET gradient comparisons
+    * (left-to-right, ≥2 columns apart within a row so no comparison
+    * ever sees two modified cells; rows are independent walks) and
+    * flatten the right cell's gray level to the left's. Equal cell
+    * means are "not greater", so exactly the chosen bits flip and —
+    * by the same successor argument as the audio construction — no
+    * other bit moves. The equality is margin-ZERO, so this only works
+    * with a LOSSLESS format (png): a lossy re-encode could tip the
+    * tie either way. */
+  private[graft] def renderTileImageFlipped(width: Int, height: Int,
+      format: String, seed: Long, flips: Int): Array[Byte] = {
+    require(flips >= 1 && flips <= 6, s"flips=$flips out of the banded guarantee range")
+    require(format == "png", "flipped tiles need a lossless format (margin-zero ties)")
+    val levels = tileLevels(seed)
+    var chosen = 0
+    var r = 0
+    while (r < 8 && chosen < flips) {
+      var c = 0
+      var last = -2
+      while (c < 8 && chosen < flips) {
+        if (levels(r)(c + 1) > levels(r)(c) && c - last >= 2) {
+          levels(r)(c + 1) = levels(r)(c)
+          last = c
+          chosen += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    require(chosen == flips,
+      s"tile walk for seed $seed has only $chosen spaced set bits (< $flips)")
+    rasterizeTile(levels, width, height, format)
+  }
+
+  private def rasterizeTile(levels: Array[Array[Int]], width: Int, height: Int,
+      format: String): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val px = img.getRaster.getDataBuffer
       .asInstanceOf[java.awt.image.DataBufferInt].getData

@@ -170,11 +170,16 @@ object PipelineQueries {
     * pair MUST surface at Hamming ≤ 6 — dHash is invariant to both by
     * construction (the fixture's 12-gray-level bit margin survives
     * codec noise; brightness shifts cancel in cell-mean differences).
-    * Three planted CORRUPT payloads must pair with nothing (null-hash
-    * skip contract). Distinct base images carry uniformly random hashes
-    * (Multimodal.renderTileImage), so a spurious base pair means the
-    * kernel broke. Emitted result = the verified planted pairs
-    * (id1, id2, transform, hamming) — deterministic. */
+    * Those two are therefore Hamming-0 probes; a third LOW-MARGIN
+    * family (r12, [[Multimodal.renderTileImageFlipped]]) sits at
+    * Hamming EXACTLY 1 + (id mod 6) and the gate asserts the measured
+    * distance equals the planted one with all six distances realized —
+    * proving the banded candidate generation at every distance it
+    * guarantees. Three planted CORRUPT payloads must pair with nothing
+    * (null-hash skip contract). Distinct base images carry uniformly
+    * random hashes (Multimodal.renderTileImage), so a spurious base
+    * pair means the kernel broke. Emitted result = the verified
+    * planted pairs (id1, id2, transform, hamming) — deterministic. */
   def qDedupImage(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -211,14 +216,25 @@ object PipelineQueries {
         Row(id + 2L * off, Multimodal.shiftBrightness(png, 16, "png"))
       }
     }
+    // low-margin family (r12, mirroring q_dedup_audio): lossless PNG
+    // renders whose dHash sits at Hamming EXACTLY 1 + (id mod 6) from
+    // the base — the nonzero-distance probe of the band scheme
+    val flippedCopies = sample.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = dims(id)
+        Row(id + 3L * off, Multimodal.renderTileImageFlipped(w, h, "png",
+          seed = id, flips = 1 + math.floorMod(id, 6L).toInt))
+      }
+    }
     val corrupt = s.createDataFrame(
       java.util.Arrays.asList(
-        Row(3L * off, Array[Byte](1, 2, 3, 4)),
-        Row(3L * off + 1L, "not an image".getBytes("UTF-8")),
-        Row(3L * off + 2L, Array.empty[Byte])),
+        Row(4L * off, Array[Byte](1, 2, 3, 4)),
+        Row(4L * off + 1L, "not an image".getBytes("UTF-8")),
+        Row(4L * off + 2L, Array.empty[Byte])),
       paySchema)
     val corpus = base.unionByName(jpegCopies).unionByName(brightCopies)
-      .unionByName(corrupt)
+      .unionByName(flippedCopies).unionByName(corrupt)
     val pairs = Dedup.imageDHashPairs(corpus, "doc_id", "payload", maxHamming = 6)
       .localCheckpoint(true)
     val expected = sample
@@ -226,10 +242,24 @@ object PipelineQueries {
         lit("jpeg_reencode").as("transform"))
       .unionByName(sample.select(col("doc_id").as("id1"),
         (col("doc_id") + 2L * off).as("id2"), lit("brightness_shift").as("transform")))
+      .unionByName(sample.select(col("doc_id").as("id1"),
+        (col("doc_id") + 3L * off).as("id2"), lit("low_margin").as("transform")))
     val missed = expected.join(pairs, Seq("id1", "id2"), "left_anti").count()
     require(missed == 0L,
       s"q_dedup_image: $missed planted transformed duplicates were not paired")
-    val corruptHits = pairs.filter(col("id2") >= 3L * off).count()
+    // the low-margin family's measured Hamming must equal the planted
+    // flip count, with every distance 1..6 realized
+    val flipMeasured = pairs.join(
+      sample.select(col("doc_id").as("id1"), (col("doc_id") + 3L * off).as("id2"),
+        (lit(1) + pmod(col("doc_id"), lit(6L)).cast("int")).as("want_h")),
+      Seq("id1", "id2")).localCheckpoint(true)
+    val hBad = flipMeasured.filter(col("hamming") =!= col("want_h")).count()
+    require(hBad == 0L,
+      s"q_dedup_image: $hBad low-margin pairs measured a Hamming distance != planted flips")
+    val hDistinct = flipMeasured.select(col("want_h")).distinct().count()
+    require(hDistinct == 6L,
+      s"q_dedup_image: planted low-margin distances cover $hDistinct of 6")
+    val corruptHits = pairs.filter(col("id2") >= 4L * off).count()
     require(corruptHits == 0L,
       s"q_dedup_image: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
     // PRECISION side: every legitimate pair relates copies of ONE base

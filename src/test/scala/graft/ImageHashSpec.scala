@@ -52,6 +52,20 @@ class ImageHashSpec extends AnyFunSuite {
     }
   }
 
+  test("low-margin tile sits at EXACTLY the planted Hamming distance (1..6)") {
+    // the flatten-one-cell construction's whole-kernel proof: every
+    // chosen gradient bit flips, no other bit moves (r12, the image
+    // analogue of the audio low-margin family; PNG keeps the
+    // margin-zero ties exact)
+    for (seed <- 0L until 20L; flips <- 1 to 6) {
+      val base = ImageHash.dHash(Multimodal.renderTileImage(45, 32, "png", seed)).longValue
+      val flip = ImageHash.dHash(
+        Multimodal.renderTileImageFlipped(45, 32, "png", seed, flips)).longValue
+      assert(java.lang.Long.bitCount(base ^ flip) == flips,
+        s"seed $seed flips=$flips: measured ${java.lang.Long.bitCount(base ^ flip)}")
+    }
+  }
+
   test("corrupt / null / empty payloads hash to null") {
     assert(ImageHash.dHash(null) == null)
     assert(ImageHash.dHash(Array.empty[Byte]) == null)
