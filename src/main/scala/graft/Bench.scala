@@ -262,16 +262,18 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"spreads":$spreads,"ingest_rows_per_sec":$ingestRate%.0f,"metrics":$metricsJson,"runner":"$runner","sf":"$sfDir"$sf2Json}"""
     // durable copy FIRST (stdout can be tail-truncated by the caller's
     // output window; the file cannot) — but only for a full two-scale
-    // run: a quick sf0.01 smoke bench must not clobber the headline
+    // run: a quick sf0.01 smoke bench OR an SPARK_GRAFT_ONLY subset
+    // (even a two-scale one — r12 lost a full run's artifact to a
+    // one-query subset re-time) must not clobber the headline
     // artifact that scripts/scale_md.py regenerates SCALE.md from
-    if (sf2Json.nonEmpty) {
+    if (sf2Json.nonEmpty && only.isEmpty) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
         (line + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
       }
     } else System.err.println(
-      "[bench] single-scale run: BENCH.json not rewritten (stdout only)")
+      "[bench] single-scale or subset run: BENCH.json not rewritten (stdout only)")
     println(line)
     // The driver parses only the LAST ~2000 chars of this process's
     // output, and the full per-query line above is ~18k — it can never

@@ -128,7 +128,12 @@ object PipelineQueries {
     }
   }
 
-  /** SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures).
+  /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures — the
+    * canonical text threshold from Manku et al., WWW'07, which pairs
+    * on the fast 4×16-bit band layout; the 28-band pair scheme exists
+    * for the PERCEPTUAL hashes, whose codec noise legitimately spans
+    * up to 6 bits — r12 measured the 28-band layout at ~5× the sf2
+    * cost here for recall text simhash doesn't need).
     * Rows-only gate made SELF-CHECKING with a planted-duplicate probe:
     * 200 VERBATIM copies (re-keyed +10⁶) are unioned in and every
     * planted pair MUST surface — a verbatim copy has Hamming distance
@@ -149,13 +154,13 @@ object PipelineQueries {
       .select((col("doc_id") + maxId + 1L).as("doc_id"), col("text"))
       .localCheckpoint(true)
     val probePairs = Dedup.simhashPairs(slice.unionByName(planted),
-      "doc_id", "text", maxHamming = 6)
+      "doc_id", "text", maxHamming = 3)
     val missed = planted
       .select((col("doc_id") - maxId - 1L).as("id1"), col("doc_id").as("id2"))
       .join(probePairs, Seq("id1", "id2"), "left_anti").count()
     require(missed == 0L,
       s"q_dedup_simhash: $missed planted verbatim duplicates were not paired")
-    Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 6)
+    Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
       .orderBy(col("id1"), col("id2"))
   }
 
