@@ -652,6 +652,40 @@ object SparkEntry {
          FROM n, (SELECT unnest([0, 2]) AS i)
          WHERE i + 1 <= nt - 1
          ORDER BY doc_id, pair_idx""",
+    // streaming z-score anomalies (r12, formerly rows-only): the
+    // per-key Welford fold is a deterministic IEEE op SEQUENCE —
+    // order-contracted to ascending (seq1, seq2) regardless of batch
+    // boundaries — so a recursive CTE replays it op-for-op with ZERO
+    // float tolerance (the q_pagerank precedent): mean/m2 updates,
+    // sqrt, and the 3-sigma flag all bit-match. epoch_us(TIMESTAMP_NS)
+    // floors to micros exactly like the engine's nanos DIV 1000.
+    "q_stream_anomaly" ->
+      """WITH RECURSIVE ev AS (
+           SELECT CAST(user_id AS VARCHAR) AS k, epoch_us(ts) AS s1,
+                  event_id AS s2, value AS v,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         walk AS (
+           SELECT k, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS n,
+                  CAST(0.0 AS DOUBLE) AS mean, CAST(0.0 AS DOUBLE) AS m2,
+                  CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2,
+                  CAST(NULL AS DOUBLE) AS v, CAST(NULL AS DOUBLE) AS z,
+                  FALSE AS flagged
+           FROM (SELECT DISTINCT k FROM ev)
+           UNION ALL
+           SELECT w.k, e.rn, w.n + 1,
+                  w.mean + (e.v - w.mean) / (w.n + 1),
+                  w.m2 + (e.v - w.mean) *
+                    (e.v - (w.mean + (e.v - w.mean) / (w.n + 1))),
+                  e.s1, e.s2, e.v,
+                  CASE WHEN w.n >= 8 AND sqrt(w.m2 / (w.n - 1)) > 0.0
+                       THEN (e.v - w.mean) / sqrt(w.m2 / (w.n - 1)) END,
+                  w.n >= 8 AND sqrt(w.m2 / (w.n - 1)) > 0.0
+                    AND abs(e.v - w.mean) > 3.0 * sqrt(w.m2 / (w.n - 1))
+           FROM walk w JOIN ev e ON e.k = w.k AND e.rn = w.rn + 1)
+         SELECT k AS key, s1 AS seq1, s2 AS seq2, v AS value, z AS zscore
+         FROM walk WHERE flagged ORDER BY key, seq1, seq2""",
     // streaming heavy hitters: capacity >> cardinality pins the
     // sketch in its exact regime (locked in-gate), so the drained
     // top-20 equals the exact batch counts
