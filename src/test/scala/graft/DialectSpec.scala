@@ -363,6 +363,17 @@ class LoweringSpec extends AnyFunSuite {
          window by e.event_id interval = 10 partition by e.user_id""")
     // every emitted frame is full, per key
     assert(df.select("c").distinct().collect().map(_.getLong(0)).toSeq == Seq(10L))
+    // keyed window over a MAP order column rides the same canonical
+    // sorted-entries order as the global path (r12: Spark can't ORDER
+    // BY a raw map, so without orderExpr this threw at analysis)
+    import spark.implicits._
+    val g2 = new GraftSession(spark)
+    g2.register("wkm", (1 to 40).map(i =>
+      (i % 4, Map((i * 37) % 41 -> i.toLong), i.toLong)).toDF("grp", "s", "v"))
+    val keyed = g2.execute(
+      "select t.grp g, sum(t.v) sv from wkm t window by t.s interval = 3 partition by t.grp")
+    // 10 rows per key, interval 3 → 8 full frames per key × 4 keys
+    assert(keyed.count() == 32, s"keyed map window emitted ${keyed.count()} frames")
   }
 
   test("global count window lowering: bucketed carry-over matches one-task sort") {
