@@ -236,7 +236,11 @@ object Bench {
     val metricsJson = {
       val snap = graft.core.Metrics.snapshot
       Seq("timer.executeQuery", "timer.persistInsertChunk", "timer.remoteTask",
-          "counter.streamBatches", "counter.streamRows", "timer.localTask")
+          "counter.streamBatches", "counter.streamRows", "timer.localTask",
+          // dedup-index skew-guard observability (r12): nonzero means a
+          // gate drove a bucket past maxBucket — the recall-leak signal
+          "counter.minhashIndexSaturatedBuckets", "counter.minhashIndexCappedRows",
+          "counter.perceptualIndexSaturatedBuckets", "counter.perceptualIndexCappedRows")
         .map(k => "\"" + k + "\":" + snap.get(k).map(_.count).getOrElse(0L))
         .mkString("{", ",", "}")
     }
