@@ -173,6 +173,45 @@ object Multimodal {
     rasterizeTile(levels, width, height, format)
   }
 
+  /** Margin-PRESERVING flip variant of [[renderTileImageFlipped]] for
+    * LOSSY downstream codecs (the video gate's MJPEG frames): instead
+    * of flattening to a margin-zero tie, INVERT one DOWN walk step per
+    * row (levels(c+1) = levels(c)−12 → levels(c)+12) and shift that
+    * row's tail by +24 so every other difference — hence every other
+    * comparison — is untouched. All comparisons keep the full 12-level
+    * margin (tail max 212+24 = 236 ≤ 255, no clip), so per-frame JPEG
+    * noise still flips ≤ 3 bits per frame and the video majority
+    * absorbs it: the majority hash lands at `flips` ± small noise
+    * rather than exactly `flips` — which is why the video gate asserts
+    * a band, not equality (the exact-distance proofs live in the audio
+    * and image families, whose renders stay lossless). A row with no
+    * DOWN step (all-up walk, p = 2⁻⁸ per row) is skipped for the next
+    * row. */
+  private[graft] def renderTileImageFlippedRobust(width: Int, height: Int,
+      format: String, seed: Long, flips: Int): Array[Byte] = {
+    require(flips >= 1 && flips <= 6, s"flips=$flips out of the banded guarantee range")
+    val levels = tileLevels(seed)
+    var chosen = 0
+    var r = 0
+    while (r < 8 && chosen < flips) {
+      var c = 0
+      var done = false
+      while (c < 8 && !done) {
+        if (levels(r)(c + 1) < levels(r)(c)) {
+          var j = c + 1
+          while (j < 9) { levels(r)(j) += 24; j += 1 }
+          chosen += 1
+          done = true
+        }
+        c += 1
+      }
+      r += 1
+    }
+    require(chosen == flips,
+      s"tile walk for seed $seed has only $chosen rows with a down step (< $flips)")
+    rasterizeTile(levels, width, height, format)
+  }
+
   private def rasterizeTile(levels: Array[Array[Int]], width: Int, height: Int,
       format: String): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)

@@ -390,7 +390,15 @@ object PipelineQueries {
     * planted pairs must pair within Hamming 6 (per-frame codec noise
     * is ≤3 bits at the tile fixture's margins and the 5-frame majority
     * absorbs it); non-AVI / corrupt payloads hash to null and must
-    * pair with nothing. */
+    * pair with nothing. A fourth LOW-MARGIN family (r12) renders clips
+    * from the margin-preserving flipped tile
+    * ([[Multimodal.renderTileImageFlippedRobust]] — lossy MJPEG frames
+    * would tip the flatten construction's margin-zero ties, so this
+    * one inverts a full walk step per row instead): recall is a hard
+    * assert, the measured distance is banded at flips + the two clips'
+    * JPEG-noise allowance, and the family must realize distance ≥ 2 —
+    * the video counterpart of the audio/image nonzero-Hamming proofs,
+    * honest about the codec noise the lossless siblings don't have. */
   def qDedupVideo(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -422,16 +430,32 @@ object PipelineQueries {
     val brightened = sample.mapPartitions { rows =>
       rows.map { r => Row(r.getLong(0) + 2L * off, clip(r.getLong(0), 16, reencode = false)) }
     }
+    // low-margin family (r12): clips rendered from the margin-
+    // PRESERVING flipped tile (renderTileImageFlippedRobust) sit at
+    // majority-hash distance flips ± the per-clip JPEG-noise bound
+    // (≤ 2 bits each side, MediaHashSpec) — flips ∈ {1, 2} keeps the
+    // worst case at 2+4 = 6, inside the banded guarantee, so recall
+    // stays a hard assert while the measured distance is banded
+    val flipped = sample.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = dims(id)
+        val png = Multimodal.renderTileImageFlippedRobust(w, h, "png",
+          seed = id, flips = 1 + math.floorMod(id, 2L).toInt)
+        val frames = (0 until 5).map(f => Multimodal.shiftBrightness(png, 2 * f, "jpeg"))
+        Row(id + 3L * off, Multimodal.muxAvi(frames, w, h, usPerFrame = 40000))
+      }
+    }
     val corrupt = s.createDataFrame(
       java.util.Arrays.asList(
-        Row(3L * off, Array[Byte](1, 2, 3, 4)),
-        Row(3L * off + 1L, "not a video".getBytes("UTF-8")),
-        Row(3L * off + 2L, Array.empty[Byte]),
+        Row(4L * off, Array[Byte](1, 2, 3, 4)),
+        Row(4L * off + 1L, "not a video".getBytes("UTF-8")),
+        Row(4L * off + 2L, Array.empty[Byte]),
         // real WAV: a decodable container of the WRONG modality
-        Row(3L * off + 3L, Multimodal.renderWav(100, 8000, seed = 1L))),
+        Row(4L * off + 3L, Multimodal.renderWav(100, 8000, seed = 1L))),
       paySchema)
     val corpus = base.unionByName(reencoded).unionByName(brightened)
-      .unionByName(corrupt)
+      .unionByName(flipped).unionByName(corrupt)
     val pairs = Dedup.videoDHashPairs(corpus, "doc_id", "payload", maxHamming = 6)
       .localCheckpoint(true)
     val expected = sample
@@ -439,10 +463,25 @@ object PipelineQueries {
         lit("frame_reencode").as("transform"))
       .unionByName(sample.select(col("doc_id").as("id1"),
         (col("doc_id") + 2L * off).as("id2"), lit("brightness_shift").as("transform")))
+      .unionByName(sample.select(col("doc_id").as("id1"),
+        (col("doc_id") + 3L * off).as("id2"), lit("low_margin").as("transform")))
     val missed = expected.join(pairs, Seq("id1", "id2"), "left_anti").count()
     require(missed == 0L,
       s"q_dedup_video: $missed planted transformed duplicates were not paired")
-    val corruptHits = pairs.filter(col("id2") >= 3L * off).count()
+    // the low-margin family's measured distance must sit in the
+    // planted-flips ± noise band, and the family must realize a
+    // genuinely nonzero distance corpus-wide
+    val flipMeasured = pairs.join(
+      sample.select(col("doc_id").as("id1"), (col("doc_id") + 3L * off).as("id2"),
+        (lit(1) + pmod(col("doc_id"), lit(2L)).cast("int")).as("want_h")),
+      Seq("id1", "id2")).localCheckpoint(true)
+    val hBad = flipMeasured.filter(col("hamming") > col("want_h") + 4).count()
+    require(hBad == 0L,
+      s"q_dedup_video: $hBad low-margin pairs exceed the planted-flips + noise band")
+    val hMax = flipMeasured.agg(max(col("hamming"))).head.getInt(0)
+    require(hMax >= 2,
+      s"q_dedup_video: low-margin family peaked at Hamming $hMax — nonzero spread not realized")
+    val corruptHits = pairs.filter(col("id2") >= 4L * off).count()
     require(corruptHits == 0L,
       s"q_dedup_video: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
     // PRECISION side: legitimate pairs relate copies of ONE clip seed

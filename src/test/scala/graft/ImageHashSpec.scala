@@ -66,6 +66,20 @@ class ImageHashSpec extends AnyFunSuite {
     }
   }
 
+  test("margin-preserving flip variant also sits at EXACTLY the planted distance on PNG") {
+    // the down-step inversion (+24 tail shift) keeps every comparison
+    // at the full 12-level margin — used by the video gate whose MJPEG
+    // frames would tip the flatten construction's margin-zero ties;
+    // on a lossless render the distance is still exact
+    for (seed <- 0L until 20L; flips <- 1 to 6) {
+      val base = ImageHash.dHash(Multimodal.renderTileImage(45, 32, "png", seed)).longValue
+      val flip = ImageHash.dHash(
+        Multimodal.renderTileImageFlippedRobust(45, 32, "png", seed, flips)).longValue
+      assert(java.lang.Long.bitCount(base ^ flip) == flips,
+        s"seed $seed flips=$flips: measured ${java.lang.Long.bitCount(base ^ flip)}")
+    }
+  }
+
   test("corrupt / null / empty payloads hash to null") {
     assert(ImageHash.dHash(null) == null)
     assert(ImageHash.dHash(Array.empty[Byte]) == null)

@@ -96,6 +96,16 @@ class MediaHashSpec extends AnyFunSuite {
       val br = VideoHash.vhash64(clip(16, reencode = false)).longValue
       val dBr = java.lang.Long.bitCount(base.longValue ^ br)
       assert(dBr <= 6, s"seed $seed: brightness shift moved the hash by $dBr bits")
+      // low-margin clip (r12): margin-preserving flipped tile → the
+      // majority hash lands at flips ± the two clips' JPEG-noise
+      // allowance (≤ 2 bits each, per dTile above)
+      for (flips <- 1 to 2) {
+        val fpng = Multimodal.renderTileImageFlippedRobust(48, 36, "png", seed, flips)
+        val fframes = (0 until 5).map(f => Multimodal.shiftBrightness(fpng, 2 * f, "jpeg"))
+        val fl = VideoHash.vhash64(Multimodal.muxAvi(fframes, 48, 36, 40000)).longValue
+        val d = java.lang.Long.bitCount(base.longValue ^ fl)
+        assert(d <= flips + 4, s"seed $seed flips=$flips: video distance $d out of band")
+      }
     }
   }
 
