@@ -159,6 +159,25 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
       if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
     }
 
+  /** Row count AND snapshot DataFrame from ONE manifest resolution —
+    * `None` when no version is committed; the inner count is `None` on
+    * legacy stat-less manifests (callers fall back to a probe job over
+    * the returned frame). Callers that need both MUST use this instead
+    * of `committedRowCount` + `read`: those resolve the manifest twice,
+    * and a commit landing between the two calls pairs a stale count
+    * with a newer snapshot (the dedup indexes' O(1) saturation-skip
+    * would then judge a larger index by a smaller count). */
+  def committedSnapshot: Option[(Option[Long], DataFrame)] =
+    latestContent(fs).map { case (_, c) =>
+      val entries = log.decode(c)
+      val counts = entries.map(_.rows)
+      val n = if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+      val schema = log.decodeSchema(c).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      (n, readFiles(entries, schema))
+    }
+
   private val schemaDir = s"$path/_schema"
 
   /** Commit an empty version with a zero-row schema anchor, so reads

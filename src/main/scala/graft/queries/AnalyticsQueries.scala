@@ -325,8 +325,9 @@ object AnalyticsQueries {
 
   /** HLL++ distinct users per event type. Rows-only gate made
     * SELF-CHECKING: every run joins the sketch against the exact
-    * distinct count and fails unless all groups are within the 2×rsd
-    * error bound — the accuracy property rides the gate, not just the
+    * distinct count and fails unless all groups are within a 4×rsd
+    * error bound (widened from 2σ r13 — a hard require needs a bound no
+    * legitimate run can trip) — the accuracy property rides the gate, not just the
     * spec (same pattern as q_sim_ivf_indexed). */
   def qSketchDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -335,9 +336,12 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("exact_d"))
     val offBound = approx.join(exact, Seq("event_type"))
       .filter(abs(col("approx_distinct") - col("exact_d")) >
-        col("exact_d") * 0.04) // rsd 0.02, 2σ bound
+        col("exact_d") * 0.08) // rsd 0.02, 4σ — a ~95% 2σ bound is
+      // probabilistic, not a guarantee; hard-requiring the tightest
+      // tail made the gate flaky-by-design (r12 advice). 4σ keeps the
+      // accuracy claim sharp while no legitimate run can trip it.
     require(offBound.isEmpty,
-      "q_sketch_distinct: HLL estimate outside the 2*rsd bound of exact")
+      "q_sketch_distinct: HLL estimate outside the 4*rsd bound of exact")
     approx.orderBy(col("event_type"))
   }
 
@@ -347,7 +351,7 @@ object AnalyticsQueries {
     * row RETURNS the exact counts (DuckDB-replayable → a green oracle
     * row for the sketch family) while still carrying the sketch's
     * error-bound self-check: the require re-runs the HLL pass and
-    * fails the gate if any group's estimate leaves the 2×rsd band.
+    * fails the gate if any group's estimate leaves the 4×rsd band.
     * Accuracy now rides an oracle-backed row, not a rows-only one. */
   def qSketchDistinctExact(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -356,19 +360,19 @@ object AnalyticsQueries {
     val approx = Sketches.approxDistinct(ev, Seq("event_type"), "user_id")
     val offBound = approx.join(exact, Seq("event_type"))
       .filter(abs(col("approx_distinct") - col("exact_d")) >
-        col("exact_d") * 0.04) // rsd 0.02, 2σ bound
+        col("exact_d") * 0.08) // rsd 0.02, 4σ (see qSketchDistinct: a 2σ
+      // hard require was flaky-by-design — r12 advice)
     require(offBound.isEmpty,
-      "q_sketch_distinct_exact: HLL estimate outside the 2*rsd bound of exact")
+      "q_sketch_distinct_exact: HLL estimate outside the 4*rsd bound of exact")
     exact.orderBy(col("event_type"))
   }
 
   /** Count-min sketch frequency estimates for every distinct user —
     * rows-only gate made SELF-CHECKING like the other sketches: the
     * fundamental one-sided guarantee (est >= exact, always) is a hard
-    * require, and the overestimate must stay within 4·N/width per key
-    * (Markov bound per sketch row; depth 4 independent rows make a
-    * larger excess vanishingly unlikely, and the fixed hashes make
-    * the check deterministic per dataset). */
+    * require, and the 4·N/width per-key Markov bound is asserted as a
+    * VIOLATION RATE (≤1% of keys) — per-key it is probabilistic, and
+    * with many keys a few legitimate excesses are expected (r13). */
   def qSketchCms(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val depth = 4; val width = 256
@@ -381,9 +385,16 @@ object AnalyticsQueries {
     val under = joined.filter(col("est") < col("exact_n"))
     require(under.isEmpty,
       "q_sketch_cms: count-min UNDER-estimated a key (impossible for a correct sketch)")
-    val over = joined.filter(col("est") - col("exact_n") > lit(4.0 * n / width))
-    require(over.isEmpty,
-      s"q_sketch_cms: overestimate beyond 4N/width (N=$n, width=$width)")
+    // 4N/width is a PER-ROW Markov bound (P<=1/4 per row, ~(1/4)^4
+    // for the depth-4 min): with many keys a few legitimate excess
+    // keys are EXPECTED, so hard-failing the tightest per-key tail was
+    // flaky-by-design (r12 advice). Assert the violation RATE instead
+    // (<=1% of keys, small-N floor of 2), keeping the bound's
+    // statistical content without the tail flake.
+    val keys = joined.count()
+    val over = joined.filter(col("est") - col("exact_n") > lit(4.0 * n / width)).count()
+    require(over <= math.max(2L, keys / 100),
+      s"q_sketch_cms: $over of $keys keys beyond 4N/width (N=$n, width=$width)")
     est.orderBy(col("user_id"))
   }
 
@@ -391,8 +402,9 @@ object AnalyticsQueries {
     * q_sketch_distinct_exact pattern): the exact per-key frequencies
     * the sketch is judged against are plain SQL — returned as the
     * oracle row, with BOTH sketch guarantees asserted in-gate (never
-    * under-estimates; over-estimate bounded by 4N/width per the
-    * Markov bound on each of the 4 independent sketch rows). */
+    * under-estimates; over-estimate rate-bounded by the 4N/width
+    * Markov bound on each of the 4 independent sketch rows — asserted
+    * as a ≤1% violation rate, see qSketchCms). */
   def qSketchCmsExact(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val depth = 4; val width = 256
@@ -404,8 +416,11 @@ object AnalyticsQueries {
     val joined = est.join(exact, Seq("user_id"))
     require(joined.filter(col("est") < col("exact_n")).isEmpty,
       "q_sketch_cms_exact: count-min UNDER-estimated a key")
-    require(joined.filter(col("est") - col("exact_n") > lit(4.0 * n / width)).isEmpty,
-      s"q_sketch_cms_exact: overestimate beyond 4N/width (N=$n, width=$width)")
+    // violation-rate assert, not a per-key hard bound (see qSketchCms)
+    val keys = joined.count()
+    val over = joined.filter(col("est") - col("exact_n") > lit(4.0 * n / width)).count()
+    require(over <= math.max(2L, keys / 100),
+      s"q_sketch_cms_exact: $over of $keys keys beyond 4N/width (N=$n, width=$width)")
     exact.orderBy(col("user_id"))
   }
 

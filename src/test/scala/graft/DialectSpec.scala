@@ -289,6 +289,52 @@ class LoweringSpec extends AnyFunSuite {
       "select count(e.value) c from events e window by e.event_id interval = 10").count() > 0)
   }
 
+  test("WINDOW BY accepts every Spark-orderable order type (NTZ, intervals — r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val g = new GraftSession(spark)
+    // TIMESTAMP_NTZ: orderable, buckets through the tz-free
+    // days+second-of-day proxy; before r13 canBucket missed it and
+    // WINDOW BY threw "no defined ordering" — a false claim
+    val base = (1 to 200).map(i => ((i * 7919) % 997, i.toLong)).toDF("o", "v")
+    g.register("wntz", base
+      .withColumn("ts", timestamp_seconds(col("o") * 3600L).cast("timestamp_ntz"))
+      .select(col("ts").as("s"), col("v")))
+    assert(g.execute("select count(t.v) c from wntz t window by t.s interval = 10")
+      .count() == 191)
+    // correctness, not just acceptance: sum over the NTZ-ordered
+    // window must match the hand-ordered sliding sum
+    val gotN = g.execute("select sum(t.v) sv from wntz t window by t.s interval = 10")
+      .collect().map(_.getLong(0)).sorted
+    val wantN = (1 to 200).map(i => ((i * 7919) % 997, i.toLong)).sortBy(_._1)
+      .map(_._2).sliding(10).map(_.sum).toArray.sorted
+    assert(gotN.sameElements(wantN), "NTZ-ordered window diverged")
+    // day-time interval: AtomicType, orderable; casts to a constant-
+    // scale long for the bucket proxy
+    g.register("wdti", base
+      .selectExpr("make_dt_interval(0, 0, 0, o) as s", "v"))
+    assert(g.execute("select count(t.v) c from wdti t window by t.s interval = 10")
+      .count() == 191)
+    // year-month interval likewise
+    g.register("wymi", base.selectExpr("make_ym_interval(0, o) as s", "v"))
+    assert(g.execute("select count(t.v) c from wymi t window by t.s interval = 10")
+      .count() == 191)
+    // the keyed (PARTITION BY) path never needed bucketing — NTZ must
+    // work there too
+    g.register("wntzk", base
+      .withColumn("ts", timestamp_seconds(col("o") * 60L).cast("timestamp_ntz"))
+      .withColumn("k", col("v") % 2))
+    assert(g.execute(
+      "select count(t.v) c from wntzk t window by t.ts interval = 5 partition by t.k")
+      .count() > 0)
+    // the canBucket predicate itself now equals Spark-orderability on
+    // non-map types
+    import org.apache.spark.sql.types._
+    assert(graft.plan.CountWindow.canBucket(TimestampNTZType))
+    assert(graft.plan.CountWindow.canBucket(DayTimeIntervalType()))
+    assert(graft.plan.CountWindow.canBucket(YearMonthIntervalType()))
+  }
+
   test("quoted empty string is NULL (reference quirk)") {
     // '' parses to a null literal (sql/ValueCondition.java:58-60):
     // comparisons with it match nothing, in either direction
