@@ -2100,6 +2100,15 @@ object SparkEntry {
            FROM base WHERE c_custkey % 7 <> 0
          ) ORDER BY c_custkey, valid_from""",
     "q_pagerank" -> pageRankOracle(5),
+    // batch-perceptron corpus filter (r13, formerly no_oracle): the fit
+    // is ALL-INTEGER and its update schedule is a deterministic op
+    // sequence, so DuckDB replays it op-for-op — FNV-1a + the mix64
+    // finalizer over each distinct token (UBIGINT folds, 128-bit
+    // decomposed wrapping multiplies), then the 20 unrolled epoch CTEs
+    // (score → misclassified → per-bucket Σy update — the pageRank
+    // unroll pattern) and the strict-> pocket selection. Zero
+    // tolerance: weights, bias, scores, preds all hash-match.
+    "q_classifier" -> classifierOracle(20),
     // triangle counts: DuckDB replays the ring-with-chords edge formula
     // and closes triangles with the id-ordered three-way join (u<v<w,
     // each triangle once); per-node counts by exploding the members
@@ -2836,6 +2845,103 @@ object SparkEntry {
     * edge list, outdegrees, and `iters` unrolled power-iteration CTEs
     * in exact integer arithmetic (`//` floor-div = Spark `div` on the
     * all-positive ranks) — so rank_fp hash-matches bit-for-bit. */
+  /** DuckDB replay of ops/Classifier.fitBatch + pocket scoring (the
+    * pageRankOracle unroll pattern, r12 VERDICT #5): the fit is
+    * all-integer and bit-identical under any partitioning, so a chain
+    * of per-epoch CTEs replays it exactly. Stages: (1) hash every
+    * DISTINCT token — FNV-1a over chars then the mix64 finalizer, in
+    * UBIGINT with 64-bit wrapping multiplies decomposed through
+    * HUGEINT (hi/lo 32-bit halves) — and floorMod into 256 buckets
+    * (power-of-two dims: unsigned %256 == Java floorMod on the signed
+    * view); (2) per-doc bucket counts; (3) `epochs` unrolled epoch
+    * CTEs: score under w{e-1}, count correct, per-bucket Σ label over
+    * misclassified docs (bias rides bucket -1), apply; convergence
+    * needs no special case — a zero net update leaves w fixed, exactly
+    * like the engine's early stop; (4) pocket = earliest state with
+    * max correct (strict >), including the final post-loop state;
+    * (5) score the corpus under the pocket. */
+  private def classifierOracle(epochs: Int): String = {
+    // 0xff51afd7ed558ccd and 0xc4ceb9fe1a85ec53 as (hi, lo) 32-bit halves
+    val (hi1, lo1) = (4283543511L, 3981806797L)
+    val (hi2, lo2) = (3301882366L, 444984403L)
+    def mulmod(x: String, hi: Long, lo: Long): String =
+      s"CAST(($x::HUGEINT * $lo + (($x::HUGEINT * $hi) % 4294967296) * 4294967296) " +
+        s"% 18446744073709551616 AS UBIGINT)"
+    val scoreSteps = (1 to epochs + 1).map { e =>
+      val w = s"w${e - 1}"
+      val upd = if (e <= epochs) s""",
+         delta$e AS MATERIALIZED (
+           SELECT db.k AS k, SUM(m.y * db.cnt) AS dw
+           FROM s$e m JOIN db ON db.doc_id = m.doc_id
+           WHERE m.y * m.s <= 0 GROUP BY db.k
+           UNION ALL
+           SELECT -1, COALESCE(SUM(y), 0) FROM s$e WHERE y * s <= 0),
+         w$e AS MATERIALIZED (
+           SELECT p.k, CAST(p.w + COALESCE(d.dw, 0) AS BIGINT) AS w
+           FROM $w p LEFT JOIN delta$e d ON d.k = p.k)""" else ""
+      s"""s$e AS MATERIALIZED (
+           SELECT dy.doc_id, dy.y, b.bias + COALESCE(SUM(wt.w * db.cnt), 0) AS s
+           FROM docy dy
+           CROSS JOIN (SELECT w AS bias FROM $w WHERE k = -1) b
+           LEFT JOIN db ON db.doc_id = dy.doc_id
+           LEFT JOIN $w wt ON wt.k = db.k
+           GROUP BY dy.doc_id, dy.y, b.bias),
+         c$e AS MATERIALIZED (SELECT count(*) FILTER (WHERE y * s > 0) AS correct FROM s$e)$upd"""
+    }.mkString(",\n")
+    val cand = (1 to epochs + 1)
+      .map(e => s"SELECT $e AS e, correct FROM c$e").mkString(" UNION ALL ")
+    val allw = (1 to epochs + 1)
+      .map(e => s"SELECT $e AS e, k, w FROM w${e - 1}").mkString(" UNION ALL ")
+    s"""WITH toks AS MATERIALIZED (
+         SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+         FROM documents),
+       vocab AS MATERIALIZED (SELECT DISTINCT tok FROM toks),
+       vh AS MATERIALIZED (
+         SELECT tok, CAST(h % 256 AS BIGINT) AS k FROM (
+           SELECT tok, xor(x4, x4 >> 33) AS h FROM (
+             SELECT tok, ${mulmod("x3", hi2, lo2)} AS x4 FROM (
+               SELECT tok, xor(x2, x2 >> 33) AS x3 FROM (
+                 SELECT tok, ${mulmod("x1", hi1, lo1)} AS x2 FROM (
+                   SELECT tok, xor(h0, h0 >> 33) AS x1 FROM (
+                     SELECT tok, list_reduce(
+                       [CAST(14695981039346656037 AS UBIGINT)] ||
+                         list_transform(range(1, len(tok) + 1),
+                           i -> CAST(unicode(tok[i]) AS UBIGINT)),
+                       (acc, c) -> CAST((xor(acc, c)::HUGEINT * 1099511628211)
+                         % 18446744073709551616 AS UBIGINT)) AS h0
+                     FROM vocab)))))) ),
+       db AS MATERIALIZED (
+         SELECT t.doc_id, v.k, count(*) AS cnt
+         FROM toks t JOIN vh v ON v.tok = t.tok
+         GROUP BY t.doc_id, v.k),
+       docy AS MATERIALIZED (
+         SELECT doc_id, CASE WHEN
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x = 'spark'))
+           > len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x = 'vector'))
+           THEN 1 ELSE -1 END AS y
+         FROM documents),
+       w0 AS MATERIALIZED (SELECT k, CAST(0 AS BIGINT) AS w FROM range(-1, 256) t(k)),
+       $scoreSteps,
+       cand AS MATERIALIZED ($cand),
+       best AS (SELECT e FROM cand ORDER BY correct DESC, e ASC LIMIT 1),
+       allw AS MATERIALIZED ($allw),
+       pw AS MATERIALIZED (SELECT k, w FROM allw WHERE e = (SELECT e FROM best)),
+       fin AS (
+         SELECT dy.doc_id, dy.y, b.bias + COALESCE(SUM(wt.w * db.cnt), 0) AS s
+         FROM docy dy
+         CROSS JOIN (SELECT w AS bias FROM pw WHERE k = -1) b
+         LEFT JOIN db ON db.doc_id = dy.doc_id
+         LEFT JOIN pw wt ON wt.k = db.k
+         GROUP BY dy.doc_id, dy.y, b.bias)
+       SELECT doc_id, CAST(s AS BIGINT) AS score,
+              CAST(CASE WHEN s >= 0 THEN 1 ELSE -1 END AS INTEGER) AS pred,
+              CAST(y AS BIGINT) AS y
+       FROM fin ORDER BY doc_id"""
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""r$k AS (

@@ -57,6 +57,9 @@ object StreamHandle {
             triggerMs: Long = 100L,
             capacity: Int = 10000): StreamHandle = {
     val queue = new LinkedBlockingQueue[Row](capacity)
+    // graft rocksdb state-store alias → provider conf; resolved on the
+    // session the query starts under, before start() bakes it in
+    StreamOps.applyStateStoreConf(spark)
     var w = stream.writeStream
       .outputMode(mode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
