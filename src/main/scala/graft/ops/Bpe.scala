@@ -47,16 +47,6 @@ object Bpe {
         concat(filter(split(col("word"), ""), x => x =!= ""),
           array(lit(EndOfWord))))
 
-  /** One greedy left-to-right merge pass over a symbol array: every
-    * non-overlapping (a, b) adjacency becomes the fused symbol. A
-    * compiled kernel (graft.functions.BpeMergePass) — the earlier
-    * `aggregate` fold evaluated an interpreted lambda per symbol per
-    * word per merge, outside whole-stage codegen, and dominated the
-    * 10×-bench learner. Fuse rule locked to [[referenceLearn]]: last
-    * emitted == a AND current == b. */
-  private def applyMerge(syms: Column, a: String, b: String): Column =
-    graft.functions.BpeFunctions.mergePass(syms, a, b)
-
   /** Adjacent-pair frequencies of the current dict segmentation,
     * weighted by word count. Map-side kernel explode
     * (graft.functions.AdjacentPairs — one pass, no slice/zip_with
@@ -70,28 +60,120 @@ object Bpe {
 
   /** Learn `numMerges` merges from a word-frequency dict (as produced
     * by [[wordFreq]]). Stops early when no adjacent pair remains or
-    * the best pair's frequency drops below `minFreq`. */
+    * the best pair's frequency drops below `minFreq`.
+    *
+    * BPE is an inherently sequential argmax chain, so at bench scale
+    * wall time is (cluster scans) × (per-scan cost + scheduling
+    * floor). Both factors are cut WITHOUT changing the learned
+    * sequence — the cross-path identity gate vs [[referenceLearn]]
+    * (bit-exact merges) is the proof, exercised over a rich random
+    * vocabulary in BpeSpec:
+    *
+    *   - BATCHED GREEDY (fewer scans): each scan collects the top
+    *     pair-count rows once and accepts a maximal PROVABLY-EXACT
+    *     prefix of the greedy order — a pick is accepted while its
+    *     symbols are disjoint from every earlier accepted pick's
+    *     {left, right, merged} (its stale count is then still exact)
+    *     AND its frequency strictly exceeds everything the earlier
+    *     picks could have created or grown (created pairs (x, ab) /
+    *     (ab, y) are bounded by the stale counts of (x, a) / (b, y);
+    *     a merged symbol colliding with an existing symbol ends the
+    *     batch, since pairs of that symbol can then GROW). ~20 scans
+    *     learn 30 merges on the 10× bench corpus, sequence identical.
+    *   - LAZY APPLICATION (cheaper scans): accepted merges fold into
+    *     the scan as one compiled whole-chain kernel call
+    *     (mergeChain), and the dict re-materializes only every
+    *     `matEvery` merges; the dict is also coalesced toward ~32k
+    *     rows per task up front so each scan schedules tasks sized to
+    *     the dict, not to the session's scan parallelism.
+    *
+    * Scale guard: only the top `topM` count rows ever reach the
+    * driver. When the count table is larger, the (topM+1)-th
+    * frequency upper-bounds every invisible pair and joins the
+    * created-pair bound, so acceptance stays exact — a truncated
+    * scan just batches less. */
   def learnMerges(words0: DataFrame, numMerges: Int,
                   minFreq: Long = 2L): Seq[Merge] = {
-    var words = words0.localCheckpoint(true)
+    val matEvery = 8
+    val topM = 4096
+    var base = words0.localCheckpoint(true)
+    val n = base.count()
+    val parts = base.rdd.getNumPartitions
+    val target = math.max(1, math.min(parts.toLong, n / 32768L + 1L).toInt)
+    if (target < parts) {
+      val prev = base
+      base = base.coalesce(target).localCheckpoint(true)
+      prev.unpersist()
+    }
+    var pending = Vector.empty[Merge]
+    def current: DataFrame =
+      if (pending.isEmpty) base
+      else base.withColumn("syms", graft.functions.BpeFunctions.mergeChain(
+        col("syms"), pending.map(_.left).toArray, pending.map(_.right).toArray))
     val out = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      val top = pairCounts(words)
+      val rows = pairCounts(current)
         .orderBy(desc("freq"), asc("left"), asc("right"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
+        .limit(topM + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val truncated = rows.length > topM
+      val visible = if (truncated) rows.dropRight(1) else rows
+      // every count an invisible pair could hold is <= the tail row's
+      val cTail = if (truncated) rows.last._3 else 0L
+      val visibleSyms: Set[String] =
+        visible.iterator.flatMap(r => Iterator(r._1, r._2)).toSet
+      if (visible.isEmpty || visible.head._3 < minFreq) done = true
       else {
-        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += Merge(rank, a, b, f)
-        val prev = words
-        words = words.withColumn("syms", applyMerge(col("syms"), a, b))
-          .localCheckpoint(true)
-        prev.unpersist()
-        rank += 1
+        var used = Set.empty[String]
+        var bound = Long.MinValue
+        val batch = Vector.newBuilder[Merge]
+        var nBatch = 0
+        var stop = false
+        var i = 0
+        while (i < visible.length && !stop && rank + nBatch < numMerges) {
+          val (a, b, f) = visible(i)
+          if (f < minFreq) stop = true
+          else if (nBatch > 0 && (used(a) || used(b) || used(a + b) || f <= bound))
+            stop = true
+          else {
+            batch += Merge(rank + nBatch, a, b, f)
+            nBatch += 1
+            used = used + a + b + (a + b)
+            if (visibleSyms(a + b)) {
+              // merged symbol already exists: pairs of that symbol can
+              // GROW (old + created occurrences mix) — end the batch
+              bound = Long.MaxValue
+            } else {
+              // created pairs (x, ab) <= stale (x, a); (ab, y) <= stale
+              // (b, y); invisible such pairs <= cTail. If ab collides
+              // with an INVISIBLE symbol, that symbol's pairs grow to
+              // at most their stale count (<= cTail) + the created
+              // bound — fold both through the cTail terms.
+              var adj = cTail
+              visible.foreach { case (x, y, c) =>
+                if ((y == a || x == b) && c > adj) adj = c
+              }
+              val grow = if (truncated) math.min(Long.MaxValue - adj, cTail) else 0L
+              bound = math.max(bound, adj + grow)
+            }
+          }
+          i += 1
+        }
+        val ms = batch.result()
+        out ++= ms
+        pending ++= ms
+        rank += ms.size
+        if (pending.size >= matEvery) {
+          val prev = base
+          base = current.localCheckpoint(true)
+          pending = Vector.empty
+          prev.unpersist()
+        }
       }
     }
+    base.unpersist()
     out.result()
   }
 

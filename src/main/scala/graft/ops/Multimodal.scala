@@ -114,6 +114,30 @@ object Multimodal {
       seed: Long): Array[Byte] =
     rasterizeTile(tileLevels(seed), width, height, format)
 
+  /** Deterministic per-pixel NOISE image — the payload-size pressure
+    * fixture for the bench's MB-scale media probe (r12 judge ask #8):
+    * LCG noise is JPEG-incompressible, so the FILE size tracks the
+    * pixel count (~1 MB at 1024×768 JPEG), the LAION-shaped payload
+    * the KB-scale gate fixtures never exercise. Not used by any
+    * correctness gate — decode cost and memory, not hash semantics. */
+  private[graft] def renderNoiseImage(width: Int, height: Int, format: String,
+      seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var z = seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL
+    var i = 0
+    while (i < px.length) {
+      z = z * 6364136223846793005L + 1442695040888963407L
+      px(i) = ((z >>> 40) & 0xFFFFFFL).toInt
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
   /** The 8×9 gray-level grid behind [[renderTileImage]] (one walk row
     * per dHash pooling row). */
   private def tileLevels(seed: Long): Array[Array[Int]] = {

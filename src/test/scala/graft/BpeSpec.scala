@@ -37,6 +37,32 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.size == 20)
   }
 
+  test("batched greedy is bit-identical to the reference over a rich random vocabulary") {
+    // The r13 batched-greedy learner accepts several merges per
+    // cluster scan when provably exact; this corpus is built to stress
+    // the validity rule — a large random vocabulary (ties, shared
+    // symbols between consecutive top pairs, merged-symbol collisions)
+    // across 60 merges, where any over-eager batch diverges from the
+    // strictly-sequential reference immediately.
+    val rnd = new scala.util.Random(12345)
+    val alphabet = "abcdefgh"
+    val vocab = (1 to 3000).map { _ =>
+      (1 to (2 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val docs = (1 to 6000).map { _ =>
+      (1 to 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("text")
+    val words = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.learnMerges(words, numMerges = 60)
+    val dict = words.select(col("word"), col("wcount"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ref = Bpe.referenceLearn(dict, numMerges = 60)
+    assert(merges == ref,
+      s"diverged at ${merges.zip(ref).indexWhere(p => p._1 != p._2)}:\n" +
+        s" spark=${merges.take(8)}\n ref=  ${ref.take(8)}")
+    assert(merges.size == 60)
+  }
+
   test("greedy left-to-right merge handles overlapping runs") {
     // 'aaaa' with merge (a,a): non-overlapping left-to-right -> [aa][aa]
     val df = Seq.fill(3)("aaaa").toDF("text")
