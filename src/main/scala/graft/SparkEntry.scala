@@ -2109,6 +2109,29 @@ object SparkEntry {
     // unroll pattern) and the strict-> pocket selection. Zero
     // tolerance: weights, bias, scores, preds all hash-match.
     "q_classifier" -> classifierOracle(20),
+    // simhash near-dup pairs (r13): integer majority-vote hash over
+    // the shared FNV+mix64 token-hash replay; brute-force all-pairs
+    // equals the banded result because recall is GUARANTEED to the
+    // gate's Hamming 3 and no bucket approaches the cap at gate scale
+    "q_dedup_simhash" -> simhashOracle,
+    // BPE merge chain + encode stats (r13): greedy merges replayed as
+    // 30 chained CTEs with separator-framed string replace as the
+    // merge pass — bit-exact ranks/pairs/freqs, zero tolerance
+    "q_bpe" -> bpeOracle(30, encode = false),
+    "q_bpe_encode" -> bpeOracle(30, encode = true),
+    // the WHOLE MinHash dedup pipeline replayed op-for-op (r13):
+    // shingles, seeded signature minima, band folds, skew cap,
+    // agreement threshold, greedy min-id drop — survivor set
+    // hash-matches with zero tolerance
+    "q_dedup_minhash" -> minhashDedupOracle,
+    // incremental two-batch dedup and the read-only index probe ride
+    // the same core replay (r13): batch split at the exact median,
+    // index side = batch-1 survivors / even-half survivors
+    "q_dedup_incremental" -> incrementalDedupOracle,
+    "q_dedup_probe" -> probeOracle,
+    // the streamed run is in-gate-locked to the direct two-batch
+    // incremental over deterministic halves — the oracle replays that
+    "q_stream_neardup" -> streamNeardupOracle,
     // triangle counts: DuckDB replays the ring-with-chords edge formula
     // and closes triangles with the id-ordered three-way join (u<v<w,
     // each triangle once); per-node counts by exploding the members
@@ -2845,6 +2868,32 @@ object SparkEntry {
     * edge list, outdegrees, and `iters` unrolled power-iteration CTEs
     * in exact integer arithmetic (`//` floor-div = Spark `div` on the
     * all-positive ranks) — so rank_fp hash-matches bit-for-bit. */
+  /** Shared DuckDB replay of the engine's token hash
+    * (graft.functions.TextHash.hashString: FNV-1a over UTF-16 code
+    * units, then the mix64 finalizer) as a `vh(tok, h)` CTE over a
+    * `vocab(tok)` CTE in scope — h is the exact UBIGINT value of the
+    * Scala Long. 64-bit wrapping multiplies decompose through HUGEINT
+    * (hi/lo 32-bit halves of 0xff51afd7ed558ccd / 0xc4ceb9fe1a85ec53);
+    * `unicode()` yields code points, which equal UTF-16 units on the
+    * BMP (the fixtures are ASCII). Reused by the classifier, simhash
+    * (and any future hash-replay) oracles. */
+  private val fnvMixVhCte: String =
+    """vh AS MATERIALIZED (
+         SELECT tok, xor(x4, x4 >> 33) AS h FROM (
+           SELECT tok, CAST((x3::HUGEINT * 444984403 + ((x3::HUGEINT * 3301882366) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS UBIGINT) AS x4 FROM (
+             SELECT tok, xor(x2, x2 >> 33) AS x3 FROM (
+               SELECT tok, CAST((x1::HUGEINT * 3981806797 + ((x1::HUGEINT * 4283543511) % 4294967296) * 4294967296)
+                     % 18446744073709551616 AS UBIGINT) AS x2 FROM (
+                 SELECT tok, xor(h0, h0 >> 33) AS x1 FROM (
+                   SELECT tok, list_reduce(
+                     [CAST(14695981039346656037 AS UBIGINT)] ||
+                       list_transform(range(1, len(tok) + 1),
+                         i -> CAST(unicode(tok[i]) AS UBIGINT)),
+                     (acc, c) -> CAST((xor(acc, c)::HUGEINT * 1099511628211)
+                       % 18446744073709551616 AS UBIGINT)) AS h0
+                   FROM vocab)))))) """
+
   /** DuckDB replay of ops/Classifier.fitBatch + pocket scoring (the
     * pageRankOracle unroll pattern, r12 VERDICT #5): the fit is
     * all-integer and bit-identical under any partitioning, so a chain
@@ -2861,12 +2910,6 @@ object SparkEntry {
     * max correct (strict >), including the final post-loop state;
     * (5) score the corpus under the pocket. */
   private def classifierOracle(epochs: Int): String = {
-    // 0xff51afd7ed558ccd and 0xc4ceb9fe1a85ec53 as (hi, lo) 32-bit halves
-    val (hi1, lo1) = (4283543511L, 3981806797L)
-    val (hi2, lo2) = (3301882366L, 444984403L)
-    def mulmod(x: String, hi: Long, lo: Long): String =
-      s"CAST(($x::HUGEINT * $lo + (($x::HUGEINT * $hi) % 4294967296) * 4294967296) " +
-        s"% 18446744073709551616 AS UBIGINT)"
     val scoreSteps = (1 to epochs + 1).map { e =>
       val w = s"w${e - 1}"
       val upd = if (e <= epochs) s""",
@@ -2897,23 +2940,11 @@ object SparkEntry {
            regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
          FROM documents),
        vocab AS MATERIALIZED (SELECT DISTINCT tok FROM toks),
-       vh AS MATERIALIZED (
-         SELECT tok, CAST(h % 256 AS BIGINT) AS k FROM (
-           SELECT tok, xor(x4, x4 >> 33) AS h FROM (
-             SELECT tok, ${mulmod("x3", hi2, lo2)} AS x4 FROM (
-               SELECT tok, xor(x2, x2 >> 33) AS x3 FROM (
-                 SELECT tok, ${mulmod("x1", hi1, lo1)} AS x2 FROM (
-                   SELECT tok, xor(h0, h0 >> 33) AS x1 FROM (
-                     SELECT tok, list_reduce(
-                       [CAST(14695981039346656037 AS UBIGINT)] ||
-                         list_transform(range(1, len(tok) + 1),
-                           i -> CAST(unicode(tok[i]) AS UBIGINT)),
-                       (acc, c) -> CAST((xor(acc, c)::HUGEINT * 1099511628211)
-                         % 18446744073709551616 AS UBIGINT)) AS h0
-                     FROM vocab)))))) ),
+       $fnvMixVhCte,
+       vb AS MATERIALIZED (SELECT tok, CAST(h % 256 AS BIGINT) AS k FROM vh),
        db AS MATERIALIZED (
          SELECT t.doc_id, v.k, count(*) AS cnt
-         FROM toks t JOIN vh v ON v.tok = t.tok
+         FROM toks t JOIN vb v ON v.tok = t.tok
          GROUP BY t.doc_id, v.k),
        docy AS MATERIALIZED (
          SELECT doc_id, CASE WHEN
@@ -2941,6 +2972,379 @@ object SparkEntry {
               CAST(y AS BIGINT) AS y
        FROM fin ORDER BY doc_id"""
   }
+
+  /** DuckDB replay of ops/Dedup.simhashPairs over the documents table
+    * (r13): simhash is all-integer (per-bit majority vote over the
+    * [[fnvMixVhCte]] token hashes — NO empty-token filter, matching
+    * TextHash.simhash's tokenize), and the banded candidate generation
+    * GUARANTEES recall to Hamming ≤ 3 with no bucket anywhere near the
+    * skew cap at gate scale — so the banded+verified pair set equals
+    * the brute-force all-pairs set this oracle computes. */
+  private val simhashOracle: String =
+    s"""WITH toks AS MATERIALIZED (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         FROM documents),
+       vocab AS MATERIALIZED (SELECT DISTINCT tok FROM toks),
+       $fnvMixVhCte,
+       bits AS MATERIALIZED (
+         SELECT t.doc_id, b.b,
+                SUM(CASE WHEN (v.h >> CAST(b.b AS INTEGER)) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
+                COUNT(*) AS n
+         FROM toks t JOIN vh v USING (tok)
+         CROSS JOIN (SELECT unnest(range(64)) AS b) b
+         GROUP BY t.doc_id, b.b),
+       sh AS MATERIALIZED (
+         SELECT doc_id,
+                CAST(SUM(CASE WHEN ones * 2 > n
+                         THEN (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))::HUGEINT
+                         ELSE 0 END) % 18446744073709551616 AS UBIGINT) AS h
+         FROM bits GROUP BY doc_id)
+       SELECT a.doc_id AS id1, c.doc_id AS id2,
+              CAST(bit_count(xor(a.h, c.h)) AS INTEGER) AS hamming
+       FROM sh a JOIN sh c ON a.doc_id < c.doc_id
+       WHERE bit_count(xor(a.h, c.h)) <= 3
+       ORDER BY id1, id2"""
+
+  /** DuckDB replay of ops/Bpe.learnMerges (r13, the classifierOracle
+    * unroll pattern): the greedy merge chain is a deterministic
+    * integer/string op sequence, so `epochs` chained CTEs replay it
+    * exactly. Each word's segmentation travels as a STRING of
+    * separator-wrapped symbols (sym → 0x1F+sym+0x1F, concatenated):
+    * one greedy left-to-right non-overlapping merge pass is then
+    * literally `replace(s, ⟨a⟩⟨b⟩, ⟨ab⟩)` — SQL replace is
+    * left-to-right non-overlapping, the exact fuse rule of the
+    * engine's compiled mergePass kernel and referenceLearn. A scan's
+    * best pair below minFreq=2 leaves its m-CTE empty, which empties
+    * every later CTE — the engine's early stop falls out for free.
+    * With `encode = true` the final segmentation re-aggregates into
+    * q_bpe_encode's per-source fertility stats instead of the merge
+    * list. 0x1F never occurs in the fixture text (asserted cheap: a
+    * symbol containing the separator would break the framing). */
+  private def bpeOracle(epochs: Int, encode: Boolean): String = {
+    val S = "chr(31)"
+    val steps = (1 to epochs).map { e =>
+      s"""p$e AS MATERIALIZED (
+           SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(wcount) AS BIGINT) AS freq
+           FROM (SELECT wcount, list_filter(string_split(s, $S), x -> x <> '') AS syms
+                 FROM w${e - 1}),
+                UNNEST(range(1, len(syms))) AS t(i)
+           GROUP BY 1, 2),
+         m$e AS MATERIALIZED (
+           SELECT l, r, freq FROM p$e WHERE freq >= 2
+           ORDER BY freq DESC, l, r LIMIT 1),
+         w$e AS MATERIALIZED (
+           SELECT w.word, w.wcount,
+                  replace(w.s, $S||m.l||$S||$S||m.r||$S, $S||m.l||m.r||$S) AS s
+           FROM w${e - 1} w CROSS JOIN m$e m)"""
+    }.mkString(",\n")
+    val finalSel =
+      if (!encode) {
+        val cand = (1 to epochs)
+          .map(e => s"SELECT ${e - 1} AS rank, l, r, freq FROM m$e")
+          .mkString(" UNION ALL ")
+        s"""SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",
+                  l || r AS merged, freq
+           FROM ($cand) ORDER BY rank"""
+      } else
+        s"""SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(s.toks) AS BIGINT) AS tokens_total,
+                  CAST(SUM(len(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g'))) AS BIGINT) AS chars_norm,
+                  round(CAST(SUM(s.toks) AS DOUBLE) /
+                    SUM(len(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g'))), 4) AS fertility
+           FROM (SELECT d.doc_id, d.source, COALESCE(SUM(g.n), 0) AS toks
+                 FROM (SELECT doc_id, source FROM documents) d
+                 LEFT JOIN dtoks t ON t.doc_id = d.doc_id
+                 LEFT JOIN (SELECT word,
+                              CAST(len(list_filter(string_split(s, $S), x -> x <> '')) AS BIGINT) AS n
+                            FROM w$epochs) g ON g.word = t.word
+                 GROUP BY d.doc_id, d.source) s
+           JOIN documents d ON d.doc_id = s.doc_id
+           GROUP BY s.source ORDER BY s.source"""
+    s"""WITH dtoks AS MATERIALIZED (
+         SELECT doc_id, source,
+                unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  x -> x <> '')) AS word
+         FROM documents),
+       w0 AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS wcount,
+                $S || array_to_string(
+                  list_transform(range(1, len(word)+1), i -> word[i]) || ['</w>'],
+                  $S||$S) || $S AS s
+         FROM dtoks GROUP BY word),
+       $steps
+       $finalSel"""
+  }
+
+  /** Layered DuckDB replay of TextHash.combine(a, b) =
+    * mix64(a xor (b · 0x9e3779b97f4a7c15)) — the order-sensitive hash
+    * combiner behind shingles, MinHash seeding and band folding.
+    * Emits SIX nested projections over the `__SRC__` placeholder
+    * (caller substitutes its FROM source and aliases the block), each
+    * layer referencing the previous once, so chained combines stay
+    * LINEAR in SQL size — inlining the mix64 steps instead doubles the
+    * text per level (mulmod uses its argument twice) and goes
+    * exponential. All arithmetic UBIGINT with the 64-bit wrapping
+    * multiplies decomposed through HUGEINT, as in [[fnvMixVhCte]]. */
+  private def combineSql(keep: Seq[String], a: String, b: String): String = {
+    val M = "18446744073709551616"
+    def mulmod(col: String, hi: Long, lo: Long): String =
+      s"CAST(($col::HUGEINT * $lo + (($col::HUGEINT * $hi) % 4294967296) * 4294967296) % $M AS UBIGINT)"
+    val k = keep.mkString(", ")
+    s"""(
+       SELECT $k, xor(m4, m4 >> 33) AS comb FROM (
+        SELECT $k, ${mulmod("m3", 3301882366L, 444984403L)} AS m4 FROM (
+         SELECT $k, xor(m2, m2 >> 33) AS m3 FROM (
+          SELECT $k, ${mulmod("m1", 4283543511L, 3981806797L)} AS m2 FROM (
+           SELECT $k, xor(m0, m0 >> 33) AS m1 FROM (
+            SELECT $k, xor($a, ${mulmod(b, 2654435769L, 2135587861L)}) AS m0 FROM __SRC__ ))))))"""
+  }
+
+  /** The MinHash pipeline as shared DuckDB CTEs over a `corpus(doc_id,
+    * text, …)` CTE the caller defines first (r13): tokenize →
+    * [[fnvMixVhCte]] token hashes → k=5 rolling shingles (chained
+    * [[combineSql]] folds; <k-token docs take one whole-doc shingle) →
+    * 64 seeded-rehash minima as `sig` (SIGNED Long minima, matching
+    * the engine) → 16 band folds salted by band index as `bands`.
+    * Every step is integer-exact; the per-query oracles below differ
+    * only in candidate generation / thresholds / drop rules. */
+  private def minhashCoreCtes: String = {
+    val M = "18446744073709551616"
+    val shingleSteps = (1 to 4).map { j =>
+      val inner = s"""
+        (SELECT s.doc_id, s.i, s.acc, s.nt, t.h AS thj
+         FROM sh${j - 1} s LEFT JOIN th t ON t.doc_id = s.doc_id AND t.pos = s.i + $j
+           AND (s.nt >= 5 OR s.i + $j <= s.nt)) src$j"""
+      val lay = combineSql(Seq("doc_id", "i", "acc", "nt", "thj"),
+        "acc", "COALESCE(thj, CAST(0 AS UBIGINT))").replace("__SRC__", inner)
+      s"""sh$j AS MATERIALIZED (
+           SELECT doc_id, i, nt,
+                  CASE WHEN thj IS NULL THEN acc ELSE comb END AS acc
+           FROM $lay q$j)"""
+    }.mkString(",\n")
+    val sigSel = combineSql(Seq("doc_id", "seed"), "acc", "CAST(seed AS UBIGINT)")
+      .replace("__SRC__",
+        "(SELECT s.doc_id, s.acc, g.seed FROM shing s CROSS JOIN (SELECT unnest(range(64)) AS seed) g) srcS")
+    val bandSteps = (1 to 3).map { j =>
+      val inner = s"""
+        (SELECT b.doc_id, b.band, b.acc,
+                CAST(((s.mn::HUGEINT % $M) + $M) % $M AS UBIGINT) AS nx
+         FROM bf${j - 1} b JOIN sig s ON s.doc_id = b.doc_id AND s.seed = b.band * 4 + $j) srcB$j"""
+      val lay = combineSql(Seq("doc_id", "band"), "acc", "nx").replace("__SRC__", inner)
+      s"bf$j AS MATERIALIZED (SELECT doc_id, band, comb AS acc FROM $lay qb$j)"
+    }.mkString(",\n")
+    val salt = combineSql(Seq("doc_id", "band"), "acc", "CAST(band AS UBIGINT)")
+      .replace("__SRC__", "bf3")
+    s"""dt AS MATERIALIZED (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS l FROM corpus),
+       vocab AS MATERIALIZED (SELECT DISTINCT unnest(l) AS tok FROM dt),
+       $fnvMixVhCte,
+       th AS MATERIALIZED (
+         SELECT e.doc_id, e.s['p'] AS pos, v.h
+         FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)+1),
+                 i -> {'p': i, 'tok': l[i]})) AS s FROM dt) e
+         JOIN vh v ON v.tok = e.s['tok']),
+       nt AS MATERIALIZED (SELECT doc_id, len(l) AS nt FROM dt),
+       sh0 AS MATERIALIZED (
+         SELECT t.doc_id, t.pos AS i, t.h AS acc, n.nt
+         FROM th t JOIN nt n USING (doc_id)
+         WHERE (n.nt >= 5 AND t.pos <= n.nt - 4) OR (n.nt < 5 AND t.pos = 1)),
+       $shingleSteps,
+       shing AS MATERIALIZED (SELECT doc_id, acc FROM sh4),
+       sig AS MATERIALIZED (
+         SELECT doc_id, seed,
+                MIN(CASE WHEN comb >= CAST(9223372036854775808 AS UBIGINT)
+                         THEN CAST(comb::HUGEINT - $M AS BIGINT)
+                         ELSE CAST(comb AS BIGINT) END) AS mn
+         FROM $sigSel q GROUP BY doc_id, seed),
+       bf0 AS MATERIALIZED (
+         SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+                CAST(((mn::HUGEINT % $M) + $M) % $M AS UBIGINT) AS acc
+         FROM sig WHERE seed % 4 = 0),
+       $bandSteps,
+       bands AS MATERIALIZED (SELECT doc_id, band, comb AS bucket FROM $salt qs)"""
+  }
+
+  /** DuckDB replay of the WHOLE one-shot MinHash dedup behind
+    * q_dedup_minhash (r13): [[minhashCoreCtes]], then skew-capped
+    * band-bucket candidates → signature-agreement estimate ≥ 0.6 →
+    * greedy min-id drop (id2 of any passing pair). Survivor set
+    * hash-matches with zero tolerance. */
+  private def minhashDedupOracle: String =
+    s"""WITH corpus AS MATERIALIZED (SELECT doc_id, text FROM documents),
+       $minhashCoreCtes,
+       capped AS MATERIALIZED (
+         SELECT b.* FROM bands b
+         JOIN (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 1000) ok
+         USING (band, bucket)),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM capped a JOIN capped b USING (band, bucket)
+         WHERE a.doc_id < b.doc_id),
+       agree AS MATERIALIZED (
+         SELECT c.id1, c.id2, count(*) FILTER (WHERE s1.mn = s2.mn) AS agr
+         FROM cand c
+         JOIN sig s1 ON s1.doc_id = c.id1
+         JOIN sig s2 ON s2.doc_id = c.id2 AND s2.seed = s1.seed
+         GROUP BY c.id1, c.id2),
+       dropped AS MATERIALIZED (
+         SELECT DISTINCT id2 AS doc_id FROM agree WHERE CAST(agr AS DOUBLE) / 64 >= 0.6)
+       SELECT d.doc_id, d.lang, d.source
+       FROM documents d LEFT JOIN dropped x ON x.doc_id = d.doc_id
+       WHERE x.doc_id IS NULL
+       ORDER BY d.doc_id"""
+
+  /** DuckDB replay of q_dedup_incremental (r13): the corpus splits at
+    * the approx-median doc_id (accuracy 1000 ≫ corpus rows → the exact
+    * lower-median both engines compute) into two ingest batches; batch
+    * 1 dedups within itself (greedy id2-of-passing-pair drop, cap
+    * effectively unbounded like the gate's), batch 2 dedups within
+    * itself AND against batch 1's KEPT survivors. Pure set algebra
+    * over the shared core's passing pairs — ids in batch 1 are all
+    * below ids in batch 2, so a cross pair's id1 side is always the
+    * index side. */
+  private def incrementalDedupOracle: String =
+    s"""WITH corpus AS MATERIALIZED (SELECT doc_id, text, source FROM documents),
+       $minhashCoreCtes,
+       mid AS MATERIALIZED (SELECT quantile_disc(doc_id, 0.5) AS m FROM corpus),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b USING (band, bucket)
+         WHERE a.doc_id < b.doc_id),
+       passing AS MATERIALIZED (
+         SELECT c.id1, c.id2
+         FROM cand c
+         JOIN sig s1 ON s1.doc_id = c.id1
+         JOIN sig s2 ON s2.doc_id = c.id2 AND s2.seed = s1.seed
+         GROUP BY c.id1, c.id2
+         HAVING CAST(count(*) FILTER (WHERE s1.mn = s2.mn) AS DOUBLE) / 64 >= 0.6),
+       b1 AS MATERIALIZED (SELECT doc_id FROM corpus, mid WHERE doc_id < m),
+       b2 AS MATERIALIZED (SELECT doc_id FROM corpus, mid WHERE doc_id >= m),
+       s1k AS MATERIALIZED (
+         SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+           SELECT p.id2 FROM passing p JOIN b1 x ON x.doc_id = p.id1)),
+       surv2 AS MATERIALIZED (
+         SELECT doc_id FROM b2
+         WHERE doc_id NOT IN (SELECT p.id2 FROM passing p JOIN b2 x ON x.doc_id = p.id1)
+           AND doc_id NOT IN (SELECT p.id2 FROM passing p JOIN s1k k ON k.doc_id = p.id1))
+       SELECT c.doc_id, c.source FROM corpus c
+       JOIN (SELECT doc_id FROM s1k UNION ALL SELECT doc_id FROM surv2) s USING (doc_id)
+       ORDER BY c.doc_id"""
+
+  /** DuckDB replay of q_dedup_probe (r13): the index is the even-id
+    * half deduped within itself at the open() default threshold 0.7;
+    * the probes are the first 100 survivors re-keyed past max(doc_id)
+    * with IDENTICAL text, so each probe's signature and bands EQUAL
+    * its source's and the replay reuses them by src_id. Probe hits =
+    * band collisions against the index-side skew-capped KEPT rows,
+    * verified by signature agreement ≥ 0.7; est_jaccard = agr/64 has
+    * ≤ 6 decimal digits exactly (64 = 2⁶), so round(…, 6) is the
+    * identity on both engines. The noise probes and the
+    * read-only/version asserts stay in-gate. */
+  private def probeOracle: String =
+    s"""WITH corpus AS MATERIALIZED (
+         SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       $minhashCoreCtes,
+       capped AS MATERIALIZED (
+         SELECT b.* FROM bands b
+         JOIN (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 1000) ok
+         USING (band, bucket)),
+       passing AS MATERIALIZED (
+         SELECT c.id1, c.id2 FROM
+           (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM capped a JOIN capped b USING (band, bucket) WHERE a.doc_id < b.doc_id) c
+         JOIN sig s1 ON s1.doc_id = c.id1
+         JOIN sig s2 ON s2.doc_id = c.id2 AND s2.seed = s1.seed
+         GROUP BY c.id1, c.id2
+         HAVING CAST(count(*) FILTER (WHERE s1.mn = s2.mn) AS DOUBLE) / 64 >= 0.7),
+       kept AS MATERIALIZED (
+         SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id2 FROM passing)),
+       keptCapped AS MATERIALIZED (
+         SELECT b.* FROM bands b JOIN kept k USING (doc_id)
+         JOIN (SELECT band, bucket FROM bands JOIN kept USING (doc_id)
+               GROUP BY band, bucket HAVING count(*) <= 1000) ok
+         USING (band, bucket)),
+       mx AS MATERIALIZED (SELECT max(doc_id) AS m FROM documents),
+       probes AS MATERIALIZED (
+         SELECT doc_id AS src_id, doc_id + (SELECT m FROM mx) + 1 AS probe_id
+         FROM kept ORDER BY doc_id LIMIT 100),
+       phits AS MATERIALIZED (
+         SELECT p.probe_id, p.src_id, kb.doc_id AS kept_id
+         FROM probes p
+         JOIN bands pb ON pb.doc_id = p.src_id
+         JOIN keptCapped kb ON kb.band = pb.band AND kb.bucket = pb.bucket
+         GROUP BY p.probe_id, p.src_id, kb.doc_id)
+       SELECT h.probe_id AS doc_id, h.kept_id,
+              round(CAST(count(*) FILTER (WHERE s1.mn = s2.mn) AS DOUBLE) / 64, 6) AS est_jaccard
+       FROM phits h
+       JOIN sig s1 ON s1.doc_id = h.src_id
+       JOIN sig s2 ON s2.doc_id = h.kept_id AND s2.seed = s1.seed
+       GROUP BY h.probe_id, h.kept_id
+       HAVING CAST(count(*) FILTER (WHERE s1.mn = s2.mn) AS DOUBLE) / 64 >= 0.7
+       ORDER BY doc_id, kept_id"""
+
+  /** DuckDB replay of q_stream_neardup (r13): the gate's streamed
+    * foreachBatch run is spec-locked IN-GATE to equal a direct
+    * two-batch incremental dedup over deterministic halves (batch 1 =
+    * doc_id % 8 = 0 of the quarter corpus, batch 2 = the rest,
+    * threshold 0.9, open() default cap 1000) — so the oracle replays
+    * that two-batch semantics directly: per-batch within dedup over
+    * per-batch skew-capped bands, then batch 2 against batch 1's KEPT
+    * survivors (index side capped among kept rows). The batches
+    * interleave ids, so the cross drop keys on batch membership, not
+    * id order. */
+  private def streamNeardupOracle: String =
+    s"""WITH corpus AS MATERIALIZED (
+         SELECT doc_id, text, source FROM documents WHERE doc_id % 4 = 0),
+       $minhashCoreCtes,
+       b1 AS MATERIALIZED (SELECT doc_id FROM corpus WHERE doc_id % 8 = 0),
+       b2 AS MATERIALIZED (SELECT doc_id FROM corpus WHERE doc_id % 8 <> 0),
+       c1 AS MATERIALIZED (
+         SELECT b.* FROM bands b JOIN b1 USING (doc_id)
+         JOIN (SELECT band, bucket FROM bands JOIN b1 USING (doc_id)
+               GROUP BY band, bucket HAVING count(*) <= 1000) ok USING (band, bucket)),
+       pass1 AS MATERIALIZED (
+         SELECT c.id1, c.id2 FROM
+           (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM c1 a JOIN c1 b USING (band, bucket) WHERE a.doc_id < b.doc_id) c
+         JOIN sig s1 ON s1.doc_id = c.id1
+         JOIN sig s2 ON s2.doc_id = c.id2 AND s2.seed = s1.seed
+         GROUP BY c.id1, c.id2
+         HAVING CAST(count(*) FILTER (WHERE s1.mn = s2.mn) AS DOUBLE) / 64 >= 0.9),
+       s1k AS MATERIALIZED (
+         SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT id2 FROM pass1)),
+       c2 AS MATERIALIZED (
+         SELECT b.* FROM bands b JOIN b2 USING (doc_id)
+         JOIN (SELECT band, bucket FROM bands JOIN b2 USING (doc_id)
+               GROUP BY band, bucket HAVING count(*) <= 1000) ok USING (band, bucket)),
+       pass2 AS MATERIALIZED (
+         SELECT c.id1, c.id2 FROM
+           (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM c2 a JOIN c2 b USING (band, bucket) WHERE a.doc_id < b.doc_id) c
+         JOIN sig s1 ON s1.doc_id = c.id1
+         JOIN sig s2 ON s2.doc_id = c.id2 AND s2.seed = s1.seed
+         GROUP BY c.id1, c.id2
+         HAVING CAST(count(*) FILTER (WHERE s1.mn = s2.mn) AS DOUBLE) / 64 >= 0.9),
+       idxb AS MATERIALIZED (
+         SELECT b.* FROM bands b JOIN s1k USING (doc_id)
+         JOIN (SELECT band, bucket FROM bands JOIN s1k USING (doc_id)
+               GROUP BY band, bucket HAVING count(*) <= 1000) ok USING (band, bucket)),
+       crossdrop AS MATERIALIZED (
+         SELECT c.d FROM
+           (SELECT DISTINCT pb.doc_id AS d, kb.doc_id AS k
+            FROM bands pb JOIN b2 ON b2.doc_id = pb.doc_id
+            JOIN idxb kb ON kb.band = pb.band AND kb.bucket = pb.bucket) c
+         JOIN sig s1 ON s1.doc_id = c.d
+         JOIN sig s2 ON s2.doc_id = c.k AND s2.seed = s1.seed
+         GROUP BY c.d, c.k
+         HAVING CAST(count(*) FILTER (WHERE s1.mn = s2.mn) AS DOUBLE) / 64 >= 0.9),
+       surv AS MATERIALIZED (
+         SELECT doc_id FROM s1k
+         UNION ALL
+         SELECT doc_id FROM b2
+         WHERE doc_id NOT IN (SELECT id2 FROM pass2)
+           AND doc_id NOT IN (SELECT d FROM crossdrop))
+       SELECT c.doc_id, c.source FROM corpus c JOIN surv USING (doc_id)
+       ORDER BY c.doc_id"""
 
   private def pageRankOracle(iters: Int): String = {
     val steps = (1 to iters).map { k =>
