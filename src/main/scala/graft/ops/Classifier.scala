@@ -74,21 +74,25 @@ object Classifier {
       // on every epoch (the old per-epoch hot cost)
       val scored = base.withColumn("__s",
         TextHashFunctions.bowScoreBuckets(col("__b"), w.clone(), bias))
-      // one pass: pocket accuracy of the CURRENT weights + per-bucket
-      // Σ label over misclassified docs' tokens (≤ dims+2 rows out)
-      val correct = scored.filter(col("__y") * col("__s") > 0L).count()
+      // ONE job per epoch (r13; was two): the pocket-accuracy count
+      // rides the delta aggregation as sentinel bucket −2 — a
+      // correctly-classified doc emits only (−2, +1), a misclassified
+      // one its buckets plus the bias sentinel −1 with its label, and
+      // a single groupBy-sum returns ≤ dims+3 rows. Same integer sums
+      // in the same order as the two-job schedule, so the fit stays
+      // bit-identical to referenceFit.
+      val rows = scored
+        .select(col("__y"),
+          explode(when(col("__y") * col("__s") > 0L, array(lit(-2)))
+            .otherwise(concat(col("__b"), array(lit(-1))))).as("__k"))
+        .groupBy(col("__k"))
+        .agg(sum(when(col("__k") === -2, lit(1L)).otherwise(col("__y"))).as("__d"))
+        .collect()
+      val correct = rows.find(_.getInt(0) == -2).map(_.getLong(1)).getOrElse(0L)
       if (correct > pocketCorrect) {
         pocketCorrect = correct; pocketW = w.clone(); pocketBias = bias
       }
-      val mis = scored.filter(col("__y") * col("__s") <= 0L)
-      // ONE aggregation for weight deltas AND the bias delta: bucket
-      // −1 is the bias sentinel (every misclassified doc contributes
-      // its label once) — halves the per-epoch action count
-      val deltas = mis
-        .select(col("__y"),
-          explode(concat(col("__b"), array(lit(-1)))).as("__k"))
-        .groupBy(col("__k")).agg(sum(col("__y")).as("__d"))
-        .collect()
+      val deltas = rows.filter(_.getInt(0) != -2)
       val biasDelta = deltas.find(_.getInt(0) == -1).map(_.getLong(1)).getOrElse(0L)
       // converged = the NET update is zero (mirrors referenceFit: a
       // +1/-1 misclassified pair over identical tokens nets to zero)
