@@ -566,21 +566,40 @@ object PipelineQueries {
         .unionByName(s2.select(col("doc_id"), lit(2).as("batch")))
         .localCheckpoint(true)
 
-      val n1 = s1.count()
-      val nIds1 = ids1.count()
-      require(n1 == nIds1,
-        s"q_dedup_media_incremental: batch 1 kept $n1 of $nIds1 fresh images")
+      // ONE assertion job instead of five (r13): this gate is
+      // fixture-bounded (240 base images at every SF), so its wall
+      // time is the sequential action chain, and every fused action is
+      // wall time at any scale. All five invariants are conditional
+      // counts over one union of the tiny tagged id sets (survivors ≤
+      // ~270 rows, ids/copies ≤ 240) — a single aggregation row.
       val droppedCopies = sample1.select((col("doc_id") + off).as("doc_id"))
         .unionByName(sample2.select((col("doc_id") + 2L * off).as("doc_id")))
-      val leaked = droppedCopies.join(survivors, Seq("doc_id"), "left_semi").count()
-      require(leaked == 0L,
-        s"q_dedup_media_incremental: $leaked planted copies survived the index")
-      val freshLost = ids2.join(survivors, Seq("doc_id"), "left_anti").count()
-      require(freshLost == 0L,
-        s"q_dedup_media_incremental: $freshLost fresh batch-2 images were dropped")
-      val corruptKept = survivors.filter(col("doc_id") >= 5L * off).count()
-      require(corruptKept == 2L,
-        s"q_dedup_media_incremental: corrupt payloads must pass through (kept $corruptKept of 2)")
+      val checks = survivors.select(col("doc_id"), col("batch").as("tag"))
+        .unionByName(ids1.select(col("doc_id"), lit(10).as("tag")))
+        .unionByName(ids2.select(col("doc_id"), lit(20).as("tag")))
+        .unionByName(droppedCopies.select(col("doc_id"), lit(30).as("tag")))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("tag") < 10, col("tag"))).as("surv"),
+          max(col("tag") === 10).as("i1"), max(col("tag") === 20).as("i2"),
+          max(col("tag") === 30).as("copy"))
+        .agg(
+          count(when(col("surv") === 1, 1)).as("n1"),
+          count(when(col("i1"), 1)).as("nIds1"),
+          count(when(col("copy") && col("surv").isNotNull, 1)).as("leaked"),
+          count(when(col("i2") && col("surv").isNull, 1)).as("freshLost"),
+          count(when(col("surv").isNotNull && col("doc_id") >= 5L * off, 1))
+            .as("corruptKept"))
+        .head()
+      val (n1, nIds1) = (checks.getLong(0), checks.getLong(1))
+      require(n1 == nIds1,
+        s"q_dedup_media_incremental: batch 1 kept $n1 of $nIds1 fresh images")
+      require(checks.getLong(2) == 0L,
+        s"q_dedup_media_incremental: ${checks.getLong(2)} planted copies survived the index")
+      require(checks.getLong(3) == 0L,
+        s"q_dedup_media_incremental: ${checks.getLong(3)} fresh batch-2 images were dropped")
+      require(checks.getLong(4) == 2L,
+        s"q_dedup_media_incremental: corrupt payloads must pass through " +
+          s"(kept ${checks.getLong(4)} of 2)")
 
       // superset vs one-shot greedy over the union, same (un)cap
       val corpus = batch1.unionByName(batch2)
@@ -595,7 +614,8 @@ object PipelineQueries {
       // read-only probe: kept content hits, unseen content misses
       val probeHits = idx.probe(
         rendered(sample1, _ + 6L * off, id => tile(id)), "doc_id", "payload")
-      val probeMissing = sample1.count() - probeHits
+      // |sample1| = min(60, |ids1|) by construction (limit 60) — no job
+      val probeMissing = math.min(60L, nIds1) - probeHits
         .select((col("doc_id") - 6L * off).as("doc_id")).distinct()
         .join(sample1, Seq("doc_id"), "left_semi").count()
       require(probeMissing == 0L,
