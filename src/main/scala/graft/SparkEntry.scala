@@ -3016,10 +3016,12 @@ object SparkEntry {
     * engine's compiled mergePass kernel and referenceLearn. A scan's
     * best pair below minFreq=2 leaves its m-CTE empty, which empties
     * every later CTE — the engine's early stop falls out for free.
-    * With `encode = true` the final segmentation re-aggregates into
-    * q_bpe_encode's per-source fertility stats instead of the merge
-    * list. 0x1F never occurs in the fixture text (asserted cheap: a
-    * symbol containing the separator would break the framing). */
+    * With `encode = true` the segmentation of the last NON-EMPTY
+    * w-CTE (early stop empties the later ones — r13 advice) is
+    * re-aggregated into q_bpe_encode's per-source fertility stats
+    * instead of the merge list. 0x1F never occurs in the fixture text
+    * (asserted cheap: a symbol containing the separator would break
+    * the framing). */
   private def bpeOracle(epochs: Int, encode: Boolean): String = {
     val S = "chr(31)"
     val steps = (1 to epochs).map { e =>
@@ -3045,7 +3047,18 @@ object SparkEntry {
         s"""SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",
                   l || r AS merged, freq
            FROM ($cand) ORDER BY rank"""
-      } else
+      } else {
+        // segmentations come from the last NON-EMPTY w-CTE, not
+        // w$epochs (r13 advice): an engine early-stop before `epochs`
+        // merges empties every later m-CTE and hence every later
+        // w-CTE (w$e cross-joins m$e), so reading w$epochs would turn
+        // every per-doc token count into 0 while the engine reports
+        // the truncated-but-real segmentation. The merge-list variant
+        // already handles early stop (absent m rows are absent merge
+        // rows); this makes the encode variant degrade identically.
+        val allW = (0 to epochs)
+          .map(e => s"SELECT word, s, $e AS e FROM w$e")
+          .mkString(" UNION ALL ")
         s"""SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(SUM(s.toks) AS BIGINT) AS tokens_total,
                   CAST(SUM(len(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g'))) AS BIGINT) AS chars_norm,
@@ -3056,10 +3069,14 @@ object SparkEntry {
                  LEFT JOIN dtoks t ON t.doc_id = d.doc_id
                  LEFT JOIN (SELECT word,
                               CAST(len(list_filter(string_split(s, $S), x -> x <> '')) AS BIGINT) AS n
-                            FROM w$epochs) g ON g.word = t.word
+                            FROM (SELECT word, s,
+                                    MAX(e) OVER () AS me, e
+                                  FROM ($allW))
+                            WHERE e = me) g ON g.word = t.word
                  GROUP BY d.doc_id, d.source) s
            JOIN documents d ON d.doc_id = s.doc_id
            GROUP BY s.source ORDER BY s.source"""
+      }
     s"""WITH dtoks AS MATERIALIZED (
          SELECT doc_id, source,
                 unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -3194,8 +3211,10 @@ object SparkEntry {
        ORDER BY d.doc_id"""
 
   /** DuckDB replay of q_dedup_incremental (r13): the corpus splits at
-    * the approx-median doc_id (accuracy 1000 ≫ corpus rows → the exact
-    * lower-median both engines compute) into two ingest batches; batch
+    * the approx-median doc_id (accuracy 10M ≫ corpus rows → the sketch
+    * retains every value, so both engines compute the exact
+    * lower-median; the gate ASSERTS corpus rows < accuracy in the same
+    * job as the median — r13 advice) into two ingest batches; batch
     * 1 dedups within itself (greedy id2-of-passing-pair drop, cap
     * effectively unbounded like the gate's), batch 2 dedups within
     * itself AND against batch 1's KEPT survivors. Pure set algebra

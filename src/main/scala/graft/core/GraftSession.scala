@@ -319,12 +319,13 @@ class GraftSession(val spark: SparkSession,
       case Some(Freeze) => frozen0 = true; "ok: session frozen (writes rejected)"
       case Some(Unfreeze) => frozen0 = false; "ok: session unfrozen"
       case Some(AlterSystem("SHUTDOWN")) =>
-        // only THIS session's queries: the SparkSession (and its
-        // spark.streams registry) may be shared with other sessions
-        val mine = spark.streams.active.filter(q => ownedQueries.contains(q.id))
-        mine.foreach(_.stop())
+        // only THIS session's queries, stopped through their handles
+        // (see ownedQueries — handle queries live on isolated session
+        // clones, invisible to this session's spark.streams)
+        val mine = ownedQueries.values.filter(_._1())
+        mine.foreach(h => try h._2() catch { case _: Throwable => () })
         ownedQueries.clear() // stopped or already dead — drop the ids
-        s"ok: stopped ${mine.length} streaming queries"
+        s"ok: stopped ${mine.size} streaming queries"
       case Some(AlterSystem(_)) => "ok: instance already started"
       case Some(AlterSession(k, v)) => spark.conf.set(k, v); s"ok: $k=$v"
       case Some(Connect(t)) =>
@@ -457,7 +458,14 @@ class GraftSession(val spark: SparkSession,
 
   /** Streaming queries started by THIS session (the SparkSession's
     * registry is global; lifecycle ops must not cross sessions). */
-  private val ownedQueries = TrieMap.empty[java.util.UUID, Unit]
+  // queryId → (isActive, stop) for THIS session's continuous queries.
+  // Stopping goes through the handle, not spark.streams.active: since
+  // r14 StreamHandle starts its query on an ISOLATED session clone
+  // (state-store alias resolution must not mutate the shared conf), so
+  // the query is registered in the CLONE's StreamingQueryManager and a
+  // spark.streams lookup here would silently miss it.
+  private val ownedQueries =
+    TrieMap.empty[java.util.UUID, (() => Boolean, () => Unit)]
 
   /** Start a SELECT STREAM query; returns the poll/stop handle
     * (reference: sql/StreamQueue.java:40-134). Grouped streams run in
@@ -470,7 +478,7 @@ class GraftSession(val spark: SparkSession,
         org.apache.spark.sql.streaming.OutputMode.Update()
       else org.apache.spark.sql.streaming.OutputMode.Append()
     val h = graft.streaming.StreamHandle.start(spark, plan, mode, checkpoint)
-    ownedQueries.put(h.queryId, ())
+    ownedQueries.put(h.queryId, (() => h.isActive, () => h.stop()))
     h
   }
 
@@ -532,7 +540,7 @@ class GraftSession(val spark: SparkSession,
       .foreach(noteWrite(_)))
     val h = graft.streaming.StreamProcess.start(df, cond, processor, store, streamId,
       checkpoint, trigger)
-    ownedQueries.put(h.queryId, ())
+    ownedQueries.put(h.queryId, (() => h.isActive, () => h.stop()))
     h
   }
 }

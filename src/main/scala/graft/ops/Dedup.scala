@@ -69,77 +69,149 @@ object Dedup {
   }
 
   /** [[capBuckets]] for the PERSISTENT dedup indexes' collision joins
-    * (closes the r12-documented saturation recall leak): instead of
-    * EXCLUDING a saturated bucket — which dropped recall against that
-    * content family entirely, so every later copy leaked — keep a
-    * bounded deterministic EXEMPLAR SAMPLE of `maxBucket` rows per
-    * saturated bucket. The join-cost bound is unchanged (each probe
-    * row still meets ≤ maxBucket index rows per band bucket), but a
-    * later copy of a saturated family now meets maxBucket exemplars of
-    * it — and in the case that actually saturates (a large family of
-    * near-identical copies: a meme image, boilerplate page, replayed
-    * batch) ANY exemplar verifies within the distance threshold and
-    * the copy DROPS. Residual, inherent to bounded work: a bucket
-    * whose >maxBucket members are mutually FAR (an adversarial 16-bit
-    * band collision of unrelated content) retains recall only against
-    * the sampled members — [[observeSaturation]]'s counters still mark
-    * every such bucket, so the residue stays visible.
+    * (r13 closed the r12 saturation recall LEAK with exemplar
+    * sampling; r14 adds SUB-BUCKET SPLITTING for the residual): a
+    * saturated bucket — more than `maxBucket` index rows behind one
+    * band key — is resolved into TWO bounded join paths instead of
+    * being excluded:
     *
-    * Exemplar choice is xxhash64(id)-ordered (id tiebreak):
-    * deterministic across re-evaluations, pseudo-random across the
-    * family — a spread of variants, not the id-smallest prefix of one.
+    *  1. **Split** (`bySub`, joined on keys :+ `__sub`): every
+    *     saturated-bucket row is re-keyed by `__sub` — extra hash
+    *     bits of the MEMBER's own signature (a secondary band, which
+    *     the probe computes identically from its own content). A
+    *     bucket whose >maxBucket members are mutually FAR (the
+    *     adversarial 16-bit collision of unrelated content — the r13
+    *     residual) spreads uniformly across sub-keys, so every
+    *     sub-bucket is small and recall against EVERY member is
+    *     retained for any probe whose secondary band survives (exact
+    *     copies always; near-dups whose differing bits miss the
+    *     secondary band). Sub-buckets still over `maxBucket` (a
+    *     near-identical family shares the secondary band too) fall
+    *     back to xxhash64(id)-ordered exemplars WITHIN the sub-bucket
+    *     — for that family-shaped case any exemplar verifies and the
+    *     copy drops, exactly the r13 argument.
+    *  2. **Global exemplars** (folded into `byBucket`, joined on
+    *     `keys` alone): the r13 per-bucket sample, kept so the new
+    *     scheme's recall STRICTLY DOMINATES r13's — a probe whose
+    *     secondary band was damaged still gets the exemplar lottery
+    *     it had before.
     *
-    * Cost: the same per-bucket count aggregate [[capBuckets]] pays,
-    * plus a row_number window over ONLY the saturated buckets' rows —
-    * empty (and AQE-skipped) in the unsaturated steady state. */
-  private[ops] def sampleBuckets(df: DataFrame, keys: Seq[String],
-                                 maxBucket: Int): DataFrame = {
+    * Join-cost bound: a probe row meets ≤ maxBucket rows of its own
+    * sub-bucket + ≤ maxBucket global exemplars per band bucket —
+    * 2×maxBucket, same order as before. Unsaturated buckets join
+    * whole on `keys` with full recall, as always.
+    *
+    * Honest residual, narrower than r13's: a probe of a saturated
+    * bucket whose secondary band was hit by the modification AND
+    * whose true match is not in the global sample can still miss —
+    * [[observeSaturation]]'s counters mark every saturated bucket
+    * (and distinguish split-resolved from exemplar-bounded), so the
+    * residue stays visible.
+    *
+    * Cost: the same per-bucket count [[capBuckets]] pays, plus
+    * sub-keying and a row_number window over ONLY saturated buckets'
+    * rows — empty (and AQE-skipped) in the unsaturated steady state.
+    *
+    * @param withSub decorates saturated-bucket rows with the `__sub`
+    *   column (the secondary-band value); only ever evaluated on
+    *   saturated rows, so an implementation may join side tables
+    *   (the MinHash index fetches signatures) without a steady-state
+    *   cost. */
+  private[graft] def resolveSaturated(df: DataFrame, keys: Seq[String],
+                                    maxBucket: Int,
+                                    withSub: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val sat = df.groupBy(keys.map(col): _*)
+    val kc = keys.map(col)
+    val sat = df.groupBy(kc: _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
-      .select(keys.map(col): _*)
+      .select(kc: _*)
     val ok = df.join(sat, keys, "left_anti")
-    val exemplars = df.join(sat, keys, "left_semi")
+    val satRows = df.join(sat, keys, "left_semi")
+    val globalExemplars = satRows
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(keys.map(col): _*)
+        Window.partitionBy(kc: _*)
           .orderBy(xxhash64(col("id")), col("id"))))
       .filter(col("__rn") <= maxBucket).drop("__rn")
-    ok.unionByName(exemplars)
+    val subbed = withSub(satRows)
+    val subKeys = keys :+ "__sub"
+    val skc = subKeys.map(col)
+    val overSub = subbed.groupBy(skc: _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select(skc: _*)
+    val splitOk = subbed.join(overSub, subKeys, "left_anti")
+    val subExemplars = subbed.join(overSub, subKeys, "left_semi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(skc: _*)
+          .orderBy(xxhash64(col("id")), col("id"))))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    (ok.unionByName(globalExemplars), splitOk.unionByName(subExemplars))
   }
 
-  /** Observability for the saturated-bucket EXEMPLAR SAMPLING
-    * ([[sampleBuckets]]) on a PERSISTENT dedup index (VERDICT r11 #4;
-    * r13: the leak the counters flagged is now closed — a saturated
-    * bucket is sampled, not skipped, so counters mean "recall against
-    * this bucket is exemplar-bounded", no longer "recall is zero"). This counts the saturated
-    * buckets and the kept rows inside them and bumps the engine
-    * counters `<prefix>SaturatedBuckets` / `<prefix>CappedRows`
-    * (core.Metrics → JMX + Bench's metrics block). Cost: one extra
-    * column-pruned aggregate over just the bucket-key columns per
-    * batch — a small constant factor on top of the collision join's
-    * own index scan, the price of making the recall leak observable.
-    * When the caller knows the index's TOTAL committed row count
-    * (manifest metadata, O(1)) and it is ≤ maxBucket, no single bucket
-    * can exceed the cap and the job is skipped outright — small/young
-    * indexes then pay nothing. Returns (saturatedBuckets, cappedRows). */
-  private[ops] def observeSaturation(idx: DataFrame, keys: Seq[String],
+  /** Observability for the saturated-bucket resolution
+    * ([[resolveSaturated]]) on a PERSISTENT dedup index (VERDICT r11
+    * #4; r13 closed the leak the counters flagged; r14 distinguishes
+    * HOW each saturated bucket was resolved). Bumps the engine
+    * counters (core.Metrics → JMX + Bench's metrics block):
+    *
+    *  - `<prefix>SaturatedBuckets` — buckets past `maxBucket` (any
+    *    saturation observed, as since r11);
+    *  - `<prefix>CappedRows` — total kept rows inside them (as
+    *    since r11);
+    *  - `<prefix>SplitBuckets` (r14) — the subset fully resolved by
+    *    the sub-bucket split (every sub-bucket ≤ maxBucket: recall
+    *    retained against EVERY member for secondary-band-intact
+    *    probes). `SaturatedBuckets − SplitBuckets` = buckets with at
+    *    least one exemplar-bounded sub-bucket (near-identical
+    *    families — where any exemplar verifies anyway).
+    *
+    * Cost: one column-pruned aggregate over the bucket-key columns,
+    * plus — only when something IS saturated — a sub-key aggregate
+    * over just the saturated rows. When the caller knows the index's
+    * TOTAL committed row count (manifest metadata, O(1)) and it is ≤
+    * maxBucket, no bucket can exceed the cap and the jobs are skipped
+    * outright — small/young indexes pay nothing. Returns
+    * (saturatedBuckets, cappedRows). */
+  private[graft] def observeSaturation(idx: DataFrame, keys: Seq[String],
                                      maxBucket: Int, counterPrefix: String,
-                                     totalRows: Option[Long] = None): (Long, Long) = {
-    val (nb, nr) =
-      if (totalRows.exists(_ <= maxBucket)) (0L, 0L)
+                                     totalRows: Option[Long] = None,
+                                     withSub: DataFrame => DataFrame = identity)
+      : (Long, Long) = {
+    val (nb, nr, nSplit) =
+      if (totalRows.exists(_ <= maxBucket)) (0L, 0L, 0L)
       else {
         val row = idx.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") > maxBucket)
           .agg(count(lit(1)).as("nb"), coalesce(sum(col("bsz")), lit(0L)).as("nr"))
           .head()
-        (row.getLong(0), row.getLong(1))
+        val (b, r) = (row.getLong(0), row.getLong(1))
+        val split =
+          if (b == 0L) 0L
+          else {
+            val kc = keys.map(col)
+            val sat = idx.groupBy(kc: _*)
+              .agg(count(lit(1)).as("bsz"))
+              .filter(col("bsz") > maxBucket)
+              .select(kc: _*)
+            withSub(idx.join(sat, keys, "left_semi"))
+              .groupBy((keys :+ "__sub").map(col): _*)
+              .agg(count(lit(1)).as("ssz"))
+              .groupBy(kc: _*)
+              .agg(max(col("ssz")).as("mx"))
+              .filter(col("mx") <= maxBucket)
+              .count()
+          }
+        (b, r, split)
       }
     graft.core.Metrics.counter(s"${counterPrefix}SaturatedBuckets").add(nb)
     graft.core.Metrics.counter(s"${counterPrefix}CappedRows").add(nr)
+    graft.core.Metrics.counter(s"${counterPrefix}SplitBuckets").add(nSplit)
     (nb, nr)
   }
+
 
   /** LSH candidate pairs from banded MinHash signatures.
     * bands × rowsPerBand must equal numHashes. Two docs are candidates

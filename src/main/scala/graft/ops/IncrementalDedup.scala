@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -58,15 +58,52 @@ final class IncrementalDedup private (
     sig.select(col("id"), posexplode(Dedup.bandHashes(col("sig"), bands, rows)))
       .select(col("pos").as("band"), col("col").as("bucket"), col("id"))
 
+  /** Sub-bucket key for saturated-bucket splitting (r14,
+    * [[Dedup.resolveSaturated]]): the value of the NEXT band —
+    * (band+1) mod bands — of the row's own signature. Both sides of a
+    * collision compute it from their own content, so a probe whose
+    * near-dup agrees on the secondary band lands in its twin's
+    * sub-bucket deterministically; mutually-FAR members of an
+    * adversarial bucket spread uniformly (independent signatures). */
+  private def subKeyExpr(bandCol: Column, sigCol: Column): Column =
+    element_at(Dedup.bandHashes(sigCol, bands, rows),
+      (((bandCol + lit(1)) % lit(bands)) + lit(1)).cast("int"))
+
+  /** Decorates INDEX rows (band, bucket, id) with `__sub` — fetches
+    * the signature from the sigs table; only ever evaluated on
+    * saturated-bucket rows (dangling bucket rows whose sigs never
+    * landed drop out here, as they do in the verify join). */
+  private def idxWithSub: DataFrame => DataFrame = r =>
+    r.join(sigs.read.select(col("id"), col("sig").as("__s")), Seq("id"))
+      .withColumn("__sub", subKeyExpr(col("band"), col("__s")))
+      .drop("__s")
+
+  /** [[banded]] with the `__sub` secondary-band key on every row —
+    * the PROBE side of the split join (computed from the cached
+    * signature frame: one kernel call, no extra scan of the docs). */
+  private def bandedWithSub(sig: DataFrame): DataFrame =
+    sig.select(col("id"), Dedup.bandHashes(col("sig"), bands, rows).as("__bh"))
+      .select(col("id"), col("__bh"), posexplode(col("__bh")))
+      .select(col("pos").as("band"), col("col").as("bucket"), col("id"),
+        element_at(col("__bh"),
+          (((col("pos") + lit(1)) % lit(bands)) + lit(1)).cast("int")).as("__sub"))
+
   /** Dedup one ingest batch against the index (and itself); append the
     * survivors' bands+signatures to the index; return the surviving
-    * rows of `batch` with all original columns, MATERIALIZED
-    * (localCheckpoint): the index appends already executed the
-    * lineage, so handing the caller a lazy recompute of the signature
-    * pass would double every cost — and worse, re-read index snapshots
-    * that have since moved. Signatures are computed exactly once per
-    * batch (one cached (id, sig) pass feeds the within-batch pairing,
-    * the index verify, and the index append).
+    * rows of `batch` with all original columns. The dedup DECISION is
+    * materialized exactly once — the dropped-id set is
+    * localCheckpoint-pinned (bare ids: KBs at any batch size) — and
+    * the returned survivors are the caller's `batch` anti-joined
+    * against that pin: lazy, but with NO index-snapshot read and NO
+    * signature computation in the lineage (the hazards that would make
+    * a lazy result unsafe — a recompute against an index that has
+    * since moved), so a caller action pays one scan of its own batch.
+    * (Through r13 this method instead pinned every surviving input row
+    * — document text included — a block-storage write that grew with
+    * the data while the decision it protects is just ids.) Signatures
+    * are computed exactly once per batch (one cached (id, sig) pass
+    * feeds the within-batch pairing, the index verify, and the index
+    * append).
     *
     * IDEMPOTENT under at-least-once re-delivery (the foreachBatch
     * retry contract): survivors never vanish on replay — a kept doc
@@ -80,19 +117,18 @@ final class IncrementalDedup private (
     * token, a replayed batch re-appends its survivors' rows
     * PERMANENTLY (compact() rewrites files, it does not deduplicate
     * rows) and the duplicates inflate bucket-occupancy counts toward
-    * the `maxBucket` sampling threshold — any source that can replay
-    * should pass the token. Saturated buckets are SAMPLED down to
-    * `maxBucket` deterministic exemplars, not skipped (r13,
-    * [[Dedup.sampleBuckets]] — through r12 they were excluded from
-    * the collision join and later copies of the family leaked): a
-    * copy of a saturated family verifies against an exemplar and
-    * drops, and a replayed batch still meets its kept copies and
-    * re-drops. The bounded-work residual (recall against a bucket of
-    * mutually-FAR members is exemplar-bounded) stays observable:
-    * every batch bumps the engine counters
-    * `minhashIndexSaturatedBuckets` / `minhashIndexCappedRows`
-    * (core.Metrics → JMX) — nonzero means raise `maxBucket` or
-    * tighten the upstream exact pass. */
+    * the `maxBucket` saturation threshold — any source that can replay
+    * should pass the token. Saturated buckets are resolved, not
+    * skipped (r13 exemplar sampling; r14 adds the sub-bucket SPLIT —
+    * [[Dedup.resolveSaturated]]): a copy of a saturated family
+    * verifies against an exemplar (or its own sub-bucket) and drops,
+    * and a replayed batch still meets its kept copies and re-drops.
+    * The bounded-work residual (a saturated bucket's recall is
+    * split/exemplar-bounded) stays observable: every batch bumps the
+    * engine counters `minhashIndexSaturatedBuckets` /
+    * `minhashIndexCappedRows` / `minhashIndexSplitBuckets`
+    * (core.Metrics → JMX) — nonzero saturation means raise
+    * `maxBucket` or tighten the upstream exact pass. */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
                  txn: Option[(String, Long)] = None): DataFrame = {
     val sig = signed(batch, idCol, textCol).cache()
@@ -128,11 +164,10 @@ final class IncrementalDedup private (
         .select(col("id2").as("id")).distinct()
 
       // stage 2 — collisions vs the KEPT corpus: equi-join on the
-      // 20-byte bucket rows, sample crowded buckets down to exemplars
-      // (bounded work, recall retained — Dedup.sampleBuckets), then
-      // verify only collided pairs by signature agreement. One
-      // snapshot resolution serves both the emptiness probe and the
-      // join.
+      // 20-byte bucket rows (saturated buckets resolve to bounded
+      // split/exemplar sets — Dedup.resolveSaturated), then verify
+      // only collided pairs by signature agreement. One snapshot
+      // resolution serves both the emptiness probe and the join.
       // Self-matches (kept_id == id) never drop: a doc is a duplicate
       // of a DIFFERENT kept doc, not of its own identity — this is
       // what makes a replayed foreachBatch micro-batch idempotent
@@ -157,20 +192,45 @@ final class IncrementalDedup private (
         }) match {
           case None => sig.limit(0).select(col("id"))
           case Some(idx) =>
-            // count the buckets whose recall is exemplar-bounded this
-            // batch (counters minhashIndexSaturatedBuckets/
-            // …CappedRows); skipped for free while the whole index
-            // fits one bucket. Saturated buckets are SAMPLED down to
-            // maxBucket exemplars, not skipped (r13) — a later copy
-            // of a saturated family verifies and drops
-            Dedup.observeSaturation(idx, Seq("band", "bucket"), maxBucket,
-              "minhashIndex", keptRows)
-            batchBands
-            .join(Dedup.sampleBuckets(idx, Seq("band", "bucket"), maxBucket)
-              .select(col("band"), col("bucket"), col("id").as("kept_id")),
-              Seq("band", "bucket"))
+            // saturation probe (counters minhashIndexSaturatedBuckets/
+            // …CappedRows/…SplitBuckets — see Dedup.observeSaturation);
+            // skipped for free while the whole index fits one bucket.
+            // Its result picks the collision-join shape: with NOTHING
+            // saturated (the steady state, asserted at gate scale) the
+            // join is a PLAIN band-bucket equi-join — none of the
+            // cap/split machinery rides the per-batch plan (r14;
+            // through r13 every batch paid an in-plan bucket-count
+            // aggregate + window). With real saturation, saturated
+            // buckets resolve via Dedup.resolveSaturated: sub-bucket
+            // SPLIT by a secondary band of the member's own signature
+            // (full recall for secondary-band-intact probes — the r13
+            // mutually-FAR residual) plus the r13 global exemplars, so
+            // recall strictly dominates r13 at the same 2×maxBucket
+            // per-probe bound.
+            val (nb, _) = Dedup.observeSaturation(idx, Seq("band", "bucket"),
+              maxBucket, "minhashIndex", keptRows, withSub = idxWithSub)
+            val collided =
+              if (nb == 0L)
+                batchBands.join(
+                  idx.select(col("band"), col("bucket"), col("id").as("kept_id")),
+                  Seq("band", "bucket"))
+                  .select(col("id"), col("kept_id"))
+              else {
+                val (byBucket, bySub) = Dedup.resolveSaturated(idx,
+                  Seq("band", "bucket"), maxBucket, idxWithSub)
+                batchBands.join(
+                  byBucket.select(col("band"), col("bucket"), col("id").as("kept_id")),
+                  Seq("band", "bucket"))
+                  .select(col("id"), col("kept_id"))
+                  .unionByName(bandedWithSub(sig).join(
+                    bySub.select(col("band"), col("bucket"), col("__sub"),
+                      col("id").as("kept_id")),
+                    Seq("band", "bucket", "__sub"))
+                    .select(col("id"), col("kept_id")))
+              }
+            collided
             .filter(col("kept_id") =!= col("id"))
-            .select(col("id"), col("kept_id")).distinct()
+            .distinct()
             .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
               Seq("kept_id"))
             .join(sig.select(col("id"), col("sig")), Seq("id"))
@@ -178,11 +238,14 @@ final class IncrementalDedup private (
             .select(col("id")).distinct()
         }
 
-      val survivors = batch.join(
-          withinDropped.unionByName(indexDropped).distinct()
-            .withColumnRenamed("id", idCol),
-          Seq(idCol), "left_anti")
-        .localCheckpoint(true) // pin: the caller must not re-run the pass
+      // materialize the WHOLE dedup decision once as the pinned DROP
+      // SET — a frame of bare ids, KBs at any batch size. Through r13
+      // this step pinned every SURVIVING input row (document text
+      // included): a block-storage write whose bytes grew with the
+      // data while the decision it protects is just ids. Every
+      // downstream consumer derives from this pin.
+      val dropped = withinDropped.unionByName(indexDropped).distinct()
+        .localCheckpoint(true)
 
       // stage 3 — commit the survivors to the index (bands first, sigs
       // second: a crash between the two can only leave bucket rows
@@ -192,13 +255,11 @@ final class IncrementalDedup private (
       // micro-batch re-appends NOTHING, and a crash between the two
       // appends replays to exactly the missing table (each table
       // tracks its own marker). No per-row anti-join: exactly-once is
-      // a metadata question, not a data scan. The survivor join is
-      // cached across the two appends so the semi-join executes once,
-      // not once per table.
-      val survivorSig = sig
-        .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .cache()
-      try txn match {
+      // a metadata question, not a data scan. Both appends anti-join
+      // the caller-cached `sig` against the pinned drop set — no
+      // dedup logic re-executes.
+      val survivorSig = sig.join(dropped, Seq("id"), "left_anti")
+      txn match {
         case None =>
           buckets.append(banded(survivorSig))
           sigs.append(survivorSig)
@@ -206,8 +267,13 @@ final class IncrementalDedup private (
           buckets.appendOnce(appId, batchId, banded(survivorSig))
           sigs.appendOnce(appId, batchId, survivorSig)
           ()
-      } finally { survivorSig.unpersist(); () }
-      survivors
+      }
+      // survivors: the caller's batch anti-joined against the PINNED
+      // drop set — lazy, but the lineage holds no index-snapshot read
+      // and no signature computation (the two hazards that forced the
+      // old full-batch checkpoint), so a caller action pays one scan
+      // of its own batch plus a broadcast-sized anti-join
+      batch.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     }
   }
 
@@ -226,7 +292,9 @@ final class IncrementalDedup private (
     try {
       val empty = sig.limit(0).select(col("id").as(idCol),
         col("id").as("kept_id"), lit(1.0).as("est_jaccard"))
-      (buckets.committedSnapshot match {
+      val snap = buckets.committedSnapshot
+      val keptRows = snap.flatMap(_._1)
+      (snap match {
         case None => None
         case Some((Some(0L), _)) => None
         case Some((Some(_), df)) => Some(df)
@@ -234,11 +302,31 @@ final class IncrementalDedup private (
       }) match {
         case None => empty.localCheckpoint(true)
         case Some(idx) =>
-          banded(sig)
-            .join(Dedup.sampleBuckets(idx, Seq("band", "bucket"), maxBucket)
-              .select(col("band"), col("bucket"), col("id").as("kept_id")),
-              Seq("band", "bucket"))
-            .select(col("id"), col("kept_id")).distinct()
+          // read-only path: no saturation-counter action — when the
+          // manifest row count proves no bucket CAN be saturated, the
+          // collision join is a plain equi-join; past that bound the
+          // split/exemplar resolution rides the plan (its aggregates
+          // are empty-fast while nothing actually saturates)
+          val collided =
+            if (keptRows.exists(_ <= maxBucket))
+              banded(sig).join(
+                idx.select(col("band"), col("bucket"), col("id").as("kept_id")),
+                Seq("band", "bucket"))
+                .select(col("id"), col("kept_id"))
+            else {
+              val (byBucket, bySub) = Dedup.resolveSaturated(idx,
+                Seq("band", "bucket"), maxBucket, idxWithSub)
+              banded(sig).join(
+                byBucket.select(col("band"), col("bucket"), col("id").as("kept_id")),
+                Seq("band", "bucket"))
+                .select(col("id"), col("kept_id"))
+                .unionByName(bandedWithSub(sig).join(
+                  bySub.select(col("band"), col("bucket"), col("__sub"),
+                    col("id").as("kept_id")),
+                  Seq("band", "bucket", "__sub"))
+                  .select(col("id"), col("kept_id")))
+            }
+          collided.distinct()
             .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
               Seq("kept_id"))
             .join(sig.select(col("id"), col("sig")), Seq("id"))

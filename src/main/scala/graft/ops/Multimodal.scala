@@ -138,6 +138,33 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[renderTileImage]] with the walk's 64 step directions CHOSEN by
+    * the caller instead of seeded — comparison (r, c) (row r, columns
+    * c→c+1 of the 8×9 grid) steps +12 when `steps(r*8+c)` is set, else
+    * −12, so the rendered image's dHash is an arbitrary caller-chosen
+    * function of the 64 bits (the exact hash VALUE follows the
+    * kernel's bit packing; discover it empirically by flipping one
+    * step at a time — see PerceptualDedupSpec's split test). Same
+    * 12-gray-level codec margin and [20, 212] level range as the
+    * seeded walk. Test/fixture machinery for adversarial bucket
+    * constructions that need controlled hashes from REAL payloads. */
+  private[graft] def renderTileImageChosen(width: Int, height: Int,
+      format: String, steps: Long): Array[Byte] = {
+    val levels = Array.ofDim[Int](8, 9)
+    var r = 0
+    while (r < 8) {
+      levels(r)(0) = 116
+      var c = 1
+      while (c < 9) {
+        val bit = (steps >>> (r * 8 + (c - 1))) & 1L
+        levels(r)(c) = levels(r)(c - 1) + (if (bit == 1L) 12 else -12)
+        c += 1
+      }
+      r += 1
+    }
+    rasterizeTile(levels, width, height, format)
+  }
+
   /** The 8×9 gray-level grid behind [[renderTileImage]] (one walk row
     * per dHash pooling row). */
   private def tileLevels(seed: Long): Array[Array[Int]] = {

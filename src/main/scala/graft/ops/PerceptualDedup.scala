@@ -35,17 +35,21 @@ import graft.core.TableStore
   * Hot buckets (shared design with [[IncrementalDedup]]): a content
   * family larger than `maxBucket` saturates its index bucket. Through
   * r12 the skew cap EXCLUDED such buckets from future collision joins
-  * and later copies leaked; since r13 a saturated bucket is instead
-  * SAMPLED down to `maxBucket` deterministic exemplars
-  * ([[Dedup.sampleBuckets]]) — the join-cost bound is unchanged and a
-  * later copy of the family verifies against an exemplar and drops.
-  * The bounded-work residual is a bucket whose members are mutually
-  * FAR (unrelated content colliding on one 16-bit band): recall there
-  * is exemplar-bounded, and the engine counters
-  * `perceptualIndexSaturatedBuckets` / `perceptualIndexCappedRows`
+  * and later copies leaked; r13 sampled saturated buckets down to
+  * exemplars; r14 additionally SPLITS them into sub-buckets keyed by
+  * a secondary band of the member's own hash
+  * ([[Dedup.resolveSaturated]]) — the join-cost bound stays
+  * O(maxBucket) per probe per bucket, a later copy of a family
+  * verifies against an exemplar (or its own sub-bucket) and drops,
+  * and a bucket of mutually-FAR members (unrelated content colliding
+  * on one 16-bit band — the r13 residual) retains recall against
+  * EVERY member for probes whose flips miss the secondary band pair.
+  * The engine counters `perceptualIndexSaturatedBuckets` /
+  * `perceptualIndexCappedRows` / `perceptualIndexSplitBuckets`
   * (core.Metrics → JMX, bumped by every [[dedupBatch]]) mark exactly
-  * those buckets — nonzero means raise `maxBucket` or tighten the
-  * upstream exact-dedup pass (identical payloads share ALL bands).
+  * those buckets — nonzero saturation means raise `maxBucket` or
+  * tighten the upstream exact-dedup pass (identical payloads share
+  * ALL bands).
   *
   * Cross-batch semantics mirror [[IncrementalDedup]], spec-locked the
   * same way: a doc drops only for a KEPT near-dup, so with batches in
@@ -75,11 +79,32 @@ final class PerceptualDedupIndex private (
         posexplode(Dedup.hammingBands(col("h"), maxHamming = 6)))
       .select(col("pos").as("band"), col("col").as("bucket"), col("id"), col("h"))
 
+  /** Sub-bucket key for saturated-bucket splitting (r14,
+    * [[Dedup.resolveSaturated]]): the value of the NEXT band pair —
+    * (band+1) mod 28 — computed from the row's own 64-bit hash, so
+    * both sides of a collision derive it identically. Every index row
+    * carries `h`, so no side table is needed (unlike the MinHash
+    * index). A probe within the Hamming threshold whose flipped bits
+    * miss the secondary pair's two blocks lands deterministically in
+    * its twin's sub-bucket; mutually-FAR members spread uniformly. */
+  private def subKeyExpr(bandCol: Column, hCol: Column): Column =
+    element_at(Dedup.hammingBands(hCol, maxHamming = 6),
+      (((bandCol + lit(1)) % lit(Dedup.hammingBandCount(6)))
+        + lit(1)).cast("int"))
+
+  private def withSub(r: DataFrame): DataFrame =
+    r.withColumn("__sub", subKeyExpr(col("band"), col("h")))
+
   /** Dedup one ingest batch against the index (and itself); append the
     * survivors' band rows; return the surviving rows of `batch` with
-    * all original columns, MATERIALIZED (localCheckpoint — the append
-    * already executed the lineage; a lazy recompute would re-decode
-    * every payload and re-read index snapshots that have since moved).
+    * all original columns. The dedup DECISION is materialized exactly
+    * once — the dropped-id set is localCheckpoint-pinned (bare ids) —
+    * and the returned survivors are the caller's `batch` anti-joined
+    * against that pin: lazy, but with no payload re-hash and no
+    * index-snapshot read in the lineage (the hazards that would make a
+    * lazy result unsafe), so a caller action pays one scan of its own
+    * batch. (Through r13 this pinned every surviving input row —
+    * payloads included — into block storage.)
     *
     * IDEMPOTENT under at-least-once re-delivery (the foreachBatch
     * retry contract): survivors never vanish on replay — a kept
@@ -136,38 +161,58 @@ final class PerceptualDedupIndex private (
       val indexDropped: DataFrame = idxOpt match {
         case None => h.limit(0).select(col("id"))
         case Some(idx) =>
-          // count the buckets whose recall is exemplar-bounded this
-          // batch (counters perceptualIndexSaturatedBuckets/
-          // …CappedRows); skipped for free while the whole index fits
-          // one bucket. Saturated buckets are SAMPLED down to
-          // maxBucket exemplars, not skipped (r13) — a later copy of
-          // a saturated family verifies against an exemplar and drops
-          Dedup.observeSaturation(idx, Seq("band", "bucket"), maxBucket,
-            "perceptualIndex", keptRows)
-          banded(h)
-            .join(Dedup.sampleBuckets(idx, Seq("band", "bucket"), maxBucket)
-              .select(col("band"), col("bucket"), col("id").as("kept_id"),
-                col("h").as("kept_h")),
-              Seq("band", "bucket"))
+          // saturation probe (counters perceptualIndexSaturatedBuckets/
+          // …CappedRows/…SplitBuckets — see Dedup.observeSaturation);
+          // skipped for free while the whole index fits one bucket.
+          // Its result picks the collision-join shape: with NOTHING
+          // saturated (the steady state) the join is a PLAIN
+          // band-bucket equi-join — no cap/split machinery on the
+          // per-batch plan (r14). With real saturation, saturated
+          // buckets resolve via Dedup.resolveSaturated: sub-bucket
+          // SPLIT by the secondary band pair of the member's own hash
+          // (full recall for probes whose flips miss that pair — the
+          // r13 mutually-FAR residual) plus the r13 global exemplars;
+          // recall strictly dominates r13 at the same 2×maxBucket
+          // per-probe bound.
+          val (nb, _) = Dedup.observeSaturation(idx, Seq("band", "bucket"),
+            maxBucket, "perceptualIndex", keptRows, withSub = withSub)
+          val keptCols = Seq(col("band"), col("bucket"),
+            col("id").as("kept_id"), col("h").as("kept_h"))
+          val collided =
+            if (nb == 0L)
+              banded(h).join(idx.select(keptCols: _*), Seq("band", "bucket"))
+            else {
+              val (byBucket, bySub) = Dedup.resolveSaturated(idx,
+                Seq("band", "bucket"), maxBucket, withSub)
+              banded(h).join(byBucket.select(keptCols: _*), Seq("band", "bucket"))
+                .unionByName(withSub(banded(h)).join(
+                  bySub.select(keptCols :+ col("__sub"): _*),
+                  Seq("band", "bucket", "__sub")).drop("__sub"))
+            }
+          collided
             .filter(col("kept_id") =!= col("id") &&
               bit_count(col("h").bitwiseXOR(col("kept_h"))) <= maxHamming)
             .select(col("id")).distinct()
       }
 
-      val survivors = batch.join(
-          withinDropped.unionByName(indexDropped).distinct()
-            .withColumnRenamed("id", idCol),
-          Seq(idCol), "left_anti")
-        .localCheckpoint(true) // pin: the caller must not re-run the pass
+      // materialize the WHOLE dedup decision once as the pinned DROP
+      // SET (bare ids — through r13 this pinned every surviving input
+      // row, PAYLOADS included: megabytes of block storage per batch
+      // protecting a decision that is just ids)
+      val dropped = withinDropped.unionByName(indexDropped).distinct()
+        .localCheckpoint(true)
 
-      val survivorBands = banded(
-        h.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"))
+      val survivorBands = banded(h.join(dropped, Seq("id"), "left_anti"))
       txn match {
         case None => buckets.append(survivorBands)
         case Some((appId, batchId)) => // replay re-appends NOTHING: O(1) marker check
           buckets.appendOnce(appId, batchId, survivorBands); ()
       }
-      survivors
+      // survivors: batch anti-joined against the PINNED drop set —
+      // lazy, but the lineage holds no index-snapshot read and no
+      // payload re-hash; null-hash (undecodable) rows are absent from
+      // the drop set, so they pass through exactly as before
+      batch.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     } finally { h.unpersist(); () }
   }
 
@@ -181,18 +226,34 @@ final class PerceptualDedupIndex private (
     try {
       val empty = h.limit(0).select(col("id").as(idCol),
         col("id").as("kept_id"), lit(0).as("hamming"))
-      (buckets.committedSnapshot match {
+      val snap = buckets.committedSnapshot
+      val keptRows = snap.flatMap(_._1)
+      (snap match {
         case None => None
         case Some((Some(0L), _)) => None
         case Some((Some(_), df)) => Some(df)
         case Some((None, df)) => Some(df).filterNot(_.isEmpty)
       }) match {
         case None => empty.localCheckpoint(true)
-        case Some(idx) => banded(h)
-          .join(Dedup.sampleBuckets(idx, Seq("band", "bucket"), maxBucket)
-            .select(col("band"), col("bucket"), col("id").as("kept_id"),
-              col("h").as("kept_h")),
-            Seq("band", "bucket"))
+        case Some(idx) =>
+          // read-only path: no saturation-counter action — plain join
+          // while the manifest row count proves no bucket can be
+          // saturated, else the split/exemplar resolution rides the
+          // plan (empty-fast while nothing actually saturates)
+          val keptCols = Seq(col("band"), col("bucket"),
+            col("id").as("kept_id"), col("h").as("kept_h"))
+          val collided =
+            if (keptRows.exists(_ <= maxBucket))
+              banded(h).join(idx.select(keptCols: _*), Seq("band", "bucket"))
+            else {
+              val (byBucket, bySub) = Dedup.resolveSaturated(idx,
+                Seq("band", "bucket"), maxBucket, withSub)
+              banded(h).join(byBucket.select(keptCols: _*), Seq("band", "bucket"))
+                .unionByName(withSub(banded(h)).join(
+                  bySub.select(keptCols :+ col("__sub"): _*),
+                  Seq("band", "bucket", "__sub")).drop("__sub"))
+            }
+          collided
           .withColumn("hamming",
             bit_count(col("h").bitwiseXOR(col("kept_h"))).cast("int"))
           .filter(col("hamming") <= maxHamming)
@@ -248,6 +309,14 @@ object PerceptualDedupIndex {
     val hdir = new Path(dir)
     val fs = hdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paramsPath = new Path(hdir, "_dedup_params")
+    // an in-flight (or crashed) reband journals its intent here; the
+    // index must not open through that window — in particular a pin
+    // deleted mid-rewrite must NOT be silently recreated from THIS
+    // call's modality argument (the kernel-mismatch guard would be
+    // lost; r13 advice)
+    require(!fs.exists(new Path(hdir, "_dedup_params.migrating")),
+      s"index at $dir has an interrupted band-layout migration — run " +
+        "PerceptualDedupIndex.reband(spark, dir) to complete it before opening")
     // hashfmt versions the BAND LAYOUT (2 = r12's C(8,2) pair-of-8-bit-
     // blocks scheme, recall guaranteed to Hamming 6; 1 was 4×16 single
     // blocks, guaranteed only to 3): an index persisted under the old
@@ -288,26 +357,64 @@ object PerceptualDedupIndex {
     * distinct (id, h) pairs and atomically replace the table, then the
     * params pin rewrites. Idempotent and crash-safe at every point:
     * the replace is txn-marked (a re-run after a crash re-applies
-    * nothing) and a pin that never rewrites just means reband runs
-    * again; a pin deleted but not yet rewritten is recreated as
-    * hashfmt=2 by the next open(), consistent with the already-
-    * rebanded table. No-op when the pin is already hashfmt=2. */
+    * nothing), and the pin rewrite is journaled through a
+    * `_dedup_params.migrating` marker holding the TARGET pin content
+    * (r13 advice — the rewrite is delete-then-rename, and a crash
+    * between the two used to leave the index pinless, so the next
+    * open() recreated the pin from the CALLER's modality argument and
+    * the kernel-mismatch guard was silently lost for that window).
+    * Now the marker is written first; while it exists, open() refuses
+    * the index and names this method, and a reband re-run completes
+    * the rewrite FROM THE MARKER (never from a caller argument).
+    * No-op when the pin is already hashfmt=2 (a leftover marker from
+    * a crash after the rewrite is cleaned up). */
   def reband(spark: SparkSession, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val hdir = new Path(dir)
     val fs = hdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paramsPath = new Path(hdir, "_dedup_params")
-    require(fs.exists(paramsPath), s"no index params at $dir — nothing to migrate")
-    val in = fs.open(paramsPath)
-    val have = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    val migratingPath = new Path(hdir, "_dedup_params.migrating")
+    def readUtf8(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    if (have.contains("hashfmt=2")) return // already current
+    }
+    def writeAtomic(p: Path, content: String): Unit = {
+      val tmp = new Path(hdir, s".params-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"could not write $p")
+      }
+    }
+    val pinExists = fs.exists(paramsPath)
+    val markerExists = fs.exists(migratingPath)
+    require(pinExists || markerExists,
+      s"no index params at $dir — nothing to migrate")
+    if (pinExists && readUtf8(paramsPath).contains("hashfmt=2")) {
+      // already current; a marker left by a crash right after the pin
+      // rewrite is stale — clean it so open() stops refusing
+      if (markerExists) fs.delete(migratingPath, false)
+      return
+    }
+    // modality comes from the old pin when it survives, else from the
+    // MARKER a previous interrupted reband journaled — never from a
+    // caller argument (that is the guard-bypass this journal prevents)
+    val have = if (pinExists) readUtf8(paramsPath) else readUtf8(migratingPath)
     val modality = have.split(",").collectFirst {
       case kv if kv.startsWith("modality=") => kv.stripPrefix("modality=")
     }.getOrElse(throw new IllegalArgumentException(
       s"unparseable index pin [$have] at $dir"))
     require(kernels.contains(modality),
       s"index pin names unknown modality '$modality' — cannot migrate")
+    val target = s"modality=$modality,hashfmt=2"
+    // journal the intent BEFORE touching pin or data: from here on a
+    // crash at any point leaves either (pin intact, marker present) or
+    // (no pin, marker present) — both re-runnable, neither re-pinnable
+    // by open()
+    writeAtomic(migratingPath, target)
     val buckets = new TableStore(spark, s"$dir/buckets", "id")
     if (buckets.exists) {
       val rebanded = buckets.read.select(col("id"), col("h")).distinct()
@@ -318,14 +425,8 @@ object PerceptualDedupIndex {
       buckets.replaceOnce("perceptual-reband", 2L, rebanded)
       ()
     }
-    val tmp = new Path(hdir, s".params-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write(s"modality=$modality,hashfmt=2".getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(paramsPath, false)
-    if (!fs.rename(tmp, paramsPath)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"could not rewrite index pin at $paramsPath")
-    }
+    writeAtomic(paramsPath, target)
+    fs.delete(migratingPath, false)
+    ()
   }
 }

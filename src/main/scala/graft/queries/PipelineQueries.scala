@@ -102,7 +102,26 @@ object PipelineQueries {
       val cap = Int.MaxValue
       val idx = IncrementalDedup.open(s, idxDir, threshold = 0.6, k = 5,
         numHashes = 64, bands = 16, maxBucket = cap)
-      val mid = d.agg(percentile_approx(col("doc_id"), lit(0.5), lit(1000))).head().getLong(0)
+      // the oracle replays this split as DuckDB's quantile_disc lower
+      // median, which percentile_approx matches ONLY while the corpus
+      // holds fewer rows than the sketch accuracy (the sketch then
+      // retains every value and is exact). r13 shipped accuracy 1000 —
+      // exact at the sf0.01 gate but silently approximate at the
+      // sf0.1/sf2 bench scales, and a fixture grown past 1000 would
+      // have diverged the oracle split (r13 advice). Accuracy is now
+      // 10M — exact at any plausible corpus for this fixture-shaped
+      // gate — and the count rides the SAME job as the median (no
+      // extra action) to fail loudly instead of silently if that
+      // bound is ever crossed.
+      val midAccuracy = 10000000
+      val midRow = d.agg(
+        percentile_approx(col("doc_id"), lit(0.5), lit(midAccuracy)),
+        count(lit(1))).head()
+      val (mid, nCorpus) = (midRow.getLong(0), midRow.getLong(1))
+      require(nCorpus < midAccuracy,
+        s"q_dedup_incremental: corpus has $nCorpus rows >= percentile_approx " +
+          s"accuracy $midAccuracy — the approx median is no longer exactly " +
+          "DuckDB's quantile_disc; raise the accuracy on both sides together")
       // ONE cached signature pass over the corpus feeds all three
       // consumers — both incremental batches AND the one-shot superset
       // check (which previously recomputed every signature the
@@ -120,9 +139,11 @@ object PipelineQueries {
           .select(col("doc_id"))
         require(oneShot.join(incremental, Seq("doc_id"), "left_anti").isEmpty,
           "q_dedup_incremental: a one-shot survivor was dropped incrementally")
-        // survivors are localCheckpoint-pinned by dedupBatchSigned, so
-        // neither the index dirs nor the cached signatures are still
-        // referenced once the require has executed
+        // dedupBatchSigned pins each batch's DROP SET (r14 — bare ids,
+        // not the full survivor rows), so the returned lazy survivors
+        // reference only the docs parquet and those pins: neither the
+        // index dirs nor the cached signatures are still needed once
+        // the require has executed
         incremental.orderBy(col("doc_id"))
       } finally { sig.unpersist(); () }
     }
@@ -1011,12 +1032,34 @@ object PipelineQueries {
         .localCheckpoint(true)
       val res = idx.probe(copies.select(col("doc_id"), col("text")),
         "doc_id", "text")
-      val selfHits = res
+      // ONE fused action for three scalar checks (recall probe, copy
+      // count, and — r13 advice — the oracle-equivalence guard): the
+      // probe oracle replays the index-side skew cap as bucket
+      // EXCLUSION (HAVING count <= 1000) while the engine resolves
+      // saturated buckets by split/exemplars, so the two coincide
+      // ONLY while no bucket reaches the cap — asserted here against
+      // the index's actual occupancy instead of assumed from fixture
+      // shape (a grown fixture now fails loudly, not as a spurious
+      // hash mismatch).
+      val checks = res
         .join(copies.select(col("doc_id"), col("src_id")), Seq("doc_id"))
         .filter(col("kept_id") === col("src_id") && col("est_jaccard") === 1.0)
-        .select(col("doc_id")).distinct().count()
-      require(selfHits == copies.count(),
-        s"q_dedup_probe: only $selfHits/100 planted copies matched their source at 1.0")
+        .select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("v")).select(lit("selfHits").as("k"), col("v"))
+        .unionByName(copies.agg(count(lit(1)).as("v"))
+          .select(lit("nCopies").as("k"), col("v")))
+        .unionByName(idx.buckets.read.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(max(col("n")), lit(0L)).as("v"))
+          .select(lit("maxOcc").as("k"), col("v")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(checks("selfHits") == checks("nCopies"),
+        s"q_dedup_probe: only ${checks("selfHits")}/${checks("nCopies")} " +
+          "planted copies matched their source at 1.0")
+      require(checks("maxOcc") <= 1000,
+        s"q_dedup_probe: an index bucket holds ${checks("maxOcc")} rows > " +
+          "maxBucket 1000 — the DuckDB oracle's exclusion replay no longer " +
+          "matches the engine's split/exemplar resolution at this fixture size")
       // never-seen probes: hex noise the shingle space cannot contain
       val noise = d.orderBy(col("doc_id")).limit(50)
         .select((col("doc_id") + 2L * maxId + 2L).as("doc_id"),

@@ -458,6 +458,17 @@ object StreamQueries {
       writeHalf(half1, "batch0", t0)
       writeHalf(half2, "batch1", t0 + 60000L)
       val outDir = new java.io.File(base, "out").toString
+      // oracle-equivalence guard (r13 advice): the DuckDB replay
+      // models the index-side skew cap as bucket EXCLUSION while the
+      // engine resolves saturated buckets by split/exemplars — the
+      // two coincide only while NO bucket reaches the cap, which the
+      // engine's own saturation counters prove (dedupBatch bumps them
+      // on every batch whose index could saturate; zero delta across
+      // all four batches below = zero saturated buckets met). Free:
+      // the counting job already rides dedupBatch.
+      def satCount() = graft.core.Metrics.snapshot
+        .get("counter.minhashIndexSaturatedBuckets").map(_.count).getOrElse(0L)
+      val sat0 = satCount()
       val streamed = IncrementalDedup.open(s, s"$base/idx_stream", threshold = 0.9)
       val schema = quarter.schema
       val q = s.readStream.schema(schema)
@@ -490,6 +501,10 @@ object StreamQueries {
         .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
       require(mismatch == 0,
         s"q_stream_neardup: streamed survivors diverge from the direct incremental run ($mismatch rows)")
+      require(satCount() - sat0 == 0L,
+        "q_stream_neardup: a collision join met a saturated index bucket — " +
+          "the DuckDB oracle's exclusion replay no longer matches the " +
+          "engine's split/exemplar resolution at this fixture size")
       // pin before the finally reclaims the on-disk index/output
       fromStream.orderBy(col("doc_id")).localCheckpoint(true)
     }

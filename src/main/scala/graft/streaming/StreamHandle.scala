@@ -57,10 +57,17 @@ object StreamHandle {
             triggerMs: Long = 100L,
             capacity: Int = 10000): StreamHandle = {
     val queue = new LinkedBlockingQueue[Row](capacity)
-    // graft rocksdb state-store alias → provider conf; resolved on the
-    // session the query starts under, before start() bakes it in
-    StreamOps.applyStateStoreConf(spark)
-    var w = stream.writeStream
+    // graft rocksdb state-store alias → provider conf, resolved on an
+    // ISOLATED session copy (r13 advice; same pattern as
+    // StreamOps.runToMemory): applying it to the caller's session
+    // would permanently mutate the shared conf, silently redirecting
+    // every NON-graft stream started later on that session onto
+    // RocksDB. The clone carries all runtime conf, the query starts
+    // under it, and the provider is baked into the query at start —
+    // the caller's session is never touched.
+    val iso = org.apache.spark.sql.graft.CatalystBridge.isolatedCopy(spark)
+    StreamOps.applyStateStoreConf(iso)
+    var w = org.apache.spark.sql.graft.CatalystBridge.withSession(stream, iso).writeStream
       .outputMode(mode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // toLocalIterator keeps at most one partition's rows in driver

@@ -354,7 +354,11 @@ object StreamOps {
     * A providerClass explicitly set to a NON-DEFAULT class wins — the
     * alias only fills the conf while it still holds Spark's default
     * (getOption surfaces the default, so "unset" is indistinguishable
-    * from "explicitly the default"; both defer to the alias). */
+    * from "explicitly the default"; both defer to the alias). Both
+    * graft start paths (runToMemory and StreamHandle.start) resolve
+    * the alias on an ISOLATED session clone (r13 advice), so the
+    * shared session conf is never mutated and non-graft streams
+    * started later on the same session keep their own provider. */
   private[graft] def applyStateStoreConf(s: SparkSession): Unit = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val cur = s.conf.getOption(key)

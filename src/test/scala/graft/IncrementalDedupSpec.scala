@@ -122,6 +122,59 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "5 replayed copies x 16 bands must count as capped rows")
   }
 
+  test("resolveSaturated partitions: split keeps every far member; sub-exemplars bound families") {
+    // helper-level lock of the r14 split machinery shared by BOTH
+    // persistent indexes (the perceptual end-to-end adversarial
+    // construction lives in PerceptualDedupSpec; text cannot plant a
+    // controlled 64-bit band collision, so the MinHash side is locked
+    // here at the partition level): one mutually-far saturated bucket
+    // (distinct sub-keys) must surface WHOLE in the split view, one
+    // family-shaped bucket (shared sub-key) must bound to exemplars in
+    // BOTH views, and unsaturated buckets pass through untouched.
+    val maxBucket = 3
+    val idx =
+      // bucket A: 8 "mutually far" rows (distinct sub-keys 100+id)
+      (0L until 8L).map(i => (0, 7L, i)) ++
+      // bucket B: 6 family rows (all share sub-key 999)
+      (10L until 16L).map(i => (1, 8L, i)) ++
+      // bucket C: unsaturated
+      (20L until 22L).map(i => (2, 9L, i))
+    val df = idx.toDF("band", "bucket", "id")
+    val withSub: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      r => r.withColumn("__sub",
+        when(col("band") === 0, col("id") + 100L).otherwise(lit(999L)))
+    val (byBucket, bySub) = Dedup.resolveSaturated(df, Seq("band", "bucket"), maxBucket, withSub)
+    val bb = byBucket.select("band", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val bs = bySub.select("band", "id", "__sub").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // unsaturated bucket C: whole, only in the by-bucket view
+    assert(bb.filter(_._1 == 2) == Set((2, 20L), (2, 21L)))
+    assert(!bs.exists(_._1 == 2))
+    // saturated buckets: by-bucket view holds exactly maxBucket global
+    // exemplars each (the r13 lottery, retained)
+    assert(bb.count(_._1 == 0) == maxBucket)
+    assert(bb.count(_._1 == 1) == maxBucket)
+    // split view: the mutually-far bucket surfaces WHOLE (8 sub-
+    // buckets of size 1 — this is the recall the r13 scheme lost),
+    // each row under its own sub-key
+    assert(bs.count(_._1 == 0) == 8)
+    assert(bs.filter(_._1 == 0).map(_._3).toSet == (100L until 108L).toSet)
+    // split view: the family bucket still bounds to maxBucket
+    // exemplars (one oversized sub-bucket)
+    assert(bs.count(_._1 == 1) == maxBucket)
+    assert(bs.filter(_._1 == 1).forall(_._3 == 999L))
+    // counters: 2 saturated, 14 capped rows, exactly 1 split-resolved
+    def c(name: String) = graft.core.Metrics.snapshot
+      .get(s"counter.$name").map(_.count).getOrElse(0L)
+    val (b0, s0, r0) = (c("tSaturatedBuckets"), c("tSplitBuckets"), c("tCappedRows"))
+    Dedup.observeSaturation(df, Seq("band", "bucket"), maxBucket, "t", None, withSub)
+    assert(c("tSaturatedBuckets") - b0 == 2L)
+    assert(c("tCappedRows") - r0 == 14L)
+    assert(c("tSplitBuckets") - s0 == 1L,
+      "only the distinct-sub-key bucket counts as split-resolved")
+  }
+
   test("compact: drops dangling bucket rows, shrinks files, preserves behavior") {
     val dir = tmp()
     val idx = IncrementalDedup.open(spark, dir, threshold = 0.6)

@@ -161,6 +161,192 @@ class PerceptualDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("saturated bucket of mutually-FAR members SPLITS: the near-dup still drops (r14)") {
+    // The r13 residual, closed by sub-bucket splitting
+    // (Dedup.resolveSaturated): a band bucket holding > maxBucket
+    // members that are mutually FAR (unrelated content colliding on
+    // one 16-bit band) used to retain recall only against the
+    // xxhash64-ordered exemplar sample; now it re-keys by a secondary
+    // band of each member's own hash, so a probe whose flips miss that
+    // band finds its twin deterministically. This test constructs the
+    // adversarial bucket from REAL payloads (renderTileImageChosen:
+    // the tile walk's 64 step bits ARE the dHash, locked bit-for-bit
+    // by ImageHashSpec), kills every alternate collision path with
+    // saturating floods, verifies the twin is NOT in any global
+    // exemplar sample (so the r13 scheme alone could not have caught
+    // it), and asserts the drop plus the split counters.
+    withDir { dir =>
+      import graft.functions.ImageHash
+      val maxBucket = 4
+      def render(id: Long, h: Long) = Row(id, Multimodal.renderTileImageChosen(40, 32, "png", h))
+      def blk(v: Long, i: Int): Long = (v >>> (i * 8)) & 0xFFL
+      def mk(blocks: Seq[Long]): Long =
+        blocks.zipWithIndex.map { case (b, i) => b << (i * 8) }.reduce(_ | _)
+      // byte alphabet with comfortable pairwise Hamming: distinct
+      // popcount-4 bytes (pairwise >= 2; the shared-block bytes B0/B1
+      // excluded so no unintended band collisions), spread across
+      // disjoint index ranges per group — and the construction's
+      // actual far-ness is ASSERTED below, not assumed
+      val B0 = 0xA5L; val B1 = 0x3CL // shared blocks of the adversarial bucket
+      val pc4 = (0 to 255).filter(v => java.lang.Integer.bitCount(v) == 4)
+        .map(_.toLong).filterNot(v => v == B0 || v == B1)
+      // member bytes at pairwise Hamming >= 4 (greedy constant-weight
+      // subset; A(8,4,4) = 14 >= the 10 needed) so the 1-bit-per-block
+      // residual probe below stays > 6 from every non-twin
+      val memberBytes = pc4.foldLeft(Vector.empty[Long])((acc, v) =>
+        if (acc.forall(w => java.lang.Long.bitCount(v ^ w) >= 4)) acc :+ v else acc)
+      assert(memberBytes.size >= 10, s"greedy pc4 subset too small: ${memberBytes.size}")
+      val floodAlphabet = pc4.filterNot(memberBytes.take(10).contains)
+      // members: share blocks 0,1 -> all collide in band (0,1); blocks
+      // 2..7 all carry the member's own distinct byte -> mutually far
+      val nMembers = 10
+      val memberHash = (0 until nMembers).map(m =>
+        mk(Seq(B0, B1) ++ Seq.fill(6)(memberBytes(m))))
+      // X = the member with the LARGEST xxhash64(id): never inside a
+      // 4-smallest-xxhash64 exemplar sample of any bucket holding >= 5
+      // smaller-ranked rows
+      val memberIds = (0 until nMembers).map(m => 1000L + m)
+      val xx = {
+        val l = new java.util.ArrayList[Row]()
+        (memberIds ++ (2000L until 2100L) ++ (3000L until 3100L)).foreach(i => l.add(Row(i)))
+        spark.createDataFrame(l,
+          StructType(Seq(StructField("id", LongType, nullable = false))))
+          .select(col("id"), xxhash64(col("id")).as("xh"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val xIdx = (0 until nMembers).maxBy(m => xx(memberIds(m)))
+      val xId = memberIds(xIdx)
+      val xHash = memberHash(xIdx)
+      // floods kill the alternate paths: a 6-flip probe touching every
+      // block 3..7 shares exactly the pairs within {0,1,2} with X —
+      // (0,1) is the members' bucket; saturate (0,2) and (1,2) too so
+      // no unsaturated singleton bucket can hand the probe its twin.
+      // Flood ids are the 11 smallest-xxhash64 of their pools, so X
+      // (whose rank is above 4 in every bucket it shares) stays out of
+      // every global exemplar sample.
+      val floodAIds = (2000L until 2100L).sortBy(xx).take(11)
+      val floodBIds = (3000L until 3100L).sortBy(xx).take(11)
+      val floodA = floodAIds.zipWithIndex.map { case (id, a) =>
+        id -> mk(Seq(B0, floodAlphabet(2 * a), blk(xHash, 2)) ++
+          Seq.fill(5)(floodAlphabet(2 * a))) }
+      val floodB = floodBIds.zipWithIndex.map { case (id, b) =>
+        id -> mk(Seq(floodAlphabet(25 + 2 * b), B1, blk(xHash, 2)) ++
+          Seq.fill(5)(floodAlphabet(25 + 2 * b))) }
+      val corpus: Seq[(Long, Long)] =
+        memberIds.zip(memberHash) ++ floodA ++ floodB
+      // probe: X with 6 bits flipped, at least one in EVERY block 3..7
+      // (so blocks 0,1,2 are the ONLY untouched set: the probe shares
+      // exactly bands (0,1), (0,2), (1,2) with X, all saturated) and
+      // none in blocks 0..2 (band (0,1) and its secondary (0,2) intact)
+      val probeHash = xHash ^ mk(Seq(0L, 0L, 0L, 3L, 1L, 1L, 1L, 1L))
+      assert(java.lang.Long.bitCount(probeHash ^ xHash) == 6)
+      // the construction's load-bearing facts, asserted not assumed:
+      // every index pair is far (> 6, nothing drops at build), and the
+      // probe is near ONLY X
+      for (Seq((idA, hA), (idB, hB)) <- corpus.combinations(2)) {
+        val d = java.lang.Long.bitCount(hA ^ hB)
+        assert(d > 6, s"index items $idA,$idB at Hamming $d <= 6 — bad construction")
+      }
+      for ((id, hV) <- corpus if id != xId)
+        assert(java.lang.Long.bitCount(probeHash ^ hV) > 6,
+          s"probe within 6 of non-twin $id — bad construction")
+      // X must be outside the 4-smallest-xxhash64 exemplar sample of
+      // each saturated bucket it sits in ((0,1) with members, (0,2)
+      // with floodA, (1,2) with floodB) — the drop below is then
+      // attributable to the SPLIT, not the r13 exemplar lottery
+      assert(memberIds.count(i => xx(i) < xx(xId)) >= maxBucket)
+      assert(floodAIds.count(i => xx(i) < xx(xId)) >= maxBucket)
+      assert(floodBIds.count(i => xx(i) < xx(xId)) >= maxBucket)
+      // chosen-walk payloads hash to exactly the chosen bits
+      assert(ImageHash.dHash(Multimodal.renderTileImageChosen(40, 32, "png", xHash))
+        .longValue == xHash, "renderTileImageChosen must realize the chosen dHash")
+
+      val idx = PerceptualDedupIndex.open(spark, dir, "image",
+        maxHamming = 6, maxBucket = maxBucket)
+      val kept = idx.dedupBatch(df(corpus.map { case (id, hV) => render(id, hV) }),
+        "id", "payload").count()
+      assert(kept == corpus.size.toLong, s"mutually-far corpus must all be kept, got $kept")
+      def c(name: String) = graft.core.Metrics.snapshot
+        .get(s"counter.$name").map(_.count).getOrElse(0L)
+      val (b0, s0, r0) = (c("perceptualIndexSaturatedBuckets"),
+        c("perceptualIndexSplitBuckets"), c("perceptualIndexCappedRows"))
+      val survived = idx.dedupBatch(df(Seq(render(9999L, probeHash))), "id", "payload").count()
+      assert(survived == 0L,
+        "a near-dup of a mutually-far saturated bucket must DROP via the sub-bucket split (r14)")
+      // exactly the three constructed buckets saturate: members share
+      // only (0,1); X+floodA share only (0,2); X+floodB share only
+      // (1,2); and every one resolves fully by the split (sub-keys are
+      // the distinct per-member secondary bands -> all sub-buckets of
+      // size 1)
+      assert(c("perceptualIndexSaturatedBuckets") - b0 == 3L,
+        s"expected 3 saturated buckets, got ${c("perceptualIndexSaturatedBuckets") - b0}")
+      assert(c("perceptualIndexSplitBuckets") - s0 == 3L,
+        "all three mutually-far buckets must resolve by SPLIT, not exemplars")
+      assert(c("perceptualIndexCappedRows") - r0 ==
+        (nMembers + 2 * 12).toLong, "capped rows must count every saturated-bucket row")
+      // honest residual, still visible: a probe whose flips land in
+      // EVERY block 2..7 (one bit each) shares ONLY the saturated
+      // band (0,1) with X — and block 2 breaks that band's (0,2)
+      // sub-key — so it falls back to the exemplar lottery, and X is
+      // deliberately outside every sample: it LEAKS, and the
+      // saturation counters are what keep that visible. (A probe
+      // leaving ANY block pair intact is caught through that pair's
+      // unsaturated bucket — the multi-band redundancy this residual
+      // must defeat to exist at all.)
+      val residual = xHash ^ mk(Seq(0L, 0L, 1L, 1L, 1L, 1L, 1L, 1L))
+      assert(java.lang.Long.bitCount(residual ^ xHash) == 6)
+      for ((id, hV) <- corpus if id != xId)
+        assert(java.lang.Long.bitCount(residual ^ hV) > 6,
+          s"residual probe within 6 of non-twin $id — bad construction")
+      val leaked = idx.dedupBatch(df(Seq(render(9998L, residual))), "id", "payload").count()
+      assert(leaked == 1L,
+        "the documented residual (secondary band destroyed, twin outside every " +
+          "exemplar sample) must surface as a SURVIVOR, kept visible by the counters")
+    }
+  }
+
+  test("reband crash window: interrupted pin rewrite refuses open(), completes from the marker") {
+    withDir { dir =>
+      val idx = PerceptualDedupIndex.open(spark, dir, "image", maxHamming = 6)
+      idx.dedupBatch(df((0L until 5L).map(i => Row(i, tile(i)))), "id", "payload")
+      // simulate a reband that crashed between journaling its intent
+      // and rewriting the pin: marker present, pin GONE (the exact
+      // window where pre-r14 open() silently re-created the pin from
+      // the caller's modality argument, losing the kernel-mismatch
+      // guard)
+      val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(dir, "_dedup_params.migrating")
+      val out = hfs.create(marker, true)
+      try out.write("modality=image,hashfmt=2".getBytes("UTF-8")) finally out.close()
+      hfs.delete(new org.apache.hadoop.fs.Path(dir, "_dedup_params"), false)
+      // open() must refuse — even with the "right" modality, and
+      // especially with a WRONG one (the guard-bypass this closes)
+      for (m <- Seq("image", "audio")) {
+        val e = intercept[IllegalArgumentException] {
+          PerceptualDedupIndex.open(spark, dir, m)
+        }
+        assert(e.getMessage.contains("reband"), s"open($m): ${e.getMessage}")
+      }
+      // reband completes FROM THE MARKER (no modality argument exists
+      // to lie with), idempotently
+      PerceptualDedupIndex.reband(spark, dir)
+      PerceptualDedupIndex.reband(spark, dir)
+      assert(!hfs.exists(marker), "completed reband must clear the marker")
+      val re = PerceptualDedupIndex.open(spark, dir, "image", maxHamming = 6)
+      val s = re.dedupBatch(df(Seq(
+        Row(10L, Multimodal.reencodeImage(tile(2L), "jpeg")),
+        Row(11L, tile(400L)))), "id", "payload")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(s == Set(11L), s"post-recovery survivors: $s")
+      // and the pin still guards modality
+      val e2 = intercept[IllegalArgumentException] {
+        PerceptualDedupIndex.open(spark, dir, "audio")
+      }
+      assert(e2.getMessage.contains("modality=image"), e2.getMessage)
+    }
+  }
+
   test("streaming composition: foreachBatch dedups media micro-batches against the index") {
     withDir { dir =>
       val idx = PerceptualDedupIndex.open(spark, dir, "image", maxHamming = 6)
