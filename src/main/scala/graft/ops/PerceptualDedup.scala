@@ -198,9 +198,12 @@ final class PerceptualDedupIndex private (
       // materialize the WHOLE dedup decision once as the pinned DROP
       // SET (bare ids — through r13 this pinned every surviving input
       // row, PAYLOADS included: megabytes of block storage per batch
-      // protecting a decision that is just ids)
-      val dropped = withinDropped.unionByName(indexDropped).distinct()
-        .localCheckpoint(true)
+      // protecting a decision that is just ids). BROADCAST: the
+      // pinned side has no stats, and without the hint every consumer
+      // action would re-shuffle the full payload batch through a
+      // sort-merge join (see IncrementalDedup for the measurement).
+      val dropped = broadcast(withinDropped.unionByName(indexDropped).distinct()
+        .localCheckpoint(true))
 
       val survivorBands = banded(h.join(dropped, Seq("id"), "left_anti"))
       txn match {

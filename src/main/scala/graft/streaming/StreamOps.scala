@@ -379,14 +379,19 @@ object StreamOps {
     // Size the state shuffle to the workload: each state partition is a
     // RocksDB/HDFS store instance with per-batch commit overhead; a
     // drained gate query with small keyspaces doesn't need the session's
-    // scan parallelism. The capped conf lives on an ISOLATED newSession
-    // so a concurrent batch query on `spark` never observes it (the
-    // partition count is baked into the fresh checkpoint; production
-    // streams with large keyspaces set their own session conf).
+    // scan parallelism. Cap 8 (r14, was 4): at the 10× bench corpus the
+    // stateful micro-batch is compute-bound, not commit-bound — raising
+    // the cap cut q_stream_session's 10×-scale wall ~20% while the
+    // per-batch commit cost on the many tiny gate streams stays in the
+    // tens of milliseconds (tmpfs checkpoints). The capped conf lives on
+    // an ISOLATED newSession so a concurrent batch query on `spark`
+    // never observes it (the partition count is baked into the fresh
+    // checkpoint; production streams with large keyspaces set their own
+    // session conf).
     val iso = org.apache.spark.sql.graft.CatalystBridge.isolatedCopy(spark)
     val key = "spark.sql.shuffle.partitions"
     iso.conf.set(key,
-      math.min(spark.conf.get(key).toIntOption.getOrElse(4), 4).toString)
+      math.min(spark.conf.get(key).toIntOption.getOrElse(8), 8).toString)
     // drain-once harness: the checkpoint is throwaway, so put its many
     // tiny offset/WAL/state-delta writes on tmpfs and retain the
     // minimum batch history — ~0.4s/batch of fsync latency at sf0.1
