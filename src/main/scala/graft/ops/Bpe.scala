@@ -96,7 +96,9 @@ object Bpe {
                   minFreq: Long = 2L): Seq[Merge] = {
     val matEvery = 8
     val topM = 4096
-    var base = words0.localCheckpoint(true)
+    // lazy checkpoint: the count() right below materializes the
+    // blocks inside its own job (r14 — one job, not two)
+    var base = words0.localCheckpoint(false)
     val n = base.count()
     val parts = base.rdd.getNumPartitions
     val target = math.max(1, math.min(parts.toLong, n / 32768L + 1L).toInt)
@@ -113,11 +115,18 @@ object Bpe {
     val out = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
+    // a re-materialized base is checkpointed LAZILY: the next round's
+    // collect materializes it inside the same job. The superseded
+    // frame must outlive that materialization (its blocks feed the
+    // lazy plan), so it is freed AFTER the next action, not at swap.
+    var freeAfterAction: Option[DataFrame] = None
     while (rank < numMerges && !done) {
       val rows = pairCounts(current)
         .orderBy(desc("freq"), asc("left"), asc("right"))
         .limit(topM + 1).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      freeAfterAction.foreach(_.unpersist())
+      freeAfterAction = None
       val truncated = rows.length > topM
       val visible = if (truncated) rows.dropRight(1) else rows
       // every count an invisible pair could hold is <= the tail row's
@@ -167,12 +176,13 @@ object Bpe {
         rank += ms.size
         if (pending.size >= matEvery) {
           val prev = base
-          base = current.localCheckpoint(true)
+          base = current.localCheckpoint(false)
           pending = Vector.empty
-          prev.unpersist()
+          freeAfterAction = Some(prev)
         }
       }
     }
+    freeAfterAction.foreach(_.unpersist())
     base.unpersist()
     out.result()
   }

@@ -720,11 +720,17 @@ object Dedup {
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
 
+    // LAZY checkpoints throughout the loop (r14): the signature agg
+    // right after each checkpoint scans every partition, so it
+    // materializes the checkpoint blocks inside its own job — one job
+    // per round instead of two (materialize, then agg), and the
+    // convergence loop is pure fixed scheduling overhead at gate
+    // scale. Emptiness rides the signature's count, not a third job.
     var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var sig = signature(edges)
     var it = 0
-    var converged = edges.isEmpty
+    var converged = sig._1 == 0L
     while (!converged && it < maxIter) {
       // large-star: for each u, attach every LARGER neighbor to
       // m(u) = min(Γ(u) ∪ {u})
@@ -743,7 +749,7 @@ object Dedup {
       val small = canon(
         smaller.join(mins2, Seq("u")).select(col("v").as("u"), col("m").as("v"))
           .union(mins2.select(col("u"), col("m").as("v"))))
-      val next = small.localCheckpoint() // eager: materialized here
+      val next = small.localCheckpoint(false) // materialized by the signature job
       val nextSig = signature(next)
       converged = nextSig == sig
       // previous round's checkpoint blocks are dead once `next` is

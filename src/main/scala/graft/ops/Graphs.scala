@@ -47,8 +47,19 @@ object Graphs {
       .join(deg.withColumnRenamed(srcCol, "src"), "src")
       .repartition(col("src"))
       .localCheckpoint(true)
+    // LAZY per-iteration checkpoints (r14): each checkpoint still
+    // compiles its iteration's plan immediately (so Catalyst never
+    // sees more than one iteration of depth) and still cuts lineage
+    // at materialization, but the caller's FIRST action now runs the
+    // whole power iteration as one job's stage chain instead of
+    // paying a scheduled job per iteration. Each intermediate rank
+    // frame has exactly one consumer (the next iteration), so the
+    // strictly-ordered shuffle dependencies compute every marked RDD
+    // exactly once. `e` stays EAGER: it is read by every iteration's
+    // join stage, and concurrent stages recompute an unmaterialized
+    // frame instead of sharing it.
     var ranks = n.select(col("node"), lit(1000000L).as("r"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("node"))
         // `div`, not `/`: long division stays exact where the
@@ -60,7 +71,7 @@ object Graphs {
         .select(col("node"),
           (lit(floorFp) + expr(s"($dampingPermille * coalesce(s, 0L)) div 1000"))
             .as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
@@ -144,9 +155,15 @@ object Graphs {
     val und0 = edges.select(
         least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // LAZY per-round checkpoints (r14, the connectedComponents shape):
+    // the round's count() materializes the checkpoint blocks inside
+    // its own job, so a peel round costs ONE job instead of three
+    // (materialize + next.count + sym.count) — the prior count is
+    // carried in a local instead of re-asked of the checkpointed frame
     var sym = und0.select(col("u").as("a"), col("v").as("b"))
       .unionAll(und0.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var nSym = sym.count()
     var converged = false
     var round = 0
     while (round < maxRounds && !converged) {
@@ -156,9 +173,13 @@ object Graphs {
         .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
-      if (next.count() == sym.count()) converged = true
+        .localCheckpoint(false)
+      val nNext = next.count()
+      converged = nNext == nSym
+      // the previous round's blocks are dead once `next` is materialized
+      sym.rdd.unpersist(blocking = false)
       sym = next
+      nSym = nNext
       round += 1
     }
     require(converged, s"kCore: no fixed point within $maxRounds rounds")

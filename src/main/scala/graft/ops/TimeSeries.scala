@@ -87,9 +87,17 @@ object TimeSeries {
     */
   def intervalConcurrency(intervals: DataFrame, startCol: String, endCol: String,
                           buckets: Int = 64): DataFrame = {
+    // Boundary rows are consumed THREE times (the quantile scan, the
+    // per-bucket totals collect, and the windowed output), and the
+    // caller's `intervals` is often itself an aggregate (q_concurrency
+    // feeds a session-window agg). Materialize them once: the grouped
+    // boundary set is ≤ 2× the interval count and 3 longs wide —
+    // strictly smaller than the window pass shuffles anyway — while an
+    // uncut lineage re-runs the full upstream once per consumer.
     val deltas = intervals.select(col(startCol).as("ts"), lit(1L).as("delta"))
       .unionAll(intervals.select(col(endCol).as("ts"), lit(-1L).as("delta")))
       .groupBy(col("ts"), col("delta")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // range-bucket cut points over the boundary timestamps (one
     // column-pruned approx-quantile scan; ties/duplicates collapse)
     val tsd = deltas.select(col("ts").cast("double").as("tsd"))

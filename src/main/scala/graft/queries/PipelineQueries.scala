@@ -283,28 +283,45 @@ object PipelineQueries {
         (col("doc_id") + 2L * off).as("id2"), lit("brightness_shift").as("transform")))
       .unionByName(sample.select(col("doc_id").as("id1"),
         (col("doc_id") + 3L * off).as("id2"), lit("low_margin").as("transform")))
-    val missed = expected.join(pairs, Seq("id1", "id2"), "left_anti").count()
-    require(missed == 0L,
-      s"q_dedup_image: $missed planted transformed duplicates were not paired")
-    // the low-margin family's measured Hamming must equal the planted
-    // flip count, with every distance 1..6 realized
+    // ONE assertion job instead of five (r14, the media-incremental
+    // r13 fusion pattern): `pairs` is checkpointed, so every invariant
+    // is a conditional count over a union of tiny tagged frames —
+    // recall (anti-join), low-margin distance identity + coverage,
+    // corrupt passthrough, and cross-seed precision land in a single
+    // aggregation row.
     val flipMeasured = pairs.join(
       sample.select(col("doc_id").as("id1"), (col("doc_id") + 3L * off).as("id2"),
         (lit(1) + pmod(col("doc_id"), lit(6L)).cast("int")).as("want_h")),
-      Seq("id1", "id2")).localCheckpoint(true)
-    val hBad = flipMeasured.filter(col("hamming") =!= col("want_h")).count()
+      Seq("id1", "id2"))
+    val chk = expected.join(pairs, Seq("id1", "id2"), "left_anti")
+        .select(lit("missed").as("t"), lit(null).cast("int").as("v"))
+      .unionByName(flipMeasured.select(
+        when(col("hamming") =!= col("want_h"), lit("hbad")).otherwise(lit("hok")).as("t"),
+        col("want_h").as("v")))
+      .unionByName(pairs.filter(col("id2") >= 4L * off)
+        .select(lit("corrupt").as("t"), lit(null).cast("int").as("v")))
+      .unionByName(pairs
+        .filter(pmod(col("id1"), lit(off)) =!= pmod(col("id2"), lit(off)))
+        .select(lit("cross").as("t"), lit(null).cast("int").as("v")))
+      .agg(count(when(col("t") === "missed", 1)).as("missed"),
+        count(when(col("t") === "hbad", 1)).as("hBad"),
+        countDistinct(when(col("t").isin("hbad", "hok"), col("v"))).as("hDistinct"),
+        count(when(col("t") === "corrupt", 1)).as("corruptHits"),
+        count(when(col("t") === "cross", 1)).as("cross"))
+      .head()
+    val (missed, hBad, hDistinct, corruptHits, cross) =
+      (chk.getLong(0), chk.getLong(1), chk.getLong(2), chk.getLong(3), chk.getLong(4))
+    require(missed == 0L,
+      s"q_dedup_image: $missed planted transformed duplicates were not paired")
     require(hBad == 0L,
       s"q_dedup_image: $hBad low-margin pairs measured a Hamming distance != planted flips")
-    val hDistinct = flipMeasured.select(col("want_h")).distinct().count()
     require(hDistinct == 6L,
       s"q_dedup_image: planted low-margin distances cover $hDistinct of 6")
-    val corruptHits = pairs.filter(col("id2") >= 4L * off).count()
     require(corruptHits == 0L,
       s"q_dedup_image: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
     // PRECISION side: every legitimate pair relates copies of ONE base
     // seed (ids congruent mod off); a cross-seed pair means distinct
     // random walks collided — a degenerate/constant-biased hash
-    val cross = pairs.filter(pmod(col("id1"), lit(off)) =!= pmod(col("id2"), lit(off))).count()
     require(cross == 0L,
       s"q_dedup_image: $cross spurious cross-image pairs (hash precision collapsed)")
     expected.join(pairs, Seq("id1", "id2"))
@@ -383,29 +400,44 @@ object PipelineQueries {
         sample.select(col("doc_id").as("id1"),
           (col("doc_id") + k * off).as("id2"), lit(name).as("transform"))
       }.reduce(_ unionByName _)
-    val missed = expected.join(pairs, Seq("id1", "id2"), "left_anti").count()
-    require(missed == 0L,
-      s"q_dedup_audio: $missed planted transformed duplicates were not paired")
-    // the low-margin family's measured Hamming must equal the planted
-    // flip count — and realize every distance 1..6 the banding
-    // guarantees (nonzero spread: this is NOT the Hamming-0 path)
+    // ONE assertion job instead of five (r14 — see q_dedup_image):
+    // recall, low-margin distance identity + coverage (nonzero
+    // spread: this is NOT the Hamming-0 path), corrupt passthrough,
+    // and cross-seed precision in a single aggregation row over the
+    // checkpointed pair set.
     val flipMeasured = pairs.join(
       sample.select(col("doc_id").as("id1"), (col("doc_id") + 4L * off).as("id2"),
         (lit(1) + pmod(col("doc_id"), lit(6L)).cast("int")).as("want_h")),
-      Seq("id1", "id2")).localCheckpoint(true)
-    val hBad = flipMeasured.filter(col("hamming") =!= col("want_h")).count()
+      Seq("id1", "id2"))
+    val chk = expected.join(pairs, Seq("id1", "id2"), "left_anti")
+        .select(lit("missed").as("t"), lit(null).cast("int").as("v"))
+      .unionByName(flipMeasured.select(
+        when(col("hamming") =!= col("want_h"), lit("hbad")).otherwise(lit("hok")).as("t"),
+        col("want_h").as("v")))
+      .unionByName(pairs.filter(col("id2") >= 5L * off)
+        .select(lit("corrupt").as("t"), lit(null).cast("int").as("v")))
+      .unionByName(pairs
+        .filter(pmod(col("id1"), lit(off)) =!= pmod(col("id2"), lit(off)))
+        .select(lit("cross").as("t"), lit(null).cast("int").as("v")))
+      .agg(count(when(col("t") === "missed", 1)).as("missed"),
+        count(when(col("t") === "hbad", 1)).as("hBad"),
+        countDistinct(when(col("t").isin("hbad", "hok"), col("v"))).as("hDistinct"),
+        count(when(col("t") === "corrupt", 1)).as("corruptHits"),
+        count(when(col("t") === "cross", 1)).as("cross"))
+      .head()
+    val (missed, hBad, hDistinct, corruptHits, cross) =
+      (chk.getLong(0), chk.getLong(1), chk.getLong(2), chk.getLong(3), chk.getLong(4))
+    require(missed == 0L,
+      s"q_dedup_audio: $missed planted transformed duplicates were not paired")
     require(hBad == 0L,
       s"q_dedup_audio: $hBad low-margin pairs measured a Hamming distance != planted flips")
-    val hDistinct = flipMeasured.select(col("want_h")).distinct().count()
     require(hDistinct == 6L,
       s"q_dedup_audio: planted low-margin distances cover $hDistinct of 6")
-    val corruptHits = pairs.filter(col("id2") >= 5L * off).count()
     require(corruptHits == 0L,
       s"q_dedup_audio: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
     // PRECISION side: legitimate pairs relate renders of ONE walk seed
     // (ids congruent mod off); cross-seed pairs mean the fingerprint
     // lost its discrimination
-    val cross = pairs.filter(pmod(col("id1"), lit(off)) =!= pmod(col("id2"), lit(off))).count()
     require(cross == 0L,
       s"q_dedup_audio: $cross spurious cross-clip pairs (fingerprint precision collapsed)")
     expected.join(pairs, Seq("id1", "id2"))
@@ -499,29 +531,44 @@ object PipelineQueries {
         (col("doc_id") + 2L * off).as("id2"), lit("brightness_shift").as("transform")))
       .unionByName(sample.select(col("doc_id").as("id1"),
         (col("doc_id") + 3L * off).as("id2"), lit("low_margin").as("transform")))
-    val missed = expected.join(pairs, Seq("id1", "id2"), "left_anti").count()
-    require(missed == 0L,
-      s"q_dedup_video: $missed planted transformed duplicates were not paired")
-    // the low-margin family's measured distance must sit in the
-    // planted-flips ± noise band, and the family must realize a
-    // genuinely nonzero distance corpus-wide
+    // ONE assertion job instead of five (r14 — see q_dedup_image):
+    // recall, the low-margin planted-flips ± noise band, corpus-wide
+    // nonzero spread (max hamming), corrupt passthrough, and
+    // cross-seed precision in a single aggregation row.
     val flipMeasured = pairs.join(
       sample.select(col("doc_id").as("id1"), (col("doc_id") + 3L * off).as("id2"),
         (lit(1) + pmod(col("doc_id"), lit(2L)).cast("int")).as("want_h")),
-      Seq("id1", "id2")).localCheckpoint(true)
-    val hBad = flipMeasured.filter(col("hamming") > col("want_h") + 4).count()
+      Seq("id1", "id2"))
+    val chk = expected.join(pairs, Seq("id1", "id2"), "left_anti")
+        .select(lit("missed").as("t"), lit(null).cast("int").as("v"))
+      .unionByName(flipMeasured.select(
+        when(col("hamming") > col("want_h") + 4, lit("hbad")).otherwise(lit("hok")).as("t"),
+        col("hamming").cast("int").as("v")))
+      .unionByName(pairs.filter(col("id2") >= 4L * off)
+        .select(lit("corrupt").as("t"), lit(null).cast("int").as("v")))
+      .unionByName(pairs
+        .filter(pmod(col("id1"), lit(off)) =!= pmod(col("id2"), lit(off)))
+        .select(lit("cross").as("t"), lit(null).cast("int").as("v")))
+      .agg(count(when(col("t") === "missed", 1)).as("missed"),
+        count(when(col("t") === "hbad", 1)).as("hBad"),
+        max(when(col("t").isin("hbad", "hok"), col("v"))).as("hMax"),
+        count(when(col("t") === "corrupt", 1)).as("corruptHits"),
+        count(when(col("t") === "cross", 1)).as("cross"))
+      .head()
+    val (missed, hBad, hMax, corruptHits, cross) =
+      (chk.getLong(0), chk.getLong(1),
+        if (chk.isNullAt(2)) 0 else chk.getInt(2), chk.getLong(3), chk.getLong(4))
+    require(missed == 0L,
+      s"q_dedup_video: $missed planted transformed duplicates were not paired")
     require(hBad == 0L,
       s"q_dedup_video: $hBad low-margin pairs exceed the planted-flips + noise band")
-    val hMax = flipMeasured.agg(max(col("hamming"))).head.getInt(0)
     require(hMax >= 2,
       s"q_dedup_video: low-margin family peaked at Hamming $hMax — nonzero spread not realized")
-    val corruptHits = pairs.filter(col("id2") >= 4L * off).count()
     require(corruptHits == 0L,
       s"q_dedup_video: $corruptHits pairs involve corrupt payloads (null-hash skip broken)")
     // PRECISION side: legitimate pairs relate copies of ONE clip seed
     // (ids congruent mod off); cross-seed pairs mean the majority hash
     // lost its discrimination
-    val cross = pairs.filter(pmod(col("id1"), lit(off)) =!= pmod(col("id2"), lit(off))).count()
     require(cross == 0L,
       s"q_dedup_video: $cross spurious cross-clip pairs (hash precision collapsed)")
     expected.join(pairs, Seq("id1", "id2"))
@@ -703,19 +750,34 @@ object PipelineQueries {
       .localCheckpoint(true)
     val probePairs = Dedup.embeddingNearDupPairs(probeCorpus, "vec_id", "embedding",
       threshold = 0.9, planes = 0, tables = 8).localCheckpoint(true)
-    val exactMissed = base
-      .select(col("vec_id").as("id1"), (col("vec_id") + maxId + 1L).as("id2"))
-      .join(probePairs, Seq("id1", "id2"), "left_anti").count()
-    require(exactMissed == 0L,
-      s"q_dedup_embed: $exactMissed planted EXACT duplicate embeddings were not paired")
+    // ONE assertion job instead of four (r14 fusion pattern): the
+    // exact-dup anti-join and the perturbed-recall ratio (total +
+    // found via a LEFT join hit flag — one reference to nearTruth, so
+    // it needs no checkpoint) land in a single aggregation row over
+    // the checkpointed probe pairs.
     val nearTruth = base.select(col("vec_id").as("id1"), col("embedding").as("v1"))
       .join(plantedNear.select(col("vec_id").as("id2"), col("embedding").as("v2")),
         col("id2") === col("id1") + 2L * (maxId + 1L))
       .withColumn("cos", graft.ops.Similarity.cosine(col("v1"), col("v2")))
       .filter(col("cos") >= 0.92)
-      .select(col("id1"), col("id2")).localCheckpoint(true)
-    val nearTotal = nearTruth.count()
-    val nearFound = nearTruth.join(probePairs, Seq("id1", "id2"), "left_semi").count()
+      .select(col("id1"), col("id2"))
+    val chk = base
+      .select(col("vec_id").as("id1"), (col("vec_id") + maxId + 1L).as("id2"))
+      .join(probePairs, Seq("id1", "id2"), "left_anti")
+      .select(lit("missed").as("t"), lit(null).cast("long").as("hit"))
+      .unionByName(nearTruth
+        .join(probePairs.select(col("id1"), col("id2")).distinct()
+            .withColumn("hit", lit(1L)),
+          Seq("id1", "id2"), "left")
+        .select(lit("near").as("t"), coalesce(col("hit"), lit(0L)).as("hit")))
+      .agg(count(when(col("t") === "missed", 1)).as("exactMissed"),
+        count(when(col("t") === "near", 1)).as("nearTotal"),
+        coalesce(sum(when(col("t") === "near", col("hit"))), lit(0L)).as("nearFound"))
+      .head()
+    val (exactMissed, nearTotal, nearFound) =
+      (chk.getLong(0), chk.getLong(1), chk.getLong(2))
+    require(exactMissed == 0L,
+      s"q_dedup_embed: $exactMissed planted EXACT duplicate embeddings were not paired")
     require(nearTotal > 20L,
       s"q_dedup_embed probe degenerate: only $nearTotal perturbed pairs above cos 0.92")
     require(nearFound >= (nearTotal * 0.8).toLong,
@@ -1238,9 +1300,14 @@ object PipelineQueries {
     val queries = e.filter(col("vec_id") < 200)
     withTempIndexDir("graft_ivf_gate_") { idx =>
       Similarity.buildIvfIndex(e, "vec_id", "embedding", idx, cents)
+      // pinned up front: the mismatch check AND the returned frame
+      // both consume it (one index-scan-and-score instead of two),
+      // and the pin must exist anyway before the finally reclaims
+      // the on-disk index
       val indexed = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 3, cents, nprobe = 4)
         .select(col("query_id"), col("item_id"), col("rank"))
+        .localCheckpoint(true)
       val inMemory = Similarity.ivfTopK(e, "vec_id", "embedding", queries,
           "vec_id", "embedding", k = 3, cents, nprobe = 4)
         .select(col("query_id"), col("item_id"), col("rank"))
@@ -1254,8 +1321,7 @@ object PipelineQueries {
         .filter(col("d") =!= 0)
       require(mismatches.isEmpty,
         "q_sim_ivf_indexed: persisted-index ranking diverged from in-memory ivfTopK")
-      // pin the result BEFORE the finally reclaims the on-disk index
-      indexed.orderBy(col("query_id"), col("rank")).localCheckpoint(true)
+      indexed.orderBy(col("query_id"), col("rank"))
     }
   }
 
@@ -1287,26 +1353,35 @@ object PipelineQueries {
     // deterministic, O(1) at any corpus SF. Every planted target must
     // rank in the top-3 for ≥90/100 queries or the gate throws.
     // Corpus-scale recall on far neighbors is IVF's job (q_sim_ivf).
-    val dim = 32
-    def hashVec(id: org.apache.spark.sql.Column, seed: Int) =
-      transform(sequence(lit(0), lit(dim - 1)), j =>
-        (pmod(xxhash64(id, j, lit(seed)), lit(2001L)) - 1000L)
-          .cast("double") / 1000.0)
-    val items = s.range(4000).select(col("id").as("vec_id"),
-      hashVec(col("id"), 1).cast("array<float>").as("embedding"))
-    val plantedQs = s.range(100).select((col("id") + 1000000L).as("vec_id"),
-      zip_with(hashVec(col("id"), 1), hashVec(col("id"), 2),
-        (b, p) => b + p / 10.0).cast("array<float>").as("embedding"),
-      col("id").as("target"))
-    val found = Similarity.lshTopK(items, "vec_id", "embedding",
-        plantedQs.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", k = 3, planes = 0, tables = 8,
-        corpusCount = 4000L)
-      .join(plantedQs.select(col("vec_id").as("query_id"),
-        col("target").as("item_id")), Seq("query_id", "item_id"), "left_semi")
-      .select(countDistinct(col("query_id"))).head().getLong(0)
-    require(found >= 90L,
-      s"q_sim_lsh: planted near-dup recall $found/100 below the 90 floor")
+    // SCALE-GUARDED (r14, the q_dedup_incremental precedent): the
+    // probe corpus is a FIXED 4000 hash-generated items regardless of
+    // SF — rerunning the identical computation at the 10× corpus adds
+    // a second full LSH build to the gate while verifying nothing new
+    // (the recall floor is also locked by PipelineOpsSpec's
+    // exact-vs-LSH test). It runs at the oracle SF and the first
+    // bench SF (≤ 10k embeddings) and skips only the scaling corpus.
+    if (e.count() <= 10000L) {
+      val dim = 32
+      def hashVec(id: org.apache.spark.sql.Column, seed: Int) =
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          (pmod(xxhash64(id, j, lit(seed)), lit(2001L)) - 1000L)
+            .cast("double") / 1000.0)
+      val items = s.range(4000).select(col("id").as("vec_id"),
+        hashVec(col("id"), 1).cast("array<float>").as("embedding"))
+      val plantedQs = s.range(100).select((col("id") + 1000000L).as("vec_id"),
+        zip_with(hashVec(col("id"), 1), hashVec(col("id"), 2),
+          (b, p) => b + p / 10.0).cast("array<float>").as("embedding"),
+        col("id").as("target"))
+      val found = Similarity.lshTopK(items, "vec_id", "embedding",
+          plantedQs.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 3, planes = 0, tables = 8,
+          corpusCount = 4000L)
+        .join(plantedQs.select(col("vec_id").as("query_id"),
+          col("target").as("item_id")), Seq("query_id", "item_id"), "left_semi")
+        .select(countDistinct(col("query_id"))).head().getLong(0)
+      require(found >= 90L,
+        s"q_sim_lsh: planted near-dup recall $found/100 below the 90 floor")
+    }
     out.orderBy(col("query_id"), col("rank"))
   }
 
@@ -1720,9 +1795,13 @@ object PipelineQueries {
         "vec_id", "embedding", idx, cents)
       Similarity.ivfAppend(e.filter(col("vec_id") % 2 =!= 0),
         "vec_id", "embedding", idx, cents)
+      // pinned up front — same shape as q_sim_ivf_indexed: one
+      // index-scan-and-score feeds both the divergence check and the
+      // returned frame, and the pin outlives the temp index dir
       val indexed = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 3, cents, nprobe = 4)
         .select(col("query_id"), col("item_id"), col("rank"))
+        .localCheckpoint(true)
       val inMemory = Similarity.ivfTopK(e, "vec_id", "embedding", queries,
           "vec_id", "embedding", k = 3, cents, nprobe = 4)
         .select(col("query_id"), col("item_id"), col("rank"))
@@ -1731,7 +1810,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
       require(mismatch == 0,
         s"q_sim_ivf_append: grown index diverges from in-memory ranking ($mismatch rows)")
-      indexed.orderBy(col("query_id"), col("rank")).localCheckpoint(true)
+      indexed.orderBy(col("query_id"), col("rank"))
     }
   }
 
@@ -1757,11 +1836,15 @@ object PipelineQueries {
       queries, "vec_id", "embedding", k = 3, cbs, pool = 16)
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 3)
+    // hit and total in ONE action — two counts would run the exact
+    // brute-force scan (the expensive side at corpus scale) twice
     val exactPairs = exact.select(col("query_id"), col("item_id"))
-    val hit = exactPairs
-      .join(pq.select(col("query_id"), col("item_id")), Seq("query_id", "item_id"),
-        "left_semi").count()
-    val total = exactPairs.count()
+    val r = exactPairs
+      .join(pq.select(col("query_id"), col("item_id")).withColumn("hit", lit(1L)),
+        Seq("query_id", "item_id"), "left")
+      .agg(count(lit(1)).as("total"), sum(coalesce(col("hit"), lit(0L))).as("hit"))
+      .head()
+    val (total, hit) = (r.getLong(0), r.getLong(1))
     require(total > 0 && hit.toDouble / total >= 0.55,
       s"q_sim_pq: recall@3 ${hit.toDouble / total} below 0.55 floor ($hit/$total)")
     pq.select(col("query_id"), col("item_id"), col("rank"))

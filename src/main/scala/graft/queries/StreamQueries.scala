@@ -611,7 +611,17 @@ object StreamQueries {
       val drained = StreamOps.runToMemory(s, accepted,
         uniq("stream_throttle"), OutputMode.Append())
         .localCheckpoint(true)
-      if (ev.count() <= 2000000L) {
+      // Sequential-replay self-check, SCALE-GUARDED (r14, the
+      // q_dedup_incremental precedent): collecting the corpus and
+      // folding it on the driver verifies a corpus-size-independent
+      // property (the flatMapGroupsWithState fold is batch-split-
+      // invariant — locked by the StreamingSpec replay test and by the
+      // zero-tolerance DuckDB oracle at the gate SF). It runs at the
+      // oracle SF and the first bench SF (≤ 100k events) and is
+      // skipped only at the 10× scaling corpus, where a 1M-row driver
+      // collect + sort re-verifies the same machinery at a large
+      // share of the gate's wall.
+      if (ev.count() <= 100000L) {
         val all = ev.collect().map(x =>
           (x.getLong(0).toString, x.getLong(1), x.getLong(2))).toSeq
         val ref = StreamOps.throttleReplay(all, hourMicros, 5L)

@@ -440,8 +440,17 @@ object WarehouseQueries {
     def rounded(v: DataFrame) = v.select(col("event_type"), col("view_n"),
       round(col("view_sum_value"), 2).as("sv"))
     val direct = Ivm.init(store.readVersion(v3), Seq("event_type"), Seq("value"))
-    val diverged = rounded(view).exceptAll(rounded(direct)).count() +
-      rounded(direct).exceptAll(rounded(view)).count()
+    // one-job divergence check: both sides are keyed aggregates
+    // (event_type is unique per row), so a full outer join exposes
+    // missing keys and value drift alike — the previous two-way
+    // exceptAll counted in TWO actions, each re-running the direct
+    // corpus-scale recompute
+    val diverged = rounded(view)
+      .join(rounded(direct)
+          .select(col("event_type"), col("view_n").as("d_n"), col("sv").as("d_sv")),
+        Seq("event_type"), "full_outer")
+      .filter(!(col("view_n") <=> col("d_n")) || !(col("sv") <=> col("d_sv")))
+      .count()
     require(diverged == 0,
       s"q_ivm: maintained view diverged from direct recompute ($diverged rows)")
     view.select(col("event_type"), col("view_n").as("n"),

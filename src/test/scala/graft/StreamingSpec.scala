@@ -104,6 +104,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("throttleStream: accepted set matches the sequential replay across batch splits") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamOps
+    // window size 10: key "a" floods window 0 (8 rows vs cap 3, the
+    // batch boundary falling MID-window so the cap must carry across
+    // batches in state), then resumes in window 2 (count must reset);
+    // key "b" sits exactly at the cap; key "c" has one row per window
+    // (never throttled). Negative seq1 exercises floorDiv windows.
+    val rows = (1 to 8).map(i => ("a", i.toLong, i.toLong)) ++
+      Seq(("a", 25L, 25L), ("a", 26L, 26L)) ++
+      (1 to 3).map(i => ("b", i.toLong, 100L + i)) ++
+      Seq(("c", -5L, 1L), ("c", 5L, 2L), ("c", 15L, 3L))
+    val mem = MemoryStream[(String, Long, Long)]
+    mem.addData(rows.filter(r => r._1 != "a" || r._2 <= 5): _*)
+    val df = mem.toDF().toDF("k", "s1", "s2")
+    val q = StreamOps.throttleStream(df, "k", "s1", "s2",
+        windowSize = 10L, maxPerWindow = 3L)
+      .writeStream.format("memory").queryName("thr_spec")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(rows.filter(r => r._1 == "a" && r._2 > 5): _*)
+      q.processAllAvailable()
+      val got = spark.table("thr_spec")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+        .sortBy(t => (t._1, t._2, t._3))
+      val ref = StreamOps.throttleReplay(rows, windowSize = 10L, maxPerWindow = 3L)
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(got == ref, s"accepted set diverges:\n  got $got\n  ref $ref")
+      // the flood is capped at 3 even though rows 4..8 arrive across
+      // two batches; the new window resets the count
+      assert(got.count(t => t._1 == "a" && t._2 <= 8) == 3, "window cap leaked")
+      assert(got.exists(t => t._1 == "a" && t._2 == 25L && t._5 == 1L),
+        "new window did not reset the count")
+      assert(got.count(_._1 == "c") == 3, "per-window singleton throttled")
+    } finally q.stop()
+  }
+
   test("event subscription routes disjoint streams to two subscribers (C8)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TestEvent]
