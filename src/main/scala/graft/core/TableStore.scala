@@ -168,14 +168,22 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * with a newer snapshot (the dedup indexes' O(1) saturation-skip
     * would then judge a larger index by a smaller count). */
   def committedSnapshot: Option[(Option[Long], DataFrame)] =
-    latestContent(fs).map { case (_, c) =>
+    committedSnapshotVersioned.map { case (_, n, df) => (n, df) }
+
+  /** [[committedSnapshot]] plus the VERSION the snapshot came from —
+    * for callers memoizing per-version facts about the immutable
+    * snapshot (the dedup probes' saturation verdict): a version's
+    * content never changes, so a fact computed against (path, version)
+    * holds for every later read of that version. */
+  def committedSnapshotVersioned: Option[(Long, Option[Long], DataFrame)] =
+    latestContent(fs).map { case (v, c) =>
       val entries = log.decode(c)
       val counts = entries.map(_.rows)
       val n = if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
       val schema = log.decodeSchema(c).map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-      (n, readFiles(entries, schema))
+      (v, n, readFiles(entries, schema))
     }
 
   private val schemaDir = s"$path/_schema"

@@ -117,6 +117,31 @@ object Dedup {
     *   saturated rows, so an implementation may join side tables
     *   (the MinHash index fetches signatures) without a steady-state
     *   cost. */
+  /** Memoized per-(store version) saturation verdict for the READ-ONLY
+    * probe paths: "does any band bucket of this committed snapshot
+    * exceed maxBucket?". A TableStore version's content is immutable,
+    * so the verdict — one max-occupancy aggregate — is computed once
+    * per (path, version, cap) and every later probe of the same
+    * version picks its collision-join shape (plain equi-join vs
+    * split/exemplar resolution) for free. The ingest path
+    * (dedupBatch) intentionally does NOT use this: its per-batch
+    * [[observeSaturation]] action also feeds the saturation COUNTERS,
+    * which must fire every batch. Bounded: cleared wholesale past 4096
+    * entries (keys are tiny; a process cycling thousands of index
+    * versions just re-pays one aggregate per live version). */
+  private val saturationMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def saturationVerdict(key: String, idx: => DataFrame,
+                                       keys: Seq[String], maxBucket: Int): Boolean = {
+    if (saturationMemo.size > 4096) saturationMemo.clear()
+    saturationMemo.computeIfAbsent(key, { _ =>
+      val kc = keys.map(col)
+      val m = idx.groupBy(kc: _*).agg(count(lit(1)).as("bsz"))
+        .agg(max(col("bsz"))).head()
+      java.lang.Boolean.valueOf(!m.isNullAt(0) && m.getLong(0) > maxBucket)
+    }).booleanValue()
+  }
+
   private[graft] def resolveSaturated(df: DataFrame, keys: Seq[String],
                                     maxBucket: Int,
                                     withSub: DataFrame => DataFrame)

@@ -297,23 +297,30 @@ final class IncrementalDedup private (
     try {
       val empty = sig.limit(0).select(col("id").as(idCol),
         col("id").as("kept_id"), lit(1.0).as("est_jaccard"))
-      val snap = buckets.committedSnapshot
-      val keptRows = snap.flatMap(_._1)
+      val snap = buckets.committedSnapshotVersioned
+      val keptRows = snap.flatMap(_._2)
+      val snapVersion = snap.map(_._1)
       (snap match {
         case None => None
-        case Some((Some(0L), _)) => None
-        case Some((Some(_), df)) => Some(df)
-        case Some((None, df)) => Some(df).filterNot(_.isEmpty)
+        case Some((_, Some(0L), _)) => None
+        case Some((_, Some(_), df)) => Some(df)
+        case Some((_, None, df)) => Some(df).filterNot(_.isEmpty)
       }) match {
         case None => empty.localCheckpoint(true)
         case Some(idx) =>
           // read-only path: no saturation-counter action — when the
           // manifest row count proves no bucket CAN be saturated, the
           // collision join is a plain equi-join; past that bound the
-          // split/exemplar resolution rides the plan (its aggregates
-          // are empty-fast while nothing actually saturates)
+          // MEMOIZED per-version saturation verdict (one max-occupancy
+          // aggregate per committed version — Dedup.saturationVerdict)
+          // keeps the plain join in the common nothing-saturated case,
+          // and only a version with a genuinely saturated bucket pays
+          // the split/exemplar resolution in-plan
           val collided =
-            if (keptRows.exists(_ <= maxBucket))
+            if (keptRows.exists(_ <= maxBucket) ||
+                !Dedup.saturationVerdict(
+                  s"${buckets.path}@${snapVersion.getOrElse(-1L)}#$maxBucket",
+                  idx, Seq("band", "bucket"), maxBucket))
               banded(sig).join(
                 idx.select(col("band"), col("bucket"), col("id").as("kept_id")),
                 Seq("band", "bucket"))

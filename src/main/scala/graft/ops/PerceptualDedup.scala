@@ -229,24 +229,31 @@ final class PerceptualDedupIndex private (
     try {
       val empty = h.limit(0).select(col("id").as(idCol),
         col("id").as("kept_id"), lit(0).as("hamming"))
-      val snap = buckets.committedSnapshot
-      val keptRows = snap.flatMap(_._1)
+      val snap = buckets.committedSnapshotVersioned
+      val keptRows = snap.flatMap(_._2)
+      val snapVersion = snap.map(_._1)
       (snap match {
         case None => None
-        case Some((Some(0L), _)) => None
-        case Some((Some(_), df)) => Some(df)
-        case Some((None, df)) => Some(df).filterNot(_.isEmpty)
+        case Some((_, Some(0L), _)) => None
+        case Some((_, Some(_), df)) => Some(df)
+        case Some((_, None, df)) => Some(df).filterNot(_.isEmpty)
       }) match {
         case None => empty.localCheckpoint(true)
         case Some(idx) =>
           // read-only path: no saturation-counter action — plain join
           // while the manifest row count proves no bucket can be
-          // saturated, else the split/exemplar resolution rides the
-          // plan (empty-fast while nothing actually saturates)
+          // saturated; past that bound the MEMOIZED per-version
+          // verdict (Dedup.saturationVerdict — one max-occupancy
+          // aggregate per committed version) keeps the plain join in
+          // the common nothing-saturated case, and only a genuinely
+          // saturated version pays the split/exemplar resolution
           val keptCols = Seq(col("band"), col("bucket"),
             col("id").as("kept_id"), col("h").as("kept_h"))
           val collided =
-            if (keptRows.exists(_ <= maxBucket))
+            if (keptRows.exists(_ <= maxBucket) ||
+                !Dedup.saturationVerdict(
+                  s"${buckets.path}@${snapVersion.getOrElse(-1L)}#$maxBucket",
+                  idx, Seq("band", "bucket"), maxBucket))
               banded(h).join(idx.select(keptCols: _*), Seq("band", "bucket"))
             else {
               val (byBucket, bySub) = Dedup.resolveSaturated(idx,
