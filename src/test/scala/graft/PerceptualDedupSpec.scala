@@ -284,6 +284,19 @@ class PerceptualDedupSpec extends AnyFunSuite {
         "all three mutually-far buckets must resolve by SPLIT, not exemplars")
       assert(c("perceptualIndexCappedRows") - r0 ==
         (nMembers + 2 * 12).toLong, "capped rows must count every saturated-bucket row")
+      // the READ-ONLY probe path: the memoized per-version verdict
+      // (Dedup.saturationVerdict, r14) routes this genuinely-saturated
+      // snapshot through the split/exemplar resolution, and that
+      // BOUNDED plan must still surface X through the sub-bucket
+      // split (the whole point of r14's residual close — exemplar
+      // sampling alone deliberately cannot find X here). Probed
+      // twice: the second call rides the memo (same committed
+      // version) and must agree.
+      def probeHits() = idx.probe(df(Seq(render(9998L, probeHash))), "id", "payload")
+        .select(col("kept_id")).collect().map(_.getLong(0)).toSet
+      assert(probeHits() == Set(xId),
+        s"read-only probe through the saturated split must find exactly X=$xId")
+      assert(probeHits() == Set(xId), "memoized second probe must agree")
       // honest residual, still visible: a probe whose flips land in
       // EVERY block 2..7 (one bit each) shares ONLY the saturated
       // band (0,1) with X — and block 2 breaks that band's (0,2)
