@@ -85,5 +85,10 @@ class GraphIvmSpec extends AnyFunSuite {
     // duplicate + reversed edges are one undirected edge
     assert(kcore(2, (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)) ==
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // degenerate inputs through the lazy-checkpoint loop (r14): an
+    // empty edge set converges on the first count, and self-loops
+    // alone normalize away to the same empty fixed point
+    assert(kcore(1).isEmpty)
+    assert(kcore(1, (7L, 7L)).isEmpty)
   }
 }
