@@ -106,6 +106,7 @@ object SparkEntry {
     "q_unigram"        -> (TimeSeriesQueries.qUnigram _),
     "q_unigram_encode" -> (TimeSeriesQueries.qUnigramEncode _),
     "q_dedup_probe"    -> (PipelineQueries.qDedupProbe _),
+    "q_dedup_saturated" -> (PipelineQueries.qDedupSaturated _),
     "q_mix_reweight"   -> (PipelineQueries.qMixReweight _),
     "q_stream_anomaly" -> (StreamQueries.qStreamAnomaly _),
     "q_stream_throttle" -> (StreamQueries.qStreamThrottle _),
@@ -2129,6 +2130,15 @@ object SparkEntry {
     // index side = batch-1 survivors / even-half survivors
     "q_dedup_incremental" -> incrementalDedupOracle,
     "q_dedup_probe" -> probeOracle,
+    // saturated-index recall at volume (r15): the gate's in-query
+    // requires prove the split/exemplar machinery (nonzero counters,
+    // zero copy leaks, memoized verdict); the oracle locks the
+    // OUTPUT — survivors are exactly the 500 fresh docs, whose ids
+    // are a pure function of max(doc_id), reproducible in SQL
+    // without modeling the index
+    "q_dedup_saturated" ->
+      """SELECT (SELECT max(doc_id) FROM documents) + 1201 + range AS doc_id
+         FROM range(500) ORDER BY doc_id""",
     // the streamed run is in-gate-locked to the direct two-batch
     // incremental over deterministic halves — the oracle replays that
     "q_stream_neardup" -> streamNeardupOracle,

@@ -354,6 +354,21 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * time-travel index (`vacuum` trims versions past its grace window). */
   def versions: Seq[Long] = listVersions(fs).map(_._1)
 
+  /** O(1) identity token for a committed version: the version-log
+    * file's (length, modification time). A store deleted and recreated
+    * at the same path restarts version NUMBERING, so `path@version`
+    * alone can alias two different snapshots across store lifetimes —
+    * the token disambiguates them (a recreated manifest has a new
+    * mtime, and delete+recreate changes content/length too). One FS
+    * stat, no data read. Used in [[graft.ops.Dedup.saturationVerdict]]
+    * memo keys (r14 ADVICE: a stale verdict on an aliased key could
+    * flip a probe's join shape and forfeit the maxBucket cost bound). */
+  def versionToken(v: Long): String =
+    listVersions(fs).find(_._1 == v).map { case (_, p) =>
+      val st = fs.getFileStatus(p)
+      s"${st.getLen}.${st.getModificationTime}"
+    }.getOrElse("absent")
+
   /** Snapshot read AS OF a past version (time travel): the manifest is
     * immutable, so this is exactly the table as committed then. Data
     * files of superseded versions survive until `vacuum`; after vacuum

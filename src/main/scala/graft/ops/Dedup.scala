@@ -121,9 +121,14 @@ object Dedup {
     * probe paths: "does any band bucket of this committed snapshot
     * exceed maxBucket?". A TableStore version's content is immutable,
     * so the verdict — one max-occupancy aggregate — is computed once
-    * per (path, version, cap) and every later probe of the same
-    * version picks its collision-join shape (plain equi-join vs
-    * split/exemplar resolution) for free. The ingest path
+    * per (path, version, version-log identity token, cap) and every
+    * later probe of the same version picks its collision-join shape
+    * (plain equi-join vs split/exemplar resolution) for free. The
+    * token ([[graft.core.TableStore.versionToken]]) is load-bearing:
+    * without it, a store deleted and RECREATED at the same path
+    * restarts version numbering and an aliased key could serve a
+    * stale "unsaturated" verdict to a genuinely saturated snapshot,
+    * silently forfeiting the maxBucket cost bound (r14 ADVICE). The ingest path
     * (dedupBatch) intentionally does NOT use this: its per-batch
     * [[observeSaturation]] action also feeds the saturation COUNTERS,
     * which must fire every batch. Bounded: cleared wholesale past 4096
@@ -133,46 +138,74 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private[graft] def saturationVerdict(key: String, idx: => DataFrame,
                                        keys: Seq[String], maxBucket: Int): Boolean = {
-    if (saturationMemo.size > 4096) saturationMemo.clear()
-    saturationMemo.computeIfAbsent(key, { _ =>
+    // get → compute → putIfAbsent, NOT computeIfAbsent (r14 ADVICE:
+    // the aggregate is a full Spark job, and running it inside
+    // computeIfAbsent held the bin lock for the job's duration,
+    // stalling concurrent probes hashing to the same bin). Two racing
+    // probes may both compute — the aggregate over an immutable
+    // committed version is deterministic, so first-wins is harmless.
+    val cached = saturationMemo.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      // observable compute count (counter `dedupSaturationVerdictComputed`):
+      // lets a gate prove the memo actually served a repeat probe of the
+      // same committed version (delta 1 across two probes = one compute,
+      // one memo hit) instead of silently re-paying the aggregate
+      graft.core.Metrics.counter("dedupSaturationVerdictComputed").inc()
       val kc = keys.map(col)
       val m = idx.groupBy(kc: _*).agg(count(lit(1)).as("bsz"))
         .agg(max(col("bsz"))).head()
-      java.lang.Boolean.valueOf(!m.isNullAt(0) && m.getLong(0) > maxBucket)
-    }).booleanValue()
+      val verdict = java.lang.Boolean.valueOf(!m.isNullAt(0) && m.getLong(0) > maxBucket)
+      if (saturationMemo.size > 4096) saturationMemo.clear()
+      saturationMemo.putIfAbsent(key, verdict)
+      verdict.booleanValue()
+    }
   }
 
   private[graft] def resolveSaturated(df: DataFrame, keys: Seq[String],
                                     maxBucket: Int,
                                     withSub: DataFrame => DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val kc = keys.map(col)
+    // the saturated slice is referenced by several consumers below
+    // (exemplar window, sub-bucket agg, split anti/semi joins) — cache
+    // it, and its withSub decoration (which may join side tables: the
+    // MinHash index fetches signatures there), so ONE consuming action
+    // computes each once instead of once per reference (r15: a single
+    // probe of a saturated index re-ran the sigs join three times
+    // inside its one action). Bounded by the saturated subset — the
+    // pathological slice, never the index. The caller invokes the
+    // returned cleanup once its consuming action has materialized.
     val sat = df.groupBy(kc: _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
-      .select(kc: _*)
+      .select(kc: _*).cache()
     val ok = df.join(sat, keys, "left_anti")
-    val satRows = df.join(sat, keys, "left_semi")
+    val satRows = df.join(sat, keys, "left_semi").cache()
     val globalExemplars = satRows
       .withColumn("__rn", row_number().over(
         Window.partitionBy(kc: _*)
           .orderBy(xxhash64(col("id")), col("id"))))
       .filter(col("__rn") <= maxBucket).drop("__rn")
-    val subbed = withSub(satRows)
+    val subbed = withSub(satRows).cache()
     val subKeys = keys :+ "__sub"
     val skc = subKeys.map(col)
     val overSub = subbed.groupBy(skc: _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
-      .select(skc: _*)
+      .select(skc: _*).cache()
     val splitOk = subbed.join(overSub, subKeys, "left_anti")
     val subExemplars = subbed.join(overSub, subKeys, "left_semi")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(skc: _*)
           .orderBy(xxhash64(col("id")), col("id"))))
       .filter(col("__rn") <= maxBucket).drop("__rn")
-    (ok.unionByName(globalExemplars), splitOk.unionByName(subExemplars))
+    val cleanup = () => {
+      sat.unpersist(); satRows.unpersist(); subbed.unpersist()
+      overSub.unpersist(); ()
+    }
+    (ok.unionByName(globalExemplars), splitOk.unionByName(subExemplars), cleanup)
   }
 
   /** Observability for the saturated-bucket resolution
@@ -751,8 +784,8 @@ object Dedup {
     // per round instead of two (materialize, then agg), and the
     // convergence loop is pure fixed scheduling overhead at gate
     // scale. Emptiness rides the signature's count, not a third job.
-    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-      .localCheckpoint(false)
+    var (edges, freeEdges) = graft.core.Checkpoints.lazyLocal(
+      canon(pairs.select(col(aCol).as("u"), col(bCol).as("v"))))
     var sig = signature(edges)
     var it = 0
     var converged = sig._1 == 0L
@@ -774,14 +807,16 @@ object Dedup {
       val small = canon(
         smaller.join(mins2, Seq("u")).select(col("v").as("u"), col("m").as("v"))
           .union(mins2.select(col("u"), col("m").as("v"))))
-      val next = small.localCheckpoint(false) // materialized by the signature job
+      // lazy: materialized by the signature job
+      val (next, freeNext) = graft.core.Checkpoints.lazyLocal(small)
       val nextSig = signature(next)
       converged = nextSig == sig
       // previous round's checkpoint blocks are dead once `next` is
-      // materialized — free them instead of holding every round's
-      // edge set in block storage until session end
-      edges.rdd.unpersist(blocking = false)
+      // materialized — free the checkpoint's INTERNAL RDD (Checkpoints
+      // captured it; `edges.rdd.unpersist` only touched a derived RDD)
+      freeEdges()
       edges = next
+      freeEdges = freeNext
       sig = nextSig
       it += 1
     }

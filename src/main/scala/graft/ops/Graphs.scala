@@ -160,25 +160,27 @@ object Graphs {
     // its own job, so a peel round costs ONE job instead of three
     // (materialize + next.count + sym.count) — the prior count is
     // carried in a local instead of re-asked of the checkpointed frame
-    var sym = und0.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(und0.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(false)
+    var (sym, freeSym) = graft.core.Checkpoints.lazyLocal(
+      und0.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(und0.select(col("v").as("a"), col("u").as("b"))))
     var nSym = sym.count()
     var converged = false
     var round = 0
     while (round < maxRounds && !converged) {
       val alive = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("a").as("node"))
-      val next = sym
+      val (next, freeNext) = graft.core.Checkpoints.lazyLocal(sym
         .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint(false)
+        .select(col("a"), col("b")))
       val nNext = next.count()
       converged = nNext == nSym
-      // the previous round's blocks are dead once `next` is materialized
-      sym.rdd.unpersist(blocking = false)
+      // the previous round's blocks are dead once `next` is
+      // materialized — free the checkpoint's INTERNAL RDD (Checkpoints
+      // captured it; `sym.rdd.unpersist` only touched a derived RDD)
+      freeSym()
       sym = next
+      freeSym = freeNext
       nSym = nNext
       round += 1
     }

@@ -183,6 +183,9 @@ final class IncrementalDedup private (
       // stale count (r12 advice)
       val snap = buckets.committedSnapshot
       val keptRows = snap.flatMap(_._1)
+      // set by the saturated branch; invoked after the drop-set pin
+      // materializes (resolveSaturated caches the saturated slice)
+      var resolveCleanup: () => Unit = () => ()
       val indexDropped: DataFrame =
         (snap match {
           case None => None
@@ -216,8 +219,9 @@ final class IncrementalDedup private (
                   Seq("band", "bucket"))
                   .select(col("id"), col("kept_id"))
               else {
-                val (byBucket, bySub) = Dedup.resolveSaturated(idx,
+                val (byBucket, bySub, free) = Dedup.resolveSaturated(idx,
                   Seq("band", "bucket"), maxBucket, idxWithSub)
+                resolveCleanup = free
                 batchBands.join(
                   byBucket.select(col("band"), col("bucket"), col("id").as("kept_id")),
                   Seq("band", "bucket"))
@@ -251,6 +255,7 @@ final class IncrementalDedup private (
       // collectable by construction.
       val dropped = broadcast(withinDropped.unionByName(indexDropped).distinct()
         .localCheckpoint(true))
+      resolveCleanup() // the pinned drop set no longer reads the slice
 
       // stage 3 — commit the survivors to the index (bands first, sigs
       // second: a crash between the two can only leave bucket rows
@@ -316,19 +321,20 @@ final class IncrementalDedup private (
           // keeps the plain join in the common nothing-saturated case,
           // and only a version with a genuinely saturated bucket pays
           // the split/exemplar resolution in-plan
-          val collided =
+          val (collided, resolveCleanup) =
             if (keptRows.exists(_ <= maxBucket) ||
                 !Dedup.saturationVerdict(
-                  s"${buckets.path}@${snapVersion.getOrElse(-1L)}#$maxBucket",
+                  s"${buckets.path}@${snapVersion.getOrElse(-1L)}" +
+                    s"!${snapVersion.map(buckets.versionToken).getOrElse("-")}#$maxBucket",
                   idx, Seq("band", "bucket"), maxBucket))
-              banded(sig).join(
+              (banded(sig).join(
                 idx.select(col("band"), col("bucket"), col("id").as("kept_id")),
                 Seq("band", "bucket"))
-                .select(col("id"), col("kept_id"))
+                .select(col("id"), col("kept_id")), () => ())
             else {
-              val (byBucket, bySub) = Dedup.resolveSaturated(idx,
+              val (byBucket, bySub, free) = Dedup.resolveSaturated(idx,
                 Seq("band", "bucket"), maxBucket, idxWithSub)
-              banded(sig).join(
+              (banded(sig).join(
                 byBucket.select(col("band"), col("bucket"), col("id").as("kept_id")),
                 Seq("band", "bucket"))
                 .select(col("id"), col("kept_id"))
@@ -336,9 +342,9 @@ final class IncrementalDedup private (
                   bySub.select(col("band"), col("bucket"), col("__sub"),
                     col("id").as("kept_id")),
                   Seq("band", "bucket", "__sub"))
-                  .select(col("id"), col("kept_id")))
+                  .select(col("id"), col("kept_id"))), free)
             }
-          collided.distinct()
+          val pinned = collided.distinct()
             .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
               Seq("kept_id"))
             .join(sig.select(col("id"), col("sig")), Seq("id"))
@@ -347,6 +353,8 @@ final class IncrementalDedup private (
             .filter(col("est_jaccard") >= threshold)
             .select(col("id").as(idCol), col("kept_id"), col("est_jaccard"))
             .localCheckpoint(true) // pin before the signature cache drops
+          resolveCleanup()
+          pinned
       }
     } finally { sig.unpersist(); () }
   }

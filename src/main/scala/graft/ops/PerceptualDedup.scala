@@ -158,6 +158,9 @@ final class PerceptualDedupIndex private (
       // a duplicate-flood batch's hot buckets from the comparison
       // entirely, letting the whole flood bypass the index check and
       // poison the index with >maxBucket copies of kept content.
+      // set by the saturated branch; invoked after the drop-set pin
+      // materializes (resolveSaturated caches the saturated slice)
+      var resolveCleanup: () => Unit = () => ()
       val indexDropped: DataFrame = idxOpt match {
         case None => h.limit(0).select(col("id"))
         case Some(idx) =>
@@ -182,8 +185,9 @@ final class PerceptualDedupIndex private (
             if (nb == 0L)
               banded(h).join(idx.select(keptCols: _*), Seq("band", "bucket"))
             else {
-              val (byBucket, bySub) = Dedup.resolveSaturated(idx,
+              val (byBucket, bySub, free) = Dedup.resolveSaturated(idx,
                 Seq("band", "bucket"), maxBucket, withSub)
+              resolveCleanup = free
               banded(h).join(byBucket.select(keptCols: _*), Seq("band", "bucket"))
                 .unionByName(withSub(banded(h)).join(
                   bySub.select(keptCols :+ col("__sub"): _*),
@@ -204,6 +208,7 @@ final class PerceptualDedupIndex private (
       // sort-merge join (see IncrementalDedup for the measurement).
       val dropped = broadcast(withinDropped.unionByName(indexDropped).distinct()
         .localCheckpoint(true))
+      resolveCleanup() // the pinned drop set no longer reads the slice
 
       val survivorBands = banded(h.join(dropped, Seq("id"), "left_anti"))
       txn match {
@@ -249,27 +254,31 @@ final class PerceptualDedupIndex private (
           // saturated version pays the split/exemplar resolution
           val keptCols = Seq(col("band"), col("bucket"),
             col("id").as("kept_id"), col("h").as("kept_h"))
-          val collided =
+          val (collided, resolveCleanup) =
             if (keptRows.exists(_ <= maxBucket) ||
                 !Dedup.saturationVerdict(
-                  s"${buckets.path}@${snapVersion.getOrElse(-1L)}#$maxBucket",
+                  s"${buckets.path}@${snapVersion.getOrElse(-1L)}" +
+                    s"!${snapVersion.map(buckets.versionToken).getOrElse("-")}#$maxBucket",
                   idx, Seq("band", "bucket"), maxBucket))
-              banded(h).join(idx.select(keptCols: _*), Seq("band", "bucket"))
+              (banded(h).join(idx.select(keptCols: _*), Seq("band", "bucket")),
+                () => ())
             else {
-              val (byBucket, bySub) = Dedup.resolveSaturated(idx,
+              val (byBucket, bySub, free) = Dedup.resolveSaturated(idx,
                 Seq("band", "bucket"), maxBucket, withSub)
-              banded(h).join(byBucket.select(keptCols: _*), Seq("band", "bucket"))
+              (banded(h).join(byBucket.select(keptCols: _*), Seq("band", "bucket"))
                 .unionByName(withSub(banded(h)).join(
                   bySub.select(keptCols :+ col("__sub"): _*),
-                  Seq("band", "bucket", "__sub")).drop("__sub"))
+                  Seq("band", "bucket", "__sub")).drop("__sub")), free)
             }
-          collided
-          .withColumn("hamming",
-            bit_count(col("h").bitwiseXOR(col("kept_h"))).cast("int"))
-          .filter(col("hamming") <= maxHamming)
-          .select(col("id").as(idCol), col("kept_id"), col("hamming"))
-          .dropDuplicates(idCol, "kept_id")
-          .localCheckpoint(true) // pin before the hash cache drops
+          val pinned = collided
+            .withColumn("hamming",
+              bit_count(col("h").bitwiseXOR(col("kept_h"))).cast("int"))
+            .filter(col("hamming") <= maxHamming)
+            .select(col("id").as(idCol), col("kept_id"), col("hamming"))
+            .dropDuplicates(idCol, "kept_id")
+            .localCheckpoint(true) // pin before the hash cache drops
+          resolveCleanup()
+          pinned
       }
     } finally { h.unpersist(); () }
   }

@@ -492,22 +492,21 @@ object StreamQueries {
       q.awaitTermination()
       val fromStream = s.read.parquet(outDir)
         .select(col("doc_id"), col("source"))
-      // direct-replay equivalence self-check, SCALE-GUARDED (r14, the
-      // q_dedup_simhash quarter-slice precedent): the direct two-batch
-      // run is a SECOND full incremental pipeline — half this gate's
-      // wall — verifying that foreachBatch composition equals the
-      // direct calls, a property of the micro-batch plumbing, not of
-      // the corpus size (same code path at every SF; the zero-
-      // tolerance DuckDB oracle locks the streamed output itself at
-      // the gate SF). It runs at the oracle SF and the first bench SF
-      // (quarter corpus ≤ 10k docs) and is skipped only at the 10×
-      // scaling corpus, where it would re-verify the same plumbing at
-      // double the cost. The streamed row count stays asserted at
-      // every SF (a silently-empty sink must redden the gate, not
-      // vacuously pass the equivalence).
-      val nQuarter = fromStream.count()
-      require(nQuarter > 0, "q_stream_neardup: streamed sink is empty")
-      if (nQuarter <= 10000) {
+      // direct-replay equivalence self-check, SCALE-GUARDED (r14; r15
+      // moved the guard off row-count thresholds onto ScaleGuard): the
+      // direct two-batch run is a SECOND full incremental pipeline —
+      // half this gate's wall — verifying that foreachBatch
+      // composition equals the direct calls, a property of the
+      // micro-batch plumbing, not of the corpus size (same code path
+      // at every SF; the zero-tolerance DuckDB oracle locks the
+      // streamed output itself at the gate SF). It runs at the oracle
+      // SF and EVERY real bench SF and is skipped only at derived
+      // scaling corpora (logged), where it would re-verify the same
+      // plumbing at double the cost. The streamed row count stays
+      // asserted at every SF (a silently-empty sink must redden the
+      // gate, not vacuously pass the equivalence).
+      require(fromStream.count() > 0, "q_stream_neardup: streamed sink is empty")
+      if (ScaleGuard.probeEnabled(s, dir, "q_stream_neardup")) {
         val direct = IncrementalDedup.open(s, s"$base/idx_direct", threshold = 0.9)
         val d1 = direct.dedupBatch(half1, "doc_id", "text").select(col("doc_id"), col("source"))
         val d2 = direct.dedupBatch(half2, "doc_id", "text").select(col("doc_id"), col("source"))
@@ -611,17 +610,18 @@ object StreamQueries {
       val drained = StreamOps.runToMemory(s, accepted,
         uniq("stream_throttle"), OutputMode.Append())
         .localCheckpoint(true)
-      // Sequential-replay self-check, SCALE-GUARDED (r14, the
-      // q_dedup_incremental precedent): collecting the corpus and
-      // folding it on the driver verifies a corpus-size-independent
-      // property (the flatMapGroupsWithState fold is batch-split-
-      // invariant — locked by the StreamingSpec replay test and by the
-      // zero-tolerance DuckDB oracle at the gate SF). It runs at the
-      // oracle SF and the first bench SF (≤ 100k events) and is
-      // skipped only at the 10× scaling corpus, where a 1M-row driver
-      // collect + sort re-verifies the same machinery at a large
-      // share of the gate's wall.
-      if (ev.count() <= 100000L) {
+      // Sequential-replay self-check, SCALE-GUARDED (r14; r15 moved
+      // the guard off row-count thresholds onto ScaleGuard — which
+      // also drops the count() action the old guard spent): collecting
+      // the corpus and folding it on the driver verifies a corpus-
+      // size-independent property (the flatMapGroupsWithState fold is
+      // batch-split-invariant — locked by the StreamingSpec replay
+      // test and by the zero-tolerance DuckDB oracle at the gate SF).
+      // It runs at the oracle SF and EVERY real bench SF and is
+      // skipped only at derived scaling corpora (logged), where a
+      // many-row driver collect + sort re-verifies the same machinery
+      // at a large share of the gate's wall.
+      if (ScaleGuard.probeEnabled(s, dir, "q_stream_throttle")) {
         val all = ev.collect().map(x =>
           (x.getLong(0).toString, x.getLong(1), x.getLong(2))).toSeq
         val ref = StreamOps.throttleReplay(all, hourMicros, 5L)

@@ -440,16 +440,21 @@ object WarehouseQueries {
     def rounded(v: DataFrame) = v.select(col("event_type"), col("view_n"),
       round(col("view_sum_value"), 2).as("sv"))
     val direct = Ivm.init(store.readVersion(v3), Seq("event_type"), Seq("value"))
-    // one-job divergence check: both sides are keyed aggregates
-    // (event_type is unique per row), so a full outer join exposes
-    // missing keys and value drift alike — the previous two-way
-    // exceptAll counted in TWO actions, each re-running the direct
-    // corpus-scale recompute
-    val diverged = rounded(view)
-      .join(rounded(direct)
-          .select(col("event_type"), col("view_n").as("d_n"), col("sv").as("d_sv")),
-        Seq("event_type"), "full_outer")
-      .filter(!(col("view_n") <=> col("d_n")) || !(col("sv") <=> col("d_sv")))
+    // one-job divergence check with full exceptAll semantics (r15,
+    // replaces r14's full_outer join on event_type — that join was
+    // blind to row MULTIPLICITY: a maintained view corrupted with a
+    // duplicated key row matching the recompute joined both copies and
+    // reported diverged=0, and its equality key dropped null-key rows
+    // entirely). Side-tagged union + groupBy over ALL columns is the
+    // multiset symmetric difference in one aggregation: a row surviving
+    // with sum(side) != 0 appears a different number of times on the
+    // two sides (missing key, value drift, or duplication), and groupBy
+    // treats nulls as equal so null-key rows compare like any other.
+    val diverged = rounded(view).withColumn("__side", lit(1L))
+      .unionByName(rounded(direct).withColumn("__side", lit(-1L)))
+      .groupBy(col("event_type"), col("view_n"), col("sv"))
+      .agg(sum(col("__side")).as("__d"))
+      .filter(col("__d") =!= 0L)
       .count()
     require(diverged == 0,
       s"q_ivm: maintained view diverged from direct recompute ($diverged rows)")

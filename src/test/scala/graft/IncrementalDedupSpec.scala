@@ -143,11 +143,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val withSub: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       r => r.withColumn("__sub",
         when(col("band") === 0, col("id") + 100L).otherwise(lit(999L)))
-    val (byBucket, bySub) = Dedup.resolveSaturated(df, Seq("band", "bucket"), maxBucket, withSub)
+    val (byBucket, bySub, freeResolve) = Dedup.resolveSaturated(df, Seq("band", "bucket"), maxBucket, withSub)
     val bb = byBucket.select("band", "id").collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSet
     val bs = bySub.select("band", "id", "__sub").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    freeResolve() // both views collected; drop the cached saturated slice
     // unsaturated bucket C: whole, only in the by-bucket view
     assert(bb.filter(_._1 == 2) == Set((2, 20L), (2, 21L)))
     assert(!bs.exists(_._1 == 2))
