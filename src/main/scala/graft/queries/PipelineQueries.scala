@@ -627,9 +627,12 @@ object PipelineQueries {
       }
     val ids = docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(240)
       .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
-    val off = ids.agg(max(col("doc_id"))).head.getLong(0) + 1L
-    val mid = ids.agg(percentile_approx(col("doc_id"), lit(0.5), lit(1000)))
-      .head().getLong(0)
+    // one action for both scalars (r15 job-fusion profile): this gate
+    // is fixture-bounded, so its wall is the sequential action chain
+    val om = ids.agg(max(col("doc_id")),
+      percentile_approx(col("doc_id"), lit(0.5), lit(1000))).head()
+    val off = om.getLong(0) + 1L
+    val mid = om.getLong(1)
     val ids1 = ids.filter(col("doc_id") < mid)
     val ids2 = ids.filter(col("doc_id") >= mid)
     val sample1 = ids1.orderBy(col("doc_id")).limit(60).localCheckpoint(true)
@@ -712,20 +715,29 @@ object PipelineQueries {
       require(oneShot.join(survivors, Seq("doc_id"), "left_anti").isEmpty,
         "q_dedup_media_incremental: a one-shot survivor was dropped incrementally")
 
-      // read-only probe: kept content hits, unseen content misses
+      // read-only probe: kept content hits, unseen content misses.
+      // ONE probe call over the union of both probe sets + ONE
+      // aggregation (r15 job-fusion profile — two separate probe
+      // pipelines were two full band-join/verify chains): kept probes
+      // ride ids [6·off, 7·off), unseen ones [7·off, 8·off) — disjoint
+      // by construction (all base ids < off), so one result frame
+      // answers both invariants.
       val probeHits = idx.probe(
-        rendered(sample1, _ + 6L * off, id => tile(id)), "doc_id", "payload")
+        rendered(sample1, _ + 6L * off, id => tile(id))
+          .unionByName(rendered(sample2, _ + 7L * off, id => tile(id + 7L * off))),
+        "doc_id", "payload")
+      val pr = probeHits.select(col("doc_id")).distinct()
+        .join(sample1.select((col("doc_id") + 6L * off).as("doc_id"),
+          lit(true).as("kept")), Seq("doc_id"), "left_outer")
+        .agg(count(when(col("kept"), 1)).as("keptHits"),
+          count(when(col("doc_id") >= 7L * off, 1)).as("unseenHits"))
+        .head()
       // |sample1| = min(60, |ids1|) by construction (limit 60) — no job
-      val probeMissing = math.min(60L, nIds1) - probeHits
-        .select((col("doc_id") - 6L * off).as("doc_id")).distinct()
-        .join(sample1, Seq("doc_id"), "left_semi").count()
+      val probeMissing = math.min(60L, nIds1) - pr.getLong(0)
       require(probeMissing == 0L,
         s"q_dedup_media_incremental: probe missed $probeMissing kept images")
-      val unseenHits = idx.probe(
-        rendered(sample2, _ + 7L * off, id => tile(id + 7L * off)),
-        "doc_id", "payload").count()
-      require(unseenHits == 0L,
-        s"q_dedup_media_incremental: probe matched $unseenHits unseen images")
+      require(pr.getLong(1) == 0L,
+        s"q_dedup_media_incremental: probe matched ${pr.getLong(1)} unseen images")
 
       survivors.orderBy(col("doc_id"))
     }
