@@ -598,15 +598,24 @@ object Dedup {
     * only; vectors attach once per distinct pair. Deterministic:
     * hyperplane components derive from hash(table, plane, dim).
     *
-    * `planes <= 0` auto-sizes from the corpus (log₂(n/128), min 4 —
-    * `Similarity.sizePlanes`), pinning expected bucket occupancy so
-    * candidate pairing stays ~linear as the corpus grows; pass
-    * `corpusCount` to keep the call lazy when the size is known. */
+    * `planes <= 0` auto-sizes from the corpus (log₂(n/occupancy),
+    * min 4 — `Similarity.sizePlanes`), pinning expected bucket
+    * occupancy so candidate pairing stays ~linear as the corpus grows;
+    * pass `corpusCount` to keep the call lazy when the size is known.
+    * `occupancy` is the candidate-volume dial: total candidates ≈
+    * n × occupancy × tables / 2, so at a near-dup threshold (high
+    * cos, high per-table collision p) prefer a SMALL occupancy with
+    * more tables — same recall by the OR over tables, a fraction of
+    * the pair volume (the r15 100×-corpus study measured the
+    * 128-occupancy default at 72 s / >8 GB heap for 200 k vectors;
+    * 32 × 12 tables cuts candidates 4× at the same in-gate recall
+    * floor). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.9, planes: Int = 0,
                             tables: Int = 4, maxBucket: Int = 2000,
-                            corpusCount: Long = -1L): DataFrame = {
-    val nPlanes = Similarity.sizePlanes(planes, corpusCount, df)
+                            corpusCount: Long = -1L,
+                            occupancy: Int = 128): DataFrame = {
+    val nPlanes = Similarity.sizePlanes(planes, corpusCount, df, occupancy)
     val sigs = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         Similarity.hyperplaneSignature(col(vecCol), nPlanes, seed = t).as("sig"))): _*)

@@ -62,11 +62,12 @@ object Similarity {
     * SCALE.md "Scaling study"). When `corpusCount < 0` this is an
     * EAGER count() at plan-construction — callers holding the size
     * pass it to stay lazy. */
-  private[ops] def sizePlanes(planes: Int, corpusCount: Long, corpus: DataFrame): Int =
+  private[ops] def sizePlanes(planes: Int, corpusCount: Long, corpus: DataFrame,
+                              occupancy: Int = 128): Int =
     if (planes > 0) planes
     else math.max(4, math.ceil(
       math.log(math.max(1.0,
-        (if (corpusCount >= 0L) corpusCount else corpus.count()) / 128.0))
+        (if (corpusCount >= 0L) corpusCount else corpus.count()) / occupancy.toDouble))
         / math.log(2.0)).toInt)
 
   /** Random-projection dimensionality reduction (Johnson–Lindenstrauss

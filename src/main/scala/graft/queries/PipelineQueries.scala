@@ -780,8 +780,11 @@ object PipelineQueries {
               AS ARRAY<FLOAT>)""").as("embedding"))
     val probeCorpus = slice.unionByName(plantedExact).unionByName(plantedNear)
       .localCheckpoint(true)
+    // occupancy 32 × 12 tables (r15): the same operating point as the
+    // full pass below, so THIS probe's recall floor validates that
+    // sizing at every SF the gate runs
     val probePairs = Dedup.embeddingNearDupPairs(probeCorpus, "vec_id", "embedding",
-      threshold = 0.9, planes = 0, tables = 8).localCheckpoint(true)
+      threshold = 0.9, planes = 0, tables = 12, occupancy = 32).localCheckpoint(true)
     // ONE assertion job instead of four (r14 fusion pattern): the
     // exact-dup anti-join and the perturbed-recall ratio (total +
     // found via a LEFT join hit flag — one reference to nearTruth, so
@@ -814,12 +817,20 @@ object PipelineQueries {
       s"q_dedup_embed probe degenerate: only $nearTotal perturbed pairs above cos 0.92")
     require(nearFound >= (nearTotal * 0.8).toLong,
       s"q_dedup_embed recall collapse: $nearFound/$nearTotal perturbed near-dups paired")
-    // auto-planes (log₂(n/128)) keeps bucket occupancy ~constant as the
-    // corpus grows — fixed planes made this the bench's worst scaler
-    // (11.9× at 10× data); tables=8 ORs recall back up (at sf0.01's
-    // n≈6k auto gives ~6 planes: cos≥0.9 per-table ≈0.44, OR ≈0.99)
+    // auto-planes keep bucket occupancy ~constant as the corpus grows
+    // (fixed planes made this the bench's worst scaler — 11.9× at 10×
+    // data). r15 re-sized the operating point for the near-dup regime:
+    // occupancy 32 × 12 tables instead of 128 × 8 — candidates ≈
+    // n·occ·tables/2 fall 4× while the OR over MORE tables holds the
+    // recall floor (cos 0.92 at the 100× corpus: per-table 0.872¹⁰ ≈
+    // 0.25, OR₁₂ ≈ 0.97; the probe above asserts ≥80% in-gate at this
+    // exact sizing). The 128-occupancy default measured 72 s and
+    // needed >8 GB heap at the 100× corpus (200 k vectors, 156 M
+    // candidates); the scale paths past this op remain q_dedup_kmeans
+    // (SemDeDup cells) and IVF.
     val dropped = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
-      threshold = 0.9, planes = 0, tables = 8).select(col("id2").as("vec_id")).distinct()
+      threshold = 0.9, planes = 0, tables = 12, occupancy = 32)
+      .select(col("id2").as("vec_id")).distinct()
     e.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
   }
