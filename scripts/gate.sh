@@ -52,6 +52,10 @@ else
 import json,sys
 d=json.loads(sys.argv[1])
 errs=d.get('errors',[])+d.get('errors_sf2',[])
+# gate-phase queries (run once outside the timed passes since r16)
+# report -1 on failure inside 'gates'/'gates_sf2'
+for fld in ('gates','gates_sf2'):
+    errs += [k for k,v in d.get(fld,{}).items() if v < 0]
 print(' '.join(errs))
 print(f\"queries={len(d.get('queries',{}))} total={d.get('value')}s ingest={d.get('ingest_rows_per_sec',0):.0f} rows/s\", file=sys.stderr)
 " "$bench_line" 2> >(cat >&2))

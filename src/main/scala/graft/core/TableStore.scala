@@ -354,20 +354,27 @@ final class TableStore(val spark: SparkSession, val path: String, val idCol: Str
     * time-travel index (`vacuum` trims versions past its grace window). */
   def versions: Seq[Long] = listVersions(fs).map(_._1)
 
-  /** O(1) identity token for a committed version: the version-log
-    * file's (length, modification time). A store deleted and recreated
-    * at the same path restarts version NUMBERING, so `path@version`
-    * alone can alias two different snapshots across store lifetimes —
-    * the token disambiguates them (a recreated manifest has a new
-    * mtime, and delete+recreate changes content/length too). One FS
-    * stat, no data read. Used in [[graft.ops.Dedup.saturationVerdict]]
-    * memo keys (r14 ADVICE: a stale verdict on an aliased key could
-    * flip a probe's join shape and forfeit the maxBucket cost bound). */
+  /** Identity token for a committed version: the version-log file's
+    * (length, modification time). A store deleted and recreated at the
+    * same path restarts version NUMBERING, so `path@version` alone can
+    * alias two different snapshots across store lifetimes — the token
+    * disambiguates them (a recreated manifest has a new mtime, and
+    * delete+recreate changes content/length too). Residual alias
+    * window: a same-length recreate inside one mtime tick on a
+    * coarse-granularity filesystem — accepted, because a recreated
+    * manifest lists different data-file names, so equal length is
+    * already a coincidence. Exactly ONE FS stat against the manifest
+    * path built directly from the version number (r15 ADVICE: the old
+    * implementation listed the whole version-log directory per call,
+    * and it runs on every probe's memo-key construction). NOT memoized
+    * per (path, version) on purpose — a cached token would survive a
+    * delete+recreate and hand [[graft.ops.Dedup.saturationVerdict]]
+    * the stale verdict the token exists to prevent. */
   def versionToken(v: Long): String =
-    listVersions(fs).find(_._1 == v).map { case (_, p) =>
-      val st = fs.getFileStatus(p)
+    try {
+      val st = fs.getFileStatus(new Path(s"$versionsDir/${log.fileName(v)}"))
       s"${st.getLen}.${st.getModificationTime}"
-    }.getOrElse("absent")
+    } catch { case _: java.io.FileNotFoundException => "absent" }
 
   /** Snapshot read AS OF a past version (time travel): the manifest is
     * immutable, so this is exactly the table as committed then. Data

@@ -253,9 +253,14 @@ final class IncrementalDedup private (
       // full batch (text included): measured ~2× on the sf2 gate. A
       // drop set is ≤ one micro-batch's ids (8 bytes each), driver-
       // collectable by construction.
-      val dropped = broadcast(withinDropped.unionByName(indexDropped).distinct()
-        .localCheckpoint(true))
-      resolveCleanup() // the pinned drop set no longer reads the slice
+      val dropped =
+        try broadcast(withinDropped.unionByName(indexDropped).distinct()
+          .localCheckpoint(true))
+        // the pinned drop set no longer reads the slice — and if the
+        // eager checkpoint/broadcast THROWS, the slices cached inside
+        // resolveSaturated must not stay pinned for the session
+        // (r15 ADVICE), so the release rides a finally
+        finally resolveCleanup()
 
       // stage 3 — commit the survivors to the index (bands first, sigs
       // second: a crash between the two can only leave bucket rows
@@ -344,7 +349,9 @@ final class IncrementalDedup private (
                   Seq("band", "bucket", "__sub"))
                   .select(col("id"), col("kept_id"))), free)
             }
-          val pinned = collided.distinct()
+          // pin before the signature cache drops; release the
+          // saturated slices even if the checkpoint throws (r15 ADVICE)
+          try collided.distinct()
             .join(sigs.read.select(col("id").as("kept_id"), col("sig").as("kept_sig")),
               Seq("kept_id"))
             .join(sig.select(col("id"), col("sig")), Seq("id"))
@@ -352,9 +359,8 @@ final class IncrementalDedup private (
               Dedup.estJaccard(col("sig"), col("kept_sig"), numHashes))
             .filter(col("est_jaccard") >= threshold)
             .select(col("id").as(idCol), col("kept_id"), col("est_jaccard"))
-            .localCheckpoint(true) // pin before the signature cache drops
-          resolveCleanup()
-          pinned
+            .localCheckpoint(true)
+          finally resolveCleanup()
       }
     } finally { sig.unpersist(); () }
   }

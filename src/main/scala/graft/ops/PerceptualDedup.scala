@@ -206,9 +206,12 @@ final class PerceptualDedupIndex private (
       // pinned side has no stats, and without the hint every consumer
       // action would re-shuffle the full payload batch through a
       // sort-merge join (see IncrementalDedup for the measurement).
-      val dropped = broadcast(withinDropped.unionByName(indexDropped).distinct()
-        .localCheckpoint(true))
-      resolveCleanup() // the pinned drop set no longer reads the slice
+      val dropped =
+        try broadcast(withinDropped.unionByName(indexDropped).distinct()
+          .localCheckpoint(true))
+        // the pinned drop set no longer reads the slice — release it
+        // even if the eager checkpoint/broadcast throws (r15 ADVICE)
+        finally resolveCleanup()
 
       val survivorBands = banded(h.join(dropped, Seq("id"), "left_anti"))
       txn match {
@@ -270,15 +273,16 @@ final class PerceptualDedupIndex private (
                   bySub.select(keptCols :+ col("__sub"): _*),
                   Seq("band", "bucket", "__sub")).drop("__sub")), free)
             }
-          val pinned = collided
+          // pin before the hash cache drops; release the saturated
+          // slices even if the checkpoint throws (r15 ADVICE)
+          try collided
             .withColumn("hamming",
               bit_count(col("h").bitwiseXOR(col("kept_h"))).cast("int"))
             .filter(col("hamming") <= maxHamming)
             .select(col("id").as(idCol), col("kept_id"), col("hamming"))
             .dropDuplicates(idCol, "kept_id")
-            .localCheckpoint(true) // pin before the hash cache drops
-          resolveCleanup()
-          pinned
+            .localCheckpoint(true)
+          finally resolveCleanup()
       }
     } finally { h.unpersist(); () }
   }

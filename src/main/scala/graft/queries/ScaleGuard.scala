@@ -46,4 +46,18 @@ object ScaleGuard {
          else s"derived scaling corpus at $dir") + ")")
     run
   }
+
+  /** Driver-memory backstop for probes whose check is a full
+    * `collect()` (r15 ADVICE: the provenance guard alone leaves the
+    * collect unbounded on a large REAL corpus). Returns true when the
+    * collect is safe; above the bound, logs the skip — same
+    * visibility contract as [[probeEnabled]] — and returns false.
+    * Policy stays provenance-driven; this only bounds driver memory. */
+  def collectBounded(rows: Long, bound: Long, gate: String): Boolean = {
+    val ok = rows <= bound
+    if (!ok) System.err.println(
+      s"[graft] $gate: in-gate self-check probe SKIPPED " +
+        s"($rows rows exceeds the $bound-row driver-collect backstop)")
+    ok
+  }
 }

@@ -621,7 +621,14 @@ object StreamQueries {
       // skipped only at derived scaling corpora (logged), where a
       // many-row driver collect + sort re-verifies the same machinery
       // at a large share of the gate's wall.
-      if (ScaleGuard.probeEnabled(s, dir, "q_stream_throttle")) {
+      // Driver-memory backstop (r15 ADVICE): provenance decides the
+      // POLICY, but a sufficiently large REAL corpus must not turn
+      // ev.collect() into a driver OOM — above 2M events (the same
+      // bound q_stream_anomaly's probe kept) skip + log instead. The
+      // count() runs only when the probe would, so derived-corpus
+      // benches still pay no extra action.
+      if (ScaleGuard.probeEnabled(s, dir, "q_stream_throttle") &&
+          ScaleGuard.collectBounded(ev.count(), 2000000L, "q_stream_throttle")) {
         val all = ev.collect().map(x =>
           (x.getLong(0).toString, x.getLong(1), x.getLong(2))).toSeq
         val ref = StreamOps.throttleReplay(all, hourMicros, 5L)
