@@ -2120,6 +2120,8 @@ object SparkEntry {
     // merge pass — bit-exact ranks/pairs/freqs, zero tolerance
     "q_bpe" -> bpeOracle(30, encode = false),
     "q_bpe_encode" -> bpeOracle(30, encode = true),
+    "q_unigram" -> unigramOracle(encode = false),
+    "q_unigram_encode" -> unigramOracle(encode = true),
     // the WHOLE MinHash dedup pipeline replayed op-for-op (r13):
     // shingles, seeded signature minima, band folds, skew cap,
     // agreement threshold, greedy min-id drop — survivor set
@@ -3099,6 +3101,172 @@ object SparkEntry {
                   $S||$S) || $S AS s
          FROM dtoks GROUP BY word),
        $steps
+       $finalSel"""
+  }
+
+  /** Full DuckDB replay of the unigram-LM tokenizer trainer
+    * (q_unigram / q_unigram_encode, r17 — promoted from no_oracle via
+    * the q_bpe merge-epoch precedent): word dict → ≤6-codepoint
+    * substring seeding (top 2048 by (freq desc, piece) + the full
+    * single-char alphabet) → 3 hard-EM rounds. Each round segments
+    * every dict word with a Viterbi DP replayed as one generated CTE
+    * per position 1..$maxWord (the fixture dict's longest word is 8
+    * code points; 16 is the safety bound — a longer word would drop
+    * out of the DP and fail the gate LOUDLY as a row-count mismatch),
+    * candidate (score desc, piece-length desc) per position exactly
+    * matching the kernel's strictly-greater / longer-tie rule
+    * (functions/UnigramExprs.scala). Scores are the engine's Q32
+    * fixed-point log₂ values (ops/Unigram.log2Fp): each round's piece
+    * table runs 32 square-and-compare layers of EXACT integer
+    * arithmetic (HUGEINT product, truncating division), so every DP
+    * comparison and tie is bit-identical across engines — the float
+    * `logp` column is derived from the integer by the same one exact
+    * division + one multiplication on both sides. encode=true
+    * segments the dict once more under the final vocabulary and
+    * re-aggregates the per-source fertility table (the bpeOracle
+    * encode shape, including the LEFT-JOIN zero for wordless docs). */
+  private def unigramOracle(encode: Boolean): String = {
+    val vocabSize = 512
+    val seedSize = 2048
+    val maxLen = 6
+    val maxWord = 16
+    // Q32 log2 over `src` (cols: key, is_total, x) → lg$tag (key,
+    // is_total, lg): 32 exact square-and-compare layers (the
+    // engine's log2Fp loop, verified value-identical in UnigramSpec)
+    def log2Cte(tag: String, src: String): String = {
+      val steps = (1 to 32).map { i =>
+        s"""lg${tag}_$i AS (
+             SELECT key, is_total, ip,
+                    CASE WHEN y2 >= 8589934592 THEN y2 // 2 ELSE y2 END AS y,
+                    frac * 2 + CASE WHEN y2 >= 8589934592 THEN 1 ELSE 0 END AS frac
+             FROM (SELECT key, is_total, ip,
+                          CAST(CAST(y AS HUGEINT) * y // 4294967296 AS BIGINT) AS y2,
+                          frac
+                   FROM lg${tag}_${i - 1}))"""
+      }.mkString(",\n")
+      s"""lg${tag}_0 AS (
+           SELECT key, is_total, ip,
+                  CASE WHEN ip >= 32 THEN x // (CAST(1 AS BIGINT) << greatest(ip - 32, 0))
+                       ELSE x * (CAST(1 AS BIGINT) << greatest(32 - ip, 0)) END AS y,
+                  CAST(0 AS BIGINT) AS frac
+           FROM (SELECT key, is_total, x, length(bin(x)) - 1 AS ip FROM $src)),
+         $steps,
+         lg$tag AS MATERIALIZED (
+           SELECT key, is_total, ip * 4294967296 + frac AS lg FROM lg${tag}_32)"""
+    }
+    // fixed-point piece scores for vocab table v$r (piece, cnt):
+    // fp = log2fp(cnt) − log2fp(Σcnt)
+    def fpCte(r: Int): String =
+      s"""fpsrc$r AS (
+           SELECT piece AS key, false AS is_total, cnt AS x FROM v$r
+           UNION ALL
+           SELECT NULL, true, CAST((SELECT SUM(cnt) FROM v$r) AS BIGINT)),
+         ${log2Cte(r.toString, s"fpsrc$r")},
+         vfp$r AS MATERIALIZED (
+           SELECT v.piece, v.cnt,
+                  l.lg - (SELECT lg FROM lg$r WHERE is_total) AS fp
+           FROM v$r v JOIN lg$r l ON l.key = v.piece AND NOT l.is_total)"""
+    // Viterbi DP for round r over piece scores vfp${r-1}: dp$r_$i =
+    // best (score, longest-last-piece) segmentation of word[1..i]
+    def dpCtes(r: Int): String = {
+      val dp0 =
+        s"""dp${r}_0 AS MATERIALIZED (
+             SELECT word, wcount, CAST(0 AS BIGINT) AS score,
+                    CAST([] AS VARCHAR[]) AS pieces
+             FROM wdict)"""
+      // every dp CTE MUST be MATERIALIZED: dp$i is referenced by up to
+      // $maxLen later positions, so a non-materialized chain inlines
+      // exponentially (the planner never returns)
+      val steps = (1 to maxWord).map { i =>
+        val branches = (1 to math.min(maxLen, i)).map { l =>
+          s"""SELECT d.word, d.wcount, d.score + v.fp AS score,
+                     list_append(d.pieces, v.piece) AS pieces, $l AS l
+              FROM dp${r}_${i - l} d
+              JOIN vfp${r - 1} v ON v.piece = substr(d.word, ${i - l + 1}, $l)
+              WHERE length(d.word) >= $i"""
+        }.mkString("\nUNION ALL\n")
+        s"""dp${r}_$i AS MATERIALIZED (
+             SELECT word, wcount, score, pieces FROM (
+               SELECT word, wcount, score, pieces,
+                      row_number() OVER (PARTITION BY word
+                        ORDER BY score DESC, l DESC) AS rn
+               FROM ($branches) cand) rk
+             WHERE rn = 1)"""
+      }.mkString(",\n")
+      val segs = (1 to maxWord)
+        .map(i => s"SELECT word, wcount, pieces FROM dp${r}_$i WHERE length(word) = $i")
+        .mkString("\nUNION ALL\n")
+      s"""$dp0,
+         $steps,
+         seg$r AS MATERIALIZED ($segs)"""
+    }
+    // piece counts from round r's segmentation, then the selection
+    // rule: previous vocab re-counted, keep (count>0 or alphabet),
+    // rank (count desc, piece), top $vocabSize plus ALL alphabet
+    // pieces, alphabet counts floored at 1
+    def selCtes(r: Int): String =
+      s"""cnt$r AS (
+           SELECT p AS piece, CAST(SUM(wcount) AS BIGINT) AS c
+           FROM (SELECT wcount, unnest(pieces) AS p FROM seg$r)
+           GROUP BY 1),
+         v$r AS MATERIALIZED (
+           SELECT piece, CASE WHEN isalpha THEN greatest(c, 1) ELSE c END AS cnt
+           FROM (
+             SELECT piece, c, isalpha,
+                    row_number() OVER (ORDER BY c DESC, piece) AS rn
+             FROM (SELECT v.piece, COALESCE(t.c, 0) AS c,
+                          v.piece IN (SELECT piece FROM alpha) AS isalpha
+                   FROM v${r - 1} v LEFT JOIN cnt$r t ON t.piece = v.piece)
+             WHERE c > 0 OR isalpha)
+           WHERE rn <= $vocabSize OR isalpha)"""
+    // seeding: every ≤$maxLen-codepoint substring instance of every
+    // dict word, weighted by wcount
+    val subBranches = (1 to maxLen).map { k =>
+      s"""SELECT substr(word, i, $k) AS piece, wcount
+          FROM wdict, unnest(generate_series(1, length(word) - $k + 1)) AS u(i)"""
+    }.mkString("\nUNION ALL\n")
+    val rounds = (1 to 3).map(r => s"${dpCtes(r)},\n${selCtes(r)},\n${fpCte(r)}")
+      .mkString(",\n")
+    val finalSel =
+      if (!encode)
+        s"""SELECT piece, CAST(cnt AS BIGINT) AS "count", fp AS logp_fp,
+                  (CAST(fp AS DOUBLE) / 4294967296.0) * 0.6931471805599453 AS logp
+           FROM vfp3 ORDER BY piece"""
+      else
+        s""",${dpCtes(4)}
+           SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(s.toks) AS BIGINT) AS tokens_total,
+                  CAST(SUM(len(regexp_replace(trim(lower(d.text)), '\\s+', '', 'g'))) AS BIGINT) AS chars_squeezed,
+                  round(CAST(SUM(s.toks) AS DOUBLE) /
+                    SUM(len(regexp_replace(trim(lower(d.text)), '\\s+', '', 'g'))), 4) AS fertility
+           FROM (SELECT d.doc_id, d.source, COALESCE(SUM(g.n), 0) AS toks
+                 FROM (SELECT doc_id, source FROM documents) d
+                 LEFT JOIN dtoks t ON t.doc_id = d.doc_id
+                 LEFT JOIN (SELECT word, CAST(len(pieces) AS BIGINT) AS n FROM seg4) g
+                   ON g.word = t.word
+                 GROUP BY d.doc_id, d.source) s
+           JOIN documents d ON d.doc_id = s.doc_id
+           GROUP BY s.source ORDER BY s.source"""
+    s"""WITH dtoks AS MATERIALIZED (
+         SELECT doc_id, source,
+                unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  x -> x <> '')) AS word
+         FROM documents),
+       wdict AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS wcount
+         FROM dtoks GROUP BY word),
+       subfreq AS MATERIALIZED (
+         SELECT piece, CAST(SUM(wcount) AS BIGINT) AS freq
+         FROM ($subBranches) GROUP BY piece),
+       seedtop AS (SELECT piece, freq FROM subfreq
+                   ORDER BY freq DESC, piece LIMIT $seedSize),
+       alpha AS MATERIALIZED (
+         SELECT piece, freq FROM subfreq WHERE length(piece) = 1),
+       v0 AS MATERIALIZED (
+         SELECT DISTINCT piece, freq AS cnt
+         FROM (SELECT * FROM seedtop UNION ALL SELECT * FROM alpha)),
+       ${fpCte(0)},
+       $rounds
        $finalSel"""
   }
 

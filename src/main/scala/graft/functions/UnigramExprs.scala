@@ -24,12 +24,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * the single code point is consumed at the `Floor` log-prob (the
   * unknown-character escape — unreachable while the alphabet stays
   * in the vocabulary, which the trainer guarantees).
+  *
+  * Scores are FIXED-POINT integer log-probs (Q32 log₂ — see
+  * Unigram.log2Fp), not doubles (r17): argmax under any positive
+  * log-base rescaling is the same segmentation, so the base-2
+  * fixed-point grid preserves unigram-LM semantics exactly while
+  * making every DP comparison (and every tie) integer-exact — the
+  * property that lets an independent SQL engine replay training
+  * bit-for-bit, where a last-ulp ln() divergence between libm
+  * implementations could flip a near-tie argmax. Same determinism
+  * pattern as TimeSeries.decayedScore's score_fp.
   */
 object UnigramKernel {
-  /** Unknown-character escape log-prob. */
-  val Floor: Double = -1e9
+  /** Unknown-character escape log-prob (Q32): low enough that any
+    * in-vocabulary path beats it, high enough that a whole word of
+    * escapes cannot overflow a Long DP sum. */
+  val Floor: Long = -(1L << 55)
 
-  def segment(u: UTF8String, vocab: java.util.HashMap[String, java.lang.Double],
+  def segment(u: UTF8String, vocab: java.util.HashMap[String, java.lang.Long],
               maxLen: Int): ArrayData = {
     val s = u.toString
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
@@ -44,18 +56,18 @@ object UnigramKernel {
       i += 1
     }
     offs(n) = s.length
-    val dp = new Array[Double](n + 1)
+    val dp = new Array[Long](n + 1)
     val back = new Array[Int](n + 1)
     i = 1
     while (i <= n) {
-      var best = Double.NegativeInfinity
+      var best = Long.MinValue
       var bestL = 0
       var l = 1
       val lMax = math.min(maxLen, i)
       while (l <= lMax) {
         val lp = vocab.get(s.substring(offs(i - l), offs(i)))
         if (lp ne null) {
-          val c = dp(i - l) + lp.doubleValue()
+          val c = dp(i - l) + lp.longValue()
           if (c > best || (c == best && l > bestL)) { best = c; bestL = l }
         }
         l += 1
@@ -81,10 +93,10 @@ object UnigramKernel {
 }
 
 case class UnigramSegment(child: Expression, pieces: Array[String],
-                          logps: Array[Double], maxLen: Int)
+                          logps: Array[Long], maxLen: Int)
     extends UnaryExpression {
-  @transient private lazy val vocabMap: java.util.HashMap[String, java.lang.Double] = {
-    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+  @transient private lazy val vocabMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
     var i = 0
     while (i < pieces.length) { m.put(pieces(i), logps(i)); i += 1 }
     m
@@ -106,7 +118,7 @@ case class UnigramSegment(child: Expression, pieces: Array[String],
 }
 
 object UnigramFunctions {
-  def segment(word: Column, pieces: Array[String], logps: Array[Double],
+  def segment(word: Column, pieces: Array[String], logps: Array[Long],
               maxLen: Int): Column =
     CatalystBridge.column(UnigramSegment(CatalystBridge.expression(word),
       pieces, logps, maxLen))

@@ -33,10 +33,50 @@ import org.apache.spark.sql.functions._
   * Single-character pieces are never dropped and count at least 1 in
   * the total (the smoothing that keeps every word segmentable), so
   * Viterbi's unknown-character escape stays unreachable in training.
+  *
+  * Scoring is FIXED-POINT (r17): piece log-probs are Q32 log₂ values
+  * (`logp_fp` = [[log2Fp]](count) − [[log2Fp]](total)) and the
+  * Viterbi DP sums Longs. Rescaling a log base multiplies every path
+  * score by the same positive constant, so the argmax — and every
+  * exact tie, resolved longer-piece-first — is the unigram-LM
+  * segmentation; the integer grid is what makes the whole fit
+  * replayable bit-for-bit by an independent SQL engine (the q_bpe
+  * oracle precedent), where a last-ulp ln() divergence between libm
+  * implementations could flip a near-tie. The reported `logp` double
+  * is derived from the fixed-point value by one exact division and
+  * one multiplication (same two operations on both sides).
   */
 object Unigram {
 
-  final case class Piece(piece: String, count: Long, logp: Double)
+  final case class Piece(piece: String, count: Long, logp_fp: Long, logp: Double)
+
+  /** Exact Q32 fixed-point log₂ of a positive Long: integer part from
+    * the bit length, 32 fractional bits by the classic square-and-
+    * compare bit extraction — every step is integer arithmetic with
+    * defined truncation, so any engine replays it exactly. */
+  def log2Fp(x: Long): Long = {
+    require(x > 0, s"log2Fp: x must be positive, got $x")
+    val ip = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    // y = x / 2^ip normalized into [1, 2) as Q32 (truncating when the
+    // integer part exceeds 32 bits — part of the spec)
+    var y: Long = if (ip >= 32) x >>> (ip - 32) else x << (32 - ip)
+    var frac = 0L
+    var i = 0
+    while (i < 32) {
+      // y² / 2^32 (exact 128-bit product, truncated): y stays Q32
+      y = (Math.multiplyHigh(y, y) << 32) | ((y * y) >>> 32)
+      if (y >= (1L << 33)) { frac = (frac << 1) | 1L; y >>>= 1 }
+      else frac <<= 1
+      i += 1
+    }
+    (ip.toLong << 32) | frac
+  }
+
+  private val Ln2 = 0.6931471805599453
+
+  /** The reported natural-log double, derived from the Q32 value by
+    * one exact power-of-two division and one multiplication. */
+  def logpToDouble(fp: Long): Double = fp.toDouble / 4294967296.0 * Ln2
 
   /** Learn a unigram vocabulary from a (word, wcount) dict (as
     * produced by [[Bpe.wordFreq]]). Returns pieces sorted by piece
@@ -60,7 +100,7 @@ object Unigram {
         .collect().map(r => (r.getString(0), r.getLong(1)))
       var vocab: Seq[(String, Long)] =
         (top ++ alphabet).distinctBy(_._1).toSeq
-      var logp: Map[String, Double] = toLogp(vocab)
+      var logp: Map[String, Long] = toLogpFp(vocab)
 
       // --- hard-EM rounds ---
       var round = 0
@@ -82,17 +122,18 @@ object Unigram {
           .distinctBy(_._1)
           .map { case (p, c) => (p, if (alphaSet.contains(p)) math.max(c, 1L) else c) }
         vocab = kept
-        logp = toLogp(vocab)
+        logp = toLogpFp(vocab)
         round += 1
       }
-      vocab.map { case (p, c) => Piece(p, c, logp(p)) }
+      vocab.map { case (p, c) => Piece(p, c, logp(p), logpToDouble(logp(p))) }
         .sortBy(_.piece).toSeq
     } finally dict.unpersist()
   }
 
-  private def toLogp(vocab: Seq[(String, Long)]): Map[String, Double] = {
+  private def toLogpFp(vocab: Seq[(String, Long)]): Map[String, Long] = {
     val total = vocab.map(_._2).sum
-    vocab.map { case (p, c) => p -> math.log(c.toDouble / total) }.toMap
+    val lgTotal = log2Fp(total)
+    vocab.map { case (p, c) => p -> (log2Fp(c) - lgTotal) }.toMap
   }
 
   /** Corpus-scale application of a learned vocabulary — DICTIONARY-
@@ -105,7 +146,7 @@ object Unigram {
              maxPieceLen: Int = 6): DataFrame = {
     val cols = df.columns
     val pieces = vocab.map(_.piece).toArray
-    val lps = vocab.map(_.logp).toArray
+    val lps = vocab.map(_.logp_fp).toArray
     val dict = Bpe.wordFreq(df, textCol).select(col("word"))
       .withColumn("syms", graft.functions.UnigramFunctions.segment(
         col("word"), pieces, lps, maxPieceLen))
@@ -129,7 +170,7 @@ object Unigram {
     * the kernel (longer piece wins score ties, unknown code points
     * consume one at the floor). Driver-side; the distributed encode
     * path is `UnigramFunctions.segment` over a column. */
-  def segmentWord(word: String, logp: Map[String, Double],
+  def segmentWord(word: String, logp: Map[String, Long],
                   maxPieceLen: Int): Seq[String] = {
     if (word.isEmpty) return Seq.empty
     val n = word.codePointCount(0, word.length)
@@ -140,11 +181,11 @@ object Unigram {
       offs(i) = p; p += Character.charCount(word.codePointAt(p)); i += 1
     }
     offs(n) = word.length
-    val dp = new Array[Double](n + 1)
+    val dp = new Array[Long](n + 1)
     val back = new Array[Int](n + 1)
     i = 1
     while (i <= n) {
-      var best = Double.NegativeInfinity
+      var best = Long.MinValue
       var bestL = 0
       var l = 1
       while (l <= math.min(maxPieceLen, i)) {
@@ -198,9 +239,10 @@ object Unigram {
     val alphabet = all.filter { case (p, _) => p.codePointCount(0, p.length) == 1 }
     val alphaSet = alphabet.map(_._1).toSet
     var vocab: Seq[(String, Long)] = (top ++ alphabet).distinctBy(_._1)
-    def toLp(v: Seq[(String, Long)]): Map[String, Double] = {
+    def toLp(v: Seq[(String, Long)]): Map[String, Long] = {
       val total = v.map(_._2).sum
-      v.map { case (p, c) => p -> math.log(c.toDouble / total) }.toMap
+      val lgTotal = log2Fp(total)
+      v.map { case (p, c) => p -> (log2Fp(c) - lgTotal) }.toMap
     }
     var lp = toLp(vocab)
     var round = 0
@@ -221,6 +263,6 @@ object Unigram {
       lp = toLp(vocab)
       round += 1
     }
-    vocab.map { case (p, c) => Piece(p, c, lp(p)) }.sortBy(_.piece)
+    vocab.map { case (p, c) => Piece(p, c, lp(p), logpToDouble(lp(p))) }.sortBy(_.piece)
   }
 }

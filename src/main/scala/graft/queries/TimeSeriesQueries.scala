@@ -155,7 +155,7 @@ object TimeSeriesQueries {
       // losslessness over the WHOLE dict: segmentation partitions the
       // word, so the joined pieces must reproduce it byte-for-byte
       val pieces = vocab.map(_.piece).toArray
-      val lps = vocab.map(_.logp).toArray
+      val lps = vocab.map(_.logp_fp).toArray
       val broken = words.select(col("word"),
           array_join(graft.functions.UnigramFunctions.segment(
             col("word"), pieces, lps, 6), "").as("rejoined"))

@@ -47,14 +47,44 @@ class UnigramSpec extends AnyFunSuite {
   }
 
   test("segmentWord: losslessness and longer-piece tie-break") {
-    val lp = Map("ab" -> math.log(0.25), "a" -> math.log(0.5),
-      "b" -> math.log(0.5), "c" -> math.log(0.25))
-    // score("ab") = ln(.25); score("a")+score("b") = ln(.25) — equal:
-    // the LONGER piece must win the tie
+    // fixed-point log-probs from counts over total 16: p(ab) = 4/16 =
+    // (8/16)·(8/16) = p(a)·p(b) — exact powers of two, so the Q32
+    // values are exact and the two paths tie exactly
+    def lpFp(c: Long): Long = Unigram.log2Fp(c) - Unigram.log2Fp(16L)
+    val lp = Map("ab" -> lpFp(4), "a" -> lpFp(8), "b" -> lpFp(8), "c" -> lpFp(4))
+    // score("ab") = log2(1/4); score("a")+score("b") = 2·log2(1/2) —
+    // equal: the LONGER piece must win the tie
+    assert(lp("ab") == lp("a") + lp("b"), "tie fixture must be an exact tie")
     assert(Unigram.segmentWord("ab", lp, 6) == Seq("ab"))
     assert(Unigram.segmentWord("abc", lp, 6).mkString("") == "abc")
     // unknown characters consume one code point at the floor
     assert(Unigram.segmentWord("axb", lp, 6) == Seq("a", "x", "b"))
     assert(Unigram.segmentWord("", lp, 6).isEmpty)
+  }
+
+  test("log2Fp: exact on powers of two, monotone, replayable spec") {
+    assert(Unigram.log2Fp(1L) == 0L)
+    assert(Unigram.log2Fp(2L) == (1L << 32))
+    assert(Unigram.log2Fp(1L << 40) == (40L << 32))
+    // exact values cross-checked against the independent DuckDB SQL
+    // replay of the same square-and-compare spec (the q_unigram
+    // oracle's log2fp layers) — these lock the two implementations
+    // together bit-for-bit
+    val expect = Map(3L -> 6807362105L, 7L -> 12057497578L,
+      100L -> 28535145054L, 12345L -> 58375645931L,
+      999999937L -> 128408152354L)
+    expect.foreach { case (x, v) =>
+      assert(Unigram.log2Fp(x) == v, s"log2Fp($x) != DuckDB replay $v")
+    }
+    // against double log2 within one Q32 ulp (truncation is downward)
+    for (x <- Seq(3L, 7L, 100L, 12345L, 999999937L)) {
+      val got = Unigram.log2Fp(x).toDouble / 4294967296.0
+      val want = math.log(x.toDouble) / math.log(2.0)
+      assert(math.abs(got - want) < 1e-9, s"log2Fp($x): $got vs $want")
+    }
+    // strictly monotone over a prefix (distinct counts must never
+    // collapse onto one grid value at vocabulary scales)
+    val vals = (1L to 4096L).map(Unigram.log2Fp)
+    assert(vals == vals.sorted && vals.distinct.size == vals.size)
   }
 }
