@@ -1626,6 +1626,38 @@ object SparkEntry {
          JOIN (SELECT component, count(*) AS n FROM full_lbl GROUP BY 1) c
            USING (component)
          ORDER BY f.vec_id""",
+    // SemDeDup k-means cells (r17 promotion): cell assignment + exact
+    // within-cell cosine replayed from the gate-persisted NORMALIZED
+    // codebook (__GRAFT_AUX__ — Verify substitutes the absolute aux
+    // path; the codebook is the one artifact SQL cannot re-derive).
+    // Ranking is the kernel's rule exactly: dot product against the
+    // normalized centroid, descending, ties to the LOWER cell, top-2
+    // probes. The planted probe rows never appear here: the output
+    // filters to original-corpus pairs, and per-vector assignment is
+    // independent of the rest of the corpus, so only the codebook
+    // carries their influence — exactly what the aux file captures.
+    "q_dedup_kmeans" ->
+      """WITH cents AS MATERIALIZED (
+           SELECT cell, cent
+           FROM read_parquet('__GRAFT_AUX__/kmeans_codebook.parquet/*.parquet')
+         ), e AS MATERIALIZED (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), assigned AS MATERIALIZED (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(e.v, c.cent) DESC, c.cell) AS rn
+             FROM e CROSS JOIN cents c)
+           WHERE rn <= 2
+         ), pairs AS (
+           SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+                  list_cosine_similarity(a.v, b.v) AS cos
+           FROM assigned a JOIN assigned b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         )
+         SELECT id1, id2, round(cos, 4) AS cosine FROM pairs
+         ORDER BY id1, id2""",
     // bigram LM: same add-alpha statistics (bigram-start contexts,
     // distinct-token vocabulary) and the same ln arithmetic; docs
     // with < 2 tokens score (0, 0.0)

@@ -27,6 +27,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.remote.GraftServer.quietMetastoreLogs()
     new java.io.File(outDir).mkdirs()
+    // Oracle AUX channel (r17, q_dedup_kmeans promotion): gates whose
+    // oracle needs a gate-trained artifact that pure SQL cannot
+    // re-derive (the k-means codebook — distributed double-sum
+    // training is not order-replayable) persist it HERE during their
+    // run; the dumped oracle SQL references it by absolute path (the
+    // __GRAFT_AUX__ substitution below), sibling to outDir so the
+    // driver's DuckDB — which already reads outDir's parquet — can
+    // read it from the same filesystem. Set only by Verify: bench and
+    // production runs never pay the write.
+    val auxDir = new java.io.File(
+      outDir.replaceAll("/+$", "") + "_aux").getAbsolutePath
+    spark.conf.set("spark.graft.oracle.auxDir", auxDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -49,7 +61,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_AUX__", auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.RemoteQueries.stopAll()
     spark.stop()

@@ -2101,6 +2101,19 @@ object PipelineQueries {
     // with the pairing pass via the -With seam)
     val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
       k = graft.ops.Dedup.sizeCells(n))
+    // Oracle AUX (r17): the codebook is the one gate-trained artifact
+    // SQL cannot re-derive (distributed double-sum training is not
+    // order-replayable) — persist the NORMALIZED form (exactly what
+    // NearestCellsExpr ranks against) so DuckDB replays assignment +
+    // within-cell exact cosine from it. Written only under Verify
+    // (graft.oracle.auxDir set); bench runs skip it.
+    s.conf.getOption("spark.graft.oracle.auxDir").foreach { aux =>
+      import s.implicits._
+      graft.functions.VectorSim.normalizeCodebook(cents).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cent")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$aux/kmeans_codebook.parquet")
+    }
     val cellSizes = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c"))).head.getLong(0)
