@@ -1658,6 +1658,18 @@ object SparkEntry {
          )
          SELECT id1, id2, round(cos, 4) AS cosine FROM pairs
          ORDER BY id1, id2""",
+    // IVF top-k family (r17 promotion, same aux-codebook mechanism):
+    // all three gates return the identical logical ranking — corpus
+    // assigned to its nearest cell, queries (vec_id < 200) probing
+    // their 4 nearest cells, candidates scored by exact cosine, top-3
+    // per query with item_id tie-break — over the FULL corpus
+    // (q_sim_ivf in memory; _indexed over the persisted
+    // cell-partitioned index, asserted row-identical in-gate;
+    // _append over an even/odd build+append of the same corpus, same
+    // assertion). Each gate persists its own trained codebook.
+    "q_sim_ivf" -> ivfOracle("ivf_codebook"),
+    "q_sim_ivf_indexed" -> ivfOracle("ivf_indexed_codebook"),
+    "q_sim_ivf_append" -> ivfOracle("ivf_append_codebook"),
     // bigram LM: same add-alpha statistics (bigram-start contexts,
     // distinct-token vocabulary) and the same ln arithmetic; docs
     // with < 2 tokens score (0, 0.0)
@@ -3135,6 +3147,41 @@ object SparkEntry {
        $steps
        $finalSel"""
   }
+
+  /** IVF top-k DuckDB replay from a gate-persisted NORMALIZED
+    * codebook (`__GRAFT_AUX__/<auxFile>.parquet`): corpus rows take
+    * their rank-1 cell, query rows (vec_id < 200) their 4 nearest
+    * cells — both by (dot product vs normalized centroid DESC, cell
+    * ASC), the NearestCellsExpr rule — then exact cosine over shared
+    * cells, row_number (cosine DESC, item_id ASC), top 3. */
+  private def ivfOracle(auxFile: String): String =
+    s"""WITH cents AS MATERIALIZED (
+         SELECT cell, cent
+         FROM read_parquet('__GRAFT_AUX__/$auxFile.parquet/*.parquet')
+       ), e AS MATERIALIZED (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), ranked_cells AS MATERIALIZED (
+         SELECT e.vec_id, e.v, c.cell,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_dot_product(e.v, c.cent) DESC, c.cell) AS rn
+         FROM e CROSS JOIN cents c
+       ), ca AS MATERIALIZED (
+         SELECT vec_id, v, cell FROM ranked_cells WHERE rn = 1
+       ), qa AS MATERIALIZED (
+         SELECT vec_id, v, cell FROM ranked_cells
+         WHERE rn <= 4 AND vec_id < 200
+       ), scored AS (
+         SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+                list_cosine_similarity(q.v, i.v) AS cos
+         FROM qa q JOIN ca i USING (cell)
+         WHERE i.vec_id <> q.vec_id
+       )
+       SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
+         SELECT query_id, item_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, item_id) AS rank
+         FROM scored)
+       WHERE rank <= 3 ORDER BY query_id, rank"""
 
   /** Full DuckDB replay of the unigram-LM tokenizer trainer
     * (q_unigram / q_unigram_encode, r17 — promoted from no_oracle via

@@ -1470,6 +1470,7 @@ object PipelineQueries {
   def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 3)
+    persistOracleCodebook(s, "ivf_codebook", cents)
     val queries = e.filter(col("vec_id") < 200)
     Similarity.ivfTopK(e, "vec_id", "embedding", queries, "vec_id", "embedding",
         k = 3, cents, nprobe = 4)
@@ -1488,6 +1489,7 @@ object PipelineQueries {
   def qSimIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 3)
+    persistOracleCodebook(s, "ivf_indexed_codebook", cents)
     val queries = e.filter(col("vec_id") < 200)
     withTempIndexDir("graft_ivf_gate_") { idx =>
       Similarity.buildIvfIndex(e, "vec_id", "embedding", idx, cents)
@@ -1982,6 +1984,7 @@ object PipelineQueries {
   def qSimIvfAppend(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 3)
+    persistOracleCodebook(s, "ivf_append_codebook", cents)
     val queries = e.filter(col("vec_id") < 200)
     withTempIndexDir("graft_ivf_append_gate_") { idx =>
       Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
@@ -2085,6 +2088,22 @@ object PipelineQueries {
     *      near-threshold noise, adversarial for ANY clustering; the
     *      0.4 output threshold just keeps the result non-degenerate).
     */
+  /** Oracle AUX (r17): a gate-trained codebook is the one artifact
+    * SQL cannot re-derive (distributed double-sum k-means training is
+    * not order-replayable) — persist the NORMALIZED form (exactly
+    * what NearestCellsExpr ranks against) so DuckDB replays cell
+    * assignment + exact cosine from it. Written only under Verify
+    * (graft.oracle.auxDir set); bench and production runs skip it. */
+  private def persistOracleCodebook(s: SparkSession, name: String,
+                                    cents: Array[Array[Double]]): Unit =
+    s.conf.getOption("spark.graft.oracle.auxDir").foreach { aux =>
+      import s.implicits._
+      graft.functions.VectorSim.normalizeCodebook(cents).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cent")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$aux/$name.parquet")
+    }
+
   def qDedupKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
@@ -2101,19 +2120,7 @@ object PipelineQueries {
     // with the pairing pass via the -With seam)
     val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
       k = graft.ops.Dedup.sizeCells(n))
-    // Oracle AUX (r17): the codebook is the one gate-trained artifact
-    // SQL cannot re-derive (distributed double-sum training is not
-    // order-replayable) — persist the NORMALIZED form (exactly what
-    // NearestCellsExpr ranks against) so DuckDB replays assignment +
-    // within-cell exact cosine from it. Written only under Verify
-    // (graft.oracle.auxDir set); bench runs skip it.
-    s.conf.getOption("spark.graft.oracle.auxDir").foreach { aux =>
-      import s.implicits._
-      graft.functions.VectorSim.normalizeCodebook(cents).zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cent")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$aux/kmeans_codebook.parquet")
-    }
+    persistOracleCodebook(s, "kmeans_codebook", cents)
     val cellSizes = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c"))).head.getLong(0)
