@@ -1670,6 +1670,57 @@ object SparkEntry {
     "q_sim_ivf" -> ivfOracle("ivf_codebook"),
     "q_sim_ivf_indexed" -> ivfOracle("ivf_indexed_codebook"),
     "q_sim_ivf_append" -> ivfOracle("ivf_append_codebook"),
+    // Hyperplane-LSH embedding near-dup survivors (r17 promotion): the
+    // planes are formula-derived, so the WHOLE pipeline — auto-sized
+    // planes, 12-table signatures, 2000-cap bucket drop, candidate
+    // pairing, exact-cosine ≥ 0.9 verify, min-id-keeps greedy drop —
+    // replays in SQL with no aux artifact at all. The planted-probe
+    // recall floors stay engine-side (they assert on a separate
+    // sliced+planted corpus that never reaches this output).
+    "q_dedup_embed" ->
+      s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ),
+         ${lshSigCtes(tables = 12, occupancy = 32)},
+         okb AS (SELECT tbl, sig FROM sig GROUP BY tbl, sig
+                 HAVING count(*) <= 2000),
+         banded AS (SELECT s.vec_id, s.tbl, s.sig
+                    FROM sig s JOIN okb USING (tbl, sig)),
+         cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+                  FROM banded a JOIN banded b USING (tbl, sig)
+                  WHERE a.vec_id < b.vec_id),
+         dropped AS (SELECT DISTINCT c.id2 AS vec_id
+                     FROM cand c
+                     JOIN e ea ON ea.vec_id = c.id1
+                     JOIN e eb ON eb.vec_id = c.id2
+                     WHERE list_cosine_similarity(ea.v, eb.v) >= 0.9)
+         SELECT e.vec_id, e.label FROM e
+         LEFT JOIN dropped d ON d.vec_id = e.vec_id
+         WHERE d.vec_id IS NULL ORDER BY e.vec_id""",
+    // LSH top-k (r17 promotion, same machinery at the 8-table /
+    // occupancy-128 operating point): every bucket-sharing ordered
+    // pair scored by exact cosine, row_number (cosine desc, item_id)
+    // per query, top 3. The planted-neighbor recall probe stays
+    // engine-side (separate synthetic corpus).
+    "q_sim_lsh" ->
+      s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ),
+         ${lshSigCtes(tables = 8, occupancy = 128)},
+         cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS item_id
+                  FROM sig a JOIN sig b USING (tbl, sig)
+                  WHERE a.vec_id <> b.vec_id),
+         scored AS (SELECT c.query_id, c.item_id,
+                           list_cosine_similarity(ei.v, eq.v) AS cos
+                    FROM cand c
+                    JOIN e eq ON eq.vec_id = c.query_id
+                    JOIN e ei ON ei.vec_id = c.item_id)
+         SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
+           SELECT query_id, item_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, item_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     // bigram LM: same add-alpha statistics (bigram-start contexts,
     // distinct-token vocabulary) and the same ln arithmetic; docs
     // with < 2 tokens score (0, 0.0)
@@ -3146,6 +3197,47 @@ object SparkEntry {
          FROM dtoks GROUP BY word),
        $steps
        $finalSel"""
+  }
+
+  /** Hyperplane-LSH signature machinery as shared CTEs over an `e`
+    * CTE the caller defines (vec_id, …, v DOUBLE[]) — the r17 replay
+    * that promotes q_dedup_embed / q_sim_lsh: the hyperplanes are
+    * FORMULA-DERIVED (VectorSim.weight: TextHash.combine(tbl·1024+p,
+    * d) → floorMod 2000001 → [-1, 1]), so the whole signature is
+    * deterministic SQL — [[combineSql]] replays the hash, the weight
+    * lists assemble in dimension order, and each sign bit is the
+    * left-to-right double dot product's `>= 0` exactly as the kernel
+    * computes it. `planes` auto-sizes from the corpus count with the
+    * engine's max(4, ceil(log₂(n/occupancy))) formula. Produces
+    * `sig` (vec_id, tbl, sig). */
+  private def lshSigCtes(tables: Int, occupancy: Int): String = {
+    val comb = combineSql(Seq("tbl", "p", "d"), "famU", "dU")
+      .replace("__SRC__", "gridw")
+    s"""nw AS (SELECT count(*) AS n FROM e),
+       pl AS (SELECT greatest(4, CAST(ceil(ln(greatest(1.0, n / $occupancy.0))
+                / ln(2.0)) AS INTEGER)) AS planes FROM nw),
+       gridw AS MATERIALIZED (
+         SELECT t.tbl, p.p, CAST(t.tbl * 1024 + p.p AS UBIGINT) AS famU,
+                d.d, CAST(d.d AS UBIGINT) AS dU
+         FROM (SELECT unnest(range($tables)) AS tbl) t,
+              (SELECT unnest(range((SELECT planes FROM pl))) AS p) p,
+              (SELECT unnest(range(64)) AS d) d),
+       weightsw AS MATERIALIZED (
+         SELECT tbl, p, d,
+                (CAST(((sm % 2000001) + 2000001) % 2000001 AS DOUBLE)
+                  - 1000000.0) / 1000000.0 AS w
+         FROM (SELECT tbl, p, d,
+                 CASE WHEN comb >= CAST(9223372036854775808 AS UBIGINT)
+                      THEN CAST(comb AS HUGEINT) - 18446744073709551616
+                      ELSE CAST(comb AS HUGEINT) END AS sm
+               FROM $comb qcmb) sgn),
+       wl AS MATERIALIZED (
+         SELECT tbl, p, list(w ORDER BY d) AS wl FROM weightsw GROUP BY tbl, p),
+       sig AS MATERIALIZED (
+         SELECT e.vec_id, w.tbl,
+                CAST(SUM(CASE WHEN list_dot_product(e.v, w.wl) >= 0
+                              THEN CAST(1 AS BIGINT) << w.p ELSE 0 END) AS BIGINT) AS sig
+         FROM e CROSS JOIN wl w GROUP BY e.vec_id, w.tbl)"""
   }
 
   /** IVF top-k DuckDB replay from a gate-persisted NORMALIZED
