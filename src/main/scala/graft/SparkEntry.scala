@@ -1670,6 +1670,16 @@ object SparkEntry {
     "q_sim_ivf" -> ivfOracle("ivf_codebook"),
     "q_sim_ivf_indexed" -> ivfOracle("ivf_indexed_codebook"),
     "q_sim_ivf_append" -> ivfOracle("ivf_append_codebook"),
+    // PQ ANN (r17 promotion): sub-codebooks persisted in raw +
+    // normalized form via the aux channel; the replay normalizes each
+    // corpus vector through the engine's exact float round-trip,
+    // encodes each 8-dim slice by (dot vs normalized sub-centroid
+    // desc, cell asc), builds per-query LUTs from the RAW centroids
+    // against the (double-precision) normalized query, sums the ADC
+    // as an explicit left-associative 8-term expression (the kernel's
+    // j-order), pools top-48 by (adc desc, item_id), exact-cosine
+    // re-ranks to top 3. The brute-force recall floor stays in-gate.
+    "q_sim_pq" -> pqOracle(m = 8, ksub = 256, subDim = 8),
     // Hyperplane-LSH embedding near-dup survivors (r17 promotion): the
     // planes are formula-derived, so the WHOLE pipeline — auto-sized
     // planes, 12-table signatures, 2000-cap bucket drop, candidate
@@ -3197,6 +3207,83 @@ object SparkEntry {
          FROM dtoks GROUP BY word),
        $steps
        $finalSel"""
+  }
+
+  /** PQ ANN DuckDB replay (q_sim_pq, r17) — see the oracle-map entry
+    * for the step-by-step semantics. `pool·k` is fixed at 48 (pool 16,
+    * k 3) matching the gate's call. */
+  private def pqOracle(m: Int, ksub: Int, subDim: Int): String = {
+    // explicit left-associative j-order sum — the ADC kernel's loop
+    val adcSum = (0 until m)
+      .map(j => s"q.lut[${j * ksub} + it.codes[${j + 1}] + 1]")
+      .mkString(" + ")
+    val subCodes = (0 until m).map { j =>
+      s"""SELECT en.vec_id, $j AS j,
+             en.vn[${j * subDim + 1}:${(j + 1) * subDim}] AS sub
+          FROM en"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cb AS MATERIALIZED (
+         SELECT j, c, cent, ncent
+         FROM read_parquet('__GRAFT_AUX__/pq_codebook.parquet/*.parquet')
+       ), e AS MATERIALIZED (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), en AS MATERIALIZED (
+         -- the engine's l2normalizedF: double norm, per-element
+         -- double division rounded through FLOAT, zero-norm passthrough
+         SELECT vec_id, v,
+                CASE WHEN nrm = 0 THEN v
+                     ELSE list_transform(v, x ->
+                       CAST(CAST(x / nrm AS FLOAT) AS DOUBLE)) END AS vn
+         FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       ), subs AS MATERIALIZED ($subCodes
+       ), coded AS MATERIALIZED (
+         SELECT vec_id, j, c AS code FROM (
+           SELECT s.vec_id, s.j, cb.c,
+                  row_number() OVER (PARTITION BY s.vec_id, s.j
+                    ORDER BY list_dot_product(s.sub, cb.ncent) DESC, cb.c) AS rn
+           FROM subs s JOIN cb ON cb.j = s.j) WHERE rn = 1
+       ), codes AS MATERIALIZED (
+         SELECT vec_id AS item_id, list(code ORDER BY j) AS codes
+         FROM coded GROUP BY vec_id
+       ), qn AS MATERIALIZED (
+         -- query normalization stays DOUBLE precision (the driver-side
+         -- LUT path never rounds through float)
+         SELECT vec_id AS query_id, v,
+                CASE WHEN nrm = 0 THEN v
+                     ELSE list_transform(v, x -> x / nrm) END AS vn
+         FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+               FROM e WHERE vec_id < 100)
+       ), lutvals AS MATERIALIZED (
+         SELECT q.query_id, cb.j, cb.c,
+                list_dot_product(
+                  q.vn[cb.j * $subDim + 1:(cb.j + 1) * $subDim], cb.cent) AS lv
+         FROM qn q CROSS JOIN cb
+       ), lutflat AS MATERIALIZED (
+         SELECT query_id, list(lv ORDER BY j, c) AS lut
+         FROM lutvals GROUP BY query_id
+       ), adc AS MATERIALIZED (
+         SELECT q.query_id, it.item_id, $adcSum AS adc
+         FROM codes it CROSS JOIN lutflat q
+         WHERE it.item_id <> q.query_id
+       ), cand AS (
+         SELECT query_id, item_id FROM (
+           SELECT query_id, item_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc DESC, item_id) AS arank
+           FROM adc) WHERE arank <= 48
+       ), scored AS (
+         SELECT c.query_id, c.item_id,
+                list_cosine_similarity(ei.v, eq.v) AS cos
+         FROM cand c
+         JOIN e ei ON ei.vec_id = c.item_id
+         JOIN e eq ON eq.vec_id = c.query_id
+       )
+       SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
+         SELECT query_id, item_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, item_id) AS rank
+         FROM scored)
+       WHERE rank <= 3 ORDER BY query_id, rank"""
   }
 
   /** Hyperplane-LSH signature machinery as shared CTEs over an `e`

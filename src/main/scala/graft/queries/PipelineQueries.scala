@@ -2028,6 +2028,18 @@ object PipelineQueries {
     // (ADC scan + its brute-force self-check both scale with queries)
     val queries = e.filter(col("vec_id") < 100)
     val cbs = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 256, iters = 3)
+    // Oracle AUX (r17): persist each sub-codebook in BOTH forms the
+    // replay needs — RAW (the LUT dot products) and NORMALIZED (what
+    // NearestCellsExpr ranks against when encoding)
+    s.conf.getOption("spark.graft.oracle.auxDir").foreach { aux =>
+      import s.implicits._
+      val rows = cbs.indices.flatMap { j =>
+        val norm = graft.functions.VectorSim.normalizeCodebook(cbs(j))
+        cbs(j).indices.map(c => (j, c, cbs(j)(c).toSeq, norm(c).toSeq))
+      }
+      rows.toDF("j", "c", "cent", "ncent").coalesce(1)
+        .write.mode("overwrite").parquet(s"$aux/pq_codebook.parquet")
+    }
     val pq = Similarity.pqTopK(e, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 3, cbs, pool = 16)
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
