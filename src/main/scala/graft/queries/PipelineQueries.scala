@@ -2032,13 +2032,19 @@ object PipelineQueries {
     // replay needs — RAW (the LUT dot products) and NORMALIZED (what
     // NearestCellsExpr ranks against when encoding)
     s.conf.getOption("spark.graft.oracle.auxDir").foreach { aux =>
-      import s.implicits._
-      val rows = cbs.indices.flatMap { j =>
-        val norm = graft.functions.VectorSim.normalizeCodebook(cbs(j))
-        cbs(j).indices.map(c => (j, c, cbs(j)(c).toSeq, norm(c).toSeq))
+      // same failure isolation as persistOracleCodebook: the gate's
+      // engine result survives a failed aux write
+      try {
+        import s.implicits._
+        val rows = cbs.indices.flatMap { j =>
+          val norm = graft.functions.VectorSim.normalizeCodebook(cbs(j))
+          cbs(j).indices.map(c => (j, c, cbs(j)(c).toSeq, norm(c).toSeq))
+        }
+        rows.toDF("j", "c", "cent", "ncent").coalesce(1)
+          .write.mode("overwrite").parquet(s"$aux/pq_codebook.parquet")
+      } catch { case e: Throwable =>
+        System.err.println(s"[graft] oracle aux write pq_codebook failed (gate continues): ${e.getMessage}")
       }
-      rows.toDF("j", "c", "cent", "ncent").coalesce(1)
-        .write.mode("overwrite").parquet(s"$aux/pq_codebook.parquet")
     }
     val pq = Similarity.pqTopK(e, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 3, cbs, pool = 16)
@@ -2109,11 +2115,18 @@ object PipelineQueries {
   private def persistOracleCodebook(s: SparkSession, name: String,
                                     cents: Array[Array[Double]]): Unit =
     s.conf.getOption("spark.graft.oracle.auxDir").foreach { aux =>
-      import s.implicits._
-      graft.functions.VectorSim.normalizeCodebook(cents).zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cent")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$aux/$name.parquet")
+      // a failed aux write must not take the GATE down with it: the
+      // engine result is still correct — only the oracle side of this
+      // one query can no longer replay (it errors visibly there)
+      try {
+        import s.implicits._
+        graft.functions.VectorSim.normalizeCodebook(cents).zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cent")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$aux/$name.parquet")
+      } catch { case e: Throwable =>
+        System.err.println(s"[graft] oracle aux write $name failed (gate continues): ${e.getMessage}")
+      }
     }
 
   def qDedupKmeans(s: SparkSession, dir: String): DataFrame = {
