@@ -1997,6 +1997,28 @@ object SparkEntry {
     "q_sketch_cms_exact" ->
       """SELECT user_id, count(*) AS exact_n
          FROM events GROUP BY 1 ORDER BY user_id""",
+    // count-min ESTIMATES (r17 promotion): the cells are
+    // pmod(xxhash64(CAST(key AS STRING), r), 256) and Spark's XXH64 is
+    // pure wrapping 64-bit arithmetic — replayed exactly by
+    // [[xxh64BucketCtes]], so the sketch build (cell = Σ exact counts
+    // of keys hashing there) and the per-key min-over-rows estimate
+    // are both integer-exact. The Markov-bound assertions stay
+    // in-gate. width 256 divides 2^64, so the unsigned mod equals
+    // Spark's pmod of the signed hash.
+    "q_sketch_cms" ->
+      s"""WITH keys AS MATERIALIZED (
+           SELECT user_id AS u, CAST(user_id AS VARCHAR) AS s
+           FROM (SELECT DISTINCT user_id FROM events)),
+         ${xxh64BucketCtes(depth = 4, width = 256)},
+         exact AS MATERIALIZED (
+           SELECT user_id AS u, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         cells AS MATERIALIZED (
+           SELECT b.r, b.bucket, CAST(SUM(e.c) AS BIGINT) AS cnt
+           FROM buckets b JOIN exact e USING (u) GROUP BY 1, 2)
+         SELECT b.u AS user_id, MIN(cl.cnt) AS est
+         FROM buckets b JOIN cells cl ON cl.r = b.r AND cl.bucket = b.bucket
+         GROUP BY b.u ORDER BY user_id""",
     // one-pass column profile: numeric stats null for strings & vice
     // versa; avg rounded on both engines
     "q_profile" -> Seq(
@@ -3207,6 +3229,95 @@ object SparkEntry {
          FROM dtoks GROUP BY word),
        $steps
        $finalSel"""
+  }
+
+  /** Exact DuckDB replay of Spark's xxhash64(key_string, salt_int)
+    * (r17, promotes q_sketch_cms): the count-min cells are
+    * `pmod(xxhash64(CAST(key AS STRING), r), width)`, and Spark's
+    * XXH64 chain — string bytes hashed at seed 42, then the int salt
+    * hashed at the string hash as seed — is pure 64-bit wrapping
+    * arithmetic, replayed here with the HUGEINT-decomposed multiply
+    * [[combineSql]] established. Branches are generated per key
+    * string length 1..8 (decimal BIGINT keys; a longer key simply
+    * drops out of the union and the gate fails LOUDLY as a row-count
+    * mismatch). Validated bit-identical against pyspark's xxhash64 on
+    * probe keys and against an independent python model over every
+    * fixture key before wiring. Emits `buckets` (u, r, bucket) for
+    * r = 0..depth-1 over CTE `keys(u, s)` the caller defines. */
+  private def xxh64BucketCtes(depth: Int, width: Int): String = {
+    val M64 = "18446744073709551616"
+    val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+    def mulc(x: String, c: Long): String = {
+      val hi = c >>> 32; val lo = c & 0xFFFFFFFFL
+      s"CAST((CAST($x AS HUGEINT) * $lo + ((CAST($x AS HUGEINT) * $hi) % 4294967296) * 4294967296) % $M64 AS UBIGINT)"
+    }
+    def rotl(x: String, k: Int): String =
+      s"CAST(((CAST($x AS HUGEINT) * ${1L << k}) % $M64 + CAST($x AS HUGEINT) // ${1L << (64 - k)}) AS UBIGINT)"
+    def addc(x: String, c: Long): String =
+      s"CAST((CAST($x AS HUGEINT) + ${u(c)}) % $M64 AS UBIGINT)"
+    var n = 0
+    def chainSel(src: String, keep: String, steps: Seq[String]): String =
+      steps.foldLeft(src) { (q, s) =>
+        n += 1; s"(SELECT $keep, $s AS h FROM $q ch$n)"
+      }
+    val fmix = Seq(
+      s"xor(h, h // ${1L << 33})", mulc("h", P2),
+      s"xor(h, h // ${1L << 29})", mulc("h", P3),
+      s"xor(h, h // ${1L << 32})")
+    def branch(len: Int): String = {
+      val init = s"CAST(${u(42L + P5 + len)} AS UBIGINT)"
+      val keep = "u, k8, k4a, k4b, b1, b2, b3, b4, b5, b6, b7, b8"
+      var first = true
+      def base = { val b = if (first) init else "h"; first = false; b }
+      val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+      var off = 0
+      if (len >= 8) { // one full 8-byte word: k1 round
+        steps += s"xor($base, ${mulc(rotl(mulc("k8", P2), 31), P1)})"
+        steps += rotl("h", 27); steps += mulc("h", P1); steps += addc("h", P4)
+        off = 8
+      }
+      if (len - off >= 4) { // 4-byte tail step
+        val k4 = if (off == 0) "k4a" else "k4b"
+        steps += s"xor($base, ${mulc(k4, P1)})"
+        steps += rotl("h", 23); steps += mulc("h", P2); steps += addc("h", P3)
+        off += 4
+      }
+      ((off + 1) to len).foreach { j => // byte tail steps
+        steps += s"xor($base, ${mulc(s"b$j", P5)})"
+        steps += rotl("h", 11); steps += mulc("h", P1)
+      }
+      steps ++= fmix
+      chainSel(s"(SELECT $keep FROM ub2 WHERE L = $len)", keep, steps.toSeq)
+    }
+    val saltRows = (0 until depth)
+      .map(r => s"(CAST($r AS INTEGER), CAST('${u(r * P1)}' AS UBIGINT))")
+      .mkString(", ")
+    val saltChain = chainSel("(SELECT * FROM hsalt0)", "u, r",
+      Seq(s"xor(${addc("h", P5 + 4L)}, saltc)",
+        rotl("h", 23), mulc("h", P2), addc("h", P3)) ++ fmix)
+    def byteAt(j: Int): String =
+      s"CAST(CASE WHEN length(s) >= $j THEN ord(substr(s,$j,1)) ELSE 0 END AS UBIGINT)"
+    val byteCols = (1 to 8).map(j => s"${byteAt(j)} AS b$j").mkString(", ")
+    val k4a = (1 to 4).map(j => s"b$j * ${u(1L << (8 * (j - 1)))}").mkString(" + ")
+    val k4b = (5 to 8).map(j => s"b$j * ${u(1L << (8 * (j - 5)))}").mkString(" + ")
+    val k8 = (1 to 8).map(j => s"CAST(b$j AS HUGEINT) * ${u(1L << (8 * (j - 1)))}").mkString(" + ")
+    s"""ub AS MATERIALIZED (
+         SELECT u, length(s) AS L, $byteCols FROM keys),
+       ub2 AS MATERIALIZED (
+         SELECT *, $k4a AS k4a, $k4b AS k4b,
+                CAST(($k8) % $M64 AS UBIGINT) AS k8
+         FROM ub),
+       hstr AS MATERIALIZED (
+         ${(1 to 8).map(l => s"SELECT u, h FROM ${branch(l)} bb$l")
+             .mkString("\nUNION ALL\n")}),
+       hsalt0 AS (
+         SELECT hstr.u, st.r, st.saltc, hstr.h
+         FROM hstr CROSS JOIN (VALUES $saltRows) st(r, saltc)),
+       buckets AS MATERIALIZED (
+         SELECT u, r, CAST(h % $width AS BIGINT) AS bucket FROM $saltChain fc)"""
   }
 
   /** PQ ANN DuckDB replay (q_sim_pq, r17) — see the oracle-map entry
