@@ -201,24 +201,34 @@ object Bpe {
     *
     * Output adds `bpe_tokens` (array, in word order) and
     * `n_bpe_tokens`. Rows with no tokens get empty arrays. */
-  def encode(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
-    val cols = df.columns
+  def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
+             idCol: String = "doc_id"): DataFrame = {
     val dict = segmentDict(wordFreq(df, textCol), merges)
       .select(col("word"), col("syms"), size(col("syms")).cast("long").as("n"))
+    // Reassembly is keyed on `idCol` ALONE (r17, guide §2.3/§8): the
+    // token explode previously carried EVERY column — including the
+    // full document text — so the dictionary join and the
+    // reassembling aggregate moved (and, past the object-hash-agg
+    // fallback threshold, SORTED) the text once per token. Now the
+    // explode ships (id, pos, word), the aggregate shuffles (id,
+    // pieces), and the documents' payload columns attach once by id.
     val exploded = df
-      .withColumn("__words", filter(split(btrim(lower(col(textCol))), "\\s+"),
-        w => w =!= ""))
-      .select(col("*"), posexplode_outer(col("__words")).as(Seq("__pos", "word")))
-      .drop("__words")
-    val joined = exploded.join(dict, Seq("word"), "left")
-    joined
-      .groupBy(cols.map(col): _*)
+      .select(col(idCol).as("__eid"),
+        filter(split(btrim(lower(col(textCol))), "\\s+"), w => w =!= "").as("__words"))
+      .select(col("__eid"), posexplode_outer(col("__words")).as(Seq("__pos", "word")))
+    val perDoc = exploded.join(dict, Seq("word"), "left")
+      .groupBy(col("__eid"))
       .agg(
         coalesce(
           flatten(array_sort(collect_list(struct(col("__pos"), col("syms"))))
             .getField("syms")),
           array().cast("array<string>")).as("bpe_tokens"),
         coalesce(sum(col("n")), lit(0L)).as("n_bpe_tokens"))
+    df.join(perDoc, df(idCol) === perDoc("__eid"), "left")
+      .drop("__eid")
+      .withColumn("bpe_tokens",
+        coalesce(col("bpe_tokens"), array().cast("array<string>")))
+      .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
   }
 
   /** Apply the merge chain to a word-frequency dict: the WHOLE

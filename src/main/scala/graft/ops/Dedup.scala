@@ -278,8 +278,13 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 64, bands: Int = 16,
                         maxBucket: Int = 1000): DataFrame =
+    // Pinned (r17, guide §2.4): minhashCandidatesSigned consumes the
+    // signature frame several times (capBuckets twice, the pair join
+    // twice) — unpinned, each walk re-ran the corpus scan + the
+    // 64-hash MinHash kernel, the call's dominant compute.
     minhashCandidatesSigned(
-      df.select(col(idCol).as("id"), minhashSignature(col(textCol), k, numHashes).as("sig")),
+      df.select(col(idCol).as("id"), minhashSignature(col(textCol), k, numHashes).as("sig"))
+        .localCheckpoint(true),
       numHashes, bands, maxBucket)
 
   /** Candidate pairs from a PRECOMPUTED (id, sig) frame — the seam that
@@ -360,8 +365,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, threshold: Double = 0.7,
                         maxPostings: Int = 1000): DataFrame = {
+    // Pinned (r17, guide §2.4): this frame feeds THREE consumers — the
+    // postings explode and both verify-join sides — and capBuckets
+    // walks its input twice more, so the unpinned plan re-ran the
+    // corpus scan + shingle kernel up to 6× per call (the CC family
+    // calls this once per gate: q_dedup_cc/_canonical/_ngram/
+    // q_split_leakfree each re-paid it). (id, hashes) is bytes per
+    // row; blocks are reclaimed by the ContextCleaner once the result
+    // is dereferenced (the Overlap.maskMatrix precedent).
     val sh = df.select(col(idCol).as("id"),
       array_distinct(graft.functions.TextHashFunctions.shingleHashes(col(textCol), k)).as("sh"))
+      .localCheckpoint(true)
 
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
     val postings = capBuckets(exploded, Seq("s"), maxPostings) // postings cap
@@ -523,8 +537,14 @@ object Dedup {
     * dropped before pairing. Measured: without this, a corpus where
     * each doc has 9 near-copies paired at ~50× the 10×-data cost
     * (SCALE.md "Scaling study"). */
-  private[ops] def hammingBand64Pairs(hashed: DataFrame, maxHamming: Int,
+  private[ops] def hammingBand64Pairs(hashed0: DataFrame, maxHamming: Int,
                                       maxBucket: Int): DataFrame = {
+    // Pinned (r17, guide §2.4): `banded` is walked twice by capBuckets
+    // and the capped frame twice more by the pair join, so the unpinned
+    // plan re-ran the corpus scan + hash kernel (simhash / dHash /
+    // audio fingerprint — the expensive part) up to 4× per call.
+    // (id, hash) is 16 bytes per row.
+    val hashed = hashed0.localCheckpoint(true)
     val banded = hashed.select(col("id"), col("h"),
       posexplode(hammingBands(col("h"), maxHamming)))
       .select(col("id"), col("h"), col("pos").as("band"), col("col").as("bucket"))
@@ -619,8 +639,12 @@ object Dedup {
     val sigs = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         Similarity.hyperplaneSignature(col(vecCol), nPlanes, seed = t).as("sig"))): _*)
+    // pinned (r17, guide §2.4): capBuckets walks this twice and the
+    // pair join twice more — unpinned, each walk re-ran the corpus
+    // scan + `tables` hyperplane-signature kernels. 24 bytes/row.
     val banded0 = df.select(col(idCol).as("id"), explode(sigs).as("b"))
       .select(col("id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+      .localCheckpoint(true)
     // skew guard: a hyperplane bucket crowded past maxBucket —
     // duplicate-flooded or degenerate (all-zero vectors hash together)
     // — would pair quadratically; drop it rather than let one bucket
@@ -686,9 +710,13 @@ object Dedup {
       cents: Array[Array[Double]], threshold: Double,
       maxCell: Int, probes: Int): DataFrame = {
     require(probes >= 1 && probes <= cents.length, "probes must be in [1, k]")
+    // pinned (r17, guide §2.4): capBuckets walks this twice and the
+    // per-cell self-join twice more — unpinned, each walk re-ran the
+    // corpus scan + the k-way nearest-cells codebook kernel.
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         explode(graft.functions.VectorFunctions.nearestCells(
           col(vecCol), cents, probes)).as("cell"))
+      .localCheckpoint(true)
     val capped = capBuckets(assigned, Seq("cell"), maxCell)
     capped.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
       .join(capped.select(col("cell"), col("id").as("id2"), col("v").as("v2")),

@@ -42,9 +42,20 @@ object FuzzyJoin {
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         k: Int, maxBucket: Int = 10000): DataFrame = {
     require(k >= 1 && k <= 2, s"editDistancePairs supports k in 1..2, got $k")
+    // pinned (r17): three consumers (the key explode and both verify
+    // joins) — unpinned, each re-ran the source scan + the caller's
+    // string derivation. (id, short string) is bytes per row.
     val base = df.select(col(idCol).as("fz_id"), col(strCol).as("fz_s"))
+      .localCheckpoint(true)
+    // keys shuffle as 8-byte xxhash64 of the variant string, not the
+    // string itself (r17, guide §2.3 "narrower types"): a hash
+    // collision only MERGES two buckets — extra candidates, pruned by
+    // the exact levenshtein verify — so the result set is unchanged
+    // while the only corpus-sized shuffle halves its bytes. The hash
+    // runs on the exploded column (native, codegen), not inside a HOF.
     val keyed = base
-      .select(col("fz_id"), explode(deletionKeys("fz_s", k)).as("key"))
+      .select(col("fz_id"), explode(deletionKeys("fz_s", k)).as("key0"))
+      .select(col("fz_id"), xxhash64(col("key0")).as("key"))
     // ONE key shuffle: bucket members collect per key (size-capped in
     // place — the same guard capBuckets provides, without its extra
     // count + semi-join pass over an almost-all-unique key set), and

@@ -36,26 +36,40 @@ object LanguageModel {
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
                 alpha: Double = 0.1): DataFrame = {
     val withToks = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("t"))
-    // bigram instance rows; the token array is a materialized column
-    // BEFORE the explode (tokenize-once)
-    val inst = withToks
+      // pinned (r17): feeds the bigram explode AND the vocab count —
+      // unpinned, the second consumer re-ran the scan + tokenize
+      .localCheckpoint(true)
+    // per-document DISTINCT bigram counts: every downstream join and
+    // the per-doc aggregate ride this deduplicated frame instead of
+    // the raw instance rows (r17, guide §2.3 "aggregate before you
+    // shuffle" — the instance frame was previously shuffled three
+    // more times: by (w1,w2), by w1, and by doc_id)
+    val docBigram = withToks
       .select(col("doc_id"), explode(
           graft.functions.BpeFunctions.adjacentPairs(col("t"))).as("b"))
-      .select(col("doc_id"), col("b.left").as("w1"), col("b.right").as("w2"))
-    val bigramCounts = inst.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cb"))
-    val startCounts = inst.groupBy(col("w1"))
-      .agg(count(lit(1)).as("cs"))
+      .groupBy(col("doc_id"), col("b.left").as("w1"), col("b.right").as("w2"))
+      .agg(count(lit(1)).as("k"))
+      // feeds the global bigram counts AND the scoring join
+      .localCheckpoint(true)
+    val bigramCounts = docBigram.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("cb"))
+    // c(w1·) = Σ_w2 c(w1,w2): derived from the bigram counts —
+    // vocabulary-scale input — instead of a fourth corpus-scale pass
+    val startCounts = bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cs"))
     val vocab = withToks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val scoredInst = inst
+    val scoredInst = docBigram
       .join(bigramCounts, Seq("w1", "w2"))
       .join(startCounts, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp", log((col("cb") + alpha) /
         (col("cs") + lit(alpha) * col("v"))))
+    // n_bigrams = Σk (instance count); nll = −Σ(k·lp)/Σk — the same
+    // mean over instances, accumulated per distinct bigram
     val perDoc = scoredInst.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), (-avg(col("lp"))).as("nll"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        (-sum(col("k") * col("lp")) / sum(col("k"))).as("nll"))
     // documents with no bigrams re-enter with (0, 0.0)
     docs.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")

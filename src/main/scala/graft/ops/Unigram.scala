@@ -89,11 +89,16 @@ object Unigram {
       .localCheckpoint(true)
     try {
       // --- seeding: substring frequencies ---
+      // Pinned (r17, guide §2.4): `sub` feeds TWO collects (seed top-K
+      // and the alphabet) — unpinned, the second re-ran the dict-scale
+      // substring explode + aggregation. Post-agg it is distinct-
+      // substring-scale (bytes per row).
       val sub = dict.select(col("wcount"),
           explode(concat((1 to maxPieceLen).map(k =>
             graft.functions.TextHashFunctions.charShingles(
               col("word"), k, distinct = false)): _*)).as("p"))
         .groupBy(col("p")).agg(sum(col("wcount")).as("freq"))
+        .localCheckpoint(true)
       val top = sub.orderBy(desc("freq"), asc("p")).limit(seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
       val alphabet = sub.filter(length(col("p")) === 1)
@@ -143,27 +148,34 @@ object Unigram {
     * broadcast-sized) and reassemble in word order. Output adds
     * `uni_tokens` (pieces, word order) and `n_uni_tokens`. */
   def encode(df: DataFrame, textCol: String, vocab: Seq[Piece],
-             maxPieceLen: Int = 6): DataFrame = {
-    val cols = df.columns
+             maxPieceLen: Int = 6, idCol: String = "doc_id"): DataFrame = {
     val pieces = vocab.map(_.piece).toArray
     val lps = vocab.map(_.logp_fp).toArray
     val dict = Bpe.wordFreq(df, textCol).select(col("word"))
       .withColumn("syms", graft.functions.UnigramFunctions.segment(
         col("word"), pieces, lps, maxPieceLen))
       .select(col("word"), col("syms"), size(col("syms")).cast("long").as("n"))
+    // id-keyed reassembly (r17, guide §2.3/§8 — same reshape as
+    // Bpe.encode): the token explode ships (id, pos, word) instead of
+    // every document column, and the payload columns re-attach once by
+    // id after the aggregate.
     val exploded = df
-      .withColumn("__words", filter(split(btrim(lower(col(textCol))), "\\s+"),
-        w => w =!= ""))
-      .select(col("*"), posexplode_outer(col("__words")).as(Seq("__pos", "word")))
-      .drop("__words")
-    exploded.join(dict, Seq("word"), "left")
-      .groupBy(cols.map(col).toIndexedSeq: _*)
+      .select(col(idCol).as("__eid"),
+        filter(split(btrim(lower(col(textCol))), "\\s+"), w => w =!= "").as("__words"))
+      .select(col("__eid"), posexplode_outer(col("__words")).as(Seq("__pos", "word")))
+    val perDoc = exploded.join(dict, Seq("word"), "left")
+      .groupBy(col("__eid"))
       .agg(
         coalesce(
           flatten(array_sort(collect_list(struct(col("__pos"), col("syms"))))
             .getField("syms")),
           array().cast("array<string>")).as("uni_tokens"),
         coalesce(sum(col("n")), lit(0L)).as("n_uni_tokens"))
+    df.join(perDoc, df(idCol) === perDoc("__eid"), "left")
+      .drop("__eid")
+      .withColumn("uni_tokens",
+        coalesce(col("uni_tokens"), array().cast("array<string>")))
+      .withColumn("n_uni_tokens", coalesce(col("n_uni_tokens"), lit(0L)))
   }
 
   /** Segment a word under a learned vocabulary — same Viterbi spec as

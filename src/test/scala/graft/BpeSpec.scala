@@ -82,7 +82,8 @@ class BpeSpec extends AnyFunSuite {
   test("encode applies learned merges and counts tokens") {
     val corpus = Seq.fill(5)("low low newest").toDF("text")
     val merges = Bpe.learnMerges(Bpe.wordFreq(corpus, "text"), numMerges = 4)
-    val enc = Bpe.encode(Seq("low newest unknown").toDF("text"), "text", merges)
+    val enc = Bpe.encode(
+        Seq((1L, "low newest unknown")).toDF("doc_id", "text"), "text", merges)
       .select(col("bpe_tokens"), col("n_bpe_tokens"))
       .as[(Seq[String], Long)].head()
     // whatever the learned merges, re-joining tokens must reproduce the
@@ -91,5 +92,25 @@ class BpeSpec extends AnyFunSuite {
       .replace(Bpe.EndOfWord, " ").trim
     assert(rejoined == "low newest unknown", s"got ${enc._1}")
     assert(enc._2 == enc._1.size.toLong)
+  }
+
+  test("encode reassembles tokens in word order per id, empties included") {
+    // multi-word docs + an empty doc: the id-keyed reassembly (r17)
+    // must keep every input row, order pieces by word position, and
+    // give empty docs an empty token array
+    val corpus = Seq.fill(3)("aa bb aa").toDF("text")
+    val merges = Bpe.learnMerges(Bpe.wordFreq(corpus, "text"), numMerges = 2)
+    val enc = Bpe.encode(
+        Seq((10L, "bb aa"), (11L, ""), (12L, "aa aa bb")).toDF("doc_id", "text"),
+        "text", merges)
+      .select(col("doc_id"), col("bpe_tokens"), col("n_bpe_tokens"))
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+    assert(enc.length == 3)
+    val byId = enc.map(e => e._1 -> e).toMap
+    assert(byId(11L)._2.isEmpty && byId(11L)._3 == 0L, s"got ${byId(11L)}")
+    def rejoin(t: Seq[String]) = t.mkString("").replace(Bpe.EndOfWord, " ").trim
+    assert(rejoin(byId(10L)._2) == "bb aa", s"got ${byId(10L)._2}")
+    assert(rejoin(byId(12L)._2) == "aa aa bb", s"got ${byId(12L)._2}")
+    enc.foreach(e => assert(e._3 == e._2.size.toLong))
   }
 }
