@@ -39,7 +39,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default (r17, guide §5): local[32] runs 32 concurrent tasks
+  // against one driver-side heap that also holds the gate harness's
+  // memory-sink tables and pinned candidate frames; 8g was
+  // under-provisioned at the 10x bench corpus — an A/B over the 28
+  // heaviest sf2 queries measured 175.0 s (8g) vs 155.9 s (20g), the
+  // delta concentrated in the memory-heavy gates (GC pressure, not
+  // plan changes). Parameterised: clusters size executor memory via
+  // deployment, and SPARK_DRIVER_MEM overrides here.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 ) ++
   // dev knob: point scratch dirs (gate temp indexes, stream
   // checkpoints, shuffle spill) at another filesystem — used to

@@ -95,6 +95,11 @@ object Bpe {
   def learnMerges(words0: DataFrame, numMerges: Int,
                   minFreq: Long = 2L): Seq[Merge] = {
     val matEvery = 8
+    // (r17 negative result, kept honest: raising topM to 65536 did NOT
+    // cut the scan count at the 10× corpus — the batched-greedy prefix
+    // ends on symbol overlap between consecutive top merges, not on
+    // the cTail truncation bound, so a deeper collect buys nothing.
+    // 49 jobs before and after; 4096 stands.)
     val topM = 4096
     // lazy checkpoint: the count() right below materializes the
     // blocks inside its own job (r14 — one job, not two)
