@@ -204,18 +204,29 @@ object TimeSeries {
     require(steps.nonEmpty, "funnel: at least one step")
     val spark = df.sparkSession
     import spark.implicits._
+    // Each frontier is LAZY-checkpointed and materialized by the count
+    // the step emits anyway (r17, guide §2.4): unpinned, step i's
+    // frontier lineage contained every earlier step's scan+join, so
+    // the per-step counts re-ran the whole chain — ~i corpus scans at
+    // step i (10 scans for a 4-step funnel). Now each step costs one
+    // corpus scan + a join against the previous pinned frontier.
     var frontier = df.filter(col(typeCol) === steps.head)
       .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
+      .localCheckpoint(false)
     val counts = Seq.newBuilder[(Int, String, Long)]
     counts += ((1, steps.head, frontier.count()))
     steps.zipWithIndex.drop(1).foreach { case (step, i) =>
       val stepEv = df.filter(col(typeCol) === step)
         .select(col(keyCol), col(tsCol).as("__ts"))
+      val prev = frontier
       frontier = stepEv.join(frontier, Seq(keyCol))
         .filter(col("__ts") > col("__t"))
         .groupBy(col(keyCol)).agg(min(col("__ts")).as("__t"))
+        .localCheckpoint(false)
       counts += ((i + 1, step, frontier.count()))
+      prev.unpersist()
     }
+    frontier.unpersist()
     val rows = counts.result()
     val withConv = rows.zip(rows.map(_._3).scanLeft(-1L)((_, n) => n)).map {
       case ((idx, name, n), prev) =>

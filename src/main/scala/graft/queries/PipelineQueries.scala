@@ -2388,13 +2388,22 @@ object PipelineQueries {
   def qPipelineAssemble(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val g = TextAnalysis.gopherRules(col("text"))
+    // pinned (r17, guide §2.4): the budget aggregate, selectToBudget's
+    // four walks (min/max probe, local window, bucket totals, final
+    // join) and concatChunks' prefix-sum passes all consume this frame
+    // — unpinned, each re-ran the corpus scan + the Gopher rule kernel.
     val kept = d.filter(g.getField("r_word_count") &&
       g.getField("r_mean_word_len") && g.getField("r_alpha_words"))
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .localCheckpoint(true)
     val budget = kept.agg(coalesce(sum(col("n_chars")), lit(0L)).cast("long"))
       .head().getLong(0) / 2
     val sel = Mixing.selectToBudget(kept, "doc_id", "n_chars", "n_chars", budget)
-    TextAnalysis.concatChunks(sel.select(col("doc_id"), col("text")),
-        "doc_id", "text", chunkLen = 128)
+      // concatChunks walks its input more than once (two-phase prefix
+      // sum); pin the selection so those walks do not re-run
+      // selectToBudget's window + join chain
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    TextAnalysis.concatChunks(sel, "doc_id", "text", chunkLen = 128)
       .orderBy(col("chunk_id"), col("doc_id"))
   }
 
