@@ -201,15 +201,32 @@ object Bpe {
     * merge chain over every occurrence instead costs |corpus| / |vocab|
     * times more compute for identical results — measured 511 s → the
     * dictionary path at the 10× bench corpus, where each word repeats
-    * thousands of times. The dictionary join broadcasts while the
-    * vocab is broadcast-sized and degrades to a hash join beyond that.
+    * thousands of times. The dictionary is pinned and COUNTED, and the
+    * join carries an explicit broadcast hint while the measured row
+    * count is under `spark.graft.encode.dictBroadcastRows` (default
+    * 2M) — Spark's own estimate for a pinned aggregate is the
+    * unknown-size default, far over the auto-broadcast threshold, so
+    * without the hint the corpus-sized token explode was shuffled for
+    * a sort-merge join against a vocabulary-sized dict (r18, §3.1).
+    *
+    * PRECONDITION: `idCol` must be unique and non-null — reassembly
+    * groups by the id and re-attaches payload columns by an id
+    * equality join, so duplicate ids would cross-attach interleaved
+    * token arrays and null ids would take the empty-array path. (Gate
+    * corpora key on unique doc_id; the old all-columns groupBy only
+    * differed on corpora violating this.)
     *
     * Output adds `bpe_tokens` (array, in word order) and
     * `n_bpe_tokens`. Rows with no tokens get empty arrays. */
   def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
              idCol: String = "doc_id"): DataFrame = {
-    val dict = segmentDict(wordFreq(df, textCol), merges)
-      .select(col("word"), col("syms"), size(col("syms")).cast("long").as("n"))
+    val dict0 = graft.core.Checkpoints.pin(
+      segmentDict(wordFreq(df, textCol), merges)
+        .select(col("word"), col("syms"), size(col("syms")).cast("long").as("n")))
+    val bcastMax = df.sparkSession.conf
+      .getOption("spark.graft.encode.dictBroadcastRows").map(_.toLong)
+      .getOrElse(2000000L)
+    val dict = if (dict0.count() <= bcastMax) broadcast(dict0) else dict0
     // Reassembly is keyed on `idCol` ALONE (r17, guide §2.3/§8): the
     // token explode previously carried EVERY column — including the
     // full document text — so the dictionary join and the
@@ -229,7 +246,7 @@ object Bpe {
             .getField("syms")),
           array().cast("array<string>")).as("bpe_tokens"),
         coalesce(sum(col("n")), lit(0L)).as("n_bpe_tokens"))
-    df.join(perDoc, df(idCol) === perDoc("__eid"), "left")
+    df.join(perDoc, df(idCol) <=> perDoc("__eid"), "left")
       .drop("__eid")
       .withColumn("bpe_tokens",
         coalesce(col("bpe_tokens"), array().cast("array<string>")))

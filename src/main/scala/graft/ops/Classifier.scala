@@ -58,11 +58,24 @@ object Classifier {
       "Classifier.fitBatch: dims must be a positive power of two")
     // text itself never rides into the checkpoint: epochs only need
     // the label and the bucket array (ints), so the materialized
-    // per-epoch input is bytes per document, not the document
-    val base = df
+    // per-epoch input is bytes per document, not the document.
+    // Coalesced toward ~32k rows per task first (r18, the Bpe-learner
+    // sizing): every epoch schedules one stage over these partitions,
+    // so a scan-parallelism partition count (32 near-empty tasks at
+    // gate scale) pays 20× the task-launch floor for nothing. The fit
+    // is integer sums — partitioning cannot change it.
+    var base = df
       .select(col(labelCol).cast("long").as("__y"),
         TextHashFunctions.bowBuckets(col(textCol), dims).as("__b"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    val nRows = base.count()
+    val parts0 = base.rdd.getNumPartitions
+    val target = math.max(1L, math.min(parts0.toLong, nRows / 32768L + 1L)).toInt
+    if (target < parts0) {
+      val prev = base
+      base = base.coalesce(target).localCheckpoint(true)
+      prev.unpersist()
+    }
     val w = new Array[Long](dims)
     var bias = 0L
     var pocketW = w.clone(); var pocketBias = bias; var pocketCorrect = -1L

@@ -283,8 +283,8 @@ object Dedup {
     // twice) — unpinned, each walk re-ran the corpus scan + the
     // 64-hash MinHash kernel, the call's dominant compute.
     minhashCandidatesSigned(
-      df.select(col(idCol).as("id"), minhashSignature(col(textCol), k, numHashes).as("sig"))
-        .localCheckpoint(true),
+      graft.core.Checkpoints.pin(
+        df.select(col(idCol).as("id"), minhashSignature(col(textCol), k, numHashes).as("sig"))),
       numHashes, bands, maxBucket)
 
   /** Candidate pairs from a PRECOMPUTED (id, sig) frame — the seam that
@@ -373,9 +373,8 @@ object Dedup {
     // q_split_leakfree each re-paid it). (id, hashes) is bytes per
     // row; blocks are reclaimed by the ContextCleaner once the result
     // is dereferenced (the Overlap.maskMatrix precedent).
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(graft.functions.TextHashFunctions.shingleHashes(col(textCol), k)).as("sh"))
-      .localCheckpoint(true)
+    val sh = graft.core.Checkpoints.pin(df.select(col(idCol).as("id"),
+      array_distinct(graft.functions.TextHashFunctions.shingleHashes(col(textCol), k)).as("sh")))
 
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
     val postings = capBuckets(exploded, Seq("s"), maxPostings) // postings cap
@@ -544,7 +543,7 @@ object Dedup {
     // plan re-ran the corpus scan + hash kernel (simhash / dHash /
     // audio fingerprint — the expensive part) up to 4× per call.
     // (id, hash) is 16 bytes per row.
-    val hashed = hashed0.localCheckpoint(true)
+    val hashed = graft.core.Checkpoints.pin(hashed0)
     val banded = hashed.select(col("id"), col("h"),
       posexplode(hammingBands(col("h"), maxHamming)))
       .select(col("id"), col("h"), col("pos").as("band"), col("col").as("bucket"))
@@ -642,9 +641,9 @@ object Dedup {
     // pinned (r17, guide §2.4): capBuckets walks this twice and the
     // pair join twice more — unpinned, each walk re-ran the corpus
     // scan + `tables` hyperplane-signature kernels. 24 bytes/row.
-    val banded0 = df.select(col(idCol).as("id"), explode(sigs).as("b"))
-      .select(col("id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
-      .localCheckpoint(true)
+    val banded0 = graft.core.Checkpoints.pin(
+      df.select(col(idCol).as("id"), explode(sigs).as("b"))
+        .select(col("id"), col("b.tbl").as("tbl"), col("b.sig").as("sig")))
     // skew guard: a hyperplane bucket crowded past maxBucket —
     // duplicate-flooded or degenerate (all-zero vectors hash together)
     // — would pair quadratically; drop it rather than let one bucket
@@ -713,10 +712,10 @@ object Dedup {
     // pinned (r17, guide §2.4): capBuckets walks this twice and the
     // per-cell self-join twice more — unpinned, each walk re-ran the
     // corpus scan + the k-way nearest-cells codebook kernel.
-    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val assigned = graft.core.Checkpoints.pin(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
         explode(graft.functions.VectorFunctions.nearestCells(
-          col(vecCol), cents, probes)).as("cell"))
-      .localCheckpoint(true)
+          col(vecCol), cents, probes)).as("cell")))
     val capped = capBuckets(assigned, Seq("cell"), maxCell)
     capped.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
       .join(capped.select(col("cell"), col("id").as("id2"), col("v").as("v2")),

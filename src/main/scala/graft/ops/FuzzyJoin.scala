@@ -37,16 +37,20 @@ object FuzzyJoin {
     * `k`, with the exact distance. Exact by construction: lossless
     * neighborhood blocking + native `levenshtein` verification
     * (`maxBucket` only drops keys shared by more strings than any
-    * non-degenerate corpus produces; pass Int.MaxValue for a strict
-    * guarantee). */
+    * non-degenerate corpus produces; with keys shuffled as 64-bit
+    * hashes, a cross-key collision can additionally merge two buckets
+    * past `maxBucket` — so even Int.MaxValue leaves a ~2⁻⁶⁴-per-pair
+    * residual rather than a strict guarantee; a same-string key
+    * collision would otherwise emit an id1==id2 self-pair, which the
+    * explicit id1 =!= id2 guard below drops). */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         k: Int, maxBucket: Int = 10000): DataFrame = {
     require(k >= 1 && k <= 2, s"editDistancePairs supports k in 1..2, got $k")
     // pinned (r17): three consumers (the key explode and both verify
     // joins) — unpinned, each re-ran the source scan + the caller's
     // string derivation. (id, short string) is bytes per row.
-    val base = df.select(col(idCol).as("fz_id"), col(strCol).as("fz_s"))
-      .localCheckpoint(true)
+    val base = graft.core.Checkpoints.pin(
+      df.select(col(idCol).as("fz_id"), col(strCol).as("fz_s")))
     // keys shuffle as 8-byte xxhash64 of the variant string, not the
     // string itself (r17, guide §2.3 "narrower types"): a hash
     // collision only MERGES two buckets — extra candidates, pruned by
@@ -81,6 +85,10 @@ object FuzzyJoin {
                              greatest(ids[i], ids[j]) AS id2))))""")).as("p"))
     val pairs = expanded
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      // two deletion keys of the SAME string colliding under xxhash64
+      // would put one id twice in a bucket and emit a dist-0 self-pair
+      // violating the id1 < id2 contract — guard explicitly (ADVICE r17)
+      .filter(col("id1") =!= col("id2"))
       .dropDuplicates("id1", "id2")
     pairs
       .join(base.select(col("fz_id").as("id1"), col("fz_s").as("s1")), Seq("id1"))

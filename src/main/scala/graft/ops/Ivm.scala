@@ -70,7 +70,10 @@ object Ivm {
           .select((keys.map(col) ++ stateCols(sums)): _*)
         (last +: steps).zip(steps).foreach { case (a, b) =>
           val (add, rem) = source.diff(a, b)
-          cur = maintain(cur, add, rem, keys, sums).localCheckpoint(true)
+          // LAZY lineage barrier (r18): the final replaceOnce write
+          // materializes every leg in one job; eager pins cost one
+          // mostly-idle job per commit caught up
+          cur = maintain(cur, add, rem, keys, sums).localCheckpoint(false)
         }
         cur
     }

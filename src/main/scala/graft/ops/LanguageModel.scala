@@ -35,28 +35,39 @@ object LanguageModel {
     * Output: (doc_id, n_bigrams, nll). */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
                 alpha: Double = 0.1): DataFrame = {
-    val withToks = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("t"))
+    val withToks = graft.core.Checkpoints.pin(
       // pinned (r17): feeds the bigram explode AND the vocab count —
       // unpinned, the second consumer re-ran the scan + tokenize
-      .localCheckpoint(true)
+      docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("t")))
     // per-document DISTINCT bigram counts: every downstream join and
     // the per-doc aggregate ride this deduplicated frame instead of
     // the raw instance rows (r17, guide §2.3 "aggregate before you
     // shuffle" — the instance frame was previously shuffled three
     // more times: by (w1,w2), by w1, and by doc_id)
-    val docBigram = withToks
+    val docBigram = graft.core.Checkpoints.pin(withToks
       .select(col("doc_id"), explode(
           graft.functions.BpeFunctions.adjacentPairs(col("t"))).as("b"))
       .groupBy(col("doc_id"), col("b.left").as("w1"), col("b.right").as("w2"))
-      .agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("k")))
       // feeds the global bigram counts AND the scoring join
-      .localCheckpoint(true)
-    val bigramCounts = docBigram.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("k")).as("cb"))
+    // The global count tables are POST-AGGREGATE and vocabulary-scale
+    // (distinct corpus bigrams / distinct bigram starts) — broadcast
+    // them so the scoring joins probe docBigram in place instead of
+    // shuffling it twice more (r18, guide §3.1; Spark can't estimate
+    // a pinned aggregate's size, so without the hint both joins went
+    // sort-merge). spark.graft.lm.broadcastCounts=false restores SMJ
+    // for corpora whose distinct-bigram table outgrows a broadcast
+    // (8 GB / 512M-row cap).
+    val hint: DataFrame => DataFrame =
+      if (docs.sparkSession.conf.getOption("spark.graft.lm.broadcastCounts")
+            .forall(_.toBoolean)) broadcast _
+      else identity _
+    val bigramCounts = hint(docBigram.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("cb")))
     // c(w1·) = Σ_w2 c(w1,w2): derived from the bigram counts —
     // vocabulary-scale input — instead of a fourth corpus-scale pass
-    val startCounts = bigramCounts.groupBy(col("w1"))
-      .agg(sum(col("cb")).as("cs"))
+    val startCounts = hint(bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cs")))
     val vocab = withToks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val scoredInst = docBigram

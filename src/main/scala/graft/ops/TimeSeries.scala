@@ -204,30 +204,50 @@ object TimeSeries {
     require(steps.nonEmpty, "funnel: at least one step")
     val spark = df.sparkSession
     import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     // Each frontier is LAZY-checkpointed and materialized by the count
     // the step emits anyway (r17, guide §2.4): unpinned, step i's
     // frontier lineage contained every earlier step's scan+join, so
     // the per-step counts re-ran the whole chain — ~i corpus scans at
     // step i (10 scans for a 4-step funnel). Now each step costs one
     // corpus scan + a join against the previous pinned frontier.
-    var frontier = df.filter(col(typeCol) === steps.head)
-      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
-      .localCheckpoint(false)
-    val counts = Seq.newBuilder[(Int, String, Long)]
-    counts += ((1, steps.head, frontier.count()))
-    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
-      val stepEv = df.filter(col(typeCol) === step)
-        .select(col(keyCol), col(tsCol).as("__ts"))
-      val prev = frontier
-      frontier = stepEv.join(frontier, Seq(keyCol))
-        .filter(col("__ts") > col("__t"))
-        .groupBy(col(keyCol)).agg(min(col("__ts")).as("__t"))
+    //
+    // The counts run CONCURRENTLY from driver threads (r18, guide
+    // §2.6): step i+1's frontier only needs step i's frame, not its
+    // count, so the chain of #steps sequential count jobs collapses to
+    // overlapping jobs whose tails back-fill each other. A later count
+    // racing an earlier frontier's materialization at worst recomputes
+    // a not-yet-persisted partition (persist fills on first compute) —
+    // counts are of deterministic frames either way. Frontier blocks
+    // are reclaimed by the ContextCleaner once the frames drop out of
+    // scope (Dataset.unpersist does NOT free localCheckpoint blocks —
+    // r17 ADVICE — and frontiers are key+ts rows, bytes per entity).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(steps.size, 4))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val rows = try {
+      var frontier = df.filter(col(typeCol) === steps.head)
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
         .localCheckpoint(false)
-      counts += ((i + 1, step, frontier.count()))
-      prev.unpersist()
-    }
-    frontier.unpersist()
-    val rows = counts.result()
+      val futures = Seq.newBuilder[Future[(Int, String, Long)]]
+      def submit(idx: Int, step: String, f: DataFrame): Unit =
+        futures += Future {
+          spark.sparkContext.setJobDescription(s"funnel: count step $idx ($step)")
+          (idx, step, f.count())
+        }
+      submit(1, steps.head, frontier)
+      steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+        val stepEv = df.filter(col(typeCol) === step)
+          .select(col(keyCol), col(tsCol).as("__ts"))
+        frontier = stepEv.join(frontier, Seq(keyCol))
+          .filter(col("__ts") > col("__t"))
+          .groupBy(col(keyCol)).agg(min(col("__ts")).as("__t"))
+          .localCheckpoint(false)
+        submit(i + 1, step, frontier)
+      }
+      futures.result().map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
     val withConv = rows.zip(rows.map(_._3).scanLeft(-1L)((_, n) => n)).map {
       case ((idx, name, n), prev) =>
         val conv =

@@ -93,12 +93,11 @@ object Unigram {
       // and the alphabet) — unpinned, the second re-ran the dict-scale
       // substring explode + aggregation. Post-agg it is distinct-
       // substring-scale (bytes per row).
-      val sub = dict.select(col("wcount"),
+      val sub = graft.core.Checkpoints.pin(dict.select(col("wcount"),
           explode(concat((1 to maxPieceLen).map(k =>
             graft.functions.TextHashFunctions.charShingles(
               col("word"), k, distinct = false)): _*)).as("p"))
-        .groupBy(col("p")).agg(sum(col("wcount")).as("freq"))
-        .localCheckpoint(true)
+        .groupBy(col("p")).agg(sum(col("wcount")).as("freq")))
       val top = sub.orderBy(desc("freq"), asc("p")).limit(seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
       val alphabet = sub.filter(length(col("p")) === 1)
@@ -144,17 +143,28 @@ object Unigram {
   /** Corpus-scale application of a learned vocabulary — DICTIONARY-
     * ENCODED like [[Bpe.encode]]: the Viterbi kernel segments each
     * DISTINCT word once (vocabulary-scale), documents explode to
-    * (doc, pos, word), join the segmented dictionary (broadcast while
-    * broadcast-sized) and reassemble in word order. Output adds
-    * `uni_tokens` (pieces, word order) and `n_uni_tokens`. */
+    * (doc, pos, word), join the segmented dictionary (pinned, counted,
+    * and broadcast-hinted under the measured-row-count guard
+    * `spark.graft.encode.dictBroadcastRows` — see [[Bpe.encode]]) and
+    * reassemble in word order. Output adds `uni_tokens` (pieces, word
+    * order) and `n_uni_tokens`.
+    *
+    * PRECONDITION: `idCol` must be unique and non-null — reassembly
+    * groups by the id and re-attaches payload columns by an id
+    * equality join (same contract as [[Bpe.encode]]). */
   def encode(df: DataFrame, textCol: String, vocab: Seq[Piece],
              maxPieceLen: Int = 6, idCol: String = "doc_id"): DataFrame = {
     val pieces = vocab.map(_.piece).toArray
     val lps = vocab.map(_.logp_fp).toArray
-    val dict = Bpe.wordFreq(df, textCol).select(col("word"))
-      .withColumn("syms", graft.functions.UnigramFunctions.segment(
-        col("word"), pieces, lps, maxPieceLen))
-      .select(col("word"), col("syms"), size(col("syms")).cast("long").as("n"))
+    val dict0 = graft.core.Checkpoints.pin(
+      Bpe.wordFreq(df, textCol).select(col("word"))
+        .withColumn("syms", graft.functions.UnigramFunctions.segment(
+          col("word"), pieces, lps, maxPieceLen))
+        .select(col("word"), col("syms"), size(col("syms")).cast("long").as("n")))
+    val bcastMax = df.sparkSession.conf
+      .getOption("spark.graft.encode.dictBroadcastRows").map(_.toLong)
+      .getOrElse(2000000L)
+    val dict = if (dict0.count() <= bcastMax) broadcast(dict0) else dict0
     // id-keyed reassembly (r17, guide §2.3/§8 — same reshape as
     // Bpe.encode): the token explode ships (id, pos, word) instead of
     // every document column, and the payload columns re-attach once by
@@ -171,7 +181,7 @@ object Unigram {
             .getField("syms")),
           array().cast("array<string>")).as("uni_tokens"),
         coalesce(sum(col("n")), lit(0L)).as("n_uni_tokens"))
-    df.join(perDoc, df(idCol) === perDoc("__eid"), "left")
+    df.join(perDoc, df(idCol) <=> perDoc("__eid"), "left")
       .drop("__eid")
       .withColumn("uni_tokens",
         coalesce(col("uni_tokens"), array().cast("array<string>")))

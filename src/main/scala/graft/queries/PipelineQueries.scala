@@ -1018,11 +1018,23 @@ object PipelineQueries {
       .select(col("doc_id"), col("text"),
         when(cnt("spark") > cnt("vector"), 1L).otherwise(-1L).as("y"))
     val dims = 256
+    // the fixture-shape counts (n, nPos) are independent of the fit:
+    // ONE aggregate job, launched from a driver thread so it overlaps
+    // the fit's sequential epoch jobs (r18, guide §2.6; was two
+    // separate post-fit corpus passes)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val shapeF = Future {
+      s.sparkContext.setJobDescription("q_classifier: fixture shape counts")
+      val r = d.agg(count(lit(1)), sum(when(col("y") > 0, 1L).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }(ExecutionContext.global)
     val model = Classifier.fitBatch(d, "text", "y", dims = dims, epochs = 20)
+    val (nL, nPos) = Await.result(shapeF, Duration.Inf)
+    val n = nL.toDouble
     // cross-path identity replay is single-threaded O(docs × epochs) on
     // the driver — run it at gate scales, skip at the 10× bench corpus
     // (the q_bpe guard pattern); the accuracy floor holds at ANY scale
-    val n = d.count().toDouble
     if (n <= 20000) {
       val local = d.select(col("text"), col("y")).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -1034,10 +1046,12 @@ object PipelineQueries {
     }
     val scored = d
       .withColumn("score", model.score(col("text")))
-      .withColumn("pred", model.predict(col("text")))
+      // pred is score's sign BY DEFINITION (Model.predict) — derive it
+      // from the already-computed score column instead of running the
+      // tokenize+hash kernel a second time per row (r18, §1.2 step 2)
+      .withColumn("pred", when(col("score") >= 0L, 1).otherwise(-1))
     val acc = scored.filter(col("pred") * col("y") > 0).count() / n
-    val nPos = d.filter(col("y") > 0).count()
-    val majority = math.max(nPos, n.toLong - nPos) / n
+    val majority = math.max(nPos, nL - nPos) / n
     require(acc > majority && acc >= 0.8,
       f"q_classifier: training accuracy $acc%.3f (majority $majority%.3f) — fit failed to separate")
     scored.select(col("doc_id"), col("score"), col("pred"), col("y"))
@@ -2130,6 +2144,8 @@ object PipelineQueries {
     }
 
   def qDedupKmeans(s: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
     val planted = e.orderBy(col("vec_id")).limit(100)
@@ -2139,42 +2155,73 @@ object PipelineQueries {
       expr("""CAST(transform(embedding,
                 (x, i) -> x * (1.0D + 0.22D * sin(CAST(vec_id AS DOUBLE) * 41.0D + CAST(i AS DOUBLE))))
               AS ARRAY<FLOAT>)""").as("embedding"))
-    val corpus = e.unionByName(planted).unionByName(plantedNear).localCheckpoint(true)
+    val corpus = graft.core.Checkpoints.pin(
+      e.unionByName(planted).unionByName(plantedNear))
     val n = corpus.count()
-    // axis 1: the codebook must split the space (trained ONCE, shared
-    // with the pairing pass via the -With seam)
-    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
-      k = graft.ops.Dedup.sizeCells(n))
-    persistOracleCodebook(s, "kmeans_codebook", cents)
-    val cellSizes = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
-      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * col("c"))).head.getLong(0)
-    require(cellSizes < n * n / 4,
-      s"q_dedup_kmeans: candidate volume $cellSizes !< ${n * n / 4} — clustering is degenerate")
-    val pairs = Dedup.clusteredSemanticPairsWith(corpus, "vec_id", "embedding",
-      cents, threshold = 0.4, maxCell = 5000, probes = 2).localCheckpoint(true)
-    // axis 2: planted exact copies cannot be missed
-    val plantedMissed = e.orderBy(col("vec_id")).limit(100)
-      .select(col("vec_id").as("id1"), (col("vec_id") + maxId + 1L).as("id2"))
-      .join(pairs, Seq("id1", "id2"), "left_anti").count()
-    require(plantedMissed == 0L,
-      s"q_dedup_kmeans: $plantedMissed planted exact duplicates were not paired")
-    // axis 3: recall floor on planted perturbed near-dups above 0.92
-    val nearTruth = e.orderBy(col("vec_id")).limit(100)
-      .select(col("vec_id").as("id1"), col("embedding").as("v1"))
-      .join(plantedNear.select(col("vec_id").as("id2"), col("embedding").as("v2")),
-        col("id2") === col("id1") + 2L * (maxId + 1L))
-      .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.92)
-      .select(col("id1"), col("id2")).localCheckpoint(true)
-    val nTruth = nearTruth.count()
-    require(nTruth > 20L,
-      s"q_dedup_kmeans probe degenerate: only $nTruth perturbed pairs above cos 0.92")
-    val found = nearTruth.join(pairs, Seq("id1", "id2"), "left_semi").count()
-    require(found >= (nTruth * 0.8).toLong,
-      s"q_dedup_kmeans: recall collapse — $found/$nTruth planted near-dups recovered")
-    pairs.filter(col("id1") <= maxId && col("id2") <= maxId)
-      .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
-      .orderBy(col("id1"), col("id2"))
+    // The gate's independent requires run as CONCURRENT driver jobs
+    // (r18, guide §2.6): this query's wall was an 8-action sequential
+    // chain whose per-job floors dominate at bench scale. Dependencies
+    // honored: nearTruth needs only the source frames (launches before
+    // the k-means training), cellSizes needs cents, the two pair
+    // probes need `pairs`. Every frame counted is deterministic, so
+    // overlap changes scheduling only, never a result.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // axis 3 truth set: independent of the codebook — overlaps the
+      // k-means training jobs
+      val nearTruthF = Future {
+        s.sparkContext.setJobDescription("q_dedup_kmeans: axis-3 truth set")
+        val nt = e.orderBy(col("vec_id")).limit(100)
+          .select(col("vec_id").as("id1"), col("embedding").as("v1"))
+          .join(plantedNear.select(col("vec_id").as("id2"), col("embedding").as("v2")),
+            col("id2") === col("id1") + 2L * (maxId + 1L))
+          .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.92)
+          .select(col("id1"), col("id2")).localCheckpoint(false)
+        (nt, nt.count())
+      }
+      // axis 1: the codebook must split the space (trained ONCE, shared
+      // with the pairing pass via the -With seam)
+      val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+        k = graft.ops.Dedup.sizeCells(n))
+      persistOracleCodebook(s, "kmeans_codebook", cents)
+      val cellSizesF = Future {
+        s.sparkContext.setJobDescription("q_dedup_kmeans: axis-1 cell volume")
+        Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+          .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c"))).head.getLong(0)
+      }
+      val pairs = graft.core.Checkpoints.pin(
+        Dedup.clusteredSemanticPairsWith(corpus, "vec_id", "embedding",
+          cents, threshold = 0.4, maxCell = 5000, probes = 2))
+      // axis 2: planted exact copies cannot be missed
+      val plantedMissedF = Future {
+        s.sparkContext.setJobDescription("q_dedup_kmeans: axis-2 planted exacts")
+        e.orderBy(col("vec_id")).limit(100)
+          .select(col("vec_id").as("id1"), (col("vec_id") + maxId + 1L).as("id2"))
+          .join(pairs, Seq("id1", "id2"), "left_anti").count()
+      }
+      val foundF = nearTruthF.map { case (nt, _) =>
+        s.sparkContext.setJobDescription("q_dedup_kmeans: axis-3 recall")
+        nt.join(pairs, Seq("id1", "id2"), "left_semi").count()
+      }
+      val cellSizes = Await.result(cellSizesF, Duration.Inf)
+      require(cellSizes < n * n / 4,
+        s"q_dedup_kmeans: candidate volume $cellSizes !< ${n * n / 4} — clustering is degenerate")
+      val plantedMissed = Await.result(plantedMissedF, Duration.Inf)
+      require(plantedMissed == 0L,
+        s"q_dedup_kmeans: $plantedMissed planted exact duplicates were not paired")
+      // axis 3: recall floor on planted perturbed near-dups above 0.92
+      val nTruth = Await.result(nearTruthF, Duration.Inf)._2
+      require(nTruth > 20L,
+        s"q_dedup_kmeans probe degenerate: only $nTruth perturbed pairs above cos 0.92")
+      val found = Await.result(foundF, Duration.Inf)
+      require(found >= (nTruth * 0.8).toLong,
+        s"q_dedup_kmeans: recall collapse — $found/$nTruth planted near-dups recovered")
+      pairs.filter(col("id1") <= maxId && col("id2") <= maxId)
+        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id1"), col("id2"))
+    } finally pool.shutdown()
   }
 
   /** Bigram language-model scoring (ops/LanguageModel): the corpus
@@ -2392,18 +2439,19 @@ object PipelineQueries {
     // four walks (min/max probe, local window, bucket totals, final
     // join) and concatChunks' prefix-sum passes all consume this frame
     // — unpinned, each re-ran the corpus scan + the Gopher rule kernel.
-    val kept = d.filter(g.getField("r_word_count") &&
-      g.getField("r_mean_word_len") && g.getField("r_alpha_words"))
-      .select(col("doc_id"), col("n_chars"), col("text"))
-      .localCheckpoint(true)
+    val kept = graft.core.Checkpoints.pin(
+      d.filter(g.getField("r_word_count") &&
+        g.getField("r_mean_word_len") && g.getField("r_alpha_words"))
+        .select(col("doc_id"), col("n_chars"), col("text")))
     val budget = kept.agg(coalesce(sum(col("n_chars")), lit(0L)).cast("long"))
       .head().getLong(0) / 2
     val sel = Mixing.selectToBudget(kept, "doc_id", "n_chars", "n_chars", budget)
       // concatChunks walks its input more than once (two-phase prefix
       // sum); pin the selection so those walks do not re-run
       // selectToBudget's window + join chain
-      .select(col("doc_id"), col("text")).localCheckpoint(true)
-    TextAnalysis.concatChunks(sel, "doc_id", "text", chunkLen = 128)
+      .select(col("doc_id"), col("text"))
+    val selP = graft.core.Checkpoints.pin(sel)
+    TextAnalysis.concatChunks(selP, "doc_id", "text", chunkLen = 128)
       .orderBy(col("chunk_id"), col("doc_id"))
   }
 

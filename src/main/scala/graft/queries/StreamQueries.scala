@@ -449,7 +449,14 @@ object StreamQueries {
       val inDir = new java.io.File(base, "in"); inDir.mkdirs()
       def writeHalf(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = new java.io.File(base, s"tmp_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        // repartition(1, const) rather than coalesce(1) (r18, guide
+        // §2.4/§6): coalesce collapsed the WHOLE scan+filter into the
+        // single write task; the constant-key hash exchange keeps the
+        // upstream parallel and ships rows to one writer with no
+        // round-robin pre-sort. One file per half is the contract
+        // (mtime orders the stream's batches); row order within a
+        // half is immaterial — every consumer fold sorts per key.
+        df.repartition(1, lit(0)).write.mode("overwrite").parquet(tmp.toString)
         val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
         val dst = new java.io.File(inDir, s"$name.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
@@ -544,7 +551,14 @@ object StreamQueries {
       val inDir = new java.io.File(base, "in"); inDir.mkdirs()
       def writeHalf(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = new java.io.File(base, s"tmp_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        // repartition(1, const) rather than coalesce(1) (r18, guide
+        // §2.4/§6): coalesce collapsed the WHOLE scan+filter into the
+        // single write task; the constant-key hash exchange keeps the
+        // upstream parallel and ships rows to one writer with no
+        // round-robin pre-sort. One file per half is the contract
+        // (mtime orders the stream's batches); row order within a
+        // half is immaterial — every consumer fold sorts per key.
+        df.repartition(1, lit(0)).write.mode("overwrite").parquet(tmp.toString)
         val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
         val dst = new java.io.File(inDir, s"$name.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
@@ -598,7 +612,14 @@ object StreamQueries {
       val inDir = new java.io.File(base, "in"); inDir.mkdirs()
       def writeHalf(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = new java.io.File(base, s"tmp_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        // repartition(1, const) rather than coalesce(1) (r18, guide
+        // §2.4/§6): coalesce collapsed the WHOLE scan+filter into the
+        // single write task; the constant-key hash exchange keeps the
+        // upstream parallel and ships rows to one writer with no
+        // round-robin pre-sort. One file per half is the contract
+        // (mtime orders the stream's batches); row order within a
+        // half is immaterial — every consumer fold sorts per key.
+        df.repartition(1, lit(0)).write.mode("overwrite").parquet(tmp.toString)
         val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
         val dst = new java.io.File(inDir, s"$name.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)

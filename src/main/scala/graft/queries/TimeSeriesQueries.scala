@@ -115,7 +115,7 @@ object TimeSeriesQueries {
     // sequential-chain load sensitivity. The pin stays as lineage
     // hygiene: consumer count no longer multiplies corpus scans on a
     // cold cache.
-    val words = Bpe.wordFreq(t(s, dir, "documents"), "text").localCheckpoint(true)
+    val words = graft.core.Checkpoints.pin(Bpe.wordFreq(t(s, dir, "documents"), "text"))
     try {
       val merges = Bpe.learnMerges(words, numMerges = 30)
       mergesCache.put(corpusKey(dir), merges)

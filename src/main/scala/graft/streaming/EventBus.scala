@@ -29,7 +29,7 @@ final class EventSubscription private[streaming] (
   private val queue = new LinkedBlockingQueue[Row](capacity)
   @volatile private[streaming] var active = true
 
-  private[streaming] def deliver(matched: DataFrame): Unit = {
+  private[streaming] def deliver(matched: DataFrame, parts: Int): Unit = {
     // toLocalIterator bounds driver memory at one partition. A full
     // queue blocks the dispatcher, and the fan-out is serial — so
     // backpressure is BUS-WIDE: one non-polling subscriber pauses
@@ -46,7 +46,10 @@ final class EventSubscription private[streaming] (
     // SAME cached batch) while cutting the fetch chain. Queue order
     // within a partition is unchanged; cross-partition order was never
     // guaranteed (partition fetch order is scheduler-dependent).
-    val parts = matched.rdd.getNumPartitions
+    // `parts` is the CACHED batch's partition count, read once per
+    // micro-batch in dispatch (r18, ADVICE r17: matched.rdd here
+    // compiled an extra physical plan per subscriber per batch); the
+    // per-subscriber filter preserves partitioning.
     val it = (if (parts > 4) matched.coalesce(4) else matched).toLocalIterator()
     while (it.hasNext && active) queue.put(it.next())
   }
@@ -109,8 +112,9 @@ final class EventBus {
           val cached = batch.persist()
           try {
             cached.count() // materialize once before the fan-out filters
+            val parts = cached.rdd.getNumPartitions // once per batch, not per subscriber
             subs.forEach { sub =>
-              sub.deliver(sub.predicate.map(cached.filter).getOrElse(cached))
+              sub.deliver(sub.predicate.map(cached.filter).getOrElse(cached), parts)
             }
           } finally { cached.unpersist(); () }
         }

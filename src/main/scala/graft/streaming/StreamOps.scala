@@ -390,8 +390,13 @@ object StreamOps {
     // session conf).
     val iso = org.apache.spark.sql.graft.CatalystBridge.isolatedCopy(spark)
     val key = "spark.sql.shuffle.partitions"
+    // cap conf-tunable for scale A/Bs (r18): spark.graft.stream.statePartitions,
+    // default the measured 8 (r14 measured 4→8 ~20% at the 10× corpus;
+    // the r17 8→16 A/B was swamped by box load and is re-run quiet in r18)
+    val cap = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .flatMap(_.toIntOption).getOrElse(8)
     iso.conf.set(key,
-      math.min(spark.conf.get(key).toIntOption.getOrElse(8), 8).toString)
+      math.min(spark.conf.get(key).toIntOption.getOrElse(cap), cap).toString)
     // drain-once harness: the checkpoint is throwaway, so put its many
     // tiny offset/WAL/state-delta writes on tmpfs and retain the
     // minimum batch history — ~0.4s/batch of fsync latency at sf0.1
